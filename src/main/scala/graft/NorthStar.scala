@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Hashing, TextFunctions => TF, VectorFunctions => VF}
+
+/**
+ * North-star LLM-data-pipeline operators (SURVEY.md §7.1 M5 /
+ * BASELINE.json north_star): deduplication (exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard, embedding-cosine), similarity search (brute-force +
+ * LSH-bucketed ANN), text analysis (lang-ID, quality, token count,
+ * fingerprint), multimodal binary columns.
+ *
+ * Scale notes per operator are on the implementing functions
+ * ([[graft.functions.TextFunctions]], [[graft.functions.VectorFunctions]]).
+ * The LSH variants exist precisely because the exact ones (pairwise join,
+ * full-scan top-k) do not survive 100 TB; at sf0.01/0.1 both run, and the
+ * exact ones double as ground truth.
+ */
+object NorthStar {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** DuckDB token expression mirroring TextFunctions.tokens. */
+  private val sqlToks =
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
+    "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+
+  /** DuckDB 3-gram shingle list mirroring TextFunctions.shingles. */
+  private val sqlShingles =
+    s"""CASE WHEN len($sqlToks) < 3 THEN [array_to_string($sqlToks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len($sqlToks) - 1),
+             i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2])) END"""
+
+  /** Exact Jaccard pairs ≥ threshold via shingle-explode join (ground truth). */
+  private def jaccardPairsExact(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(TF.shingles(col("text"), 3)).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("doc_a", "na")), "doc_a")
+      .join(broadcast(sizes.toDF("doc_b", "nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH sh AS (
+          SELECT doc_id, unnest($sqlShingles) AS s FROM documents
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), pair AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+        FROM pair
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold"""
+
+  /** DuckDB double-precision cosine with the pinned left-to-right fold. */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)
+        / (sqrt(list_reduce(list_transform($a, y -> y * y), (p, q) -> p + q))
+         * sqrt(list_reduce(list_transform($b, y -> y * y), (p, q) -> p + q))))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- deduplication --------------------------------------------------
+
+    // exact dedup via normalized-text fingerprint: one hash-groupBy
+    "d01_dedup_exact" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(TF.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
+
+    // the surviving documents after exact dedup (keep = lowest doc_id)
+    "d02_dedup_survivors" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fingerprint"))
+      docs(s, dir)
+        .withColumn("fingerprint", TF.fingerprint(col("text")))
+        .withColumn("keep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("keep"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    // near-dup ground truth: exact n-gram Jaccard ≥ 0.8 (shingle join)
+    "d03_jaccard_pairs" -> ((s, dir) => jaccardPairsExact(s, dir, 0.8)),
+
+    // the scale path: MinHash(64) + LSH(32 bands × 2) candidates, then
+    // exact verify — identical output to d03 (recall ≈ 1 at J ≥ 0.8)
+    "d04_minhash_lsh" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+      val sig = base.withColumn("sig", TF.minhashSignature(col("sh"), 64))
+      val banded = sig.select(col("doc_id"),
+        posexplode(TF.lshBandHashes(col("sig"), 64, 32)).as(Seq("band", "bh")))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withSh = sig.select(col("doc_id"), col("sh"))
+      cand
+        .join(withSh.toDF("doc_a", "sh_a"), "doc_a")
+        .join(withSh.toDF("doc_b", "sh_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= 0.8)
+    }),
+
+    // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
+    // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
+    "d05_simhash_pairs" -> ((s, dir) => {
+      val sig = docs(s, dir).select(col("doc_id"),
+        Hashing.simhash64(TF.tokens(col("text"))).as("sig"))
+      val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("sig"), b * 8).bitwiseAND(lit(0xffL))): _*)).as(Seq("band", "chunk")))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          Hashing.hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    }),
+
+    // embedding-cosine near-dup pairs (brute force; LSH path = s02)
+    "e01_embedding_neardup" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          VF.cosine(col("a.v"), col("b.v")).as("score"))
+        .filter(col("score") >= 0.45)
+    }),
+
+    // -- similarity search ----------------------------------------------
+
+    // brute-force cosine top-k (exact baseline; query = vec_id 0)
+    "s01_cosine_topk" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding")))
+        .head().getSeq[Double](0)
+      VF.cosineTopK(emb(s, dir), "embedding", "vec_id", q, 10)
+    }),
+
+    // LSH-bucketed ANN (scale path; deterministic hyperplanes, multiprobe)
+    "s02_cosine_topk_lsh" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding")))
+        .head().getSeq[Double](0)
+      VF.cosineTopKLsh(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64, planes = 8)
+    }),
+
+    // -- text analysis --------------------------------------------------
+
+    "t01_token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))),
+
+    "t02_quality" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id") +: TF.qualityColumns(col("text")): _*)),
+
+    "t03_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
+
+    // signatures: md5 fingerprint (oracled in d01) + custom-expression
+    // rolling hash / simhash (not SQL-expressible → rows-only check)
+    "t04_signatures" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TF.fingerprint(col("text")).as("fp_md5"),
+        Hashing.rollingHash(TF.tokens(col("text"))).as("rolling"),
+        Hashing.simhash64(TF.tokens(col("text"))).as("simhash"))),
+
+    // -- multimodal columns ---------------------------------------------
+
+    // opaque binary payload + typed metadata (decode stubbed: the
+    // image/audio codecs aren't in this container — the Spark-side
+    // schema/partitioning/batching is the real, tested part)
+    "m01_multimodal_meta" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text").cast(BinaryType)).as("n_bytes"),
+        substring(col("text"), 1, 12).as("head"))),
+
+    "m02_multimodal_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.decodePipeline(docs(s, dir)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT md5(array_to_string($sqlToks, ' ')) AS fingerprint,
+                 min(doc_id) AS keep_id, count(*) AS n_copies
+          FROM documents GROUP BY 1""",
+    "d02_dedup_survivors" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+            SELECT doc_id, lang, source, n_chars,
+                   min(doc_id) OVER (PARTITION BY md5(array_to_string($sqlToks, ' '))) AS keep
+            FROM documents)
+          WHERE doc_id = keep""",
+    "d03_jaccard_pairs" -> jaccardOracle(0.8),
+    "d04_minhash_lsh" -> jaccardOracle(0.8),
+    "e01_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ${cosineSql("a.v", "b.v")} AS score
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE ${cosineSql("a.v", "b.v")} >= 0.45""",
+    "s01_cosine_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS score
+          FROM e, q
+          ORDER BY score DESC, e.vec_id LIMIT 10""",
+    "t01_token_count" ->
+      s"SELECT doc_id, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents",
+    "t02_quality" ->
+      s"""SELECT doc_id,
+            CAST(length(text) AS INT) AS n_chars_calc,
+            CAST(len($sqlToks) AS INT) AS n_tokens,
+            CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) AS punct_ratio,
+            CAST(len(list_filter($sqlToks,
+                 x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+              / greatest(len($sqlToks), 1) AS stopword_ratio,
+            CAST(len(list_distinct($sqlToks)) AS DOUBLE)
+              / greatest(len($sqlToks), 1) AS ttr
+          FROM documents""",
+    "t03_lang_id" ->
+      s"""WITH v AS (
+            SELECT doc_id,
+              len(list_filter($sqlToks, x -> list_contains(['the','and','of'], x))) AS en,
+              len(list_filter($sqlToks, x -> list_contains(['der','und','die'], x))) AS de,
+              len(list_filter($sqlToks, x -> list_contains(['le','et','la'], x))) AS fr,
+              len(list_filter($sqlToks, x -> list_contains(['el','y','los'], x))) AS es
+            FROM documents)
+          SELECT doc_id,
+            CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                 WHEN en = greatest(en, de, fr, es) THEN 'en'
+                 WHEN de = greatest(en, de, fr, es) THEN 'de'
+                 WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                 ELSE 'es' END AS lang_pred
+          FROM v""",
+    "m01_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                substring(text, 1, 12) AS head
+         FROM documents"""
+  )
+}

@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Relational, WeatherOps}
+
+/**
+ * The query surface: one entry per operator from SURVEY.md §2 (instantiated
+ * on the harness tables per §7.1 M3) plus the north-star LLM-pipeline
+ * operators (§7.1 M5). Each `all` entry has a DuckDB-runnable oracle in
+ * `oracles` unless the operator is not SQL-expressible (then the driver
+ * records a rows-only check).
+ *
+ * Oracle-parity rules used throughout (so hash compares are bit-exact):
+ *  - double SUMs go through DECIMAL(18,2) casts (exact, order-independent)
+ *    and back to double; per-row double arithmetic is identical IEEE754 in
+ *    both engines when the operation order matches;
+ *  - fold order for array sums is pinned left-to-right in both engines
+ *    (Spark `aggregate`, DuckDB `list_reduce`);
+ *  - every LIMIT is preceded by a total ORDER BY.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+   * only exposes as a long (legacy nanosAsLong); normalize to a
+   * microsecond TimestampType so downstream ops see a timestamp, exactly
+   * as DuckDB does (ns truncated to micros).
+   */
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  // ---------------------------------------------------------------- parity
+
+  val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // op 18 — full-table scan
+    "q01_fullscan" -> ((s, dir) => t(s, dir, "region")),
+
+    // op 7 — projection + rename
+    "q02_project" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))),
+
+    // op 5 — scalar math fn surface (K→F unit conversion + - * / round)
+    "q03_scalar_math" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        WeatherOps.kelvinToFahrenheit(col("l_quantity") + lit(273.15)).as("qty_f"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"))),
+
+    // op 6 — epoch+offset → naive local timestamp
+    "q04_epoch_ts" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        WeatherOps.localTimestamp(
+          unix_timestamp(col("o_orderdate")), lit(-18000L)).as("local_ts"))),
+
+    // timestamp function surface (extract/trunc)
+    "q05_ts_extract" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"),
+        dayofmonth(col("l_shipdate")).as("d"),
+        date_trunc("month", col("l_shipdate")).as("month_start"))),
+
+    // op 15 — string→timestamp with null-on-failure coercion
+    "q06_ts_coerce" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        to_timestamp(
+          when(col("o_orderstatus") === "F",
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(concat(lit("bad-"), col("o_orderstatus")))).as("coerced"))),
+
+    // op 11 — inner equi-join fact ⋈ broadcast dimension + projection
+    "q07_join_lookup" -> ((s, dir) =>
+      Relational.lookupJoin(t(s, dir, "orders"), t(s, dir, "customer")
+          .withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))),
+
+    // join chain across the star schema (lineitem⋈orders⋈customer⋈nation⋈region)
+    "q08_join_chain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          col("o_orderdate"), col("c_name"), col("n_name"), col("r_name"))
+    }),
+
+    // aggregation (§2.1 extension) — TPC-H Q1-style pricing summary;
+    // DECIMAL sums for exact, order-independent results
+    "q09_agg_pricing" -> ((s, dir) => {
+      val d = (c: Column) => c.cast(DecimalType(18, 2))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(d(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(d(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(d(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(DecimalType(18, 2)) - d(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(d(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // sort + top-k (TakeOrderedAndProject — no global sort shuffle)
+    "q10_topk" -> ((s, dir) =>
+      Relational.topK(t(s, dir, "orders"), 100,
+        col("o_totalprice").desc, col("o_orderkey").asc)),
+
+    // distinct
+    "q11_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // set ops: union (distinct)
+    "q12_union" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").cast(IntegerType).as("nationkey"))
+        .union(t(s, dir, "supplier").select(col("s_nationkey").cast(IntegerType).as("nationkey")))
+        .distinct()),
+
+    // set ops: intersect + except
+    "q13_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast(IntegerType).as("nationkey")).distinct()
+      val sup = t(s, dir, "supplier").select(col("s_nationkey").cast(IntegerType).as("nationkey")).distinct()
+      c.intersect(sup).withColumn("which", lit("both"))
+        .union(c.except(sup).withColumn("which", lit("customer_only")))
+    }),
+
+    // window: SERIAL-id semantics (row_number per partition, §7.3#1)
+    "q14_window_serial" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        row_number().over(Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))).as("rn"))),
+
+    // window: running frame aggregate (decimal-exact)
+    "q15_window_running" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_total"))),
+
+    // op 20 — limited scan (deterministic via total order)
+    "q16_limit" -> ((s, dir) =>
+      t(s, dir, "nation").orderBy(col("n_nationkey")).limit(10)),
+
+    // op 3/4-analog on harness data: JSON field extraction from events.props
+    "q17_json_extract" -> ((s, dir) =>
+      eventsTable(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))),
+
+    // op 6 on the event stream: second-truncated local timestamps
+    "q18_events_ts" -> ((s, dir) =>
+      eventsTable(s, dir).select(
+        col("event_id"),
+        date_trunc("second", col("ts")).as("ts_sec"),
+        col("event_type"), col("value"))),
+
+    // events aggregation: per-type decimal-exact rollup (stream-table agg)
+    "q19_events_agg" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))),
+
+    // op 21 — catalog query (no SQL oracle: engine-specific surface)
+    "q20_catalog" -> ((s, dir) => {
+      for (n <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "documents", "embeddings"))
+        t(s, dir, n).createOrReplaceTempView(n)
+      eventsTable(s, dir).createOrReplaceTempView("events")
+      s.sql("SHOW TABLES").select(col("tableName")).orderBy(col("tableName"))
+    })
+  )
+
+  // ------------------------------------------------------- parity oracles
+
+  val parityOracles: Map[String, String] = Map(
+    "q01_fullscan" -> "SELECT * FROM region",
+    "q02_project" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price FROM lineitem",
+    "q03_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(((l_quantity + 273.15) - 273.15) * 9.0 / 5.0 + 32.0, 3) AS qty_f,
+         l_extendedprice * (1.0 - l_discount) AS disc_price
+         FROM lineitem""",
+    "q04_epoch_ts" ->
+      """SELECT o_orderkey,
+         CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT) + (-18000)) AS TIMESTAMP) AS local_ts
+         FROM orders""",
+    "q05_ts_extract" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(year(l_shipdate) AS INT) AS y, CAST(month(l_shipdate) AS INT) AS m,
+         CAST(day(l_shipdate) AS INT) AS d,
+         date_trunc('month', l_shipdate) AS month_start
+         FROM lineitem""",
+    "q06_ts_coerce" ->
+      """SELECT o_orderkey,
+         TRY_CAST(CASE WHEN o_orderstatus = 'F'
+                       THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                       ELSE 'bad-' || o_orderstatus END AS TIMESTAMP) AS coerced
+         FROM orders""",
+    "q07_join_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+                c_name, c_mktsegment, c_acctbal
+         FROM orders INNER JOIN customer ON o_custkey = c_custkey""",
+    "q08_join_chain" ->
+      """SELECT l_orderkey, l_linenumber,
+                l_extendedprice * (1.0 - l_discount) AS revenue,
+                o_orderdate, c_name, n_name, r_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey""",
+    "q09_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                COUNT(*) AS count_order
+         FROM lineitem
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q10_topk" ->
+      "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+    "q11_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q12_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey AS nationkey FROM supplier""",
+    "q13_intersect" ->
+      """SELECT nationkey, 'both' AS which FROM
+           (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'customer_only' AS which FROM
+           (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""",
+    "q14_window_serial" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+         FROM orders""",
+    "q15_window_running" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders""",
+    "q16_limit" ->
+      "SELECT * FROM nation ORDER BY n_nationkey LIMIT 10",
+    "q17_json_extract" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+    "q18_events_ts" ->
+      """SELECT event_id, date_trunc('second', ts) AS ts_sec, event_type, value
+         FROM events""",
+    "q19_events_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    parity ++ NorthStar.queries
+
+  def oracles: Map[String, String] =
+    parityOracles ++ NorthStar.oracles
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the hashing ops Spark lacks as
+ * built-ins: SimHash and a polynomial rolling-hash fingerprint
+ * (SURVEY.md §7.1 M5 / §7.2 "MinHash/HLL-style sketches need custom").
+ *
+ * Both are single-pass over a token array, evaluated per-row inside the
+ * projection (CodegenFallback: one virtual call per row; the token
+ * array itself is produced by codegen'd built-ins). FNV-1a 64 is the
+ * base hash — public-domain, allocation-free, deterministic.
+ */
+object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+
+  def hashBytes(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= Prime
+      i += 1
+    }
+    h
+  }
+}
+
+/**
+ * SimHash-64 of an array<string> token column: per token take FNV-1a64,
+ * accumulate +1/-1 per bit position, emit the sign bit vector. Documents
+ * with small Hamming distance between SimHashes are near-duplicates.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/**
+ * Polynomial rolling-hash fingerprint of an array<string> token column:
+ * H = Σ token_hash_i · P^(n-1-i) mod 2^64 — order-sensitive (unlike a
+ * bag-of-words hash), single pass.
+ */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private final val P = 1099511628211L
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var h = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      val th = if (arr.isNullAt(i)) 0L else Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+      h = h * P + th
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object Hashing {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def rollingHash(tokens: Column): Column = column(RollingHash(expression(tokens)))
+
+  /** Hamming distance between two 64-bit signatures (built-in bit_count). */
+  def hammingDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}

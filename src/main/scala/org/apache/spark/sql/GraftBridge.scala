@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into Spark's `private[sql]` Column↔Expression converters so
+ * graft's custom Catalyst expressions (SimHash64, RollingHash) can be
+ * exposed as `Column`s. Spark 4 hides the Column(expr) constructor
+ * behind `org.apache.spark.sql.classic.ExpressionUtils`; this shim is
+ * the supported-by-convention extension point (same technique used by
+ * third-party Spark extensions).
+ */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
