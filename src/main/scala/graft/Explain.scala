@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: print the formatted physical plan of one or more queries.
+  * Usage: runMain graft.Explain <sfDir> <queryName> [queryName ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      println(s"========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

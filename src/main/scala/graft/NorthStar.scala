@@ -37,22 +37,50 @@ object NorthStar {
         ELSE list_distinct(list_transform(range(1, len($sqlToks) - 1),
              i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2])) END"""
 
-  /** Exact Jaccard pairs ≥ threshold via shingle-explode join (ground truth). */
+  /**
+   * Exact Jaccard pairs ≥ threshold via prefix filtering (the AllPairs /
+   * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
+   * Search", WWW'07): under a global rarity order on shingles, any pair
+   * with J ≥ t must share one of the first n − ⌈t·n⌉ + 1 shingles of each
+   * side, so joining only on those prefix shingles is EXACT (zero recall
+   * loss) while shrinking the candidate join from Σ df² (quadratic in a
+   * hot shingle's document frequency) to the rare-prefix join.
+   *
+   * Scale shape: df counting and prefix ranking are ordinary shuffles on
+   * (shingle) and (doc_id); nothing is quadratic in df, and the exact
+   * verification touches only candidate pairs.
+   */
   private def jaccardPairsExact(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = docs(s, dir).select(col("doc_id"),
-      explode(TF.shingles(col("text"), 3)).as("s"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val base = docs(s, dir).select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
+    val sh = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    // prefix length n − ⌈t·n⌉ + 1; the epsilon keeps ⌈·⌉ from rounding an
+    // exact t·n UP under FP error (a longer prefix is always safe)
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-6) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.toDF("doc_a", "na")), "doc_a")
-      .join(broadcast(sizes.toDF("doc_b", "nb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    exactVerify(cand, base, threshold)
   }
+
+  /**
+   * Join candidate (doc_a, doc_b) pairs back to the full shingle arrays
+   * and keep exact Jaccard ≥ t. inter/(na+nb−inter) over distinct shingle
+   * sets — the same integer arithmetic and double division as the oracle.
+   */
+  private def exactVerify(cand: DataFrame, base: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(base.toDF("doc_a", "sh_a"), "doc_a")
+      .join(base.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS (
@@ -87,38 +115,57 @@ object NorthStar {
         .groupBy(TF.fingerprint(col("text")).as("fingerprint"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))),
 
-    // the surviving documents after exact dedup (keep = lowest doc_id)
+    // the surviving documents after exact dedup (keep = lowest doc_id).
+    // Scale shape: the agg shuffles only (fingerprint, partial-min doc_id)
+    // after map-side combine, and the semi-join key set is doc_id only —
+    // the text column never crosses a shuffle (a window over fingerprint
+    // would move full rows). AQE broadcasts the keep-set when small.
     "d02_dedup_survivors" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("fingerprint"))
-      docs(s, dir)
-        .withColumn("fingerprint", TF.fingerprint(col("text")))
-        .withColumn("keep", min(col("doc_id")).over(w))
-        .filter(col("doc_id") === col("keep"))
+      val d = docs(s, dir)
+      val keep = d
+        .select(TF.fingerprint(col("text")).as("fingerprint"), col("doc_id"))
+        .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
     // near-dup ground truth: exact n-gram Jaccard ≥ 0.8 (shingle join)
     "d03_jaccard_pairs" -> ((s, dir) => jaccardPairsExact(s, dir, 0.8)),
 
-    // the scale path: MinHash(64) + LSH(32 bands × 2) candidates, then
-    // exact verify — identical output to d03 (recall ≈ 1 at J ≥ 0.8)
+    // the scale path: MinHash(128) + LSH(32 bands × r=4) candidates,
+    // signature-estimate prefilter, then exact verify — identical output
+    // to d03. Banding math at r=4: P(candidate | J) = 1−(1−J⁴)³², i.e.
+    // ≈ 1−5e−8 at J=0.8 (recall ~1) but ~1% at J=0.14 and ~0 below —
+    // candidates stay near-linear instead of degenerating to all pairs.
     "d04_minhash_lsh" -> ((s, dir) => {
+      val k = 128; val bands = 32
       val base = docs(s, dir).select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
-      val sig = base.withColumn("sig", TF.minhashSignature(col("sh"), 64))
+      // hash each shingle string once (cached), derive the k minhashes
+      // from the cheap long hashes; the signature table is the unit of
+      // reuse across banding and estimation, so cache it too
+      val sig = base
+        .select(col("doc_id"), TF.shingleHashes(col("sh")).as("h0"))
+        .persist()
+        .select(col("doc_id"), TF.minhashFromHashes(col("h0"), k).as("sig"))
+        .persist()
       val banded = sig.select(col("doc_id"),
-        posexplode(TF.lshBandHashes(col("sig"), 64, 32)).as(Seq("band", "bh")))
+        posexplode(TF.lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val withSh = sig.select(col("doc_id"), col("sh"))
-      cand
-        .join(withSh.toDF("doc_a", "sh_a"), "doc_a")
-        .join(withSh.toDF("doc_b", "sh_b"), "doc_b")
-        .select(col("doc_a"), col("doc_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+      // signature-estimated Jaccard prefilter: O(k) on the already-
+      // computed sigs, no shingle rehydration; est ≥ 0.6 keeps J ≥ 0.8
+      // pairs with ~5σ headroom at k=128 (σ = √(0.8·0.2/128) ≈ 0.035)
+      val survivors = cand
+        .join(sig.toDF("doc_a", "sig_a"), "doc_a")
+        .join(sig.toDF("doc_b", "sig_b"), "doc_b")
+        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast(DoubleType) / k >= 0.6)
+        .select(col("doc_a"), col("doc_b"))
+      exactVerify(survivors, base, 0.8)
     }),
 
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
@@ -138,12 +185,21 @@ object NorthStar {
         .filter(col("hamming") <= 6)
     }),
 
-    // embedding-cosine near-dup pairs (brute force; LSH path = s02)
+    // embedding-cosine near-dup pairs. EXACT all-pairs by design: the
+    // qualifying pairs sit just above the 0.45 threshold (measured: all in
+    // [0.45, 0.7), nearest non-pair at 0.4497), angles where any LSH
+    // bucketing loses recall — so the pair scan stays exact and the speed
+    // comes from (a) norms computed once per vector, not per pair, and
+    // (b) the codegen'd DotProduct kernel in the pair projection.
+    // At 100 TB the same plan becomes a block-partitioned distributed
+    // matrix product; the approximate path is s02's bucketed ANN.
     "e01_embedding_neardup" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val e = emb(s, dir)
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(VF.normSq(col("v"))))
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          VF.cosine(col("a.v"), col("b.v")).as("score"))
+          (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
         .filter(col("score") >= 0.45)
     }),
 

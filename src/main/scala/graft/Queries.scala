@@ -29,12 +29,12 @@ object Queries {
 
   /**
    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-   * only exposes as a long (legacy nanosAsLong); normalize to a
-   * microsecond TimestampType so downstream ops see a timestamp, exactly
-   * as DuckDB does (ns truncated to micros).
+   * only exposes as a long (legacy nanosAsLong — set once at session build
+   * by Verify/Bench/tests, NOT here: a per-query conf mutation would be an
+   * order-dependent global); normalize to a microsecond TimestampType so
+   * downstream ops see a timestamp, exactly as DuckDB does (ns → micros).
    */
   private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -77,11 +77,14 @@ object Queries {
         dayofmonth(col("l_shipdate")).as("d"),
         date_trunc("month", col("l_shipdate")).as("month_start"))),
 
-    // op 15 — string→timestamp with null-on-failure coercion
+    // op 15 — string→timestamp with null-on-failure coercion.
+    // Spark 4 is ANSI-mode by default, so plain to_timestamp THROWS on a
+    // malformed string; try_to_timestamp is the exact analogue of the
+    // reference's pd.to_datetime(errors="coerce") and DuckDB's TRY_CAST.
     "q06_ts_coerce" -> ((s, dir) =>
       t(s, dir, "orders").select(
         col("o_orderkey"),
-        to_timestamp(
+        try_to_timestamp(
           when(col("o_orderstatus") === "F",
             date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
             .otherwise(concat(lit("bad-"), col("o_orderstatus")))).as("coerced"))),

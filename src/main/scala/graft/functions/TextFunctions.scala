@@ -96,13 +96,27 @@ object TextFunctions {
   }
 
   /**
-   * MinHash signature: k independent hash functions h_j(s) =
-   * xxhash64(s, j); signature[j] = min over shingles. Pure built-ins —
-   * a single codegen'd projection, no shuffle, no UDF.
+   * Base hash per shingle: one xxhash64 over the shingle string. Computed
+   * ONCE per shingle and materialized as its own column (persist/cache the
+   * projection!) so the k minhash functions below derive from cheap
+   * long-hashes instead of re-hashing the string k times.
    */
-  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, sh => xxhash64(sh))
+
+  /**
+   * MinHash signature from pre-hashed shingles: k independent functions
+   * h_j(x) = xxhash64(x, j) over the base long hash; signature[j] = min
+   * over shingles. Pure built-ins — a projection, no shuffle, no UDF.
+   */
+  def minhashFromHashes(h0: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(shingleCol, sh => xxhash64(sh, j))))
+      j => array_min(transform(h0, h => xxhash64(h, j))))
+
+  /** MinHash signature straight from shingle strings (convenience form —
+    * prefer shingleHashes + minhashFromHashes with a cached h0 column). */
+  def minhashSignature(shingleCol: Column, k: Int = 64): Column =
+    minhashFromHashes(shingleHashes(shingleCol), k)
 
   /**
    * LSH band hashes: split the k-length signature into `bands` bands of

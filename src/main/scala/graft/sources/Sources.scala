@@ -76,8 +76,9 @@ object Sources {
   /**
    * Op 15 — CSV re-scan with null-on-failure timestamp coercion
    * (`pd.to_datetime(errors="coerce")`, weather_etl_pipeline.py:241-243).
-   * Under Spark's default non-ANSI mode `to_timestamp` already yields
-   * null on parse failure, matching `coerce`.
+   * Spark 4 defaults to ANSI mode where `to_timestamp` THROWS on a parse
+   * failure; `try_to_timestamp` restores the null-on-failure semantics
+   * that match `coerce` (and SQL TRY_CAST).
    */
   def csvWithTimestampCoercion(
       spark: SparkSession, path: String, schema: StructType,
@@ -86,6 +87,6 @@ object Sources {
       if (tsCols.contains(f.name)) f.copy(dataType = org.apache.spark.sql.types.StringType) else f
     })
     val raw = spark.read.option("header", "true").schema(asStrings).csv(path)
-    tsCols.foldLeft(raw)((df, c) => df.withColumn(c, to_timestamp(col(c))))
+    tsCols.foldLeft(raw)((df, c) => df.withColumn(c, try_to_timestamp(col(c))))
   }
 }
