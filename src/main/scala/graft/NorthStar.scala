@@ -99,6 +99,55 @@ object NorthStar {
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $threshold"""
 
+  // ---- DuckDB unsigned-64 arithmetic helpers (oracles for the custom
+  // hash expressions): Java long wraparound == mod-2^64 residues, done in
+  // HUGEINT and converted back to signed BIGINT at the end. Validated
+  // bit-exact against Fnv/RollingHash/SimHash64 on the harness corpus.
+  private val U64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+  private val I63 = "CAST(9223372036854775808 AS HUGEINT)"  // 2^63
+
+  private def signedSql(e: String): String =
+    s"CAST(CASE WHEN ($e) >= $I63 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
+
+  /** FNV-1a-64 over the bytes of string expr `s` (corpus is ASCII, so
+    * per-char ord == byte), as HUGEINT in [0, 2^64). */
+  private def fnvSql(s: String): String =
+    s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(string_split($s, ''), c -> CAST(ord(c) AS HUGEINT))),
+        (h, b) -> (xor(h, b) * CAST(1099511628211 AS HUGEINT)) % $U64)"""
+
+  /** RollingHash over a HUGEINT hash-list column `hs`. */
+  private def rollingSql(hs: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), $hs),
+        (h, x) -> (h * CAST(1099511628211 AS HUGEINT) + x) % $U64)"""
+
+  /** SimHash64 over a HUGEINT hash-list column `hs`: per bit b, the bit is
+    * set iff more than half the hashes have bit b set (counts(b) > 0). */
+  private def simhashSql(hs: String): String =
+    (0 until 64).map { b =>
+      val pow = java.math.BigInteger.ONE.shiftLeft(b).toString
+      s"""(CASE WHEN 2*len(list_filter($hs, h -> (h // CAST($pow AS HUGEINT)) % 2 = 1))
+          > len($hs) THEN CAST($pow AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"""
+    }.mkString("(", " + ", ")")
+
+  /** The ±1 hyperplane p as a DuckDB list literal — generated from the
+    * same Fnv bits as VectorFunctions.planeLiteral. */
+  private def planeSqlLiteral(p: Int, dim: Int): String =
+    Array.tabulate(dim) { j =>
+      val h = graft.functions.Fnv.hashBytes(s"plane:$p:$j".getBytes("UTF-8"))
+      if ((h & 1L) == 1L) "1.0" else "-1.0"
+    }.mkString("[", ",", "]")
+
+  /** Left-to-right dot fold from 0.0 (matches DotProduct / aggregate). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), x -> x[1]*x[2])), (p,q) -> p+q)"
+
+  /** VectorFunctions.lshBucket(v, dim, planes) as SQL. */
+  private def bucketSql(v: String, dim: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      s"(CASE WHEN ${dotSql(v, planeSqlLiteral(p, dim))} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB double-precision cosine with the pinned left-to-right fold. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)
@@ -312,6 +361,46 @@ object NorthStar {
     "m01_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                 substring(text, 1, 12) AS head
-         FROM documents"""
+         FROM documents""",
+    "m02_multimodal_decode" -> {
+      val hcols = (0 until 8).map(b =>
+        s"CAST(len(list_filter(bytes, x -> x % 8 = $b)) AS DOUBLE) / greatest(n_bytes, 1) AS h$b")
+        .mkString(",\n            ")
+      s"""WITH b AS (SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              list_transform(string_split(text, ''), c -> CAST(ord(c) AS HUGEINT)) AS bytes
+            FROM documents)
+          SELECT doc_id, n_bytes,
+            ${signedSql(s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bytes),
+              (h, b) -> (xor(h, b) * CAST(1099511628211 AS HUGEINT)) % $U64)""")} AS checksum,
+            $hcols
+          FROM b"""
+    },
+    "t04_signatures" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+            h AS (SELECT doc_id, md5(array_to_string(tk, ' ')) AS fp_md5,
+                     list_transform(tk, t -> ${fnvSql("t")}) AS hs FROM base)
+          SELECT doc_id, fp_md5,
+                 ${signedSql(rollingSql("hs"))} AS rolling,
+                 ${signedSql(simhashSql("hs"))} AS simhash
+          FROM h""",
+    "d05_simhash_pairs" ->
+      s"""WITH base AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+            hh AS (SELECT doc_id, list_transform(tk, t -> ${fnvSql("t")}) AS hs FROM base),
+            sig AS (SELECT doc_id, ${signedSql(simhashSql("hs"))} AS sig FROM hh)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
+    "s02_cosine_topk_lsh" -> {
+      val probes = (Seq("b.bucket = q.qb") ++
+        (0 until 8).map(p => s"b.bucket = xor(q.qb, ${1L << p})")).mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            b AS (SELECT vec_id, v, ${bucketSql("v", 64, 8)} AS bucket FROM e),
+            q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+          SELECT b.vec_id, ${cosineSql("b.v", "q.qv")} AS score
+          FROM b, q WHERE $probes
+          ORDER BY score DESC, b.vec_id LIMIT 10"""
+    }
   )
 }

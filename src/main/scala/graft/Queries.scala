@@ -195,6 +195,20 @@ object Queries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))),
 
+    // op 4 — array element access (GetArrayItem + GetStructField), the
+    // reference's `data["weather"][0]["description"]` idiom
+    // (weather_etl_pipeline.py:62) instantiated on the harness tables: an
+    // array-of-structs column, element [0]/[1], then a struct field
+    "q21_array_access" -> ((s, dir) => {
+      val arr = array(
+        struct(col("l_quantity").as("v"), lit("qty").as("tag")),
+        struct(col("l_extendedprice").as("v"), lit("price").as("tag")))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        arr.getItem(0).getField("v").as("first_v"),
+        arr.getItem(1).getField("tag").as("second_tag"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -292,7 +306,12 @@ object Queries {
       """SELECT event_type, COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
                 COUNT(DISTINCT user_id) AS n_users
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q21_array_access" ->
+      """SELECT l_orderkey, l_linenumber,
+                ([{'v': l_quantity, 'tag': 'qty'}, {'v': l_extendedprice, 'tag': 'price'}])[1].v AS first_v,
+                ([{'v': l_quantity, 'tag': 'qty'}, {'v': l_extendedprice, 'tag': 'price'}])[2].tag AS second_tag
+         FROM lineitem"""
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -102,11 +102,62 @@ case class RollingHash(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * FNV-1a-64 checksum of a binary column — the "codec checksum" stage of
+ * the multimodal decode path, in-place over the payload bytes (no
+ * Dataset-encoder round-trip; one virtual call per row).
+ */
+case class FnvChecksum(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv_checksum"
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Fnv.hashBytes(input.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildInternal(newChild: Expression): FnvChecksum =
+    copy(child = newChild)
+}
+
+/**
+ * Normalized byte histogram of a binary column: dim bins of
+ * count(byte % dim) / max(len, 1) — the deterministic stand-in "feature
+ * vector" of the multimodal decode stage (Multimodal.FakeCodec), as a
+ * single-pass Catalyst expression.
+ */
+case class ByteHistogram(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(input: Any): Any = {
+    val data = input.asInstanceOf[Array[Byte]]
+    val hist = new Array[Double](dim)
+    var i = 0
+    while (i < data.length) {
+      hist((data(i) & 0xff) % dim) += 1.0
+      i += 1
+    }
+    val n = math.max(data.length, 1).toDouble
+    var b = 0
+    while (b < dim) { hist(b) /= n; b += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hist)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
+    copy(child = newChild)
+}
+
 object Hashing {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def rollingHash(tokens: Column): Column = column(RollingHash(expression(tokens)))
+  def fnvChecksum(data: Column): Column = column(FnvChecksum(expression(data)))
+  def byteHistogram(data: Column, dim: Int): Column =
+    column(ByteHistogram(expression(data), dim))
 
   /** Hamming distance between two 64-bit signatures (built-in bit_count). */
   def hammingDist(a: Column, b: Column): Column =

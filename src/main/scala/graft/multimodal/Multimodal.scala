@@ -81,9 +81,24 @@ object Multimodal {
     }
   }
 
-  /** End-to-end: docs → media table → decoded features (flattened). */
-  def decodePipeline(docs: DataFrame): DataFrame =
-    decodeFeatures(toMediaTable(docs)).toDF()
-      .select(col("doc_id"), col("n_bytes"), col("checksum"),
-        concat_ws(",", col("feature").cast(ArrayType(StringType))).as("feature_csv"))
+  /**
+   * End-to-end: docs → media table → decoded features. The deterministic
+   * FakeCodec math runs as Catalyst expressions
+   * ([[graft.functions.FnvChecksum]] / [[graft.functions.ByteHistogram]])
+   * directly over the binary column — no Dataset-encoder round-trip, rows
+   * never deserialize to case classes. [[decodeFeatures]] remains as the
+   * `mapPartitions` shape a REAL native codec (per-task handle init)
+   * would need; use it only when an expression can't host the codec.
+   * Feature bins are flattened to scalar columns (h0..h7) so the result
+   * is oracle-comparable.
+   */
+  def decodePipeline(docs: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    val media = toMediaTable(docs)
+    val bins = (0 until FakeCodec.dim).map(b =>
+      element_at(Hashing.byteHistogram(col("data"), FakeCodec.dim), b + 1).as(s"h$b"))
+    media.select(
+      Seq(col("doc_id"), col("n_bytes"),
+        Hashing.fnvChecksum(col("data")).as("checksum")) ++ bins: _*)
+  }
 }
