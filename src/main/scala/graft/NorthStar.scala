@@ -37,50 +37,9 @@ object NorthStar {
         ELSE list_distinct(list_transform(range(1, len($sqlToks) - 1),
              i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2])) END"""
 
-  /**
-   * Exact Jaccard pairs ≥ threshold via prefix filtering (the AllPairs /
-   * PPJoin family — Bayardo et al., "Scaling Up All Pairs Similarity
-   * Search", WWW'07): under a global rarity order on shingles, any pair
-   * with J ≥ t must share one of the first n − ⌈t·n⌉ + 1 shingles of each
-   * side, so joining only on those prefix shingles is EXACT (zero recall
-   * loss) while shrinking the candidate join from Σ df² (quadratic in a
-   * hot shingle's document frequency) to the rare-prefix join.
-   *
-   * Scale shape: df counting and prefix ranking are ordinary shuffles on
-   * (shingle) and (doc_id); nothing is quadratic in df, and the exact
-   * verification touches only candidate pairs.
-   */
-  private def jaccardPairsExact(s: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
-    val sh = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // prefix length n − ⌈t·n⌉ + 1; the epsilon keeps ⌈·⌉ from rounding an
-    // exact t·n UP under FP error (a longer prefix is always safe)
-    val prefix = sh.join(dfreq, "s")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-6) + 1)
-      .select(col("doc_id"), col("s"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    exactVerify(cand, base, threshold)
-  }
-
-  /**
-   * Join candidate (doc_a, doc_b) pairs back to the full shingle arrays
-   * and keep exact Jaccard ≥ t. inter/(na+nb−inter) over distinct shingle
-   * sets — the same integer arithmetic and double division as the oracle.
-   */
-  private def exactVerify(cand: DataFrame, base: DataFrame, threshold: Double): DataFrame =
-    cand
-      .join(base.toDF("doc_a", "sh_a"), "doc_a")
-      .join(base.toDF("doc_b", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+  // near-dup pair detection lives in graft.operators.Dedup (prefix-filter
+  // exact path + MinHash-LSH scale path); the queries below bind it to the
+  // harness documents table
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS (
@@ -179,43 +138,16 @@ object NorthStar {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
-    // near-dup ground truth: exact n-gram Jaccard ≥ 0.8 (shingle join)
-    "d03_jaccard_pairs" -> ((s, dir) => jaccardPairsExact(s, dir, 0.8)),
+    // near-dup ground truth: exact n-gram Jaccard ≥ 0.8 via prefix
+    // filtering (guaranteed recall — see operators.Dedup.jaccardPairsExact)
+    "d03_jaccard_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)),
 
-    // the scale path: MinHash(128) + LSH(32 bands × r=4) candidates,
-    // signature-estimate prefilter, then exact verify — identical output
-    // to d03. Banding math at r=4: P(candidate | J) = 1−(1−J⁴)³², i.e.
-    // ≈ 1−5e−8 at J=0.8 (recall ~1) but ~1% at J=0.14 and ~0 below —
-    // candidates stay near-linear instead of degenerating to all pairs.
-    "d04_minhash_lsh" -> ((s, dir) => {
-      val k = 128; val bands = 32
-      val base = docs(s, dir).select(col("doc_id"), TF.shingles(col("text"), 3).as("sh"))
-      // hash each shingle string once (cached), derive the k minhashes
-      // from the cheap long hashes; the signature table is the unit of
-      // reuse across banding and estimation, so cache it too
-      val sig = base
-        .select(col("doc_id"), TF.shingleHashes(col("sh")).as("h0"))
-        .persist()
-        .select(col("doc_id"), TF.minhashFromHashes(col("h0"), k).as("sig"))
-        .persist()
-      val banded = sig.select(col("doc_id"),
-        posexplode(TF.lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      // signature-estimated Jaccard prefilter: O(k) on the already-
-      // computed sigs, no shingle rehydration; est ≥ 0.6 keeps J ≥ 0.8
-      // pairs with ~5σ headroom at k=128 (σ = √(0.8·0.2/128) ≈ 0.035)
-      val survivors = cand
-        .join(sig.toDF("doc_a", "sig_a"), "doc_a")
-        .join(sig.toDF("doc_b", "sig_b"), "doc_b")
-        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast(DoubleType) / k >= 0.6)
-        .select(col("doc_a"), col("doc_b"))
-      exactVerify(survivors, base, 0.8)
-    }),
+    // the scale path: MinHash(128) + LSH(32 bands × r=4) + signature-
+    // estimate prefilter + exact verify — identical output to d03 with
+    // near-linear candidate volume (see operators.Dedup.minhashLshPairs)
+    "d04_minhash_lsh" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.8)),
 
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fnv, Hashing, TextFunctions => TF}
+
+/** Custom Catalyst hash expressions: SimHash64, RollingHash, FnvChecksum,
+  * ByteHistogram, hamming distance. */
+class HashingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64 is deterministic and equal for equal token streams") {
+    val sigs = Seq("the quick brown fox", "the quick brown fox", "a different text")
+      .toDF("t").select(Hashing.simhash64(TF.tokens(col("t")))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("hammingDist: zero on self, 64 on complement") {
+    val out = Seq((7L, 7L), (0L, -1L), (0L, 1L)).toDF("a", "b")
+      .select(Hashing.hammingDist(col("a"), col("b"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 64, 1))
+  }
+
+  test("rollingHash is order-sensitive and matches the FNV/polynomial spec") {
+    val hs = Seq(Seq("a", "b"), Seq("b", "a"), Seq("a")).toDF("tk")
+      .select(Hashing.rollingHash(col("tk"))).as[Long].collect()
+    assert(hs(0) != hs(1))
+    // single token: H = FNV-1a(token)
+    assert(hs(2) == Fnv.hashBytes("a".getBytes("UTF-8")))
+    // two tokens: H = h(a)·P + h(b) with long wraparound
+    val P = 1099511628211L
+    val expected = Fnv.hashBytes("a".getBytes("UTF-8")) * P + Fnv.hashBytes("b".getBytes("UTF-8"))
+    assert(hs(0) == expected)
+  }
+
+  test("fnvChecksum over binary equals Fnv.hashBytes") {
+    val bytes = "payload-123".getBytes("UTF-8")
+    val got = Seq("payload-123").toDF("t")
+      .select(Hashing.fnvChecksum(col("t").cast("binary"))).as[Long].head()
+    assert(got == Fnv.hashBytes(bytes))
+  }
+
+  test("byteHistogram: normalized bins matching a hand computation, summing to 1") {
+    val s = "abcdefgh" // ords 97..104 → bins 1..7,0 one hit each
+    val hist = Seq(s).toDF("t")
+      .select(Hashing.byteHistogram(col("t").cast("binary"), 8)).as[Seq[Double]].head()
+    assert(hist.length == 8)
+    assert(hist.forall(_ == 0.125))
+    assert(math.abs(hist.sum - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Relational operator layer: broadcast lookup join, top-k, SERIAL ids,
+  * truncate — plus the join-cardinality law. */
+class RelationalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("op 11: lookupJoin is inner (drops unmatched) and broadcasts the dimension") {
+    val fact = Seq(("Houston", 1), ("Houston", 2), ("Nowhere", 3)).toDF("city", "n")
+    val dim = Seq(("Houston", "TX"), ("Seattle", "WA")).toDF("city", "st")
+    val out = Relational.lookupJoin(fact, dim, "city")
+    assert(out.count() == 2)
+    assert(out.select(collect_set(col("st"))).as[Seq[String]].head() == Seq("TX"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("top-k plans as TakeOrderedAndProject (no global sort shuffle)") {
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 100).toLong)).toDF("id", "v")
+    val top = Relational.topK(df, 5, col("v").desc, col("id").asc)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+    val got = top.as[(Long, Long)].collect().map(_._2).toSeq
+    assert(got == got.sorted.reverse && got.head == 99L)
+  }
+
+  test("op SERIAL: withSerialId assigns dense 1..n ids in order") {
+    val df = Seq("c", "a", "b").toDF("k")
+    val ids = Relational.withSerialId(df, Seq(col("k")))
+      .orderBy(col("k")).select(col("id")).as[Int].collect()
+    assert(ids.toSeq == Seq(1, 2, 3))
+  }
+
+  test("op 19: truncate leaves a readable empty table with the schema intact") {
+    val dir = Files.createTempDirectory("graft_trunc").toString + "/t"
+    val df = Seq((1L, "a")).toDF("id", "s")
+    df.write.parquet(dir)
+    Relational.truncate(spark.read.parquet(dir), dir + "_empty")
+    val empty = spark.read.parquet(dir + "_empty")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
+    val keys = Gen.listOfN(30, Gen.choose(0, 5))
+    val prop = Prop.forAll(keys, keys) { (l, r) =>
+      val lf = l.zipWithIndex.toDF("k", "i")
+      val rf = r.zipWithIndex.toDF("k", "j")
+      val expected = l.groupBy(identity).view.mapValues(_.size).toMap
+        .map { case (k, n) => n.toLong * r.count(_ == k) }.sum
+      lf.join(rf, "k").count() == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

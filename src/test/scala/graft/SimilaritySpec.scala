@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Dedup
+
+/**
+ * Similarity operators: the codegen'd DotProduct kernel, cosine top-k, and
+ * the central recall law — prefix filtering and MinHash-LSH must reproduce
+ * the brute-force Jaccard pairs EXACTLY on generated corpora with planted
+ * near-duplicates.
+ */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("DotProduct equals the left-to-right scala fold, elementwise-exact") {
+    val gen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(VF.dot(col("a"), col("b"))).as[Double].head()
+      var acc = 0.0
+      a.zip(b).foreach { case (x, y) => acc += x * y }
+      got == acc
+    }, n = 10)
+  }
+
+  test("cosine self-similarity is 1 (within sqrt rounding) and symmetric") {
+    val v = Seq((Seq(1.0, 2.0, 3.0), Seq(3.0, 2.0, 1.0)))
+      .toDF("a", "b")
+    val Array(selfA, ab, ba) = v.select(
+      VF.cosine(col("a"), col("a")),
+      VF.cosine(col("a"), col("b")),
+      VF.cosine(col("b"), col("a"))).as[(Double, Double, Double)].collect()
+      .map(t => Array(t._1, t._2, t._3)).head
+    assert(math.abs(selfA - 1.0) < 1e-12)
+    assert(ab == ba)
+    assert(math.abs(ab - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("cosineTopK returns the query vector itself first") {
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(5)._2.map(_.toDouble).toSeq
+    val top = VF.cosineTopK(df, "embedding", "vec_id", q, 3).collect()
+    assert(top.head.getLong(0) == 5L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  /** Reference implementation of the 3-gram-shingle Jaccard over TF's
+    * tokenization semantics, for brute-force ground truth. */
+  private def shingleSet(tokens: List[String]): Set[String] =
+    if (tokens.size < 3) Set(tokens.mkString(" "))
+    else tokens.sliding(3).map(_.mkString(" ")).toSet
+
+  private def brutePairs(docs: Seq[(Long, List[String])], t: Double): Set[(Long, Long, Double)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (ia, ib, j)).toSet
+
+  /** Corpus generator: base docs from a small vocab plus planted
+    * near-duplicates (copy with 0-1 token edits) to guarantee J≥t pairs. */
+  private val corpusGen: Gen[Seq[(Long, List[String])]] = for {
+    nDocs <- Gen.choose(4, 10)
+    base <- Gen.listOfN(nDocs,
+      Gen.choose(8, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf((0 to 14).map(i => s"tok$i")))))
+    dupOf <- Gen.choose(0, nDocs - 1)
+    editPos <- Gen.choose(0, 7)
+    mutate <- Gen.oneOf(true, false)
+  } yield {
+    val dup = if (mutate) base(dupOf).updated(editPos, "tokX") else base(dupOf)
+    (base :+ dup).zipWithIndex.map { case (tks, i) => (i.toLong, tks.map(_.toString)) }
+  }
+
+  test("law: prefix-filter exact Jaccard pairs == brute force (guaranteed recall)") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.map { case (i, tks) => (i, tks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.jaccardPairsExact(docs, "doc_id", "text", 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      got == brutePairs(corpus, 0.8)
+    }, n = 8)
+  }
+
+  test("law: MinHash-LSH pairs == brute force on planted-duplicate corpora") {
+    check(Prop.forAll(corpusGen) { corpus =>
+      val docs = corpus.map { case (i, tks) => (i, tks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      got == brutePairs(corpus, 0.8)
+    }, n = 5)
+  }
+
+  test("lshBucket is deterministic and the s02 multiprobe contains the exact top hit") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.cos(i * 31 + j * 7).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val b1 = df.select(VF.lshBucket(col("embedding"), 16, 8)).as[Long].collect()
+    val b2 = df.select(VF.lshBucket(col("embedding"), 16, 8)).as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    val q = vecs(7)._2.map(_.toDouble).toSeq
+    val top = VF.cosineTopKLsh(df, "embedding", "vec_id", q, 1, dim = 16, planes = 8).collect()
+    assert(top.head.getLong(0) == 7L) // own bucket always probed
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Text-analysis operators: tokenization, fingerprint, shingles, Jaccard,
+  * language-ID, quality scoring (SURVEY.md §7.1 M5). */
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tokensOf(s: String): Seq[String] =
+    Seq(s).toDF("t").select(TF.tokens(col("t"))).as[Seq[String]].head()
+
+  test("tokens: lowercase, whitespace-normalized, empty-safe") {
+    assert(tokensOf("  Hello   WORLD  ") == Seq("hello", "world"))
+    assert(tokensOf("") == Seq.empty)
+    assert(tokensOf("   ") == Seq.empty)
+    assert(tokensOf("one\ttwo\nthree") == Seq("one", "two", "three"))
+  }
+
+  test("tokenCount counts whitespace tokens") {
+    val n = Seq("a b  c").toDF("t").select(TF.tokenCount(col("t"))).as[Int].head()
+    assert(n == 3)
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val fps = Seq("Hello  world", "hello world", "hello worlds").toDF("t")
+      .select(TF.fingerprint(col("t"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("shingles: sliding distinct n-grams; short docs collapse to one whole-text shingle") {
+    def sh(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TF.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq("a b"))
+    assert(sh("x x x x x") == Seq("x x x")) // duplicates dropped
+  }
+
+  test("jaccard: 1.0 on identical sets, 0.0 on disjoint, exact ratio between") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val out = df.select(TF.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(out(0) == 1.0)
+    assert(out(1) == 0.0)
+    assert(out(2) == 2.0 / 4.0)
+  }
+
+  test("langId votes marker words with deterministic tie order") {
+    val out = Seq(
+      "the cat and the dog of war",
+      "der hund und die katze",
+      "le chat et la mer",
+      "el perro y los gatos",
+      "xyzzy plugh").toDF("t").select(TF.langId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality columns: exact integer-count ratios") {
+    val r = Seq("Aa bb, cc.").toDF("t")
+      .select(TF.qualityColumns(col("t")): _*).collect().head
+    assert(r.getAs[Int]("n_chars_calc") == 10)
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Double]("punct_ratio") == 2.0 / 10.0)
+    assert(r.getAs[Double]("ttr") == 1.0) // all tokens distinct
+  }
+}
