@@ -11,6 +11,9 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets bytes; text/similarity stages carry few MB
+      // but heavy per-row CPU, so keep their exchanges parallel
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { name =>

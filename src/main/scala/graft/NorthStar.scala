@@ -21,8 +21,13 @@ import graft.functions.{Hashing, TextFunctions => TF, VectorFunctions => VF}
  */
 object NorthStar {
 
+  // The harness documents table is ONE parquet file (one row group), so
+  // the scan yields a single input split and every text transform would
+  // run on one core; repartition by doc_id to engage the full executor
+  // set. This is harness-input plumbing, not operator design: production
+  // corpora arrive as many files/splits and need no forced text shuffle.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -149,6 +154,14 @@ object NorthStar {
     "d04_minhash_lsh" -> ((s, dir) =>
       graft.operators.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.8)),
 
+    // duplicate-cluster formation over the near-dup pair graph: connected
+    // components via iterative min-label propagation (the post-pair stage
+    // of an LLM-data dedup pipeline — keep min doc_id per cluster)
+    "d06_neardup_groups" -> ((s, dir) =>
+      graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)
+          .select(col("doc_a"), col("doc_b")))),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -207,6 +220,10 @@ object NorthStar {
     "t01_token_count" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.tokenCount(col("text")).as("n_tokens"))),
 
+    // BPE-ish pre-tokenizer count (subword-cost proxy for data budgeting)
+    "t05_token_bpe" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))),
+
     "t02_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id") +: TF.qualityColumns(col("text")): _*)),
 
@@ -249,6 +266,17 @@ object NorthStar {
           WHERE doc_id = keep""",
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
     "d04_minhash_lsh" -> jaccardOracle(0.8),
+    // transitive closure over the pair graph; component = min reachable id
+    "d06_neardup_groups" ->
+      s"""WITH RECURSIVE pr AS (${jaccardOracle(0.8)}),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                      UNION ALL SELECT doc_b, doc_a FROM pr),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          SELECT src AS doc_id, least(src, min(dst)) AS component
+          FROM reach GROUP BY src""",
     "e01_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -263,6 +291,12 @@ object NorthStar {
           ORDER BY score DESC, e.vec_id LIMIT 10""",
     "t01_token_count" ->
       s"SELECT doc_id, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents",
+    // DuckDB string literals are escape-free, so the Java regex drops in
+    // verbatim (RE2 and java.util.regex agree on this pattern class)
+    "t05_token_bpe" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
+            '${TF.bpePattern}')) AS INT) AS n_bpe
+          FROM documents""",
     "t02_quality" ->
       s"""SELECT doc_id,
             CAST(length(text) AS INT) AS n_chars_calc,

@@ -195,6 +195,47 @@ object Queries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))),
 
+    // §2.1 extension — hierarchical aggregate (rollup: subtotals + grand
+    // total in one pass; Spark expands grouping sets inside the same
+    // hash-agg, no extra scan)
+    "q22_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))),
+
+    // §2.1 extension — left outer join (dimension restricted so the
+    // null-extension path is actually exercised)
+    "q23_left_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_name"))
+      t(s, dir, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+    }),
+
+    // §2.1 extension — semi + anti join (existence tests; neither side
+    // materializes the join product)
+    "q24_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("which", lit("has_orders"))
+      val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("which", lit("no_orders"))
+      semi.union(anti).select(col("c_custkey"), col("c_name"), col("which"))
+    }),
+
+    // §2.1 extension — window lag/lead over a partitioned total order
+    "q25_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+    }),
+
     // op 4 — array element access (GetArrayItem + GetStructField), the
     // reference's `data["weather"][0]["description"]` idiom
     // (weather_etl_pipeline.py:62) instantiated on the harness tables: an
@@ -311,7 +352,27 @@ object Queries {
       """SELECT l_orderkey, l_linenumber,
                 ([{'v': l_quantity, 'tag': 'qty'}, {'v': l_extendedprice, 'tag': 'price'}])[1].v AS first_v,
                 ([{'v': l_quantity, 'tag': 'qty'}, {'v': l_extendedprice, 'tag': 'price'}])[2].tag AS second_tag
-         FROM lineitem"""
+         FROM lineitem""",
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q23_left_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders LEFT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000) c
+           ON o_custkey = c_custkey""",
+    "q24_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_orders' AS which FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, c_name, 'no_orders' AS which FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q25_window_lag" ->
+      """SELECT o_orderkey, o_custkey,
+                lag(o_totalprice, 1) OVER w AS prev_price,
+                lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: time one query N times in a single session.
+  * Usage: runMain graft.TimeQuery <sfDir> <queryName> [reps] */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets bytes; text/similarity stages carry few MB
+      // but heavy per-row CPU, so keep their exchanges parallel
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (i <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, sfDir).count()
+      println(f"[timequery] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

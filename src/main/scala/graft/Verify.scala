@@ -15,6 +15,9 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS); session-level so no query
       // function ever mutates shared conf (order-independent plans)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets bytes; text/similarity stages carry few MB
+      // but heavy per-row CPU, so keep their exchanges parallel
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

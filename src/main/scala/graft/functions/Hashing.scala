@@ -159,6 +159,19 @@ object Hashing {
   def byteHistogram(data: Column, dim: Int): Column =
     column(ByteHistogram(expression(data), dim))
 
+  /** MinHash sketch aggregate over a column of element hashes — see
+    * [[MinHashAgg]]. Use in groupBy(...).agg(minhashAgg(xxhash64(col), k)). */
+  def minhashAgg(elementHash: Column, k: Int): Column =
+    column(MinHashAgg(expression(elementHash), k).toAggregateExpression())
+
+  /** Estimated Jaccard between two MinHash signatures: the fraction of
+    * equal components (k must match). */
+  def minhashEstJaccard(sigA: Column, sigB: Column): Column = {
+    import org.apache.spark.sql.functions._
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+      .cast("double") / size(sigA)
+  }
+
   /** Hamming distance between two 64-bit signatures (built-in bit_count). */
   def hammingDist(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))

@@ -23,6 +23,20 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /**
+   * BPE-ish pre-tokenizer count: the GPT-2-style pre-tokenization split
+   * simplified to letter runs / digit runs / single non-alnum marks —
+   * the cheap proxy for "how many subword tokens will this text cost"
+   * used when budgeting LLM training data. Pure regex, identical RE2/Java
+   * semantics, so it is oracle-checkable.
+   */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /**
    * A small function-word list drawn from the harness corpus vocabulary;
    * used for quality scoring (stopword ratio).
    */
@@ -85,15 +99,27 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash.
-    * Documents shorter than n tokens collapse to one whole-text shingle. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val tks = tokens(text)
+  /**
+   * Word n-gram shingles (distinct) from a pre-tokenized array column —
+   * the unit for Jaccard/MinHash. Documents shorter than n tokens
+   * collapse to one whole-text shingle.
+   *
+   * IMPORTANT for cost: pass a MATERIALIZED token column (projected and
+   * cached/shuffled beforehand), not an inline `tokens(text)` expression.
+   * Lambda-captured expressions re-evaluate per lambda invocation, so an
+   * inline tokenizer would re-run the regex split once per shingle
+   * position (~50× per document).
+   */
+  def shinglesFromTokens(tks: Column, n: Int): Column =
     when(size(tks) < n, array(concat_ws(" ", tks)))
       .otherwise(array_distinct(transform(
         sequence(lit(0), size(tks) - n),
         i => concat_ws(" ", slice(tks, i + 1, lit(n))))))
-  }
+
+  /** Shingles straight from text — convenience form; see the cost note on
+    * [[shinglesFromTokens]] (prefer the two-step tokenize-then-shingle). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(tokens(text), n)
 
   /**
    * Base hash per shingle: one xxhash64 over the shingle string. Computed

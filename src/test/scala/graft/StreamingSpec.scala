@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.pipeline.Fixtures
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming formulation (SURVEY.md §7.1 M4): idempotent
+  * landing-dir ingest, watermarked windowed aggregation, custom keyed
+  * state. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming ingest: landing dir -> golden weather row; restart does not duplicate") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      Fixtures.owmHoustonJson.getBytes("UTF-8"))
+
+    def drain(): Unit = {
+      val q = StreamingIngest.startIdempotentAppend(
+        StreamingIngest.weatherStream(spark, landing), store, ckpt)
+      q.awaitTermination()
+    }
+    drain()
+    val first = spark.read.parquet(store)
+    assert(first.count() == 1)
+    val r = first.collect().head
+    assert(r.getAs[String]("city") == "Houston")
+    assert(r.getAs[Double]("temperature_fahrenheit") == 55.148)
+
+    // restart with no new data: checkpoint prevents re-ingest
+    drain()
+    assert(spark.read.parquet(store).count() == 1)
+
+    // a second payload lands -> exactly one more row
+    Files.write(java.nio.file.Paths.get(s"$landing/p2.json"),
+      Fixtures.owmHoustonJson.replace("\"dt\":1742203868", "\"dt\":1742290268").getBytes("UTF-8"))
+    drain()
+    val after = spark.read.parquet(store)
+    assert(after.count() == 2)
+    assert(after.select(countDistinct(col("time_of_record"))).collect().head.getLong(0) == 2)
+  }
+
+  test("watermarked windowed aggregation emits per-window per-type totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedEventAgg(events, "1 hour", "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Update()).start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-03-17 $h%02d:$m%02d:00")
+    mem.addData((ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0), (ts(11, 10), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_agg").orderBy(col("window_start"), col("event_type"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    q.stop()
+    assert(rows.toSeq == Seq(
+      (ts(10, 0), "click", 2L, 3.0),
+      (ts(11, 0), "view", 1L, 5.0)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingIngest.Event]
+    val stats = StreamingIngest.runningUserStats(mem.toDS())
+    val q = stats.writeStream.format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(StreamingIngest.Event(1L, "click", 1.0), StreamingIngest.Event(2L, "view", 4.0))
+    q.processAllAvailable()
+    mem.addData(StreamingIngest.Event(1L, "click", 2.5))
+    q.processAllAvailable()
+    val last = spark.table("user_stats")
+      .groupBy(col("user_id")).agg(max(col("n")).as("n"), max(col("sum_value")).as("s"))
+      .orderBy(col("user_id")).as[(Long, Long, Double)].collect()
+    q.stop()
+    assert(last.toSeq == Seq((1L, 2L, 3.5), (2L, 1L, 4.0)))
+  }
+}

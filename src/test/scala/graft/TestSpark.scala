@@ -13,6 +13,9 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE coalescing targets bytes; text/similarity stages carry few MB
+      // but heavy per-row CPU, so keep their exchanges parallel
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
