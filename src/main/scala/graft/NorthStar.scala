@@ -112,6 +112,16 @@ object NorthStar {
       s"(CASE WHEN ${dotSql(v, planeSqlLiteral(p, dim))} >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** IVF centroid c as a DuckDB list literal (same FNV-derived values as
+    * VectorFunctions.centroid; Double.toString round-trips exactly). */
+  private def centroidSqlLiteral(c: Int, dim: Int): String =
+    graft.functions.VectorFunctions.centroid(c, dim).mkString("[", ",", "]")
+
+  /** [dot(v,c_0), ..., dot(v,c_{n-1})] as SQL. */
+  private def centroidDotsSql(v: String, dim: Int, nCentroids: Int): String =
+    (0 until nCentroids).map(c => dotSql(v, centroidSqlLiteral(c, dim)))
+      .mkString("[", ",", "]")
+
   /** DuckDB double-precision cosine with the pinned left-to-right fold. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)
@@ -213,6 +223,16 @@ object NorthStar {
         .select(VF.toDouble(col("embedding")))
         .head().getSeq[Double](0)
       VF.cosineTopKLsh(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64, planes = 8)
+    }),
+
+    // IVF-style ANN (coarse quantizer + n-probe — the second standard
+    // scale path next to s02's LSH; centroids deterministic, see
+    // VectorFunctions.cosineTopKIvf)
+    "s03_cosine_topk_ivf" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding")))
+        .head().getSeq[Double](0)
+      VF.cosineTopKIvf(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64)
     }),
 
     // -- text analysis --------------------------------------------------
@@ -358,6 +378,20 @@ object NorthStar {
                  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
+    "s03_cosine_topk_ivf" -> {
+      val n = 16; val nProbe = 4
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            qd AS (SELECT unnest(range(1, ${n + 1})) AS cid,
+                          unnest(${centroidDotsSql("qv", 64, n)}) AS d FROM q),
+            probes AS (SELECT cid FROM qd ORDER BY d DESC, cid LIMIT $nProbe),
+            assigned AS (SELECT vec_id, v, list_position(dl, list_max(dl)) AS lst
+                         FROM (SELECT vec_id, v, ${centroidDotsSql("v", 64, n)} AS dl FROM e))
+          SELECT a.vec_id, ${cosineSql("a.v", "q.qv")} AS score
+          FROM assigned a, q
+          WHERE a.lst IN (SELECT cid FROM probes)
+          ORDER BY score DESC, a.vec_id LIMIT 10"""
+    },
     "s02_cosine_topk_lsh" -> {
       val probes = (Seq("b.bucket = q.qb") ++
         (0 until 8).map(p => s"b.bucket = xor(q.qb, ${1L << p})")).mkString(" OR ")

@@ -81,6 +81,51 @@ object VectorFunctions {
   }
 
   /**
+   * IVF-style coarse quantization (the other standard ANN scale path,
+   * next to LSH): assign each vector to its nearest of `nCentroids`
+   * coarse centroids (argmax dot — centroids share a norm), search only
+   * the `nProbe` lists nearest to the query. Centroids here are
+   * deterministic FNV-derived pseudo-random vectors so the whole
+   * operator (and its SQL oracle) is reproducible without stored state;
+   * production IVF swaps in k-means-trained centroids loaded as
+   * literals/broadcast — the plan shape is identical.
+   */
+  def centroid(c: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = Fnv.hashBytes(s"centroid:$c:$j".getBytes("UTF-8"))
+      ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** argmax-dot centroid id (1-based, first max wins — deterministic). */
+  def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
+    val v = toDouble(vec)
+    val dots = array((0 until nCentroids).map(c => dot(v, lit(centroid(c, dim)))): _*)
+    array_position(dots, array_max(dots))
+  }
+
+  def cosineTopKIvf(embeddings: DataFrame, vecCol: String, idCol: String,
+                    query: Seq[Double], k: Int, dim: Int,
+                    nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // query's nProbe nearest centroid ids (1-based), computed driver-side
+    // with the same arithmetic
+    val qDots = (0 until nCentroids).map { c =>
+      var acc = 0.0
+      val ct = centroid(c, dim)
+      var i = 0
+      while (i < math.min(query.length, dim)) { acc += query(i) * ct(i); i += 1 }
+      (acc, c + 1)
+    }
+    val probes = qDots.sortBy { case (d, id) => (-d, id) }.take(nProbe).map(_._2)
+    val q = lit(query.toArray)
+    embeddings
+      .withColumn("_list", ivfAssign(col(vecCol), dim, nCentroids))
+      .filter(col("_list").isin(probes.map(x => x: Any): _*))
+      .select(col(idCol), cosine(toDouble(col(vecCol)), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * LSH-bucketed ANN: score only vectors in the query's bucket
    * (plus optional multiprobe neighbors at Hamming distance 1).
    */

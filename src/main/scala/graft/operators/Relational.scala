@@ -68,4 +68,21 @@ object Relational {
   /** Op 19 — truncate: overwrite the table path with an empty frame. */
   def truncate(df: DataFrame, path: String): Unit =
     df.limit(0).write.mode("overwrite").parquet(path)
+
+  /**
+   * Skew-resistant equi-join (the manual fallback when AQE's skew-join
+   * split can't apply, e.g. broadcast-ineligible dims with one hot key):
+   * the fact side gets a deterministic salt in [0, factor) hashed from
+   * the full row, the dim side is replicated ×factor, and the join key
+   * becomes (key, salt) — a hot key's rows spread over `factor` reducers
+   * instead of one straggler task. Result set identical to a plain
+   * inner join on `key`.
+   */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, factor: Int): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val sf = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(factor.toLong)).cast("int"))
+    val sd = dim.withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+    sf.join(sd, Seq(key, "_salt"), "inner").drop("_salt")
+  }
 }

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, MinHashAgg, RollingHash, SimHash64}
+
+/**
+ * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
+ * expressions as SQL functions so the full surface is reachable from
+ * `spark.sql(...)` as well as the Column API.
+ *
+ * Deploy-time use (cluster-wide):
+ * {{{
+ *   spark.sql.extensions=graft.plans.GraftExtensions
+ * }}}
+ * Live-session use: [[GraftFunctions.register]].
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", null, name, usage, "", "", "", "", "4.0.0", "", "internal")
+
+  /** (name, info, builder) for every SQL-exposed custom function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("simhash64",
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    ("rolling_hash",
+      info("rolling_hash", "rolling_hash(tokens) - order-sensitive polynomial fingerprint"),
+      (args: Seq[Expression]) => RollingHash(args.head)),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - codegen'd double-array dot product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("fnv_checksum",
+      info("fnv_checksum", "fnv_checksum(binary) - FNV-1a-64 checksum"),
+      (args: Seq[Expression]) => FnvChecksum(args.head)),
+    ("byte_histogram",
+      info("byte_histogram", "byte_histogram(binary, dim) - normalized byte histogram"),
+      (args: Seq[Expression]) => ByteHistogram(args(0),
+        args(1).eval(null).asInstanceOf[Int])),
+    ("minhash_agg",
+      info("minhash_agg", "minhash_agg(hash, k) - k-wide MinHash sketch aggregate"),
+      (args: Seq[Expression]) => MinHashAgg(args(0),
+        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+
+  /** Register every function on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, i, builder)
+    }
+}

@@ -13,4 +13,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a function on a live session's registry (the session-scoped
+    * analogue of SparkSessionExtensions.injectFunction). */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder)
 }

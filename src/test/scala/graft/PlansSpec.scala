@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, TextFunctions => TF}
+import graft.operators.Relational
+import graft.plans.GraftFunctions
+
+/** SQL-surface registration of the custom expressions + skew-salted join. */
+class PlansSpec extends AnyFunSuite {
+  private lazy val spark = { val s = TestSpark.spark; GraftFunctions.register(s); s }
+  import spark.implicits._
+
+  test("registered SQL functions match the Column API expressions") {
+    val viaSql = spark.sql(
+      """SELECT simhash64(array('a','b')) AS sh,
+                rolling_hash(array('a','b')) AS rh,
+                dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+                fnv_checksum(cast('xyz' AS binary)) AS ck,
+                byte_histogram(cast('ab' AS binary), 8) AS bh""").collect().head
+    val viaCol = Seq(Seq("a", "b")).toDF("tk").select(
+      Hashing.simhash64(col("tk")).as("sh"),
+      Hashing.rollingHash(col("tk")).as("rh")).collect().head
+    assert(viaSql.getAs[Long]("sh") == viaCol.getAs[Long]("sh"))
+    assert(viaSql.getAs[Long]("rh") == viaCol.getAs[Long]("rh"))
+    assert(viaSql.getAs[Double]("dp") == 11.0)
+    assert(viaSql.getAs[Long]("ck") == graft.functions.Fnv.hashBytes("xyz".getBytes("UTF-8")))
+    assert(viaSql.getAs[Seq[Double]]("bh").sum == 1.0)
+  }
+
+  test("minhash_agg works from SQL and matches the Column API") {
+    Seq((1L, "aa"), (1L, "bb"), (2L, "cc")).toDF("g", "e").createOrReplaceTempView("mh_in")
+    val viaSql = spark.sql(
+      "SELECT g, minhash_agg(xxhash64(e), 16) AS sig FROM mh_in GROUP BY g ORDER BY g")
+      .as[(Long, Seq[Long])].collect()
+    val viaCol = spark.table("mh_in").groupBy(col("g"))
+      .agg(Hashing.minhashAgg(xxhash64(col("e")), 16).as("sig"))
+      .orderBy(col("g")).as[(Long, Seq[Long])].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+  }
+
+  test("saltedJoin result set equals the plain inner join on skewed data") {
+    // 90% of fact rows share one hot key
+    val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
+    val dim = (0 to 5).map(k => (k, s"d$k")).toDF("k", "dv")
+    val plain = fact.join(dim, Seq("k")).select(col("k"), col("fv"), col("dv"))
+      .as[(Int, String, String)].collect().sorted.toSeq
+    val salted = Relational.saltedJoin(fact, dim, "k", 8)
+      .select(col("k"), col("fv"), col("dv"))
+      .as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+}
