@@ -172,6 +172,25 @@ object NorthStar {
         graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)
           .select(col("doc_a"), col("doc_b")))),
 
+    // the FINAL dedup output: one representative per duplicate cluster
+    // (longest text wins, ties to min doc_id), singletons kept as their
+    // own cluster — what an LLM-data pipeline actually emits downstream
+    "d07_cluster_keep" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.jaccardPairsExact(d, "doc_id", "text", 0.8)
+          .select(col("doc_a"), col("doc_b")))
+      val labeled = d.select(col("doc_id"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      labeled
+        .withColumn("rn", row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("keep_id"), col("n_docs"))
+    }),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -247,6 +266,15 @@ object NorthStar {
     "t02_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id") +: TF.qualityColumns(col("text")): _*)),
 
+    // quality scoring applied as the filter it exists for: keep/drop
+    // verdict per document from the t02 heuristics
+    "t06_quality_filter" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+      q.select(col("doc_id"),
+        (col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3).as("keep"))
+    }),
+
     "t03_lang_id" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))),
 
@@ -297,6 +325,25 @@ object NorthStar {
               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
           SELECT src AS doc_id, least(src, min(dst)) AS component
           FROM reach GROUP BY src""",
+    "d07_cluster_keep" ->
+      s"""WITH RECURSIVE pr AS (${jaccardOracle(0.8)}),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                      UNION ALL SELECT doc_b, doc_a FROM pr),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+            comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                     FROM reach GROUP BY src),
+            labeled AS (SELECT d.doc_id, d.n_chars,
+                               COALESCE(c.component, d.doc_id) AS component
+                        FROM documents d LEFT JOIN comp c USING (doc_id)),
+            ranked AS (SELECT component, doc_id,
+                              row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+                              count(*) OVER (PARTITION BY component) AS n_docs
+                       FROM labeled)
+          SELECT component, doc_id AS keep_id, n_docs FROM ranked WHERE rn = 1""",
     "e01_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -328,6 +375,17 @@ object NorthStar {
               / greatest(len($sqlToks), 1) AS stopword_ratio,
             CAST(len(list_distinct($sqlToks)) AS DOUBLE)
               / greatest(len($sqlToks), 1) AS ttr
+          FROM documents""",
+    "t06_quality_filter" ->
+      s"""SELECT doc_id,
+            (CAST(len($sqlToks) AS INT) >= 5
+             AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) <= 0.2
+             AND CAST(len(list_filter($sqlToks,
+                  x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                 / greatest(len($sqlToks), 1) >= 0.01
+             AND CAST(len(list_distinct($sqlToks)) AS DOUBLE)
+                 / greatest(len($sqlToks), 1) >= 0.3) AS keep
           FROM documents""",
     "t03_lang_id" ->
       s"""WITH v AS (

@@ -250,6 +250,21 @@ object Queries {
         arr.getItem(1).getField("tag").as("second_tag"))
     }),
 
+    // §2.1 extension — gap-based sessionization of the event stream
+    // (session breaks at >30 min silence per user): lag + running sum of
+    // break flags, the standard two-window formulation
+    "q26_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTable(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum(col("brk")).over(run).as("session_id"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -372,7 +387,16 @@ object Queries {
                 lag(o_totalprice, 1) OVER w AS prev_price,
                 lead(o_totalprice, 1) OVER w AS next_price
          FROM orders
-         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q26_sessionize" ->
+      """SELECT event_id, user_id,
+                SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM (SELECT event_id, user_id, ts,
+                      lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+               FROM events)"""
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
