@@ -103,6 +103,45 @@ case class RollingHash(child: Expression)
 }
 
 /**
+ * MinHash signature of an `array<long>` element-hash column: one pass per
+ * row computing all k minima in primitive loops — sig[j] = min over
+ * elements of xxhash64(h, j), bit-identical to the builtin-HOF
+ * formulation `transform(sequence(0,k-1), j => array_min(transform(h0,
+ * h => xxhash64(h, j))))` but without k×|h0| interpreted closure calls
+ * per row (the lambda path costs ~10× more on the harness corpus).
+ */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val buf = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        // two-arg builtin xxhash64(h, j): seed 42, args fold in order
+        val base = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(arr.getLong(i), 42L)
+        var j = 0
+        while (j < k) {
+          val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
+          if (v < buf(j)) buf(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/**
  * FNV-1a-64 checksum of a binary column — the "codec checksum" stage of
  * the multimodal decode path, in-place over the payload bytes (no
  * Dataset-encoder round-trip; one virtual call per row).

@@ -133,11 +133,14 @@ object TextFunctions {
   /**
    * MinHash signature from pre-hashed shingles: k independent functions
    * h_j(x) = xxhash64(x, j) over the base long hash; signature[j] = min
-   * over shingles. Pure built-ins — a projection, no shuffle, no UDF.
+   * over shingles. Single-pass custom expression ([[MinHashSignature]]):
+   * value-identical to the builtin-HOF formulation but ~10× cheaper (no
+   * k×|h0| interpreted closure calls per row).
    */
-  def minhashFromHashes(h0: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(h0, h => xxhash64(h, j))))
+  def minhashFromHashes(h0: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(MinHashSignature(expression(h0), k))
+  }
 
   /** MinHash signature straight from shingle strings (convenience form —
     * prefer shingleHashes + minhashFromHashes with a cached h0 column). */

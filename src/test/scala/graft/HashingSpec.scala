@@ -36,6 +36,15 @@ class HashingSpec extends AnyFunSuite {
     assert(hs(0) == expected)
   }
 
+  test("MinHashSignature expression equals the builtin-HOF minhash formulation") {
+    val df = Seq(Seq("aa", "bb", "cc", "dd", "ee")).toDF("sh")
+    val h0 = TF.shingleHashes(col("sh"))
+    val viaExpr = df.select(TF.minhashFromHashes(h0, 16)).as[Seq[Long]].head()
+    val viaHof = df.select(transform(sequence(lit(0), lit(15)),
+      j => array_min(transform(h0, h => xxhash64(h, j))))).as[Seq[Long]].head()
+    assert(viaExpr == viaHof)
+  }
+
   test("fnvChecksum over binary equals Fnv.hashBytes") {
     val bytes = "payload-123".getBytes("UTF-8")
     val got = Seq("payload-123").toDF("t")
