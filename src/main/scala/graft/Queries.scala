@@ -236,6 +236,13 @@ object Queries {
         lead(col("o_totalprice"), 1).over(w).as("next_price"))
     }),
 
+    // custom-plan tier — per-key top-k via the TopKPerKey operator
+    // (bounded heaps, no partition sort; see graft.plans.TopKPerKey)
+    "q27_topk_per_key" -> ((s, dir) =>
+      Relational.topKPerKey(t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))),
+
     // op 4 — array element access (GetArrayItem + GetStructField), the
     // reference's `data["weather"][0]["description"]` idiom
     // (weather_etl_pipeline.py:62) instantiated on the harness tables: an
@@ -388,6 +395,12 @@ object Queries {
                 lead(o_totalprice, 1) OVER w AS next_price
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+    "q27_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
     "q26_sessionize" ->
       """SELECT event_id, user_id,
                 SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000

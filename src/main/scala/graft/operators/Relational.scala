@@ -70,6 +70,38 @@ object Relational {
     df.limit(0).write.mode("overwrite").parquet(path)
 
   /**
+   * Per-key top-k via the custom [[graft.plans.TopKPerKey]] operator:
+   * per-partition bounded heaps (O(n log k), memory O(keys×k)) instead of
+   * the window formulation's full partition sort + filter. Same output
+   * SET as `row_number().over(partitionBy keys orderBy order) <= k` when
+   * `order` is a total order. Registers the planner strategy on the
+   * session if needed.
+   */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Expression, SortOrder}
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    val child = GraftBridge.analyzed(df)
+    def resolve(e: Expression): Expression = e.transformUp {
+      case u: UnresolvedAttribute =>
+        child.output.find(_.name == u.nameParts.last).getOrElse(
+          throw new IllegalArgumentException(s"column ${u.name} not in ${child.output.map(_.name)}"))
+    }
+    val keyExprs: Seq[Expression] = keyCols.map(n =>
+      child.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"key column $n not found")))
+    val sortOrders = order.map(c => GraftBridge.catalystExpression(spark, c) match {
+      case so: SortOrder => so.copy(child = resolve(so.child))
+      case e => SortOrder(resolve(e), Ascending)
+    })
+    GraftBridge.ofRows(spark, graft.plans.TopKPerKey(keyExprs, sortOrders, k, child))
+  }
+
+  /**
    * Skew-resistant equi-join (the manual fallback when AQE's skew-join
    * split can't apply, e.g. broadcast-ineligible dims with one hot key):
    * the fact side gets a deterministic salt in [0, factor) hashed from

@@ -18,10 +18,12 @@ import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, MinHashAgg, Roll
  * Live-session use: [[GraftFunctions.register]].
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {

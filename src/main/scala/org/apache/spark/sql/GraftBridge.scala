@@ -14,6 +14,22 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** DataFrame from a logical plan (private[sql] Dataset.ofRows). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Fully convert a Column to its catalyst Expression via the session's
+    * ColumnNode converter (ExpressionUtils.expression only wraps lazily —
+    * the wrapper is fine inside plans but not for structural inspection
+    * or task serialization). */
+  def catalystExpression(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** A DataFrame's analyzed logical plan. */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
   /** Register a function on a live session's registry (the session-scoped
     * analogue of SparkSessionExtensions.injectFunction). */
   def registerFunction(

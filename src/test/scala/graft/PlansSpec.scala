@@ -40,6 +40,33 @@ class PlansSpec extends AnyFunSuite {
     assert(viaSql.toSeq == viaCol.toSeq)
   }
 
+  test("topKPerKey equals the window row_number formulation and plans without a sort") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => ((i % 7).toLong, i.toLong, (i * 37 % 100).toLong))
+      .toDF("k", "id", "v").repartition(5)
+    val viaCustom = Relational.topKPerKey(df, Seq("k"), Seq(col("v").desc, col("id").asc), 3)
+    val got = viaCustom.select(col("k"), col("id"), col("v"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val expected = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").asc)))
+      .filter(col("rn") <= 3).select(col("k"), col("id"), col("v"))
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == expected)
+    val plan = viaCustom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected custom exec in:\n$plan")
+    assert(!plan.contains("Window"), "custom path must not fall back to a window")
+  }
+
+  test("topKPerKey: k larger than group size returns whole groups; bad column rejected") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+    val all = Relational.topKPerKey(df, Seq("k"), Seq(col("v").asc), 99)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(all == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    intercept[IllegalArgumentException] {
+      Relational.topKPerKey(df, Seq("nope"), Seq(col("v").asc), 1)
+    }
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
