@@ -1,0 +1,60 @@
+package graft
+
+import java.net.InetSocketAddress
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+import graft.operators.WeatherOps
+import graft.pipeline.Fixtures
+
+/** The DSv2 http-json source: a REAL HTTP round-trip against a localhost
+  * server serving the golden fixture payload. */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withServer[A](body: String => A): A = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/weather", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = {
+        val bytes = Fixtures.owmHoustonJson.getBytes("UTF-8")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes)
+        x.close()
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/weather")
+    finally server.stop(0)
+  }
+
+  test("op 2 production shape: DSv2 scan issues the GET and yields the golden row") {
+    withServer { url =>
+      val raw = spark.read.format("http-json").option("urls", url).load()
+      assert(raw.columns.toSeq == Seq("raw"))
+      val weather = WeatherOps.flattenOwm(
+        raw.select(from_json(col("raw"), Schemas.owmPayload).as("payload")))
+      val r = weather.collect().head
+      assert(r.getAs[String]("city") == "Houston")
+      assert(r.getAs[Double]("temperature_fahrenheit") == 55.148)
+      assert(r.getAs[Long]("pressure") == 1024L)
+    }
+  }
+
+  test("one input partition per URL (executor-side fan-out)") {
+    withServer { url =>
+      val df = spark.read.format("http-json").option("urls", s"$url,$url,$url").load()
+      assert(df.count() == 3)
+      assert(df.rdd.getNumPartitions == 3)
+    }
+  }
+
+  test("file:// urls work through the same source") {
+    val tmp = java.nio.file.Files.createTempFile("payload", ".json")
+    java.nio.file.Files.write(tmp, Fixtures.owmHoustonJson.getBytes("UTF-8"))
+    val df = spark.read.format("http-json").option("urls", tmp.toUri.toString).load()
+    assert(df.count() == 1)
+    assert(df.collect().head.getString(0).contains("\"name\":\"Houston\""))
+  }
+}
