@@ -17,6 +17,9 @@ object Bench {
       // AQE coalescing targets bytes; text/similarity stages carry few MB
       // but heavy per-row CPU, so keep their exchanges parallel
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      // shuffle/checkpoint scratch on tmpfs: the shared host's disk
+      // stalls under neighbor I/O and parks executor threads
+      .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: codegen + scheduler + parquet reader paths for every table

