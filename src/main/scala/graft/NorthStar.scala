@@ -42,22 +42,40 @@ object NorthStar {
         ELSE list_distinct(list_transform(range(1, len($sqlToks) - 1),
              i -> $sqlToks[i] || ' ' || $sqlToks[i+1] || ' ' || $sqlToks[i+2])) END"""
 
-  // near-dup pair detection lives in graft.operators.Dedup (prefix-filter
-  // exact path + MinHash-LSH scale path); the queries below bind it to the
+  // near-dup pair detection lives in graft.operators.Dedup (PPJoin exact
+  // path + MinHash-LSH scale path); the queries below bind it to the
   // harness documents table.
   //
-  // The exact pair set feeds THREE queries (d03 emits it, d06 clusters
-  // it, d07 picks representatives); memoizing the persisted DataFrame per
-  // (session, dir) makes that sharing deterministic — the same object is
-  // reused, rather than hoping cache-manager canonical-plan matching
-  // re-finds it. This mirrors a production pipeline materializing the
-  // pair table once.
+  // Two intermediates are deliberately long-lived and memoized per
+  // (session, dir) — the same object is reused rather than hoping
+  // cache-manager canonical-plan matching re-finds it, and nothing is
+  // ever re-persisted (no "already cached" churn):
+  //  - the shingle-hash table (one sorted long array per doc) feeds both
+  //    d03 and d04 — the materialized corpus representation a production
+  //    pipeline would keep;
+  //  - the exact pair set feeds THREE queries (d03 emits it, d06
+  //    clusters it, d07 picks representatives).
+  // Dedup's internal caches are released inside Dedup itself (its pair
+  // detectors materialize eagerly); [[releaseCaches]] frees the two
+  // memoized tables for long-lived sessions.
+  private val hsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def hsTable(s: SparkSession, dir: String): DataFrame =
+    hsMemo.getOrElseUpdate((s, dir),
+      graft.operators.Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
+        .persist())
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, dir),
-      graft.operators.Dedup.jaccardPairsExact(docs(s, dir), "doc_id", "text", 0.8)
-        .persist())
+      graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.8))
+
+  /** Release the memoized dedup-tier caches for (session, dir) — the
+    * lifecycle handle for long-lived sessions (harness runs simply exit). */
+  def releaseCaches(s: SparkSession, dir: String): Unit = {
+    hsMemo.remove((s, dir)).foreach(_.unpersist())
+    pairsMemo.remove((s, dir)).foreach(_.unpersist())
+  }
 
   private def jaccardOracle(threshold: Double): String =
     s"""WITH sh AS (
@@ -172,9 +190,12 @@ object NorthStar {
 
     // the scale path: MinHash(128) + LSH(32 bands × r=4) + signature-
     // estimate prefilter + exact verify — identical output to d03 with
-    // near-linear candidate volume (see operators.Dedup.minhashLshPairs)
+    // near-linear candidate volume (see operators.Dedup.minhashLshPairs).
+    // Shares the memoized shingle-hash table with d03: the signature
+    // build reads materialized long arrays, not text.
     "d04_minhash_lsh" -> ((s, dir) =>
-      graft.operators.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.8)),
+      graft.operators.Dedup.minhashLshPairs(hsTable(s, dir), 0.8,
+        k = 128, bands = 32, estFloor = 0.6)),
 
     // duplicate-cluster formation over the near-dup pair graph: connected
     // components via iterative min-label propagation (the post-pair stage
@@ -221,18 +242,42 @@ object NorthStar {
     // embedding-cosine near-dup pairs. EXACT all-pairs by design: the
     // qualifying pairs sit just above the 0.45 threshold (measured: all in
     // [0.45, 0.7), nearest non-pair at 0.4497), angles where any LSH
-    // bucketing loses recall — so the pair scan stays exact and the speed
+    // bucketing loses recall — so the pair scan stays exact. The speed
     // comes from (a) norms computed once per vector, not per pair, and
-    // (b) the codegen'd DotProduct kernel in the pair projection.
-    // At 100 TB the same plan becomes a block-partitioned distributed
-    // matrix product; the approximate path is s02's bucketed ANN.
+    // (b) the codegen'd DotProduct kernel in the pair projection; the
+    // SCALE comes from block partitioning: every unordered vector pair
+    // falls in exactly one unordered block pair {blk(a), blk(b)}, so
+    // replicating each side once per block pair turns the O(n²) scan
+    // into an equi-join on (bi, bj) with B(B+1)/2 keys — an ordinary
+    // shuffled join (replication factor (B+1)/2, parallelism B(B+1)/2,
+    // per-task work (n/B)²), no BroadcastNestedLoopJoin/cartesian
+    // anywhere. The approximate path is s02's bucketed ANN.
     "e01_embedding_neardup" -> ((s, dir) => {
+      val B = 8
       val e = emb(s, dir)
         .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(VF.normSq(col("v"))))
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val blockPairs = {
+        import s.implicits._
+        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj")
+      }
+      val left = e.join(broadcast(blockPairs), col("blk") === col("bi"))
+        .select(col("vec_id").as("id_l"), col("v").as("v_l"),
+          col("nrm").as("nrm_l"), col("bi"), col("bj"))
+      val right = e.join(broadcast(blockPairs), col("blk") === col("bj"))
+        .select(col("vec_id").as("id_r"), col("v").as("v_r"),
+          col("nrm").as("nrm_r"), col("bi").as("ri"), col("bj").as("rj"))
+      left.join(right, col("bi") === col("ri") && col("bj") === col("rj"))
+        // diagonal blocks would otherwise emit both orientations
+        .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
+        .select(
+          least(col("id_l"), col("id_r")).as("id_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"),
+          // dot's elementwise products commute and the fold order is the
+          // same left-to-right index walk, so the score is bit-identical
+          // regardless of which side holds the smaller vec_id
+          (VF.dot(col("v_l"), col("v_r")) / (col("nrm_l") * col("nrm_r"))).as("score"))
         .filter(col("score") >= 0.45)
     }),
 
@@ -308,7 +353,27 @@ object NorthStar {
         substring(col("text"), 1, 12).as("head"))),
 
     "m02_multimodal_decode" -> ((s, dir) =>
-      graft.multimodal.Multimodal.decodePipeline(docs(s, dir)))
+      graft.multimodal.Multimodal.decodePipeline(docs(s, dir))),
+
+    // -- group sketches -------------------------------------------------
+
+    // per-source MinHash sketch via the TypedImperativeAggregate
+    // (map-side-combined — each partition folds its tokens into one
+    // k-long sketch before the shuffle), then pairwise estimated token-
+    // set Jaccard between sources. The source set is small bounded
+    // metadata (like partitions/tenants at 100 TB), so the pair join is
+    // a broadcast of a handful of sketches. Not SQL-expressible
+    // (xxhash64 sketches) → rows-only harness check; the estimate-vs-
+    // exact agreement is unit-tested in AggregatesSpec.
+    "g01_source_sketch" -> ((s, dir) => {
+      val tk = docs(s, dir)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("tk"))
+      val sk = tk.groupBy(col("source"))
+        .agg(Hashing.minhashAgg(xxhash64(col("tk")), 128).as("sig"))
+      sk.as("a").join(broadcast(sk.as("b")), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          Hashing.minhashEstJaccard(col("a.sig"), col("b.sig")).as("est_jaccard"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

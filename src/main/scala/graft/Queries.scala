@@ -272,6 +272,19 @@ object Queries {
           sum(col("brk")).over(run).as("session_id"))
     }),
 
+    // the skew-salted join surfaced as a harness query: the salt only
+    // respreads a hot key's rows across `factor` reducers, so the result
+    // SET is identical to the plain inner join and the oracle is ordinary
+    // SQL (the skew-resistance itself is plan-shape, asserted in
+    // RelationalSpec)
+    "j01_salted_join" -> ((s, dir) =>
+      Relational.saltedJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"), col("c_mktsegment")),
+        "o_custkey", 8)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -401,15 +414,28 @@ object Queries {
                   row_number() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
+    "j01_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+         FROM orders INNER JOIN customer ON o_custkey = c_custkey""",
+    // the SUM is CAST to BIGINT because DuckDB's SUM yields HUGEINT, which
+    // pandas materializes as float64 — a dtype-only hash divergence from
+    // Spark's int64 on identical values
     "q26_sessionize" ->
       """SELECT event_id, user_id,
-                SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
-                         THEN 1 ELSE 0 END)
+                CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                              THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          FROM (SELECT event_id, user_id, ts,
                       lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-               FROM events)"""
+               FROM events)""",
+    // op 21 catalog: the registered table set is a static constant, so the
+    // oracle is a VALUES list — hash-checkable instead of rows-only
+    "q20_catalog" ->
+      """SELECT * FROM (VALUES ('customer'),('documents'),('embeddings'),('events'),
+                               ('lineitem'),('nation'),('orders'),('part'),
+                               ('region'),('supplier')) AS t("tableName")
+         ORDER BY "tableName""""
   )
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,22 +1,26 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Custom Catalyst expressions for the hashing ops Spark lacks as
- * built-ins: SimHash and a polynomial rolling-hash fingerprint
- * (SURVEY.md §7.1 M5 / §7.2 "MinHash/HLL-style sketches need custom").
+ * built-ins: SimHash, a polynomial rolling-hash fingerprint, shingle
+ * hash sets, MinHash signatures (SURVEY.md §7.1 M5 / §7.2
+ * "MinHash/HLL-style sketches need custom").
  *
- * Both are single-pass over a token array, evaluated per-row inside the
- * projection (CodegenFallback: one virtual call per row; the token
- * array itself is produced by codegen'd built-ins). FNV-1a 64 is the
- * base hash — public-domain, allocation-free, deterministic.
+ * Every expression here implements `doGenCode`, so projections using
+ * them stay inside whole-stage codegen: the generated code calls the
+ * expression's JIT-compiled `compute` kernel through a captured
+ * reference (the same pattern Spark's own complex expressions use) —
+ * one static-shaped call per row, primitive loops inside, no
+ * interpreted-projection fallback for the surrounding operators.
+ * FNV-1a 64 is the base hash where the value itself is part of the
+ * oracle contract — public-domain, allocation-free, deterministic.
  */
 object Fnv {
   final val Offset = 0xcbf29ce484222325L
@@ -39,14 +43,12 @@ object Fnv {
  * accumulate +1/-1 per bit position, emit the sign bit vector. Documents
  * with small Hamming distance between SimHashes are near-duplicates.
  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
@@ -66,7 +68,15 @@ case class SimHash64(child: Expression)
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
@@ -78,16 +88,14 @@ case class SimHash64(child: Expression)
  * H = Σ token_hash_i · P^(n-1-i) mod 2^64 — order-sensitive (unlike a
  * bag-of-words hash), single pass.
  */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
   private final val P = 1099511628211L
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     var h = 0L
     var i = 0
     while (i < arr.numElements()) {
@@ -95,7 +103,15 @@ case class RollingHash(child: Expression)
       h = h * P + th
       i += 1
     }
-    java.lang.Long.valueOf(h)
+    h
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rollingExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
@@ -107,25 +123,29 @@ case class RollingHash(child: Expression)
  * expression. Semantics identical to
  * `array_distinct(transform(sequence(0, size-n), i => concat_ws(" ",
  * slice(tks, i+1, n))))` with the short-document collapse to one
- * whole-text shingle, but evaluated as one virtual call per row instead
- * of ~size interpreted lambda invocations building intermediate arrays.
+ * whole-text shingle, but evaluated as one call per row instead of
+ * ~size interpreted lambda invocations building intermediate arrays.
+ * Null tokens are skipped without a separator, exactly as concat_ws
+ * drops them.
  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val tks = input.asInstanceOf[ArrayData]
+  def compute(tks: ArrayData): ArrayData = {
     val m = tks.numElements()
     val out = new java.util.LinkedHashSet[UTF8String]()
     if (m < n) {
       val sb = new java.lang.StringBuilder()
       var i = 0
+      var first = true
       while (i < m) {
-        if (i > 0) sb.append(' ')
-        if (!tks.isNullAt(i)) sb.append(tks.getUTF8String(i).toString)
+        if (!tks.isNullAt(i)) {
+          if (!first) sb.append(' ')
+          sb.append(tks.getUTF8String(i).toString)
+          first = false
+        }
         i += 1
       }
       out.add(UTF8String.fromString(sb.toString))
@@ -134,9 +154,13 @@ case class WordShingles(child: Expression, n: Int)
       while (i <= m - n) {
         val sb = new java.lang.StringBuilder()
         var j = 0
+        var first = true
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(tks.getUTF8String(i + j).toString)
+          if (!tks.isNullAt(i + j)) {
+            if (!first) sb.append(' ')
+            sb.append(tks.getUTF8String(i + j).toString)
+            first = false
+          }
           j += 1
         }
         out.add(UTF8String.fromString(sb.toString))
@@ -147,11 +171,175 @@ case class WordShingles(child: Expression, n: Int)
     val it = out.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shinglesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/**
+ * SORTED DISTINCT xxhash64 values of the word-n-gram shingles of a token
+ * array — the whole d03/d04 shingling stage fused into one primitive
+ * pass. Value-compatible with
+ * `array_sort(array_distinct(transform(word_shingles(tks, n), s =>
+ * xxhash64(s))))`: each element is the builtin `xxhash64` (seed 42) of
+ * the space-joined n-gram, so MinHash signatures built from this column
+ * are bit-identical to ones built from materialized shingle strings —
+ * but the strings are never emitted, sized, or shuffled. The sorted
+ * order is the input contract of [[SortedLongIntersectCount]].
+ *
+ * Why hashes instead of strings: Jaccard over 64-bit-hashed shingle
+ * sets equals Jaccard over the string sets up to hash collisions
+ * (probability ~n²/2⁶⁵ per document pair — negligible at any corpus
+ * size this engine targets), and the downstream join/verify stages then
+ * move 8-byte longs instead of ~30-byte strings and intersect by merge
+ * instead of string-hashing.
+ */
+case class ShingleHashSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  private def hashGram(tks: ArrayData, from: Int, len: Int): Long = {
+    // build the space-joined gram (nulls skipped, concat_ws semantics)
+    // as one UTF8String, then hash its bytes exactly as builtin xxhash64
+    var count = 0
+    var j = 0
+    while (j < len) {
+      if (!tks.isNullAt(from + j)) count += 1
+      j += 1
+    }
+    val parts = new Array[UTF8String](count)
+    var p = 0
+    j = 0
+    while (j < len) {
+      if (!tks.isNullAt(from + j)) { parts(p) = tks.getUTF8String(from + j); p += 1 }
+      j += 1
+    }
+    val s = UTF8String.concatWs(UTF8String.fromString(" "), parts: _*)
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+  }
+
+  def compute(tks: ArrayData): ArrayData = {
+    val m = tks.numElements()
+    val buf =
+      if (m < n) Array(hashGram(tks, 0, m))
+      else {
+        val raw = new Array[Long](m - n + 1)
+        var i = 0
+        while (i <= m - n) { raw(i) = hashGram(tks, i, n); i += 1 }
+        raw
+      }
+    java.util.Arrays.sort(buf)
+    // in-place dedup over the sorted buffer
+    var w = 0
+    var i = 0
+    while (i < buf.length) {
+      if (w == 0 || buf(i) != buf(w - 1)) { buf(w) = buf(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == buf.length) buf else java.util.Arrays.copyOf(buf, w))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+/**
+ * |a ∩ b| for two SORTED long arrays — one merge pass, no per-element
+ * hashing or set allocation. The exact-verify kernel of the dedup tier:
+ * `array_intersect` on string arrays builds a hash set of interned
+ * strings per row; this is two pointers over primitive longs.
+ * Input contract: both arrays sorted ascending, no nulls
+ * ([[ShingleHashSet]] output).
+ */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersectExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Number of positionally-equal components between two equal-length long
+ * arrays — the MinHash signature-agreement count (estimated Jaccard =
+ * count / k). Replaces the interpreted
+ * `size(filter(zip_with(a, b, _===_), identity))` formulation in the
+ * d04 candidate prefilter.
+ */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigMatchExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatchCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /**
@@ -162,31 +350,36 @@ case class WordShingles(child: Expression, n: Int)
  * h => xxhash64(h, j))))` but without k×|h0| interpreted closure calls
  * per row (the lambda path costs ~10× more on the harness corpus).
  */
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): ArrayData = {
     val buf = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) {
         // two-arg builtin xxhash64(h, j): seed 42, args fold in order
-        val base = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(arr.getLong(i), 42L)
+        val base = XXH64.hashLong(arr.getLong(i), 42L)
         var j = 0
         while (j < k) {
-          val v = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, base)
+          val v = XXH64.hashInt(j, base)
           if (v < buf(j)) buf(j) = v
           j += 1
         }
       }
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf)
+    new GenericArrayData(buf)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
@@ -196,16 +389,22 @@ case class MinHashSignature(child: Expression, k: Int)
 /**
  * FNV-1a-64 checksum of a binary column — the "codec checksum" stage of
  * the multimodal decode path, in-place over the payload bytes (no
- * Dataset-encoder round-trip; one virtual call per row).
+ * Dataset-encoder round-trip).
  */
-case class FnvChecksum(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class FnvChecksum(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "fnv_checksum"
 
+  def compute(data: Array[Byte]): Long = Fnv.hashBytes(data)
+
   override def nullSafeEval(input: Any): Any =
-    java.lang.Long.valueOf(Fnv.hashBytes(input.asInstanceOf[Array[Byte]]))
+    java.lang.Long.valueOf(compute(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fnvExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): FnvChecksum =
     copy(child = newChild)
@@ -217,14 +416,12 @@ case class FnvChecksum(child: Expression)
  * vector" of the multimodal decode stage (Multimodal.FakeCodec), as a
  * single-pass Catalyst expression.
  */
-case class ByteHistogram(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+case class ByteHistogram(child: Expression, dim: Int) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "byte_histogram"
 
-  override def nullSafeEval(input: Any): Any = {
-    val data = input.asInstanceOf[Array[Byte]]
+  def compute(data: Array[Byte]): ArrayData = {
     val hist = new Array[Double](dim)
     var i = 0
     while (i < data.length) {
@@ -234,7 +431,15 @@ case class ByteHistogram(child: Expression, dim: Int)
     val n = math.max(data.length, 1).toDouble
     var b = 0
     while (b < dim) { hist(b) /= n; b += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(hist)
+    new GenericArrayData(hist)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("histExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ByteHistogram =
@@ -249,6 +454,12 @@ object Hashing {
   def fnvChecksum(data: Column): Column = column(FnvChecksum(expression(data)))
   def byteHistogram(data: Column, dim: Int): Column =
     column(ByteHistogram(expression(data), dim))
+  def shingleHashSet(tokens: Column, n: Int): Column =
+    column(ShingleHashSet(expression(tokens), n))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedLongIntersectCount(expression(a), expression(b)))
+  def sigMatchCount(a: Column, b: Column): Column =
+    column(SigMatchCount(expression(a), expression(b)))
 
   /** MinHash sketch aggregate over a column of element hashes — see
     * [[MinHashAgg]]. Use in groupBy(...).agg(minhashAgg(xxhash64(col), k)). */
@@ -259,8 +470,7 @@ object Hashing {
     * equal components (k must match). */
   def minhashEstJaccard(sigA: Column, sigB: Column): Column = {
     import org.apache.spark.sql.functions._
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
-      .cast("double") / size(sigA)
+    sigMatchCount(sigA, sigB).cast("double") / size(sigA)
   }
 
   /** Hamming distance between two 64-bit signatures (built-in bit_count). */

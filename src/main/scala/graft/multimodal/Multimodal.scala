@@ -95,10 +95,16 @@ object Multimodal {
   def decodePipeline(docs: DataFrame): DataFrame = {
     import graft.functions.Hashing
     val media = toMediaTable(docs)
+    // the histogram is projected ONCE into an intermediate column and the
+    // bins are element_at over it — guaranteeing a single pass over the
+    // payload bytes rather than trusting subexpression elimination to
+    // dedupe dim copies of the expression
     val bins = (0 until FakeCodec.dim).map(b =>
-      element_at(Hashing.byteHistogram(col("data"), FakeCodec.dim), b + 1).as(s"h$b"))
+      element_at(col("_hist"), b + 1).as(s"h$b"))
     media.select(
-      Seq(col("doc_id"), col("n_bytes"),
-        Hashing.fnvChecksum(col("data")).as("checksum")) ++ bins: _*)
+      col("doc_id"), col("n_bytes"),
+      Hashing.fnvChecksum(col("data")).as("checksum"),
+      Hashing.byteHistogram(col("data"), FakeCodec.dim).as("_hist"))
+      .select(Seq(col("doc_id"), col("n_bytes"), col("checksum")) ++ bins: _*)
   }
 }

@@ -5,61 +5,80 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{Hashing, TextFunctions => TF}
 
 /**
  * Near-duplicate detection operators over a document table — the reusable
  * library surface behind the d03/d04 harness queries (SURVEY.md §7.1 M5).
- * Both return (doc_a, doc_b, jaccard) for pairs with exact n-gram-shingle
- * Jaccard ≥ threshold; they differ in how candidates are found:
+ * Both pair detectors return (doc_a, doc_b, jaccard) for pairs with exact
+ * n-gram-shingle Jaccard ≥ threshold; they differ in how candidates are
+ * found:
  *
- *  - [[jaccardPairsExact]]: prefix filtering (AllPairs/PPJoin family —
- *    Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07).
+ *  - [[jaccardPairsExact]]: prefix + length + positional filtering
+ *    (AllPairs/PPJoin — Bayardo et al. WWW'07, Xiao et al. WWW'08).
  *    EXACT: zero recall loss, guaranteed. The ground-truth path.
  *  - [[minhashLshPairs]]: MinHash signatures + banded LSH + signature-
  *    estimate prefilter. Probabilistic recall (1−(1−J^r)^bands, ≈1−5e−8
  *    at J=0.8 with the defaults), near-linear candidate volume. The
  *    100 TB path.
  *
- * Output jaccard is always the exact inter/(na+nb−inter) over distinct
- * shingle sets (integer sizes, one double division) — identical arithmetic
- * to a SQL oracle.
+ * Data representation: documents are reduced ONCE to sorted distinct
+ * 64-bit shingle hashes ([[graft.functions.ShingleHashSet]]) and every
+ * downstream stage — df-ranking, prefix join, verification — moves longs,
+ * never shingle strings. Output jaccard is always the exact
+ * inter/(na+nb−inter) over the distinct shingle sets (integer sizes, one
+ * double division) — identical arithmetic to a SQL oracle.
+ *
+ * Cache lifecycle: the two pair detectors materialize their result
+ * eagerly (the result IS the pair table — always consumed in full),
+ * persist it, and release every internal cache before returning, so a
+ * long-lived session holds exactly the pair table and whatever the
+ * caller chooses to keep.
  */
 object Dedup {
 
   /**
-   * (doc_id, sh): id + distinct word-n-gram shingle array. Two-step on
-   * purpose: tokenization is materialized (cached) BEFORE the shingle
-   * lambda, so the regex tokenizer runs once per document — an inline
-   * `shingles(text)` would re-tokenize per shingle position (measured
-   * ~50× slower on the harness corpus).
+   * (doc_id, hs): id + sorted distinct shingle-hash array — the shared
+   * input of both pair detectors. Not persisted here: the caller decides
+   * the lifetime (NorthStar memoizes one per harness dir; one-shot users
+   * let it rebuild). Single expression pass — tokens feed ShingleHashSet
+   * as a regular expression child (evaluated once per row; no
+   * lambda-capture re-evaluation hazard).
    */
+  def shingleHashTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      Hashing.shingleHashSet(TF.tokens(col(textCol)), n).as("hs"))
+
+  /** String-shingle variant of [[shingleHashTable]] — kept for callers
+    * that need the shingle text itself (debugging, explainability). The
+    * pair detectors do not use it. */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), TF.tokens(col(textCol)).as("tk"))
-      .persist()
       .select(col("doc_id"), TF.shinglesFromTokens(col("tk"), n).as("sh"))
 
   /**
-   * Exact Jaccard pairs ≥ threshold via prefix filtering: under a global
-   * rarity order on shingles, any pair with J ≥ t must share one of the
-   * first n − ⌈t·n⌉ + 1 shingles of each side, so joining only on those
-   * prefix shingles loses nothing while shrinking the candidate join from
-   * Σ df² (quadratic in a hot shingle's document frequency) to the
-   * rare-prefix join.
+   * Exact Jaccard pairs ≥ threshold, AllPairs/PPJoin family. Three exact
+   * (recall-lossless) filters shrink the candidate set before any pair is
+   * verified:
+   *
+   *  1. PREFIX filter: under the global (df, hash) rarity order, a pair
+   *     with J ≥ t must share one of each side's first
+   *     n − ⌈t·n⌉ + 1 shingles, so only prefix shingles join.
+   *  2. LENGTH filter: J ≤ min(na,nb)/max(na,nb), so J ≥ t requires
+   *     min(na,nb) ≥ t·max(na,nb) — applied inside the join condition.
+   *  3. POSITIONAL filter (PPJoin): a match at 1-based rank positions
+   *     (i, j) bounds the overlap by min(i−1, j−1) + 1 + min(na−i, nb−j)
+   *     (shared shingles before the match ≤ min of the counts before it;
+   *     shared at-or-after ≤ 1 + min of the remainders). The minimum
+   *     bound over a pair's matches must reach the required overlap
+   *     ⌈t·(na+nb)/(1+t)⌉ (from J = inter/(na+nb−inter) ≥ t).
    *
    * Scale shape: df counting and prefix ranking are ordinary shuffles on
    * (shingle) and (doc_id); nothing is quadratic in df, and exact
-   * verification touches only candidate pairs.
+   * verification touches only candidates surviving all three filters.
    */
-  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, n: Int = 3): DataFrame = {
-    // materialize shingles ONCE: the table feeds the df-rank, the prefix
-    // join, and both sides of the verification join — without the cache
-    // the optimizer is free to re-derive shingles from text at any of
-    // those sites (including per joined row), which is where the
-    // tokenization cost explodes
-    val base = shingleTable(docs, idCol, textCol, n).persist()
-    val sh = base.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+  def jaccardPairsExact(hsTable: DataFrame, threshold: Double): DataFrame = {
+    val sh = hsTable.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // prefix length n − ⌈t·n⌉ + 1; the epsilon keeps ⌈·⌉ from rounding an
     // exact t·n UP under FP error (a longer prefix is always safe)
@@ -67,32 +86,51 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-6) + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("rn"), col("n"))
       .persist() // feeds BOTH sides of the self-join below
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    exactVerify(cand, base, threshold)
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        // length filter (epsilon loosens only — never drops a true pair)
+        col("a.n") >= col("b.n") * threshold - 1e-6 &&
+        col("b.n") >= col("a.n") * threshold - 1e-6)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"),
+        (least(col("a.rn"), col("b.rn")) - 1 + lit(1) +
+          least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))).as("ub"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(min(col("ub")).as("ub"))
+      // positional filter: best overlap bound must reach the minimum
+      // overlap t(na+nb)/(1+t) implied by J ≥ t
+      .filter(col("ub") >=
+        ceil((col("na") + col("nb")) * (threshold / (1.0 + threshold)) - 1e-6))
+      .select(col("doc_a"), col("doc_b"))
+    val out = exactVerify(cand, hsTable, threshold).persist()
+    out.count() // materialize now, so the internal caches can be released
+    prefix.unpersist()
+    out
+  }
+
+  /** Convenience form from raw documents: builds (and afterwards releases)
+    * its own shingle-hash table. */
+  def jaccardPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3): DataFrame = {
+    val hs = shingleHashTable(docs, idCol, textCol, n).persist()
+    val out = jaccardPairsExact(hs, threshold)
+    hs.unpersist()
+    out
   }
 
   /**
-   * MinHash + banded LSH near-dup pairs: k minhashes from once-hashed
-   * shingles (both cached), candidates from the (band, band-hash)
-   * equi-join, a signature-estimated Jaccard prefilter (O(k) per pair, no
-   * shingle rehydration), exact verification last. Banding math at
-   * r = k/bands: P(candidate | J) = 1 − (1 − J^r)^bands.
+   * MinHash + banded LSH near-dup pairs: k minhashes straight from the
+   * shingle-hash sets, candidates from the (band, band-hash) equi-join, a
+   * signature-estimated Jaccard prefilter (O(k) per pair, no shingle
+   * rehydration), exact verification last. Banding math at r = k/bands:
+   * P(candidate | J) = 1 − (1 − J^r)^bands.
    */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double, n: Int = 3, k: Int = 128,
-                      bands: Int = 32, estFloor: Double = 0.6): DataFrame = {
-    // cached for the same reason as in jaccardPairsExact: the exact-verify
-    // join must read materialized shingle arrays, never re-tokenize
-    val base = shingleTable(docs, idCol, textCol, n).persist()
-    val sig = base
-      .select(col("doc_id"), TF.shingleHashes(col("sh")).as("h0"))
-      .persist()
-      .select(col("doc_id"), TF.minhashFromHashes(col("h0"), k).as("sig"))
+  def minhashLshPairs(hsTable: DataFrame, threshold: Double, k: Int,
+                      bands: Int, estFloor: Double): DataFrame = {
+    val sig = hsTable
+      .select(col("doc_id"), TF.minhashFromHashes(col("hs"), k).as("sig"))
       .persist()
     val banded = sig.select(col("doc_id"),
       posexplode(TF.lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
@@ -105,29 +143,44 @@ object Dedup {
       .repartition(col("doc_a")) // keep the O(k)-per-row estimate stage parallel
       .join(sig.toDF("doc_a", "sig_a"), "doc_a")
       .join(sig.toDF("doc_b", "sig_b"), "doc_b")
-      .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-        m => m)).cast(DoubleType) / k >= estFloor)
+      .filter(Hashing.sigMatchCount(col("sig_a"), col("sig_b"))
+        .cast(DoubleType) / k >= estFloor)
       .select(col("doc_a"), col("doc_b"))
-    exactVerify(survivors, base, threshold)
+    val out = exactVerify(survivors, hsTable, threshold).persist()
+    out.count()
+    sig.unpersist()
+    out
+  }
+
+  /** Convenience form from raw documents — see [[jaccardPairsExact]]. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, n: Int = 3, k: Int = 128,
+                      bands: Int = 32, estFloor: Double = 0.6): DataFrame = {
+    val hs = shingleHashTable(docs, idCol, textCol, n).persist()
+    val out = minhashLshPairs(hs, threshold, k, bands, estFloor)
+    hs.unpersist()
+    out
   }
 
   /**
-   * Join candidate (doc_a, doc_b) pairs back to the full shingle arrays
+   * Join candidate (doc_a, doc_b) pairs back to the shingle-hash arrays
    * and keep exact Jaccard ≥ t. The explicit repartition matters: the
    * candidate shuffle is only a few MB, so AQE's bytes-based coalescing
-   * would fold it into one partition — but each row here costs an
-   * array_intersect over two ~50-string arrays, so the stage is CPU-bound
-   * and must stay spread across the cluster. One intersect per pair;
-   * jaccard = inter/(na+nb−inter), the oracle's exact arithmetic.
+   * would fold it into one partition — but each row here runs a merge
+   * intersect, so the stage is CPU-bound and must stay spread across the
+   * cluster. One sorted-merge intersect per pair
+   * ([[graft.functions.SortedLongIntersectCount]] — primitive longs, no
+   * per-row set allocation); jaccard = inter/(na+nb−inter), the oracle's
+   * exact arithmetic.
    */
-  private def exactVerify(cand: DataFrame, base: DataFrame, threshold: Double): DataFrame =
+  private def exactVerify(cand: DataFrame, hsTable: DataFrame, threshold: Double): DataFrame =
     cand
       .repartition(col("doc_a"))
-      .join(base.toDF("doc_a", "sh_a"), "doc_a")
-      .join(base.toDF("doc_b", "sh_b"), "doc_b")
+      .join(hsTable.toDF("doc_a", "hs_a"), "doc_a")
+      .join(hsTable.toDF("doc_b", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+        Hashing.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+        size(col("hs_a")).as("na"), size(col("hs_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -139,18 +192,23 @@ object Dedup {
    * doc_id in the cluster.
    *
    * Size-adaptive strategy: an iterative distributed algorithm costs
-   * O(log diameter) rounds of jobs, which is pure scheduling overhead
-   * when the pair graph is small — near-dup pairs are typically a tiny
-   * fraction of the corpus even at 100 TB. Below `localEdgeThreshold`
-   * edges (an explicit, documented driver-memory bound) the graph is
-   * collected and solved with union-find in one pass; above it, the
-   * shuffle-based min-label propagation loop runs with no driver state.
+   * O(log n) rounds of jobs, which is pure scheduling overhead when the
+   * pair graph is small — near-dup pairs are typically a tiny fraction of
+   * the corpus even at 100 TB. Below `localEdgeThreshold` edges (an
+   * explicit, documented driver-memory bound) the graph is collected and
+   * solved with union-find in one pass; above it, the shuffle-based
+   * label-propagation-with-shortcutting loop runs with no driver state.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
                           localEdgeThreshold: Long = 4000000L): DataFrame = {
     val p = pairs.persist() // read twice: the size dispatch + the solve
-    if (p.count() <= localEdgeThreshold) connectedComponentsLocal(p)
-    else connectedComponentsDistributed(p, maxIter)
+    val out =
+      if (p.count() <= localEdgeThreshold) connectedComponentsLocal(p)
+      else connectedComponentsDistributed(p, maxIter)
+    // both solve paths are eager (collect / checkpointed fixpoint loop),
+    // so the input cache can be released before returning
+    p.unpersist()
+    out
   }
 
   /** Small-graph path: one collect (bounded by the caller's threshold),
@@ -174,34 +232,51 @@ object Dedup {
     spark.createDataset(out).toDF("doc_id", "component")
   }
 
-  /** Large-graph path: iterative min-label propagation (one join + one
-    * min-agg per round halves the component diameter; O(log diameter)
-    * rounds). localCheckpoint truncates plan lineage each round. */
+  /**
+   * Large-graph path: min-label propagation WITH POINTER-DOUBLING
+   * SHORTCUTTING. Each round does two steps:
+   *
+   *  1. propagate — every node adopts min(own label, neighbors' labels)
+   *     (one join + min-agg on the static edge set): moves labels one hop;
+   *  2. shortcut — every node adopts its label's label
+   *     (labels joined with themselves + min-agg): doubles the distance
+   *     already-propagated information travels, so a component of
+   *     diameter D converges in O(log D) rounds rather than D.
+   *
+   * Convergence is detected by the monotone label-sum checksum (labels
+   * only ever decrease, so the sum strictly decreases until fixpoint —
+   * one cheap agg per round instead of a join-and-count of changed rows);
+   * localCheckpoint (eager) truncates per-iteration plan lineage.
+   * Hitting maxIter without convergence THROWS — a partially-propagated
+   * labeling is silently wrong data, never worth returning.
+   */
   private[graft] def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    // localCheckpoint (eager) truncates the per-iteration plan lineage —
-    // without it the logical plan and its analysis cost grow linearly
-    // with iterations, the classic iterative-algorithm trap
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint()
-    // convergence signal: labels only ever decrease per node, so
-    // sum(component) is strictly decreasing until fixpoint — one cheap
-    // agg per round instead of a join-and-count of changed rows
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var last = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each node adopts min(own label, neighbors' labels)
+      // 1. each node adopts min(own label, neighbors' labels)
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
-      labels = labels.union(viaNeighbor)
+      val propagated = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint() // feeds both sides of the shortcut self-join
+      // 2. shortcut: component := label(component) — the pointer-doubling
+      // step that makes the round count logarithmic in the diameter
+      val mapping = propagated.select(col("id").as("cid"), col("component").as("cc"))
+      labels = propagated
+        .join(mapping, col("component") === col("cid"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
         .localCheckpoint()
       val cur = checksum(labels)
       converged = cur.compareTo(last) == 0
@@ -209,6 +284,11 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+        "the graph has a component of extreme diameter; raise maxIter " +
+        "(rounds needed ≈ log2(diameter) + 1) rather than consuming partial labels")
     labels.select(col("id").as("doc_id"), col("component"))
   }
 }

@@ -66,13 +66,21 @@ case class TopKPerKeyExec(
     val sortOrder = order
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // identity projection: child rows are usually UnsafeRow already
+      // (exchange output), but if the ClusteredDistribution is satisfied
+      // without an exchange a row-based child may emit generic
+      // InternalRows — normalize instead of casting
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val rowOrdering = GenerateOrdering.generate(sortOrder, childOutput)
       // max-heap on the row ordering: head = worst retained row
       val heapOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(a, b)
       val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[UnsafeRow]]
       iter.foreach { row =>
-        val unsafe = row.asInstanceOf[UnsafeRow]
+        val unsafe = row match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
+        }
         val key = keyProj(unsafe)
         val heap = heaps.get(key) match {
           case Some(h) => h

@@ -79,25 +79,46 @@ object StreamingIngest {
   case class UserStats(user_id: Long, n: Long, sum_value: Double)
 
   /**
+   * The per-group state transition behind [[runningUserStats]], exposed
+   * for direct unit testing with `TestGroupState`: on timeout the key's
+   * state is REMOVED (bounded state — the eviction actually happens) and
+   * its final snapshot emitted; on data the running totals update and,
+   * when a timeout mode is armed, the idle clock is re-armed per
+   * invocation (GroupState timeouts do not persist across triggers).
+   */
+  private[graft] def statsTransition(useTimeout: Boolean, idleTimeoutMs: Long)(
+      uid: Long, batch: Iterator[Event], state: GroupState[UserStats]): UserStats =
+    if (state.hasTimedOut) {
+      val last = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+      state.remove()
+      last
+    } else {
+      val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+      var n = prev.n
+      var s = prev.sum_value
+      batch.foreach { e => n += 1; s += e.value }
+      val next = UserStats(uid, n, s)
+      state.update(next)
+      if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      next
+    }
+
+  /**
    * Custom keyed state via mapGroupsWithState (the escape hatch when
    * built-in windowed aggs can't express the state machine): running
    * per-user totals that survive across micro-batches, with processing-
-   * time timeout so idle keys are evicted (bounded state).
+   * time timeout so idle keys are evicted (bounded state) —
+   * `idleTimeoutMs` is armed on every update when `timeout` is a real
+   * timeout mode, and a fired timeout removes the key's state.
    */
   def runningUserStats(events: Dataset[Event],
-                       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+                       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+                       idleTimeoutMs: Long = 3600000L)
       : Dataset[UserStats] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats](timeout) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
-          var n = prev.n
-          var s = prev.sum_value
-          batch.foreach { e => n += 1; s += e.value }
-          val next = UserStats(uid, n, s)
-          state.update(next)
-          next
-      }
+      .mapGroupsWithState[UserStats, UserStats](timeout)(
+        statsTransition(useTimeout, idleTimeoutMs))
   }
 }

@@ -87,6 +87,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("distributed CC: a 200-node chain converges in O(log d) rounds (shortcutting)") {
+    // diameter 199: one-hop-per-round propagation would need ~199 rounds;
+    // propagate+shortcut reaches fixpoint within ~log2(199)+slack
+    val edges = (0 until 199).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsDistributed(edges, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("distributed CC throws on non-convergence instead of returning partial labels") {
+    val edges = (0 until 199).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsDistributed(edges, maxIter = 2)
+    }
+  }
+
   test("bpeTokenCount: letter runs, digit runs, single marks") {
     val out = Seq("Hello, world 42!", "a1b2", "").toDF("t")
       .select(TF.bpeTokenCount(col("t"))).as[Int].collect()

@@ -60,4 +60,57 @@ class HashingSpec extends AnyFunSuite {
     assert(hist.forall(_ == 0.125))
     assert(math.abs(hist.sum - 1.0) < 1e-12)
   }
+
+  test("ShingleHashSet == sorted distinct builtin xxhash64 of the string shingles") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "ab cd",  // short doc: collapses to one whole-text shingle
+      "").toDF("t")
+    val viaExpr = df.select(
+      Hashing.shingleHashSet(TF.tokens(col("t")), 3)).as[Seq[Long]].collect()
+    val viaStrings = df.select(array_sort(array_distinct(transform(
+      TF.shinglesFromTokens(TF.tokens(col("t")), 3), s => xxhash64(s)))))
+      .as[Seq[Long]].collect()
+    assert(viaExpr.toSeq == viaStrings.toSeq)
+    // sorted ascending — the SortedLongIntersectCount input contract
+    viaExpr.foreach(hs => assert(hs == hs.sorted))
+  }
+
+  test("sortedIntersectCount == |array_intersect| on shingle-hash sets") {
+    val docs = Seq(
+      ("a b c d e f g h", "c d e f g h i j"),
+      ("x y z", "p q r"),
+      ("same text here okay", "same text here okay")).toDF("ta", "tb")
+      .select(Hashing.shingleHashSet(TF.tokens(col("ta")), 3).as("ha"),
+        Hashing.shingleHashSet(TF.tokens(col("tb")), 3).as("hb"))
+    val viaMerge = docs.select(Hashing.sortedIntersectCount(col("ha"), col("hb")))
+      .as[Int].collect()
+    val viaBuiltin = docs.select(size(array_intersect(col("ha"), col("hb"))))
+      .as[Int].collect()
+    assert(viaMerge.toSeq == viaBuiltin.toSeq)
+    assert(viaMerge(1) == 0 && viaMerge(2) > 0)
+  }
+
+  test("sigMatchCount == the zip_with positional-equality formulation") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L))).toDF("a", "b")
+    val viaExpr = df.select(Hashing.sigMatchCount(col("a"), col("b"))).as[Int].head()
+    val viaHof = df.select(size(filter(zip_with(col("a"), col("b"),
+      (x, y) => x === y), m => m))).as[Int].head()
+    assert(viaExpr == 2 && viaExpr == viaHof)
+  }
+
+  test("WordShingles drops null tokens without separators (concat_ws semantics)") {
+    val df = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("tk4"),
+      array(lit("a"), lit(null).cast("string")).as("tk2"))
+    val long = df.select(TF.shinglesFromTokens(col("tk4"), 3)).as[Seq[String]].head()
+    assert(long == Seq("a b", "b c"))
+    val short = df.select(TF.shinglesFromTokens(col("tk2"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a"))
+    // and the hashed path agrees with the string path on null-bearing input
+    val viaHash = df.select(Hashing.shingleHashSet(col("tk4"), 3)).as[Seq[Long]].head()
+    val viaStr = df.select(array_sort(transform(
+      TF.shinglesFromTokens(col("tk4"), 3), s => xxhash64(s)))).as[Seq[Long]].head()
+    assert(viaHash == viaStr)
+  }
 }

@@ -49,6 +49,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(empty.columns.toSeq == Seq("id", "s"))
   }
 
+  test("TRUNCATE RESTART IDENTITY: serial ids restart at 1 after reset + re-append") {
+    // reference RDS_Postgres_testing.ipynb cells 6-7: truncate resets the
+    // SERIAL counter; here ids are recomputed per read, so a truncated
+    // table re-appended starts at 1 again
+    val root = Files.createTempDirectory("graft_identity").toString
+    val store = s"$root/t"
+    Seq("c", "a", "b").toDF("k").write.parquet(store)
+    val before = Relational.withSerialId(spark.read.parquet(store), Seq(col("k")))
+      .orderBy(col("id")).select(col("id")).as[Int].collect()
+    assert(before.toSeq == Seq(1, 2, 3))
+    // truncate (keep schema), then re-append two fresh rows
+    Relational.truncate(spark.read.parquet(store), s"$root/t2")
+    Seq("z", "y").toDF("k").write.mode("append").parquet(s"$root/t2")
+    val after = Relational.withSerialId(spark.read.parquet(s"$root/t2"), Seq(col("k")))
+      .orderBy(col("id")).select(col("id"), col("k")).as[(Int, String)].collect()
+    assert(after.toSeq == Seq((1, "y"), (2, "z"))) // restarted at 1, order respected
+  }
+
   test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
     val keys = Gen.listOfN(30, Gen.choose(0, 5))
     val prop = Prop.forAll(keys, keys) { (l, r) =>

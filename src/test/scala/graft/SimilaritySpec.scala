@@ -106,6 +106,25 @@ class SimilaritySpec extends AnyFunSuite {
     }, n = 5)
   }
 
+  test("e01 block-partitioned all-pairs == naive pair scan, with no cartesian/BNLJ") {
+    val dir = "/root/testdata/sf0.001"
+    val res = NorthStar.queries("e01_embedding_neardup")(spark, dir)
+    val got = res.as[(Long, Long, Double)].collect().toSet
+    // naive triangular all-pairs ground truth (the formulation e01 replaced)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    val naive = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+      .filter(col("score") >= 0.45)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == naive)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"block-partitioned e01 must not plan a cartesian:\n$plan")
+  }
+
   test("lshBucket is deterministic and the s02 multiprobe contains the exact top hit") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.cos(i * 31 + j * 7).toFloat)))

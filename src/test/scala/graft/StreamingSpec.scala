@@ -66,6 +66,29 @@ class StreamingSpec extends AnyFunSuite {
       (ts(11, 0), "view", 1L, 5.0)))
   }
 
+  test("state timeout: updates re-arm the idle clock, a fired timeout evicts the key") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // data path: totals update and the processing-time timeout is armed
+    val live = TestGroupState.create[StreamingIngest.UserStats](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamingIngest.statsTransition(useTimeout = true, idleTimeoutMs = 60000L)(
+      7L, Iterator(StreamingIngest.Event(7L, "click", 2.0)), live)
+    assert(out == StreamingIngest.UserStats(7L, 1L, 2.0))
+    assert(live.isUpdated)
+    assert(live.getTimeoutTimestampMs.isPresent, "timeout must be armed on update")
+    // timeout path: state is REMOVED (bounded state), final snapshot emitted
+    val timedOut = TestGroupState.create[StreamingIngest.UserStats](
+      Optional.of(StreamingIngest.UserStats(7L, 3L, 9.0)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, Optional.empty[Long](), hasTimedOut = true)
+    val fin = StreamingIngest.statsTransition(useTimeout = true, idleTimeoutMs = 60000L)(
+      7L, Iterator.empty, timedOut)
+    assert(fin == StreamingIngest.UserStats(7L, 3L, 9.0))
+    assert(timedOut.isRemoved, "idle key state must be evicted on timeout")
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
