@@ -71,6 +71,23 @@ class SimilaritySpec extends AnyFunSuite {
       if j >= t
     } yield (ia, ib, j)).toSet
 
+  test("law: PPJoin filters are exact at every threshold (0.5 / 0.7 / 0.9)") {
+    // the length and positional filters cut differently at low vs high t
+    // (low t → long prefixes, weak length bound; high t → the reverse);
+    // recall must be perfect at all of them
+    val genWithT = for {
+      corpus <- corpusGen
+      t <- Gen.oneOf(0.5, 0.7, 0.9)
+    } yield (corpus, t)
+    check(Prop.forAll(genWithT) { case (corpus, t) =>
+      val docs = corpus.map { case (i, tks) => (i, tks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = Dedup.jaccardPairsExact(docs, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      got == brutePairs(corpus, t)
+    }, n = 9)
+  }
+
   /** Corpus generator: base docs from a small vocab plus planted
     * near-duplicates (copy with 0-1 token edits) to guarantee J≥t pairs. */
   private val corpusGen: Gen[Seq[(Long, List[String])]] = for {
