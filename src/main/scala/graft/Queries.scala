@@ -272,6 +272,29 @@ object Queries {
           sum(col("brk")).over(run).as("session_id"))
     }),
 
+    // the distributed SERIAL-id operator surfaced as a harness query:
+    // dense 1..n ids in a global total order WITHOUT the single-task
+    // window — range partition + sortWithinPartitions + zipWithIndex.
+    // (o_orderdate, o_orderkey) is a total order, so ids are
+    // deterministic and the window-based SQL oracle reproduces them.
+    "q28_serial_distributed" -> ((s, dir) =>
+      Relational.withSerialIdDistributed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        Seq(col("o_orderdate"), col("o_orderkey")), "id")),
+
+    // the streaming windowed aggregation's batch twin: the same
+    // window(ts, 1h) + per-type rollup StreamingIngest.windowedEventAgg
+    // computes incrementally, run over the full events table — so the
+    // streaming module's semantics are oracle-checkable, not just
+    // unit-tested
+    "q29_time_window" -> ((s, dir) =>
+      eventsTable(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))),
+
     // the skew-salted join surfaced as a harness query: the salt only
     // respreads a hot key's rows across `factor` reducers, so the result
     // SET is identical to the plain inner join and the oracle is ordinary
@@ -417,6 +440,15 @@ object Queries {
     "j01_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
          FROM orders INNER JOIN customer ON o_custkey = c_custkey""",
+    "q28_serial_distributed" ->
+      """SELECT o_orderkey, o_orderdate,
+                CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS id
+         FROM orders""",
+    "q29_time_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
     // the SUM is CAST to BIGINT because DuckDB's SUM yields HUGEINT, which
     // pandas materializes as float64 — a dtype-only hash divergence from
     // Spark's int64 on identical values
