@@ -295,6 +295,54 @@ object Queries {
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))),
 
+    // as-of join: every event picks up the customer's most recent order
+    // at-or-before the event timestamp. The right side is pre-aggregated
+    // to unique (key, ts) — max orderkey per (custkey, orderdate) — the
+    // operator's determinism contract. One shuffle, no row amplification
+    // (see Relational.asofJoin); the oracle is DuckDB's native ASOF JOIN.
+    "q30_asof_join" -> ((s, dir) => {
+      val ev = eventsTable(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Relational.asofJoin(ev, ord, "user_id", "ts", "o_orderdate")
+    }),
+
+    // point-in-interval join via bucketing: lineitems shipped within
+    // [o_orderdate, +30 days) of their order, as a keyed interval join —
+    // the equi-join runs on (orderkey, day-bucket) and only containment
+    // candidates reach the exact predicate (see Relational.intervalJoin).
+    // Aggregated per order with order-insensitive stats (count/min/max)
+    // so the hash compare is join-order independent.
+    "q31_interval_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_shipdate"), col("l_linenumber"))
+      val ivs = t(s, dir, "orders")
+        .select(col("o_orderkey").as("ok"), col("o_orderdate").as("w_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      Relational.intervalJoin(pts, ivs, "l_shipdate", "w_start", "w_end",
+          Seq("ok"), 86400L * 30)
+        .groupBy(col("ok").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped"),
+          min(col("l_linenumber")).as("first_line"),
+          max(col("l_linenumber")).as("last_line"))
+    }),
+
+    // pivot: event_type rotated into per-type count columns. The value
+    // list is EXPLICIT — an unlisted-values pivot runs a whole extra
+    // distinct pass over the fact table just to discover column names,
+    // which is a silent full scan at 100 TB. Missing (user, type) combos
+    // coalesce to 0 so the output matches SQL's FILTER formulation.
+    "q32_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      eventsTable(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+    }),
+
     // the skew-salted join surfaced as a harness query: the salt only
     // respreads a hot key's rows across `factor` reducers, so the result
     // SET is identical to the plain inner join and the oracle is ordinary
@@ -449,6 +497,29 @@ object Queries {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q30_asof_join" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
+                           max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.ts, e.user_id, o.o_orderdate, o.o_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
+    "q32_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (event_type = 'click') AS n_click,
+                count(*) FILTER (event_type = 'error') AS n_error,
+                count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                count(*) FILTER (event_type = 'signup') AS n_signup,
+                count(*) FILTER (event_type = 'view') AS n_view
+         FROM events GROUP BY 1""",
+    "q31_interval_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped,
+                min(l_linenumber) AS first_line, max(l_linenumber) AS last_line
+         FROM lineitem l JOIN orders o
+           ON l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate
+          AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1""",
     // the SUM is CAST to BIGINT because DuckDB's SUM yields HUGEINT, which
     // pandas materializes as float64 — a dtype-only hash divergence from
     // Spark's int64 on identical values

@@ -466,6 +466,12 @@ object Hashing {
   def minhashAgg(elementHash: Column, k: Int): Column =
     column(MinHashAgg(expression(elementHash), k).toAggregateExpression())
 
+  /** Element-wise-min merge of per-row MinHash signatures — see
+    * [[MinHashMergeAgg]]. Use with a [[TextFunctions.minhashFromHashes]]
+    * signature column: groupBy(...).agg(minhashMergeAgg(col("sig"), k)). */
+  def minhashMergeAgg(sig: Column, k: Int): Column =
+    column(MinHashMergeAgg(expression(sig), k).toAggregateExpression())
+
   /** Estimated Jaccard between two MinHash signatures: the fraction of
     * equal components (k must match). */
   def minhashEstJaccard(sigA: Column, sigB: Column): Column = {

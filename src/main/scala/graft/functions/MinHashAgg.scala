@@ -82,3 +82,73 @@ case class MinHashAgg(
       newChildren: IndexedSeq[Expression]): MinHashAgg =
     copy(child = newChildren.head)
 }
+
+/**
+ * Element-wise-min merge of PRE-COMPUTED k-wide MinHash signatures — the
+ * second level of the two-level sketch: [[Hashing.MinHashSignature]]
+ * (codegen'd, one primitive pass per row) builds each document's
+ * signature, and this aggregate folds signatures into the group sketch
+ * with k comparisons per ROW instead of k hash mixes per ELEMENT — on the
+ * harness corpus that is 5k array-min updates instead of 2.5M×128
+ * interpreted mix calls. min commutes with min, so MinHashMergeAgg over
+ * per-doc signatures equals [[MinHashAgg]] over every element hash
+ * (law-tested in AggregatesSpec), and partial aggregation still reduces
+ * each partition to one k·8-byte buffer before the shuffle.
+ */
+case class MinHashMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_merge_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = math.min(k, arr.numElements())
+      var j = 0
+      while (j < n) {
+        val hj = arr.getLong(j)
+        if (hj < buf(j)) buf(j) = hj
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinHashMergeAgg =
+    copy(child = newChildren.head)
+}

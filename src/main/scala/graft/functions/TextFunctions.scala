@@ -99,6 +99,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** Email/phone patterns for [[redactPii]], shared with the DuckDB oracle:
+    * restricted to RE2-compatible character classes (no lookaround, no
+    * backreferences) so the identical pattern string behaves the same
+    * under Java regex (Spark) and RE2 (DuckDB `regexp_replace(..., 'g')`). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII redaction for training corpora: emails then phone-shaped numbers
+   * replaced with stable placeholder tags (emails first, so digits inside
+   * an address can't be half-matched as a phone). Pure codegen'd
+   * `regexp_replace` — no UDF, no shuffle, linear scan per row.
+   */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /**
    * Word n-gram shingles (distinct) from a pre-tokenized array column —
    * the unit for Jaccard/MinHash. Documents shorter than n tokens

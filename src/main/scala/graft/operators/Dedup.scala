@@ -260,6 +260,10 @@ object Dedup {
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var last = checksum(labels)
+    if (last == null) { // sum over zero rows: the edge set was empty
+      edges.unpersist()
+      return labels.select(col("id").as("doc_id"), col("component"))
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -117,4 +117,85 @@ object Relational {
     val sd = dim.withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
     sf.join(sd, Seq(key, "_salt"), "inner").drop("_salt")
   }
+
+  /**
+   * As-of join — the point-in-time join Spark has no native operator for:
+   * every left row picks up the single most recent right row with the
+   * same key and `rightTs` ≤ `leftTs` (left-outer semantics: no match →
+   * nulls). The classic formulation is an inequality join + per-row argmax
+   * — Spark plans that as a BroadcastNestedLoopJoin with O(|L|·|R|)
+   * row amplification per key. This is instead the union–sort–carry plan:
+   * tag both sides, union them, and run ONE `last(_, ignoreNulls)` window
+   * partitioned by key, ordered by (ts, side) with right rows sorting
+   * before left rows at equal ts (so a tie matches, per ASOF `>=`
+   * semantics). One shuffle on the key, one within-partition sort, zero
+   * amplification — the shape that survives two 100 TB fact tables.
+   *
+   * Contract: right (key, ts) pairs are unique (pre-aggregate duplicates
+   * — otherwise which duplicate is carried depends on the union's
+   * partition-interleave order); non-key right column names must not
+   * collide with left's.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == key)
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right payload columns collide with left: $collisions")
+    val rv = struct(rightPayload.map(col): _*)
+    val rvType = right.select(rv).schema.head.dataType
+    val lv = struct(left.columns.map(col): _*)
+    val l2 = left.select(col(key).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), lv.as("_lv"), lit(null).cast(rvType).as("_rv"))
+    val r2 = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(left.select(lv).schema.head.dataType).as("_lv"),
+      rv.as("_rv"))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l2.unionByName(r2)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    carried.select(
+      left.columns.map(c => col("_lv").getField(c).as(c)) ++
+      rightPayload.map(c => col("_m").getField(c).as(c)): _*)
+  }
+
+  /**
+   * Point-in-interval join (`pointTs` ∈ [start, end)) sharing equality
+   * `keys`, via fixed-width time bucketing. The declarative form is an
+   * inequality theta-join — a nested-loop cartesian per key group in any
+   * engine. Here each interval replicates to the buckets it covers
+   * (amplification = ⌈interval/width⌉, a caller-tuned constant), each
+   * point lands in exactly ONE bucket, and the join becomes an equi-join
+   * on (keys…, bucket) + the exact containment predicate. A qualifying
+   * (point, interval) pair meets only in the point's bucket, so no
+   * post-join dedup is needed; recall is exact by construction. Pick
+   * `bucketSeconds` ≈ the typical interval length: shorter buckets
+   * replicate intervals more, longer buckets let the equi-join pass more
+   * non-qualifying pairs to the filter.
+   */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, pointTs: String,
+                   startCol: String, endCol: String, keys: Seq[String],
+                   bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucket width must be positive")
+    // ANSI mode forbids cast(timestamp as bigint); route timestamp-family
+    // columns through unix_timestamp (identity wall-clock for NTZ/date
+    // under the UTC session) and numerics through a plain long cast
+    def epochSeconds(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType =>
+          unix_timestamp(col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => col(c).cast("long")
+      }
+    val wid = lit(bucketSeconds)
+    val p2 = points.withColumn("_b",
+      floor(epochSeconds(points, pointTs) / wid).cast("long"))
+    val i2 = intervals.withColumn("_b", explode(sequence(
+      floor(epochSeconds(intervals, startCol) / wid).cast("long"),
+      floor(epochSeconds(intervals, endCol) / wid).cast("long"))))
+    p2.join(i2, keys :+ "_b")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
+      .drop("_b")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, MinHashAgg, RollingHash, SimHash64}
+import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -52,7 +52,29 @@ object GraftFunctions {
     ("minhash_agg",
       info("minhash_agg", "minhash_agg(hash, k) - k-wide MinHash sketch aggregate"),
       (args: Seq[Expression]) => MinHashAgg(args(0),
-        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
+    ("minhash_merge_agg",
+      info("minhash_merge_agg", "minhash_merge_agg(sig, k) - element-wise-min merge of k-wide MinHash signatures"),
+      (args: Seq[Expression]) => MinHashMergeAgg(args(0),
+        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(tokens, n) - distinct n-gram shingle strings"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        args(1).eval(null).asInstanceOf[Int])),
+    ("shingle_hash_set",
+      info("shingle_hash_set", "shingle_hash_set(tokens, n) - sorted distinct 64-bit n-gram shingle hashes"),
+      (args: Seq[Expression]) => ShingleHashSet(args(0),
+        args(1).eval(null).asInstanceOf[Int])),
+    ("minhash_signature",
+      info("minhash_signature", "minhash_signature(hashes, k) - k-wide MinHash signature of a hash array"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval(null).asInstanceOf[Int])),
+    ("sorted_long_intersect_count",
+      info("sorted_long_intersect_count", "sorted_long_intersect_count(a, b) - merge-intersect size of two sorted long arrays"),
+      (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
+    ("sig_match_count",
+      info("sig_match_count", "sig_match_count(a, b) - positions where two equal-length signatures agree"),
+      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -116,7 +116,14 @@ object StreamingIngest {
                        idleTimeoutMs: Long = 3600000L)
       : Dataset[UserStats] = {
     import events.sparkSession.implicits._
-    val useTimeout = timeout != GroupStateTimeout.NoTimeout
+    // the idle clock is a processing-time duration; under EventTimeTimeout
+    // Spark only permits setTimeoutTimestamp (a watermark-relative policy
+    // this helper does not model), so reject it up front rather than
+    // throwing per-key inside the first micro-batch
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "runningUserStats evicts idle keys on a processing-time clock; " +
+      "use ProcessingTimeTimeout (or NoTimeout), not EventTimeTimeout")
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
     events.groupByKey(_.user_id)
       .mapGroupsWithState[UserStats, UserStats](timeout)(
         statsTransition(useTimeout, idleTimeoutMs))

@@ -30,6 +30,26 @@ class AggregatesSpec extends AnyFunSuite {
     assert(viaArray.toSeq == viaAgg.toSeq)
   }
 
+  test("law: two-level sketch (per-row signature + minhashMergeAgg) equals per-element minhashAgg") {
+    // min commutes with min: folding per-doc signatures element-wise must
+    // give the same group sketch as aggregating every element hash
+    val docs = Seq(
+      ("s1", Seq("aa", "bb", "cc", "dd")),
+      ("s1", Seq("bb", "cc", "ee")),
+      ("s2", Seq("zz")),
+      ("s2", Seq("zz", "aa", "qq"))).toDF("src", "sh")
+    val k = 32
+    val viaMerge = docs
+      .select(col("src"), TF.minhashFromHashes(TF.shingleHashes(col("sh")), k).as("doc_sig"))
+      .groupBy(col("src")).agg(Hashing.minhashMergeAgg(col("doc_sig"), k).as("sig"))
+      .orderBy(col("src")).as[(String, Seq[Long])].collect()
+    val viaElements = docs
+      .select(col("src"), explode(col("sh")).as("s"))
+      .groupBy(col("src")).agg(Hashing.minhashAgg(xxhash64(col("s")), k).as("sig"))
+      .orderBy(col("src")).as[(String, Seq[Long])].collect()
+    assert(viaMerge.toSeq == viaElements.toSeq)
+  }
+
   test("minhashAgg partial-merge invariance: same result at any parallelism") {
     val elems = (0 until 500).map(i => (i % 7L, s"elem$i"))
     val df1 = spark.createDataFrame(elems).toDF("g", "e").repartition(1)
@@ -102,6 +122,11 @@ class AggregatesSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Dedup.connectedComponentsDistributed(edges, maxIter = 2)
     }
+  }
+
+  test("distributed CC on an empty edge set returns an empty labeling") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsDistributed(empty).count() == 0L)
   }
 
   test("bpeTokenCount: letter runs, digit runs, single marks") {

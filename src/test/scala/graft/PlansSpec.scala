@@ -29,6 +29,26 @@ class PlansSpec extends AnyFunSuite {
     assert(viaSql.getAs[Seq[Double]]("bh").sum == 1.0)
   }
 
+  test("round-3 kernels are SQL-registered and match the Column API") {
+    val viaSql = spark.sql(
+      """SELECT word_shingles(array('a','b','c','d'), 3) AS ws,
+                shingle_hash_set(array('a','b','c','d'), 3) AS hs,
+                minhash_signature(shingle_hash_set(array('a','b','c','d'), 3), 8) AS sig,
+                sorted_long_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS ic,
+                sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS mc""")
+      .collect().head
+    val viaCol = Seq(Seq("a", "b", "c", "d")).toDF("tk").select(
+      TF.shinglesFromTokens(col("tk"), 3).as("ws"),
+      Hashing.shingleHashSet(col("tk"), 3).as("hs"),
+      TF.minhashFromHashes(Hashing.shingleHashSet(col("tk"), 3), 8).as("sig"))
+      .collect().head
+    assert(viaSql.getSeq[String](viaSql.fieldIndex("ws")) == viaCol.getSeq[String](viaCol.fieldIndex("ws")))
+    assert(viaSql.getSeq[Long](viaSql.fieldIndex("hs")) == viaCol.getSeq[Long](viaCol.fieldIndex("hs")))
+    assert(viaSql.getSeq[Long](viaSql.fieldIndex("sig")) == viaCol.getSeq[Long](viaCol.fieldIndex("sig")))
+    assert(viaSql.getAs[Int]("ic") == 2)
+    assert(viaSql.getAs[Int]("mc") == 2)
+  }
+
   test("minhash_agg works from SQL and matches the Column API") {
     Seq((1L, "aa"), (1L, "bb"), (2L, "cc")).toDF("g", "e").createOrReplaceTempView("mh_in")
     val viaSql = spark.sql(

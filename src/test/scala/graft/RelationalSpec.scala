@@ -67,6 +67,77 @@ class RelationalSpec extends AnyFunSuite {
     assert(after.toSeq == Seq((1, "y"), (2, "z"))) // restarted at 1, order respected
   }
 
+  test("law: asofJoin equals the brute-force per-row argmax (ties match, no-match is null)") {
+    // left rows at random (key, ts); right rows unique per (key, ts)
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 4L); ts <- Gen.choose(0L, 50L)
+    } yield (k, ts))
+    val rightGen = Gen.listOfN(15, for {
+      k <- Gen.choose(0L, 4L); ts <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 999L)
+    } yield (k, ts, v))
+    val prop = Prop.forAll(leftGen, rightGen) { (l, r0) =>
+      val r = r0.groupBy(t => (t._1, t._2)).map(_._2.head).toList // unique (key, ts)
+      val lf = l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "k", "ts")
+      val rf = r.toDF("k", "rts", "rv")
+      val got = Relational.asofJoin(lf, rf, "k", "ts", "rts")
+        .select(col("lid"), col("rts"), col("rv"))
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq.sortBy(_._1)
+      val expected = l.zipWithIndex.map { case ((k, ts), i) =>
+        val best = r.filter(t => t._1 == k && t._2 <= ts).sortBy(_._2).lastOption
+        (i.toLong, best.map(_._2), best.map(_._3))
+      }
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asofJoin plans one shuffle on the key — no nested-loop join") {
+    val lf = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "ts")
+    val rf = (1 to 20).map(i => (i.toLong % 5, i.toLong * 2, i.toLong)).toDF("k", "rts", "rv")
+    val plan = Relational.asofJoin(lf, rf, "k", "ts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"asof must not plan a nested loop:\n$plan")
+    assert(plan.contains("Window"), s"expected the carry-forward window in:\n$plan")
+  }
+
+  test("law: intervalJoin equals the naive containment join across bucket widths") {
+    val ptsGen = Gen.listOfN(30, for {
+      k <- Gen.choose(0L, 3L); ts <- Gen.choose(0L, 200L)
+    } yield (k, ts))
+    val ivsGen = Gen.listOfN(12, for {
+      k <- Gen.choose(0L, 3L); s <- Gen.choose(0L, 180L); len <- Gen.choose(0L, 60L)
+      id <- Gen.choose(0L, 999L)
+    } yield (k, s, s + len, id))
+    val prop = Prop.forAll(ptsGen, ivsGen, Gen.oneOf(7L, 30L, 100L)) { (ps, ivs, w) =>
+      val pf = ps.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("pid", "k", "ts")
+      val ivf = ivs.toDF("k", "s", "e", "ivid")
+      val got = Relational.intervalJoin(pf, ivf, "ts", "s", "e", Seq("k"), w)
+        .select(col("pid"), col("ivid")).as[(Long, Long)].collect().toSeq.sorted
+      val expected = (for {
+        ((k, ts), i) <- ps.zipWithIndex
+        (ik, s, e, id) <- ivs if ik == k && ts >= s && ts < e
+      } yield (i.toLong, id)).sorted
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("intervalJoin handles timestamp columns under ANSI mode (no bigint cast)") {
+    val pts = Seq((1L, "2024-01-05 12:00:00"), (2L, "2024-01-20 00:00:00"))
+      .toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("ts"))
+    val ivs = Seq((10L, "2024-01-01 00:00:00", "2024-01-10 00:00:00"))
+      .toDF("ivid", "a", "b")
+      .select(col("ivid"), col("a").cast("timestamp").as("st"), col("b").cast("timestamp").as("en"))
+    val got = Relational.intervalJoin(pts, ivs, "ts", "st", "en", Nil, 86400L)
+      .select(col("pid"), col("ivid")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)))
+  }
+
   test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
     val keys = Gen.listOfN(30, Gen.choose(0, 5))
     val prop = Prop.forAll(keys, keys) { (l, r) =>

@@ -106,4 +106,13 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(last.toSeq == Seq((1L, 2L, 3.5), (2L, 1L, 4.0)))
   }
+
+  test("runningUserStats rejects EventTimeTimeout up front (needs a timestamp policy)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val events = Seq(StreamingIngest.Event(1L, "click", 1.0)).toDS()
+    intercept[IllegalArgumentException] {
+      StreamingIngest.runningUserStats(events, GroupStateTimeout.EventTimeTimeout)
+    }
+  }
 }

@@ -70,4 +70,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("punct_ratio") == 2.0 / 10.0)
     assert(r.getAs[Double]("ttr") == 1.0) // all tokens distinct
   }
+
+  test("redactPii: emails and phones redacted, clean text untouched, all occurrences") {
+    val out = Seq(
+      "mail a.b+c@sub.example.org now",
+      "call +1-555-0342 or 44-555-9000",
+      "two x@y.io then z@w.dev done",
+      "digits 123-45 stay, plain text stays").toDF("t")
+      .select(TF.redactPii(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> or <PHONE>",
+      "two <EMAIL> then <EMAIL> done",
+      "digits 123-45 stay, plain text stays"))
+  }
 }
