@@ -386,6 +386,36 @@ object NorthStar {
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text_pii"))
         .select(col("doc_id"), TF.redactPii(col("text_pii")).as("clean"))),
 
+    // rare-term extraction (keyword/quality signal): global document
+    // frequency per term, joined back and reduced to each document's 3
+    // rarest terms via the custom TopKPerKey physical operator (bounded
+    // heaps, no per-doc sort) — the df table is vocabulary-sized, so the
+    // join broadcasts. Ties break on (df, term), a total order per doc.
+    "t08_rare_terms" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(TF.tokens(col("text")))).as("term"))
+      val dfreq = tk.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val joined = tk.join(broadcast(dfreq), "term")
+        .select(col("doc_id"), col("term"), col("df"))
+      graft.operators.Relational.topKPerKey(
+        joined, Seq("doc_id"), Seq(col("df").asc, col("term").asc), 3)
+    }),
+
+    // deterministic train/val/test split — the reproducibility-critical
+    // sampling primitive of a training-data pipeline: bucket = integer
+    // value of the first 8 md5 hex chars of the doc id, mod 100. Content-
+    // stable (no RNG, no partition dependence), re-runnable anywhere, and
+    // exactly reproducible in SQL.
+    "t09_split_assign" -> ((s, dir) => {
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      docs(s, dir).select(col("doc_id"), pmod(h, lit(100L)).as("bucket_100"))
+        .withColumn("split",
+          when(col("bucket_100") < 90, "train")
+            .when(col("bucket_100") < 95, "val")
+            .otherwise("test"))
+    }),
+
     // -- multimodal columns ---------------------------------------------
 
     // opaque binary payload + typed metadata (decode stubbed: the
@@ -545,6 +575,27 @@ object NorthStar {
               '${TF.emailPattern}', '<EMAIL>', 'g'),
               '${TF.phonePattern}', '<PHONE>', 'g') AS clean
           FROM documents""",
+    "t08_rare_terms" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term
+                      FROM documents),
+             d AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+             r AS (SELECT tk.doc_id, tk.term, d.df,
+                     row_number() OVER (PARTITION BY tk.doc_id
+                                        ORDER BY d.df, tk.term) AS rn
+                   FROM tk JOIN d USING (term))
+          SELECT doc_id, term, df FROM r WHERE rn <= 3""",
+    "t09_split_assign" ->
+      """WITH h AS (SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+               (a, x) -> a * 16 + x) AS hv
+           FROM documents)
+         SELECT doc_id, hv % 100 AS bucket_100,
+                CASE WHEN hv % 100 < 90 THEN 'train'
+                     WHEN hv % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM h""",
     "e02_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               m AS (SELECT vec_id, v,

@@ -328,6 +328,20 @@ object Queries {
           max(col("l_linenumber")).as("last_line"))
     }),
 
+    // RANGE-frame window (value-based frame, vs q15's ROWS frame): per
+    // user, how many events landed in the trailing hour — frame bounds
+    // are epoch-second VALUES, so peers with equal timestamps are always
+    // in-frame together and the result is order-independent (no tie
+    // hazard). One shuffle on user_id, sorted within partitions.
+    "q33_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600L, 0L)
+      eventsTable(s, dir)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"))
+    }),
+
     // pivot: event_type rotated into per-type count columns. The value
     // list is EXPLICIT — an unlisted-values pivot runs a whole extra
     // distinct pass over the fact table just to discover column names,
@@ -504,6 +518,11 @@ object Queries {
          SELECT e.event_id, e.ts, e.user_id, o.o_orderdate, o.o_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
+    "q33_window_range" ->
+      """SELECT event_id, user_id,
+                count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_trailing_1h
+         FROM events""",
     "q32_pivot" ->
       """SELECT user_id,
                 count(*) FILTER (event_type = 'click') AS n_click,

@@ -107,6 +107,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.toSeq == Seq((1L, 2L, 3.5), (2L, 1L, 4.0)))
   }
 
+  test("streaming dedup drops same-fingerprint re-arrivals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val docs = mem.toDS().toDF("ts", "text")
+    val out = StreamingIngest.dedupedDocStream(docs)
+    val q = out.writeStream.format("memory").queryName("dedup_docs")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), "hello world"), (t("2024-01-01 10:00:01"), "other doc"))
+    q.processAllAvailable()
+    // same content, different whitespace/case -> same fingerprint -> dropped
+    mem.addData((t("2024-01-01 10:05:00"), "  Hello   WORLD "), (t("2024-01-01 10:06:00"), "third doc"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_docs").select(col("text")).as[String].collect().toSet
+    q.stop()
+    assert(texts == Set("hello world", "other doc", "third doc"))
+  }
+
   test("runningUserStats rejects EventTimeTimeout up front (needs a timestamp policy)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
