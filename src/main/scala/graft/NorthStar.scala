@@ -135,6 +135,15 @@ object NorthStar {
           > len($hs) THEN CAST($pow AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"""
     }.mkString("(", " + ", ")")
 
+  /** Integer value of the first 8 md5 hex chars of `e` — the oracle twin
+    * of Spark's `conv(substring(md5(e), 1, 8), 16, 10)` (DuckDB has no
+    * base-conversion function; fold hex digits left-to-right). */
+  private def md5HexIntSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substring(md5($e), 1, 8), ''),
+          c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+        (a, x) -> a * 16 + x)"""
+
   /** The ±1 hyperplane p as a DuckDB list literal — generated from the
     * same Fnv bits as VectorFunctions.planeLiteral. */
   private def planeSqlLiteral(p: Int, dim: Int): String =
@@ -154,9 +163,13 @@ object NorthStar {
     }.mkString("(", " + ", ")")
 
   /** IVF centroid c as a DuckDB list literal (same FNV-derived values as
-    * VectorFunctions.centroid; Double.toString round-trips exactly). */
+    * VectorFunctions.centroid). Scientific notation on purpose: DuckDB
+    * types a plain decimal literal as DECIMAL (an ulp off the source
+    * double after conversion); an exponent literal is DOUBLE, and 17
+    * significant digits round-trip any double exactly. */
   private def centroidSqlLiteral(c: Int, dim: Int): String =
-    graft.functions.VectorFunctions.centroid(c, dim).mkString("[", ",", "]")
+    graft.functions.VectorFunctions.centroid(c, dim)
+      .map(d => f"$d%.17e").mkString("[", ",", "]")
 
   /** [dot(v,c_0), ..., dot(v,c_{n-1})] as SQL. */
   private def centroidDotsSql(v: String, dim: Int, nCentroids: Int): String =
@@ -204,6 +217,20 @@ object NorthStar {
     // Shares the memoized shingle-hash table with d03: the signature
     // build reads materialized long arrays, not text.
     "d04_minhash_lsh" -> ((s, dir) => lshPairs(s, dir)),
+
+    // incremental-ingest dedup: new arrivals checked against an EXISTING
+    // corpus by content fingerprint — a left_anti join on the fingerprint,
+    // shuffling only (fingerprint, doc_id, source), never text. 'src0' is
+    // the harness's designated existing corpus (a fixed domain, like
+    // q32's explicit pivot values); production passes any baseline table.
+    "d08_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.fingerprint(col("text")).as("fingerprint"))
+      val existing = d.filter(col("source") === "src0").select(col("fingerprint"))
+      d.filter(col("source") =!= "src0")
+        .join(existing, Seq("fingerprint"), "left_anti")
+        .select(col("doc_id"), col("source"))
+    }),
 
     // duplicate-cluster formation over the near-dup pair graph: connected
     // components via iterative min-label propagation (the post-pair stage
@@ -313,6 +340,22 @@ object NorthStar {
             x => floor(x * (lit(127.0) / greatest(col("max_abs"), lit(1e-30))) + lit(0.5))
               .cast("int").cast("string")), ",").as("q8"))),
 
+    // explicit cluster assignment — the IVF coarse quantizer surfaced as
+    // its own operator (the table you'd physically partition an embedding
+    // corpus by): per-vector argmax-dot centroid id + the winning dot.
+    // Centroid dots are built once per row (staged projection, non-cheap
+    // producer) and the argmax is first-max-wins — deterministic.
+    "e03_centroid_assign" -> ((s, dir) => {
+      val dim = 64; val nC = 16
+      val v = VF.toDouble(col("embedding"))
+      emb(s, dir)
+        .select(col("vec_id"),
+          array((0 until nC).map(c => VF.dot(v, lit(VF.centroid(c, dim)))): _*).as("dots"))
+        .select(col("vec_id"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int").as("centroid_id"),
+          array_max(col("dots")).as("best_dot"))
+    }),
+
     // -- similarity search ----------------------------------------------
 
     // brute-force cosine top-k (exact baseline; query = vec_id 0)
@@ -414,6 +457,23 @@ object NorthStar {
           when(col("bucket_100") < 90, "train")
             .when(col("bucket_100") < 95, "val")
             .otherwise("test"))
+    }),
+
+    // exact stratified sampling: a deterministic 10% per source, taken as
+    // the first ⌈0.1·n⌉ docs in md5-hash order within each stratum —
+    // content-stable (re-runs and cluster layout can't change the
+    // sample), exact per-stratum fraction (rate-based Bernoulli sampling
+    // only approximates it), one shuffle on source.
+    "t10_stratified_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      docs(s, dir).select(col("doc_id"), col("source")).withColumn("h", h)
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))))
+        .withColumn("n_src", count(lit(1)).over(w.partitionBy(col("source"))))
+        .filter(col("rn") <= ceil(col("n_src") * 0.1))
+        .select(col("doc_id"), col("source"))
     }),
 
     // -- multimodal columns ---------------------------------------------
@@ -585,17 +645,38 @@ object NorthStar {
                    FROM tk JOIN d USING (term))
           SELECT doc_id, term, df FROM r WHERE rn <= 3""",
     "t09_split_assign" ->
-      """WITH h AS (SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
-                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
-               (a, x) -> a * 16 + x) AS hv
+      s"""WITH h AS (SELECT doc_id,
+             ${md5HexIntSql("CAST(doc_id AS VARCHAR)")} AS hv
            FROM documents)
          SELECT doc_id, hv % 100 AS bucket_100,
                 CASE WHEN hv % 100 < 90 THEN 'train'
                      WHEN hv % 100 < 95 THEN 'val'
                      ELSE 'test' END AS split
          FROM h""",
+    "t10_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+             ${md5HexIntSql("CAST(doc_id AS VARCHAR)")} AS hv
+           FROM documents),
+           r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_src
+           FROM h)
+         SELECT doc_id, source FROM r WHERE rn <= ceil(n_src * 0.1)""",
+    "d08_incremental_dedup" ->
+      s"""WITH f AS (SELECT doc_id, source,
+                       md5(array_to_string($sqlToks, ' ')) AS fp
+                     FROM documents)
+          SELECT n.doc_id, n.source FROM f n
+          WHERE n.source <> 'src0'
+            AND NOT EXISTS (SELECT 1 FROM f e
+                            WHERE e.source = 'src0' AND e.fp = n.fp)""",
+    "e03_centroid_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              d AS (SELECT vec_id, ${centroidDotsSql("v", 64, 16)} AS dots FROM e)
+          SELECT vec_id,
+                 CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT) AS centroid_id,
+                 list_aggregate(dots, 'max') AS best_dot
+          FROM d""",
     "e02_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               m AS (SELECT vec_id, v,
