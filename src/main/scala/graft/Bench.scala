@@ -7,7 +7,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32] is the benchmark contract (SURVEY.md §7 / driver spec);
+    // the env override exists only for dev experiments — BENCH_r03 showed
+    // the cost of defaulting low: the driver runs Bench with no env, so a
+    // "4" default serialized the CPU-bound dedup tier 8× (d04 62 s there
+    // vs 1.6 s in the same window at the contract parallelism)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
