@@ -476,6 +476,95 @@ object NorthStar {
         .select(col("doc_id"), col("source"))
     }),
 
+    // within-document repetition signals (Gopher/C4-style quality rules):
+    // duplicate-token fraction and top-term fraction per document. The
+    // per-row mode can't be a per-row expression without O(n²) work, so
+    // this is the distributed shape: explode → (doc_id, term) counts
+    // (map-side combined) → per-doc moments — two shuffles whose keys
+    // both contain doc_id, text never moves. Empty docs surface as 0.0
+    // via the left join, not silently dropped by the explode.
+    "t11_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val c = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val st = c.groupBy(col("doc_id")).agg(
+        sum(col("c")).as("n"), count(lit(1)).as("nd"), max(col("c")).as("mx"))
+      d.select(col("doc_id")).join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce((col("n") - col("nd")).cast(DoubleType) / col("n"), lit(0.0))
+            .as("dup_token_ratio"),
+          coalesce(col("mx").cast(DoubleType) / col("n"), lit(0.0))
+            .as("top_term_ratio"))
+    }),
+
+    // one distributed Lloyd (k-means) iteration over the embedding corpus:
+    // assign every vector to its argmax-dot centroid (e03's quantizer),
+    // then recompute per-cluster means. Output is (centroid_id, dim) rows
+    // — scalar columns, and the natural 100 TB layout (the update is a
+    // groupBy on (cluster, dimension) with map-side combine; k·dim result
+    // rows regardless of corpus size). The per-cell sum folds the member
+    // values in vec_id order (sorted collect per cell, bounded by cluster
+    // size), pinning float addition order so both engines produce
+    // bit-identical means — the deterministic-reduction contract a
+    // reproducible training pipeline needs anyway.
+    "e04_kmeans_step" -> ((s, dir) => {
+      val dim = 64; val nC = 16
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val withDots = e.select(col("vec_id"), col("v"),
+        array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*).as("dots"))
+      val assigned = withDots.select(col("vec_id"), col("v"),
+        array_position(col("dots"), array_max(col("dots"))).cast("int").as("cid"))
+      assigned
+        .select(col("cid"), col("vec_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n_members"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+              x => x.getField("val")),
+            lit(0.0), (a, x) => a + x).as("sum_val"))
+        .select(col("cid").as("centroid_id"), col("dim"), col("n_members"),
+          (col("sum_val") / col("n_members")).as("mean_val"))
+    }),
+
+    // k-NN JOIN: top-3 cosine neighbors for EVERY vector (the batch ANN
+    // workload behind corpus-wide near-dup mining and hard-negative
+    // mining), not s01's single-query top-k. Exact scan via e01's block
+    // partitioning — every unordered vector pair lands in exactly one
+    // unordered block pair, the scoring join is an ordinary equi-join on
+    // (bi, bj), no cartesian — then both orientations of each scored pair
+    // feed the custom TopKPerKey operator (bounded per-key heaps, no
+    // partition sort). Scores are computed once per unordered pair; dot
+    // products and norm products commute bit-exactly, so the pair's score
+    // is identical from either side's perspective.
+    "s04_knn_join" -> ((s, dir) => {
+      val B = 8
+      val e = emb(s, dir)
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+        .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+      val blockPairs = {
+        import s.implicits._
+        (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj")
+      }
+      val left = e.join(broadcast(blockPairs), col("blk") === col("bi"))
+        .select(col("vec_id").as("id_l"), col("v").as("v_l"),
+          col("nrm").as("nrm_l"), col("bi"), col("bj"))
+      val right = e.join(broadcast(blockPairs), col("blk") === col("bj"))
+        .select(col("vec_id").as("id_r"), col("v").as("v_r"),
+          col("nrm").as("nrm_r"), col("bi").as("ri"), col("bj").as("rj"))
+      val scored = left.join(right, col("bi") === col("ri") && col("bj") === col("rj"))
+        .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
+        .select(col("id_l"), col("id_r"),
+          (VF.dot(col("v_l"), col("v_r")) / (col("nrm_l") * col("nrm_r"))).as("score"))
+      val oriented = scored
+        .select(col("id_l").as("vec_id"), col("id_r").as("neighbor_id"), col("score"))
+        .union(scored
+          .select(col("id_r").as("vec_id"), col("id_l").as("neighbor_id"), col("score")))
+      graft.operators.Relational.topKPerKey(oriented, Seq("vec_id"),
+        Seq(col("score").desc, col("neighbor_id").asc), 3)
+        .select(col("vec_id"), col("neighbor_id"), col("score"))
+    }),
+
     // -- multimodal columns ---------------------------------------------
 
     // opaque binary payload + typed metadata (decode stubbed: the
@@ -489,6 +578,24 @@ object NorthStar {
 
     "m02_multimodal_decode" -> ((s, dir) =>
       graft.multimodal.Multimodal.decodePipeline(docs(s, dir))),
+
+    // frame sampling over an opaque binary payload (the video/audio
+    // "sample every Nth frame" primitive): the payload is treated as
+    // fixed-width 16-byte frames, every 4th full frame is selected, and
+    // each sampled frame gets a checksum (the codec stand-in, like m02's
+    // decode). Generate + per-row expressions only — the fan-out is
+    // bounded by payload size, no shuffle; rows whose payload is shorter
+    // than one frame yield nothing by contract.
+    "m03_frame_sample" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            (floor(length(col("text")) / 16) - 1).cast("long"), lit(4L))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          Hashing.fnvChecksum(
+            expr("substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)").cast(BinaryType))
+            .as("frame_checksum"))),
 
     // -- group sketches -------------------------------------------------
 
@@ -526,6 +633,53 @@ object NorthStar {
   )
 
   val oracles: Map[String, String] = Map(
+    "t11_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+            c AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),
+            st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS nd,
+                          CAST(MAX(c) AS BIGINT) AS mx
+                   FROM c GROUP BY 1)
+          SELECT d.doc_id,
+                 COALESCE(CAST(n - nd AS DOUBLE) / n, 0.0) AS dup_token_ratio,
+                 COALESCE(CAST(mx AS DOUBLE) / n, 0.0) AS top_term_ratio
+          FROM documents d LEFT JOIN st USING (doc_id)""",
+    "e04_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),
+            a AS (SELECT vec_id, v,
+                    CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT) AS cid
+                  FROM d),
+            pe AS (SELECT cid, vec_id,
+                     CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                     unnest(v) AS val
+                   FROM a),
+            g AS (SELECT cid, dim, COUNT(*) AS n_members,
+                    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                                (p, q) -> p + q) AS sum_val
+                  FROM pe GROUP BY 1, 2)
+          SELECT cid AS centroid_id, dim, n_members,
+                 sum_val / n_members AS mean_val
+          FROM g""",
+    "s04_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                    ${cosineSql("a.v", "b.v")} AS score
+                  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+            r AS (SELECT vec_id, neighbor_id, score,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY score DESC, neighbor_id) AS rn
+                  FROM p)
+          SELECT vec_id, neighbor_id, score FROM r WHERE rn <= 3""",
+    "m03_frame_sample" ->
+      s"""WITH f AS (SELECT doc_id, text,
+                       unnest(range(0, CAST(floor(length(text) / 16) AS BIGINT), 4)) AS frame_idx
+                     FROM documents WHERE length(text) >= 16),
+            fr AS (SELECT doc_id, frame_idx,
+                     substring(text, CAST(frame_idx * 16 + 1 AS INT), 16) AS frame
+                   FROM f)
+          SELECT doc_id, frame_idx,
+                 ${signedSql(fnvSql("frame"))} AS frame_checksum
+          FROM fr""",
     "d01_dedup_exact" ->
       s"""SELECT md5(array_to_string($sqlToks, ' ')) AS fingerprint,
                  min(doc_id) AS keep_id, count(*) AS n_copies

@@ -370,6 +370,77 @@ object Queries {
         "o_custkey", 8)
         .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"))),
 
+    // §2.1 extension — full cube (all 2^k grouping sets in one hash-agg
+    // pass, complementing q22's rollup): Spark expands the grouping sets
+    // inside a single aggregate, so the fact table is scanned ONCE —
+    // no per-grouping-set re-scan at 100 TB
+    "q34_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))),
+
+    // §2.1 extension — scalar + IN subqueries through the SQL front-end
+    // (SparkSqlParser → analyzer subquery rewrite): the scalar subqueries
+    // become one-row broadcast joins and the IN becomes a left-semi join;
+    // the avg comparison is cross-multiplied (price·n > Σprice) so both
+    // sides stay in exact DECIMAL arithmetic — no engine-specific double
+    // rounding in the threshold
+    "q35_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+              > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      """)
+    }),
+
+    // §2.1 extension — unpivot/melt (wide → long): each row fans out to
+    // one row per measure column. Pure per-row Generate, no shuffle;
+    // the measures are cast to a common type up front (unpivot's contract)
+    "q36_unpivot" -> ((s, dir) =>
+      t(s, dir, "part").unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast(DoubleType).as("p_size"), col("p_retailprice")),
+        "metric", "value")),
+
+    // §2.1 extension — statistical aggregates (mean/stddev/corr/median)
+    // computed from DECIMAL-exact single-pass moments: Σx, Σx², Σxy are
+    // order-independent exact decimals (map-side combined), and the
+    // variance/correlation algebra then runs in double with the same
+    // operation order in both engines — so the results hash-match without
+    // tolerating float drift. This is the 100 TB shape for moments: one
+    // scan, one narrow shuffle of (flag, 6 decimals); the builtin
+    // stddev/corr would stream doubles in partition order and be
+    // run-to-run nondeterministic in the low bits.
+    "q37_stats_agg" -> ((s, dir) => {
+      val d2 = (c: Column) => c.cast(DecimalType(18, 2))
+      val q = d2(col("l_quantity")); val p = d2(col("l_extendedprice"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast(DoubleType).as("sq"),
+          sum(q * q).cast(DoubleType).as("sqq"),
+          sum(p).cast(DoubleType).as("sp"),
+          sum(p * p).cast(DoubleType).as("spp"),
+          sum(q * p).cast(DoubleType).as("sqp"),
+          median(col("l_quantity")).as("median_qty"))
+        .select(col("l_returnflag"), col("n"),
+          (col("sq") / col("n")).as("mean_qty"),
+          sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1))
+            .as("stddev_qty"),
+          ((col("sqp") - col("sq") * col("sp") / col("n")) /
+            sqrt((col("sqq") - col("sq") * col("sq") / col("n")) *
+                 (col("spp") - col("sp") * col("sp") / col("n"))))
+            .as("corr_qty_price"),
+          col("median_qty"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -551,6 +622,36 @@ object Queries {
          FROM (SELECT event_id, user_id, ts,
                       lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                FROM events)""",
+    "q34_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q35_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+               > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)""",
+    "q36_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part""",
+    "q37_stats_agg" ->
+      """WITH g AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+                  median(l_quantity) AS median_qty
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                sq / n AS mean_qty,
+                sqrt((sqq - sq * sq / n) / (n - 1)) AS stddev_qty,
+                (sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qty_price,
+                median_qty
+         FROM g""",
     // op 21 catalog: the registered table set is a static constant, so the
     // oracle is a VALUES list — hash-checkable instead of rows-only
     "q20_catalog" ->

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{Fnv, VectorFunctions => VF}
+
+/** Round-4 extensions: cube, scalar subqueries, unpivot, exact-moment
+  * statistics, repetition signals, k-means step, k-NN join, frame
+  * sampling — each checked against an independent in-Spark ground truth
+  * (the DuckDB oracle is the cross-engine check; these are the
+  * self-consistency laws). */
+class ExtensionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("q34 cube: contains the plain group-by rows plus marginals and one grand total") {
+    val cube = q("q34_cube").collect()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag"), col("l_linestatus")).count().collect()
+    val flags = li.select(col("l_returnflag")).distinct().count()
+    val stats = li.select(col("l_linestatus")).distinct().count()
+    assert(cube.length == (flags + 1) * (stats + 1))
+    val grand = cube.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n") == li.count())
+    val full = cube.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(full.length == plain.length)
+  }
+
+  test("q35 scalar subquery: equals the hand-computed decimal threshold + IN set") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val cnt = o.count()
+    val total = o.agg(sum(col("o_totalprice").cast(DecimalType(18, 2))))
+      .head().getDecimal(0)
+    val inSet = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey")).as[Long].collect().toSet
+    val expected = o
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * lit(cnt) > lit(total))
+      .filter(col("o_custkey").isin(inSet.toSeq: _*))
+      .select(col("o_orderkey")).as[Long].collect().toSet
+    val got = q("q35_scalar_subquery").select(col("o_orderkey")).as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q36 unpivot: two rows per part, values land under the right metric") {
+    val part = spark.read.parquet(s"$dir/part.parquet")
+    val got = q("q36_unpivot")
+    assert(got.count() == 2 * part.count())
+    val one = part.orderBy(col("p_partkey")).limit(1).collect().head
+    val rows = got.filter(col("p_partkey") === one.getAs[Long]("p_partkey"))
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(rows("p_size") == one.getAs[Number]("p_size").doubleValue)
+    assert(rows("p_retailprice") == one.getAs[Double]("p_retailprice"))
+  }
+
+  test("q37 exact-moment stats agree with Spark's builtin stddev/corr/avg") {
+    val got = q("q37_stats_agg").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val builtin = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("m"),
+        stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("cr"),
+        median(col("l_quantity")).as("md"))
+      .collect()
+    assert(builtin.nonEmpty)
+    builtin.foreach { r =>
+      val g = got(r.getString(0))
+      assert(math.abs(g.getAs[Double]("mean_qty") - r.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(g.getAs[Double]("stddev_qty") - r.getAs[Double]("sd")) < 1e-9)
+      assert(math.abs(g.getAs[Double]("corr_qty_price") - r.getAs[Double]("cr")) < 1e-9)
+      assert(g.getAs[Double]("median_qty") == r.getAs[Double]("md"))
+    }
+  }
+
+  test("t11 repetition ratios match a driver-side recount on every doc") {
+    val got = q("t11_repetition").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val tks =
+        if (text.trim.isEmpty) Array.empty[String]
+        else text.trim.toLowerCase.split("\\s+")
+      val (dup, top) =
+        if (tks.isEmpty) (0.0, 0.0)
+        else {
+          val counts = tks.groupBy(identity).map(_._2.length)
+          ((tks.length - counts.size).toDouble / tks.length,
+            counts.max.toDouble / tks.length)
+        }
+      assert(got(id) == ((dup, top)), s"doc $id")
+    }
+  }
+
+  test("e04 k-means step: means equal builtin avg per (cluster, dim), sizes equal e03's") {
+    val got = q("e04_kmeans_step")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+    val assigned = e.select(col("vec_id"), col("v"),
+        array((0 until 16).map(c => VF.dot(col("v"), lit(VF.centroid(c, 64)))): _*).as("dots"))
+      .select(col("vec_id"), col("v"),
+        array_position(col("dots"), array_max(col("dots"))).cast("int").as("cid"))
+    val expected = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "val")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("val")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val rows = got.collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, m) = expected((r.getInt(0), r.getInt(1)))
+      assert(r.getAs[Long]("n_members") == n)
+      assert(math.abs(r.getAs[Double]("mean_val") - m) < 1e-9)
+    }
+  }
+
+  test("s04 k-NN join: equals brute-force window top-3 and plans no cartesian") {
+    val res = q("s04_knn_join")
+    val got = res.as[(Long, Long, Double)].collect().toSet
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("neighbor_id"))
+    val brute = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        (VF.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("vec_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute && got.nonEmpty)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"block-partitioned s04 must not plan a cartesian:\n$plan")
+  }
+
+  test("m03 frame sampling: strided full-frame indices and FNV checksums recompute") {
+    val got = q("m03_frame_sample").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val withFrames = docs.filter(_._2.length >= 16)
+    assert(withFrames.nonEmpty && got.size == withFrames.length)
+    withFrames.foreach { case (id, text) =>
+      val idxs = (0 until text.length / 16 by 4).map(_.toLong)
+      val frames = got(id)
+      assert(frames.keySet == idxs.toSet, s"doc $id")
+      idxs.foreach { i =>
+        val bytes = text.substring(i.toInt * 16, i.toInt * 16 + 16).getBytes("UTF-8")
+        assert(frames(i) == Fnv.hashBytes(bytes), s"doc $id frame $i")
+      }
+    }
+  }
+}
