@@ -92,6 +92,23 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /**
+   * Stream-stream interval join: each event picks up the same user's
+   * orders placed in the trailing hour before the event. BOTH sides are
+   * watermarked and the join condition carries an explicit event-time
+   * range — the two things that let Spark bound the join state (each
+   * side's buffered rows are dropped once the other side's watermark
+   * passes the range), which is what makes a stream-stream join viable
+   * on an unbounded feed; an unconstrained stream join would buffer
+   * both streams forever.
+   */
+  def ordersWithinHourJoin(events: DataFrame, orders: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .join(orders.withWatermark("ots", watermark),
+        expr("""user_id = o_user_id
+                AND ots BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
+
   /** A keyed event for the custom-state path. */
   case class Event(user_id: Long, event_type: String, value: Double)
   /** Running per-user state maintained across micro-batches. */
@@ -130,6 +147,78 @@ object StreamingIngest {
    * `idleTimeoutMs` is armed on every update when `timeout` is a real
    * timeout mode, and a fired timeout removes the key's state.
    */
+  /** An event for the streaming sessionizer. */
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+  /** Open-session state: [start, end] epoch-millis bounds + event count. */
+  case class SessionState(start: Long, end: Long, n: Long)
+  /** A closed session — emitted when the gap breaks or the key times out. */
+  case class ClosedSession(user_id: Long, start_ts: java.sql.Timestamp,
+                           end_ts: java.sql.Timestamp, n_events: Long)
+
+  /**
+   * The sessionizer's per-group transition, exposed for direct unit
+   * testing with `TestGroupState` (same pattern as [[statsTransition]]):
+   * in-batch events extend the open session while gaps stay ≤ `gapMs`,
+   * a larger gap closes the session and opens a new one, and a fired
+   * idle timeout closes (and REMOVES — bounded state) the open session.
+   */
+  private[graft] def sessionTransition(gapMs: Long, useTimeout: Boolean = true)(
+      uid: Long, batch: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[ClosedSession] = {
+    def close(s: SessionState) = ClosedSession(uid,
+      new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator
+      state.remove()
+      out
+    } else {
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      var cur = state.getOption
+      batch.map(_.ts.getTime).toArray.sorted.foreach { t =>
+        cur = cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            Some(SessionState(s.start, math.max(s.end, t), s.n + 1))
+          case other =>
+            other.foreach(closed += close(_))
+            Some(SessionState(t, t, 1L))
+        }
+      }
+      cur.foreach(state.update)
+      if (useTimeout) state.setTimeoutDuration(gapMs)
+      closed.iterator
+    }
+  }
+
+  /**
+   * Gap-based streaming sessionization — the streaming twin of the q26
+   * batch query (>`gapMs` of silence per user closes the session), via
+   * `flatMapGroupsWithState` because a key emits ZERO OR MORE rows per
+   * trigger (mapGroupsWithState's one-row contract can't express "this
+   * batch closed two sessions"). Append mode: only CLOSED sessions are
+   * emitted, each exactly once; the open session lives in the state
+   * store and, under ProcessingTimeTimeout (the production default), is
+   * evicted by the idle timeout.
+   *
+   * Test caveat: under ProcessingTimeTimeout with the default
+   * zero-interval trigger the engine re-runs empty micro-batches
+   * continuously to check timers, so `processAllAvailable` never
+   * quiesces — drive the timeout path through [[sessionTransition]] with
+   * `TestGroupState` (or a real trigger interval), and pass NoTimeout
+   * for data-driven end-to-end tests.
+   */
+  def sessionStream(events: Dataset[SessionEvent], gapMs: Long = 1800000L,
+                    timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "sessionStream evicts idle keys on a processing-time clock; " +
+      "use ProcessingTimeTimeout (or NoTimeout), not EventTimeTimeout")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, timeout)(
+        sessionTransition(gapMs, timeout == GroupStateTimeout.ProcessingTimeTimeout))
+  }
+
   def runningUserStats(events: Dataset[Event],
                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
                        idleTimeoutMs: Long = 3600000L)

@@ -126,6 +126,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(texts == Set("hello world", "other doc", "third doc"))
   }
 
+  test("stream-stream join matches orders in the trailing hour, drops out-of-range ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evMem = MemoryStream[(java.sql.Timestamp, Long)]
+    val ordMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = StreamingIngest.ordersWithinHourJoin(
+      evMem.toDF().toDF("ts", "user_id"),
+      ordMem.toDF().toDF("ots", "o_user_id", "o_orderkey"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ordMem.addData(
+      (t("2024-01-01 09:30:00"), 1L, 100L),  // 30 min before the event: in range
+      (t("2024-01-01 08:30:00"), 1L, 101L),  // 90 min before: out of range
+      (t("2024-01-01 09:45:00"), 2L, 102L))  // other user
+    evMem.addData((t("2024-01-01 10:00:00"), 1L))
+    q.processAllAvailable()
+    val rows = spark.table("ss_join")
+      .select(col("user_id"), col("o_orderkey")).as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, 100L)))
+  }
+
+  test("session transition: gap break closes a session, timeout evicts the open one") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingIngest.{ClosedSession, SessionEvent, SessionState}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val gap = 1800000L // 30 min
+    // one batch containing a within-gap extension AND a gap break: the
+    // first session closes, the second stays open in state
+    val live = TestGroupState.create[SessionState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val closed = StreamingIngest.sessionTransition(gap)(7L, Iterator(
+      SessionEvent(7L, t("2024-01-01 10:00:00")),
+      SessionEvent(7L, t("2024-01-01 10:10:00")),
+      SessionEvent(7L, t("2024-01-01 12:00:00"))), live).toSeq
+    assert(closed == Seq(ClosedSession(7L,
+      t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 2L)))
+    assert(live.get == SessionState(
+      t("2024-01-01 12:00:00").getTime, t("2024-01-01 12:00:00").getTime, 1L))
+    assert(live.getTimeoutTimestampMs.isPresent, "idle timeout must be armed")
+    // timeout path: the open session is emitted once and the key evicted
+    val timedOut = TestGroupState.create[SessionState](
+      Optional.of(SessionState(1000L, 2000L, 3L)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, Optional.empty[Long](), hasTimedOut = true)
+    val fin = StreamingIngest.sessionTransition(gap)(7L, Iterator.empty, timedOut).toSeq
+    assert(fin == Seq(ClosedSession(7L,
+      new java.sql.Timestamp(1000L), new java.sql.Timestamp(2000L), 3L)))
+    assert(timedOut.isRemoved, "open-session state must be evicted on timeout")
+  }
+
+  test("sessionStream emits closed sessions exactly once across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.SessionEvent
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // NoTimeout here on purpose: ProcessingTimeTimeout + the default
+    // zero-interval trigger spins empty micro-batches to check timers,
+    // so processAllAvailable never quiesces in a test harness; the
+    // timeout/eviction path is covered by the TestGroupState test above
+    val mem = MemoryStream[SessionEvent]
+    val q = StreamingIngest.sessionStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(SessionEvent(1L, t("2024-01-01 10:00:00")),
+      SessionEvent(1L, t("2024-01-01 10:20:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions").isEmpty) // still open — nothing closed yet
+    // a later batch breaks the gap: the first session closes exactly once
+    mem.addData(SessionEvent(1L, t("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .as[StreamingIngest.ClosedSession].collect().toSeq
+    q.stop()
+    assert(rows == Seq(StreamingIngest.ClosedSession(1L,
+      t("2024-01-01 10:00:00"), t("2024-01-01 10:20:00"), 2L)))
+  }
+
   test("runningUserStats rejects EventTimeTimeout up front (needs a timestamp policy)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
