@@ -556,10 +556,16 @@ object NorthStar {
         .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
         .select(col("id_l"), col("id_r"),
           (VF.dot(col("v_l"), col("v_r")) / (col("nrm_l") * col("nrm_r"))).as("score"))
+      // both orientations from the SAME pass: a union of two selects would
+      // re-execute the whole block-pair scoring join (no implicit reuse
+      // without a cache); the explode fans each scored pair to its two
+      // oriented rows inside the scoring task
       val oriented = scored
-        .select(col("id_l").as("vec_id"), col("id_r").as("neighbor_id"), col("score"))
-        .union(scored
-          .select(col("id_r").as("vec_id"), col("id_l").as("neighbor_id"), col("score")))
+        .select(explode(array(
+          struct(col("id_l").as("vec_id"), col("id_r").as("neighbor_id"), col("score")),
+          struct(col("id_r").as("vec_id"), col("id_l").as("neighbor_id"), col("score"))))
+          .as("e"))
+        .select(col("e.vec_id"), col("e.neighbor_id"), col("e.score"))
       graft.operators.Relational.topKPerKey(oriented, Seq("vec_id"),
         Seq(col("score").desc, col("neighbor_id").asc), 3)
         .select(col("vec_id"), col("neighbor_id"), col("score"))
