@@ -441,6 +441,24 @@ object Queries {
           col("median_qty"))
     }),
 
+    // the optimizer-rule tier driven from SQL text: RowNumberLimitToTopK
+    // (Rule[LogicalPlan], injected via GraftExtensions / armOptimizer)
+    // rewrites the row_number-limit idiom into the TopKPerKey bounded-heap
+    // operator — the user writes the standard SQL pattern, the engine
+    // plans O(n log k) heaps with no partition sort. Same result set as
+    // q27's DSL form; the rewrite firing is plan-asserted in PlansSpec.
+    "q38_topk_sql_rewrite" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      graft.plans.GraftFunctions.armOptimizer(s)
+      s.sql("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3
+      """)
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -622,6 +640,12 @@ object Queries {
          FROM (SELECT event_id, user_id, ts,
                       lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                FROM events)""",
+    "q38_topk_sql_rewrite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
     "q34_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

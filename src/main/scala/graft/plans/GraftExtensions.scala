@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => RowNumberLimitToTopK)
   }
 }
 
@@ -81,4 +82,16 @@ object GraftFunctions {
     all.foreach { case (name, i, builder) =>
       org.apache.spark.sql.GraftBridge.registerFunction(spark, name, i, builder)
     }
+
+  /** Arm the custom planner strategy + optimizer rewrite on a live
+    * session (the `spark.sql.extensions` path does this at build time;
+    * this is the equivalent for sessions graft didn't construct). */
+  def armOptimizer(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(RowNumberLimitToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RowNumberLimitToTopK
+  }
 }

@@ -87,6 +87,56 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("RowNumberLimitToTopK rewrites the SQL row_number-limit idiom to bounded heaps") {
+    GraftFunctions.armOptimizer(spark)
+    (1 to 500).map(i => ((i % 7).toLong, i.toLong, (i * 37 % 100).toLong))
+      .toDF("k", "id", "v").createOrReplaceTempView("rnl_t")
+    val sql = """SELECT k, id, v FROM (
+                   SELECT k, id, v,
+                          row_number() OVER (PARTITION BY k ORDER BY v DESC, id) AS rn
+                   FROM rnl_t) WHERE rn <= 3"""
+    val rewritten = spark.sql(sql)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"rewrite must fire:\n$plan")
+    assert(!plan.contains("Window"), s"rewrite must remove the window:\n$plan")
+    // ground truth from the same SQL with the rewrite disarmed
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.RowNumberLimitToTopK)
+    val expected =
+      try spark.sql(sql).as[(Long, Long, Long)].collect().sorted.toSeq
+      finally spark.experimental.extraOptimizations = saved
+    assert(rewritten.as[(Long, Long, Long)].collect().sorted.toSeq == expected)
+  }
+
+  test("RowNumberLimitToTopK keeps residual predicates and refuses unsafe shapes") {
+    GraftFunctions.armOptimizer(spark)
+    Seq.tabulate(100)(i => ((i % 5).toLong, i.toLong, (i * 13 % 50).toLong))
+      .toDF("k", "id", "v").createOrReplaceTempView("rnl_u")
+    // residual predicate: rewrite fires, extra filter survives above it
+    val mixed = spark.sql("""SELECT k, id, v FROM (
+        SELECT k, id, v, row_number() OVER (PARTITION BY k ORDER BY v DESC, id) AS rn
+        FROM rnl_u) WHERE rn <= 2 AND v > 10""")
+    val mixedPlan = mixed.queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("TopKPerKey") && mixedPlan.contains("Filter"))
+    assert(mixed.collect().forall(_.getLong(2) > 10))
+    // rank projected out -> the rank column is load-bearing, no rewrite
+    val keepsRn = spark.sql("""SELECT k, id, rn FROM (
+        SELECT k, id, row_number() OVER (PARTITION BY k ORDER BY id) AS rn
+        FROM rnl_u) WHERE rn <= 2""")
+    assert(keepsRn.queryExecution.executedPlan.toString.contains("Window"))
+    // pagination (rn > 1) -> not a plain top-k, no rewrite
+    val paginated = spark.sql("""SELECT k, id FROM (
+        SELECT k, id, row_number() OVER (PARTITION BY k ORDER BY id) AS rn
+        FROM rnl_u) WHERE rn <= 3 AND rn > 1""")
+    assert(paginated.queryExecution.executedPlan.toString.contains("Window"))
+    // rank() admits ties -> "first k rows" would be wrong, no rewrite
+    val rankFn = spark.sql("""SELECT k, id FROM (
+        SELECT k, id, rank() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        FROM rnl_u) WHERE rn <= 2""")
+    assert(rankFn.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
