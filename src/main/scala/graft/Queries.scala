@@ -441,6 +441,20 @@ object Queries {
           col("median_qty"))
     }),
 
+    // set ops with BAG semantics (complementing q12/q13's distinct
+    // variants): INTERSECT ALL / EXCEPT ALL keep multiplicities —
+    // Spark plans them as an aggregated count-compare, not a distinct —
+    // over each order's (custkey, priority) pairs vs the high-value
+    // subset, so duplicates genuinely occur on both sides
+    "q39_setops_all" -> ((s, dir) => {
+      val all = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val high = t(s, dir, "orders").filter(col("o_totalprice") > 100000)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      all.intersectAll(high).withColumn("which", lit("both"))
+        .union(all.exceptAll(high).withColumn("which", lit("low_only")))
+    }),
+
     // the optimizer-rule tier driven from SQL text: RowNumberLimitToTopK
     // (Rule[LogicalPlan], injected via GraftExtensions / armOptimizer)
     // rewrites the row_number-limit idiom into the TopKPerKey bounded-heap
@@ -640,6 +654,13 @@ object Queries {
          FROM (SELECT event_id, user_id, ts,
                       lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                FROM events)""",
+    "q39_setops_all" ->
+      """WITH a AS (SELECT o_custkey, o_orderpriority FROM orders),
+            h AS (SELECT o_custkey, o_orderpriority FROM orders
+                  WHERE o_totalprice > 100000)
+         SELECT *, 'both' AS which FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM h)
+         UNION ALL
+         SELECT *, 'low_only' AS which FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM h)""",
     "q38_topk_sql_rewrite" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
