@@ -86,4 +86,23 @@ object Sinks {
       .partitionBy(runDateCol)
       .option("partitionOverwriteMode", "dynamic")
       .parquet(path)
+
+  /**
+   * Bucketed catalog table — the CO-LOCATED JOIN layout for 100 TB
+   * fact⋈fact joins: two tables bucketed (and sorted) on the join key
+   * with the SAME bucket count join with NO shuffle on either side (the
+   * bucketing IS the hash partitioning, established once at write time
+   * and amortized over every subsequent join/aggregation on that key).
+   * This is the physical-design lever next to `broadcast()` (small dims)
+   * and salting (skew): pre-shuffle the data once, read it co-located
+   * forever. Bucket count is a data-size knob: size so one bucket of the
+   * bigger table fits an executor's memory (≈ total / target-task-size).
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

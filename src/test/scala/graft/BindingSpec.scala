@@ -80,4 +80,26 @@ class BindingSpec extends AnyFunSuite {
     assert(rows(0).getTimestamp(1).getTime == 1742185868000L)
     assert(rows(1).isNullAt(1))
   }
+
+  test("bucketed tables join co-located: sort-merge join with zero shuffle exchanges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = (1 to 2000).map(i => (i.toLong % 64, i.toLong)).toDF("k", "v")
+    val dim = (0 to 63).map(k => (k.toLong, s"d$k")).toDF("k", "name")
+    graft.sinks.Sinks.writeBucketed(fact, "bkt_fact", "k", 8)
+    graft.sinks.Sinks.writeBucketed(dim, "bkt_dim", "k", 8)
+    // merge hint pins SMJ (the sizes here would broadcast, which proves
+    // nothing about bucketing); bucketed scans satisfy the required hash
+    // distribution, so NO exchange appears on either side
+    val joined = spark.table("bkt_fact").hint("merge")
+      .join(spark.table("bkt_dim"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    val expected = fact.join(dim, "k").select(col("v"), col("name"))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(joined.select(col("v"), col("name"))
+      .as[(Long, String)].collect().sorted.toSeq == expected)
+  }
 }

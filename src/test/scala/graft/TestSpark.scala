@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table tests write catalog tables; keep the warehouse
+      // (and its lifetime) on tmpfs, not in the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       // AQE coalescing targets bytes; text/similarity stages carry few MB
       // but heavy per-row CPU, so keep their exchanges parallel
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
