@@ -111,12 +111,12 @@ object NorthStar {
   private val U64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
   private val I63 = "CAST(9223372036854775808 AS HUGEINT)"  // 2^63
 
-  private def signedSql(e: String): String =
+  private[graft] def signedSql(e: String): String =
     s"CAST(CASE WHEN ($e) >= $I63 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
 
   /** FNV-1a-64 over the bytes of string expr `s` (corpus is ASCII, so
     * per-char ord == byte), as HUGEINT in [0, 2^64). */
-  private def fnvSql(s: String): String =
+  private[graft] def fnvSql(s: String): String =
     s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
         list_transform(string_split($s, ''), c -> CAST(ord(c) AS HUGEINT))),
         (h, b) -> (xor(h, b) * CAST(1099511628211 AS HUGEINT)) % $U64)"""

@@ -473,6 +473,69 @@ object Queries {
       """)
     }),
 
+    // runtime bloom-prefilter join: the dimension (a selective customer
+    // subset, merge-hinted so it genuinely doesn't broadcast) is reduced
+    // to a bloom filter; the fact side drops non-candidate rows BEFORE
+    // its shuffle. Result identical to the plain join — the bloom only
+    // moves work ahead of the exchange (see Relational.bloomPrefilterJoin)
+    "j02_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      Relational.bloomPrefilterJoin(
+          t(s, dir, "orders"), dim.hint("merge"), "o_custkey",
+          expectedItems = 1L << 16, fpp = 0.01)
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+    }),
+
+    // approximate distinct count via the KMV bottom-k sketch aggregate
+    // (bounded k-long state per group, map-side combined — the 100 TB
+    // shape for distinct-user counts) next to its exact twin. The element
+    // hash is FNV over the id's decimal string, so the sketch — and
+    // therefore the estimate — is an engine-independent function of the
+    // input set, reproducible by the oracle in plain SQL.
+    "a01_distinct_sketch" -> ((s, dir) => {
+      val k = 64
+      val hv = graft.functions.Hashing.fnvChecksum(
+        col("user_id").cast(StringType).cast(BinaryType))
+      eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Hashing.kmvSketch(hv, k).as("kmv"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          graft.functions.Hashing.kmvEstimate(col("kmv"), k).as("est_distinct"))
+    }),
+
+    // window-function surface: ntile quartiles + first/last/nth over the
+    // full partition frame (all one WindowExec pass per spec: one shuffle
+    // on o_custkey, one within-partition sort shared by both frames)
+    "q40_window_funcs" -> ((s, dir) => {
+      val wr = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = wr.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        ntile(4).over(wr).as("quartile"),
+        first(col("o_totalprice")).over(wf).as("first_price"),
+        last(col("o_totalprice")).over(wf).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"))
+    }),
+
+    // running DISTINCT count over a window — Spark has no DISTINCT window
+    // aggregates, so this is the set-valued-state formulation:
+    // size(collect_set() over running frame). Sound here because the
+    // window state is the distinct TYPE set (a bounded domain, like
+    // q32's explicit pivot values); for unbounded domains use the
+    // first-occurrence-flag + running-sum rewrite the oracle itself
+    // demonstrates (the two are equivalent; the flag form shuffles twice
+    // but carries O(1) window state).
+    "q41_window_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      eventsTable(s, dir).select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).as("n_distinct_types"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -697,6 +760,54 @@ object Queries {
                 (sqp - sq * sp / n) / sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)) AS corr_qty_price,
                 median_qty
          FROM g""",
+    "j02_bloom_join" ->
+      """SELECT o_orderkey, o_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'""",
+    // the KMV estimate replayed in SQL: distinct FNV hashes per type, the
+    // 64th smallest in UNSIGNED order ((h < 0) sorts the wrapped negatives
+    // last), then the identical double algebra as Hashing.kmvEstimate
+    "a01_distinct_sketch" ->
+      s"""WITH hv AS (SELECT DISTINCT event_type,
+                        ${NorthStar.signedSql(NorthStar.fnvSql("CAST(user_id AS VARCHAR)"))} AS h
+                      FROM events),
+            st AS (SELECT event_type, count(*) AS nd FROM hv GROUP BY 1),
+            r AS (SELECT event_type, h,
+                    row_number() OVER (PARTITION BY event_type
+                                       ORDER BY (h < 0), h) AS rn
+                  FROM hv),
+            kth AS (SELECT event_type, h AS kh FROM r WHERE rn = 64),
+            ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+                   FROM events GROUP BY 1)
+          SELECT ex.event_type, ex.n_exact,
+                 CASE WHEN st.nd < 64 THEN CAST(st.nd AS DOUBLE)
+                      ELSE 63.0 / (CAST(kth.kh AS DOUBLE) / 18446744073709551616.0 +
+                                   CASE WHEN kth.kh < 0 THEN 1.0 ELSE 0.0 END)
+                 END AS est_distinct
+          FROM ex JOIN st USING (event_type) LEFT JOIN kth USING (event_type)""",
+    "q40_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+                CAST(ntile(4) OVER wr AS INT) AS quartile,
+                first_value(o_totalprice) OVER wf AS first_price,
+                last_value(o_totalprice) OVER wf AS last_price,
+                nth_value(o_totalprice, 2) OVER wf AS second_price
+         FROM orders
+         WINDOW wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+    // running distinct count via the first-occurrence-flag rewrite —
+    // provably equal to the collect_set formulation under the same total
+    // order (a type's flag is 1 exactly once per user, at its first row)
+    "q41_window_distinct" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                  AS n_distinct_types
+         FROM (SELECT event_id, user_id, ts,
+                      CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY ts, event_id) = 1
+                           THEN 1 ELSE 0 END AS flag
+               FROM events)""",
     // op 21 catalog: the registered table set is a static constant, so the
     // oracle is a VALUES list — hash-checkable instead of rows-only
     "q20_catalog" ->

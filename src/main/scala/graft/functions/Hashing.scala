@@ -472,6 +472,25 @@ object Hashing {
   def minhashMergeAgg(sig: Column, k: Int): Column =
     column(MinHashMergeAgg(expression(sig), k).toAggregateExpression())
 
+  /** KMV bottom-k distinct sketch over a column of element hashes — see
+    * [[KmvSketchAgg]]. Use in groupBy(...).agg(kmvSketch(hash, k)). */
+  def kmvSketch(elementHash: Column, k: Int): Column =
+    column(KmvSketchAgg(expression(elementHash), k).toAggregateExpression())
+
+  /** Distinct-count estimate from a [[KmvSketchAgg]] array: exact size
+    * when the sketch is unsaturated, else (k−1)/frac where frac is the
+    * k-th smallest hash scaled into [0, 1). Every step (long→double cast,
+    * exact /2^64 scaling, conditional +1.0 unsigned fixup, final divide)
+    * is plain IEEE754 an oracle engine replays identically. */
+  def kmvEstimate(kmv: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val kth = element_at(kmv, k)
+    val frac = kth.cast("double") / lit(1.8446744073709552E19) +
+      when(kth < 0, lit(1.0)).otherwise(lit(0.0))
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / frac)
+  }
+
   /** Estimated Jaccard between two MinHash signatures: the fraction of
     * equal components (k must match). */
   def minhashEstJaccard(sigA: Column, sigB: Column): Column = {

@@ -119,6 +119,53 @@ object Relational {
   }
 
   /**
+   * Runtime bloom-prefilter join — the manual form of the runtime-filter
+   * pattern Spark's `InjectRuntimeFilter` applies when statistics allow:
+   * when the dimension side is too big to broadcast (so the join must
+   * shuffle BOTH sides), first reduce the dimension's join keys to a
+   * bloom filter (one pass over the small side, a few MB of bits), then
+   * prefilter the fact side with `might_contain` BEFORE its shuffle. At
+   * 100 TB the win is that non-matching fact rows — often the vast
+   * majority under a selective dimension filter — are dropped at the
+   * scan, never serialized into the exchange. False positives pass the
+   * bloom and are removed by the exact join, so the result set is
+   * IDENTICAL to the plain join.
+   *
+   * Uses Spark's own sketch (`BloomFilterAggregate` to build,
+   * `BloomFilterMightContain` to probe, both over `xxhash64(key)` — the
+   * same pairing `InjectRuntimeFilter` plants). The built sketch is
+   * collected to the driver and re-planted as a literal — the same
+   * driver round-trip a runtime-filter scalar subquery makes; its size
+   * is `numBits/8`, a function of the CALLER'S `expectedItems`/`fpp`
+   * budget, never of the data.
+   */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, key: String,
+                         expectedItems: Long = 1L << 20,
+                         fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val bfRow = dim.select(GraftBridge.column(
+      BloomFilterAggregate(
+        XxHash64(Seq(GraftBridge.expression(col(key))), 42L),
+        Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()).as("bf"))
+      .head()
+    if (bfRow.isNullAt(0)) {
+      // empty dimension: the aggregate yields null — the join is empty
+      // anyway, so skip the prefilter rather than probe a null sketch
+      fact.join(dim, Seq(key), "inner")
+    } else {
+      val pre = fact.filter(GraftBridge.column(BloomFilterMightContain(
+        Literal(bfRow.getAs[Array[Byte]](0), BinaryType),
+        XxHash64(Seq(GraftBridge.expression(col(key))), 42L))))
+      pre.join(dim, Seq(key), "inner")
+    }
+  }
+
+  /**
    * As-of join — the point-in-time join Spark has no native operator for:
    * every left row picks up the single most recent right row with the
    * same key and `rightTs` ≤ `leftTs` (left-outer semantics: no match →

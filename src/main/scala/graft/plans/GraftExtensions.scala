@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles}
+import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -57,6 +57,10 @@ object GraftFunctions {
     ("minhash_merge_agg",
       info("minhash_merge_agg", "minhash_merge_agg(sig, k) - element-wise-min merge of k-wide MinHash signatures"),
       (args: Seq[Expression]) => MinHashMergeAgg(args(0),
+        args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
+    ("kmv_sketch_agg",
+      info("kmv_sketch_agg", "kmv_sketch_agg(hash, k) - k smallest distinct hashes (bottom-k distinct sketch)"),
+      (args: Seq[Expression]) => KmvSketchAgg(args(0),
         args(1).eval(null).asInstanceOf[Int]).toAggregateExpression()),
     ("word_shingles",
       info("word_shingles", "word_shingles(tokens, n) - distinct n-gram shingle strings"),

@@ -129,6 +129,50 @@ class AggregatesSpec extends AnyFunSuite {
     assert(Dedup.connectedComponentsDistributed(empty).count() == 0L)
   }
 
+  test("kmvSketch keeps exactly the k smallest distinct hashes, unsigned-ascending") {
+    val df = (1 to 300).map(i => ("g", s"u$i")).toDF("g", "u")
+    val k = 16
+    val sk = df.groupBy(col("g"))
+      .agg(Hashing.kmvSketch(xxhash64(col("u")), k).as("kmv"))
+      .select(col("kmv")).as[Seq[Long]].head()
+    assert(sk.length == k)
+    // ascending in UNSIGNED order
+    assert(sk.sliding(2).forall {
+      case Seq(a, b) => java.lang.Long.compareUnsigned(a, b) < 0
+      case _ => true
+    })
+    // equals the brute-force bottom-k of the distinct hash set (hash
+    // recomputed independently of the aggregate's eval path)
+    def xx64(s: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+    val all = (1 to 300).map(i => xx64(s"u$i")).distinct
+      .sortWith((a, b) => java.lang.Long.compareUnsigned(a, b) < 0).take(k)
+    assert(sk == all)
+  }
+
+  test("kmvSketch partial-merge invariance: same sketch at any parallelism") {
+    val rows = (0 until 400).map(i => (i % 3L, s"v${i % 97}"))
+    def sk(n: Int) = spark.createDataFrame(rows).toDF("g", "v").repartition(n)
+      .groupBy(col("g")).agg(Hashing.kmvSketch(xxhash64(col("v")), 32).as("kmv"))
+      .orderBy(col("g")).as[(Long, Seq[Long])].collect().toSeq
+    assert(sk(1) == sk(8))
+  }
+
+  test("kmvEstimate: exact below k, within ~3/sqrt(k) above it") {
+    val k = 64
+    def est(n: Int): Double = {
+      val df = (1 to n).map(i => ("g", s"user$i")).toDF("g", "u")
+      df.groupBy(col("g")).agg(Hashing.kmvSketch(xxhash64(col("u")), k).as("kmv"))
+        .select(Hashing.kmvEstimate(col("kmv"), k)).as[Double].head()
+    }
+    assert(est(40) == 40.0) // unsaturated sketch counts exactly
+    val e = est(5000)
+    assert(math.abs(e / 5000.0 - 1.0) < 3.0 / math.sqrt(k.toDouble), s"est=$e")
+  }
+
   test("bpeTokenCount: letter runs, digit runs, single marks") {
     val out = Seq("Hello, world 42!", "a1b2", "").toDF("t")
       .select(TF.bpeTokenCount(col("t"))).as[Int].collect()

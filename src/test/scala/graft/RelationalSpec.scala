@@ -138,6 +138,46 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == Seq((1L, 10L)))
   }
 
+  test("bloomPrefilterJoin equals the plain inner join and plants might_contain") {
+    // parquet-backed fact: over a LocalRelation the optimizer's
+    // ConvertToLocalRelation evaluates the probe at plan time and the
+    // filter would never appear physically
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/fact"
+    (1 to 500).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v").write.parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val dim = (0 to 9).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    val got = Relational.bloomPrefilterJoin(fact, dim.hint("merge"), "k")
+    val plain = fact.join(dim, Seq("k"), "inner")
+    assert(got.orderBy(col("v")).collect().toSeq ==
+      plain.orderBy(col("v")).collect().toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom probe in:\n$plan")
+  }
+
+  test("bloom prefilter drops non-candidate fact rows before the join") {
+    // 1000 fact keys, only 5 present in dim: the planted filter must pass
+    // the 50 matching rows plus at most a small false-positive tail
+    val fact = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dim = (0 to 4).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bytes = dim.select(GraftBridge.column(BloomFilterAggregate(
+        XxHash64(Seq(GraftBridge.expression(col("k"))), 42L),
+        Literal(1L << 16), Literal(1L << 20), 0, 0).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val kept = fact.filter(GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      XxHash64(Seq(GraftBridge.expression(col("k"))), 42L)))).count()
+    assert(kept >= 50 && kept < 200, s"prefilter kept $kept of 1000")
+  }
+
+  test("bloomPrefilterJoin on an empty dimension returns an empty result") {
+    val fact = Seq((1L, 1L)).toDF("k", "v")
+    val dim = Seq.empty[(Long, String)].toDF("k", "name")
+    assert(Relational.bloomPrefilterJoin(fact, dim, "k").count() == 0)
+  }
+
   test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
     val keys = Gen.listOfN(30, Gen.choose(0, 5))
     val prop = Prop.forAll(keys, keys) { (l, r) =>
