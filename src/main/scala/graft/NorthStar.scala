@@ -257,6 +257,18 @@ object NorthStar {
         .select(col("component"), col("doc_id").as("keep_id"), col("n_docs"))
     }),
 
+    // fuzzy (edit-distance) near-dup pairs over 160-char prefixes: the
+    // character-level complement to d03's token-shingle Jaccard — catches
+    // typo/boilerplate variants as a bounded levenshtein, found via the
+    // q-gram count-filter join (rarest-gram prefix + length filter +
+    // threshold-bounded verify; see Dedup.editDistancePairs). maxDist=8
+    // sits in the corpus's measured margin (matching pairs at ed ∈ {0,4},
+    // next band at 38), and every prefix has >k·q distinct grams — the
+    // operator's recall contract, checked across SFs.
+    "d09_editdist_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.editDistancePairs(
+        docs(s, dir), "doc_id", "text", prefixLen = 160, maxDist = 8)),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -697,6 +709,15 @@ object NorthStar {
             FROM documents)
           WHERE doc_id = keep""",
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
+    // naive all-pairs bounded-levenshtein — feasible at the oracle gate's
+    // 500-doc scale; the Spark side's filters only prune, never change
+    // the result set
+    "d09_editdist_pairs" ->
+      """WITH p AS (SELECT doc_id, substring(text, 1, 160) AS pre FROM documents)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.pre, b.pre) <= 8""",
     "d04_minhash_lsh" -> jaccardOracle(0.8),
     // transitive closure over the pair graph; component = min reachable id
     "d06_neardup_groups" ->

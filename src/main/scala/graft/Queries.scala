@@ -536,6 +536,17 @@ object Queries {
         size(collect_set(col("event_type")).over(w)).as("n_distinct_types"))
     }),
 
+    // multi-dimension data layout: the z-order (Morton) key over
+    // (custkey, orderkey). Range-partition + sort by this key at write
+    // time and parquet min/max stats prune scans filtered on EITHER
+    // column — the clustering primitive behind lakehouse OPTIMIZE
+    // ZORDER BY, here as a deterministic codegen'd expression (the
+    // layout effect itself is plan-asserted in PlansSpec; this query
+    // oracle-checks the key's bit algebra)
+    "q42_zorder_layout" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        graft.functions.ZOrder.zorder(col("o_custkey"), col("o_orderkey"), 21).as("z"))),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -808,6 +819,10 @@ object Queries {
                                                    ORDER BY ts, event_id) = 1
                            THEN 1 ELSE 0 END AS flag
                FROM events)""",
+    "q42_zorder_layout" ->
+      s"""SELECT o_orderkey, o_custkey,
+                 ${graft.functions.ZOrder.zorderSql("o_custkey", "o_orderkey", 21)} AS z
+          FROM orders""",
     // op 21 catalog: the registered table set is a static constant, so the
     // oracle is a VALUES list — hash-checkable instead of rows-only
     "q20_catalog" ->

@@ -295,4 +295,67 @@ object Dedup {
         "(rounds needed ≈ log2(diameter) + 1) rather than consuming partial labels")
     labels.select(col("id").as("doc_id"), col("component"))
   }
+
+  /**
+   * Fuzzy (edit-distance) near-dup pairs: all (doc_a, doc_b, edit_dist)
+   * with levenshtein(prefix_a, prefix_b) ≤ maxDist over fixed-length
+   * document prefixes — the typo/boilerplate-variant dedup the
+   * shingle-Jaccard detectors miss (a handful of single-character edits
+   * barely moves token shingles' Jaccard but IS a small edit distance).
+   *
+   * Scale shape — the character-q-gram count-filter join (Gravano et al.
+   * VLDB'01), not a cross join:
+   *
+   *  1. each prefix is reduced to its DISTINCT character q-grams; an edit
+   *     touches at most q gram TYPES, so ed(a,b) ≤ k ⇒ a and b share at
+   *     least |grams(a)| − k·q gram types;
+   *  2. PREFIX filter under the global (df, gram) rarity order (the d03
+   *     AllPairs machinery on gram sets): at most k·q of a's gram types
+   *     can be absent from b, so among a's k·q+1 RAREST grams at least
+   *     one occurs in b — only those join against the full gram table,
+   *     and the per-doc rarity ranking runs on the TopKPerKey bounded
+   *     heaps, no per-doc sort;
+   *  3. LENGTH filter: ed ≥ |len_a − len_b|, a one-line candidate
+   *     predicate;
+   *  4. exact verify with the THRESHOLD-BOUNDED levenshtein (Spark's
+   *     3-arg form computes a banded O(k·n) DP and returns −1 past the
+   *     bound, not the full O(n²) matrix).
+   *
+   * Recall contract (the step-2 guarantee): every prefix must have more
+   * than k·q distinct q-grams — short/degenerate strings below that bound
+   * may share zero grams with a qualifying partner. Callers with shorter
+   * texts lower q or raise prefixLen. Exactness under the contract is
+   * law-tested against brute force in SimilaritySpec.
+   */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int, maxDist: Int, q: Int = 3): DataFrame = {
+    val pre = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixLen).as("pre"))
+    val grams = pre.select(col("doc_id"),
+      array_distinct(transform(
+        sequence(lit(1), greatest(length(col("pre")) - lit(q - 1), lit(1))),
+        i => col("pre").substr(i, lit(q)))).as("gs"))
+    val ex = grams.select(col("doc_id"), explode(col("gs")).as("g"))
+    // global document frequency per gram: the q-gram vocabulary is
+    // alphabet-bounded (tiny next to the corpus), so the rarity table
+    // broadcasts at any data size
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ranked = ex.join(broadcast(dfreq), "g")
+    val prefixGrams = Relational.topKPerKey(ranked, Seq("doc_id"),
+        Seq(col("df").asc, col("g").asc), maxDist * q + 1)
+      .select(col("doc_id").as("da"), col("g"))
+    val cands = prefixGrams
+      .join(ex.select(col("doc_id").as("db"), col("g")), "g")
+      .filter(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+      .distinct()
+    cands
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), "doc_a")
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), "doc_b")
+      .filter(abs(length(col("pre_a")) - length(col("pre_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles}
+import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles, ZOrderLong}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -79,7 +79,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => SortedLongIntersectCount(args(0), args(1))),
     ("sig_match_count",
       info("sig_match_count", "sig_match_count(a, b) - positions where two equal-length signatures agree"),
-      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))))
+      (args: Seq[Expression]) => SigMatchCount(args(0), args(1))),
+    ("zorder_long",
+      info("zorder_long", "zorder_long(a, b, bits) - Morton interleave of two longs' low bits"),
+      (args: Seq[Expression]) => ZOrderLong(args(0), args(1),
+        args(2).eval(null).asInstanceOf[Int])))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -18,6 +18,42 @@ class HashingSpec extends AnyFunSuite {
     assert(sigs(0) != sigs(2))
   }
 
+  test("zorder interleaves bits per the Morton spec and masks to `bits`") {
+    import graft.functions.ZOrder
+    // reference: place bit i of a at 2i, bit i of b at 2i+1
+    def ref(a: Long, b: Long, bits: Int): Long = {
+      val m = (1L << bits) - 1
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a & m) >>> i) & 1L) << (2 * i) | (((b & m) >>> i) & 1L) << (2 * i + 1)
+      }
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L), (1023L, 511L),
+      ((1L << 21) - 1, 0L), ((1L << 22) + 7L, 9L)) // last: masking applies
+    val got = cases.toDF("a", "b")
+      .select(ZOrder.zorder(col("a"), col("b"), 21)).as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => ref(a, b, 21) })
+    // adjacent cells interleave into adjacent z-values
+    assert(ref(1, 0, 21) == 1L && ref(0, 1, 21) == 2L && ref(1, 1, 21) == 3L)
+  }
+
+  test("z-order layout: chunks of the sorted grid are square blocks, not slivers") {
+    import graft.functions.ZOrder
+    // 32×32 grid, z-sorted, cut into 16 chunks of 64 rows (the row-group
+    // stand-in): every chunk's bounding box is exactly 8×8 — a scan
+    // filtered on EITHER dimension prunes 3/4 of the chunks. A
+    // single-column sort would make (x, y)-slivers 1×32 wide: ANY filter
+    // on y touches every chunk.
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val z = grid.toDF("x", "y")
+      .withColumn("z", ZOrder.zorder(col("x"), col("y"), 6))
+      .orderBy(col("z")).as[(Long, Long, Long)].collect()
+    z.grouped(64).foreach { chunk =>
+      val xs = chunk.map(_._1); val ys = chunk.map(_._2)
+      assert(xs.max - xs.min == 7 && ys.max - ys.min == 7,
+        s"chunk bbox ${xs.min}-${xs.max} × ${ys.min}-${ys.max}")
+    }
+  }
+
   test("hammingDist: zero on self, 64 on complement") {
     val out = Seq((7L, 7L), (0L, -1L), (0L, 1L)).toDF("a", "b")
       .select(Hashing.hammingDist(col("a"), col("b"))).as[Int].collect()

@@ -137,6 +137,30 @@ class PlansSpec extends AnyFunSuite {
     assert(rankFn.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("hive-partitioned layout prunes partitions at the scan (PartitionFilters)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
+    val df = (1 to 90).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong)).toDF("dt", "v")
+    graft.sinks.Sinks.idempotentDailyAppend(df, "dt", root)
+    // layout: one dt=... directory per partition value
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("dt=2024-01-01", "dt=2024-01-02", "dt=2024-01-03"))
+    val rd = spark.read.parquet(root).filter(col("dt") === "2024-01-02")
+    assert(rd.count() == 30)
+    val scan = rd.queryExecution.executedPlan.toString
+    // the filter must reach the scan as a PARTITION filter (directory
+    // pruning — zero I/O on other partitions), not a post-scan Filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("#\\d+", "").contains("(dt = 2024-01-02)"),
+      s"expected partition pruning in:\n$scan")
+  }
+
+  test("zorder_long is SQL-registered and matches the Column API") {
+    val viaSql = spark.sql("SELECT zorder_long(5L, 3L, 21) AS z").collect().head.getLong(0)
+    val viaCol = Seq((5L, 3L)).toDF("a", "b")
+      .select(graft.functions.ZOrder.zorder(col("a"), col("b"), 21)).as[Long].head()
+    assert(viaSql == viaCol && viaSql == 27L) // 5=101₂, 3=011₂ → 011011₂
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")

@@ -142,6 +142,47 @@ class SimilaritySpec extends AnyFunSuite {
       s"block-partitioned e01 must not plan a cartesian:\n$plan")
   }
 
+  test("law: editDistancePairs equals brute-force bounded levenshtein") {
+    // strings satisfying the recall contract (>k·q distinct 3-grams):
+    // 60-90 chars over a 26-letter alphabet, some mutated copies
+    import org.scalacheck.Gen
+    val baseGen = Gen.listOfN(8, Gen.listOfN(80, Gen.alphaLowerChar).map(_.mkString))
+    val prop = Prop.forAll(baseGen, Gen.choose(0L, 999L)) { (bases, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // each base plus a variant with 0..5 random substitutions/deletes
+      val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+        val nEdits = rnd.nextInt(6)
+        val chars = b.toBuffer
+        (0 until nEdits).foreach { _ =>
+          val p = rnd.nextInt(chars.length)
+          if (rnd.nextBoolean()) chars(p) = ('a' + rnd.nextInt(26)).toChar
+          else chars.remove(p)
+        }
+        Seq((i.toLong * 2, b), (i.toLong * 2 + 1, chars.mkString))
+      }
+      val k = 6
+      val got = graft.operators.Dedup.editDistancePairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text", prefixLen = 100, maxDist = k)
+        .as[(Long, Long, Int)].collect().toSet
+      // reference: classic full DP levenshtein over all pairs
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        e = lev(ta.take(100), tb.take(100)) if e <= k
+      } yield (ia, ib, e)).toSet
+      got == expected
+    }
+    check(prop, 4)
+  }
+
   test("lshBucket is deterministic and the s02 multiprobe contains the exact top hit") {
     val vecs = (0 until 30).map(i =>
       (i.toLong, Array.tabulate(16)(j => math.cos(i * 31 + j * 7).toFloat)))
