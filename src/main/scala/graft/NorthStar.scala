@@ -121,6 +121,49 @@ object NorthStar {
         list_transform(string_split($s, ''), c -> CAST(ord(c) AS HUGEINT))),
         (h, b) -> (xor(h, b) * CAST(1099511628211 AS HUGEINT)) % $U64)"""
 
+  /** DuckDB distinct word-n-gram shingles over a token-list expr `tks`,
+    * mirroring WordShingles/ShingleHashSet semantics (short docs collapse
+    * to one whole-text shingle) — the n-parameterized form of
+    * [[sqlShingles]]. */
+  private def sqlShinglesN(tks: String, n: Int): String = {
+    val cat = (0 until n)
+      .map(k => if (k == 0) s"$tks[i]" else s"$tks[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len($tks) < $n THEN [array_to_string($tks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len($tks) - ${n - 2}),
+             i -> $cat)) END"""
+  }
+
+  /** (a·b) mod 2^64 for HUGEINT expr `a` in [0, 2^64) and constant `b`:
+    * the direct product can overflow HUGEINT (2^127−1), so split b into
+    * 32-bit halves — a·bl and a·bh stay under 2^96. */
+  private def mulmodSql(a: String, b: BigInt): String = {
+    val bh = b >> 32
+    val bl = b & BigInt(0xFFFFFFFFL)
+    s"""((($a) * CAST($bl AS HUGEINT)) % $U64 +
+        ((($a) * CAST($bh AS HUGEINT)) % CAST(4294967296 AS HUGEINT))
+          * CAST(4294967296 AS HUGEINT)) % $U64"""
+  }
+
+  // the MinHashMix constants as unsigned residues
+  private val GoldenU = BigInt(java.lang.Long.toUnsignedString(graft.functions.MinHashMix.Golden))
+  private val M1U = BigInt(java.lang.Long.toUnsignedString(graft.functions.MinHashMix.M1))
+  private val M2U = BigInt(java.lang.Long.toUnsignedString(graft.functions.MinHashMix.M2))
+
+  /** SQL twin of [[graft.functions.MinHashMix.mix]] over a HUGEINT
+    * residue expr `h` and component-index expr `j`: Java's `*`/`^`/`>>>`
+    * become mod-2^64 multiply / xor / integer division by a power of
+    * two. Validated bit-exact against the expression on the harness
+    * corpus (the g01 oracle hash-matches). */
+  private def mixSql(h: String, j: String): String = {
+    val seed = s"((($j) + 1) * CAST($GoldenU AS HUGEINT)) % $U64"
+    val z0 = s"xor(($h), $seed)"
+    val z1 = mulmodSql(z0, M1U)
+    val z2 = s"xor(($z1), ($z1) // CAST(4294967296 AS HUGEINT))"
+    val z3 = mulmodSql(z2, M2U)
+    s"xor(($z3), ($z3) // CAST(536870912 AS HUGEINT))"
+  }
+
   /** RollingHash over a HUGEINT hash-list column `hs`. */
   private def rollingSql(hs: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), $hs),
@@ -268,6 +311,38 @@ object NorthStar {
     "d09_editdist_pairs" -> ((s, dir) =>
       graft.operators.Dedup.editDistancePairs(
         docs(s, dir), "doc_id", "text", prefixLen = 160, maxDist = 8)),
+
+    // passage-level (sub-document) dedup: non-overlapping 10-token
+    // windows, fingerprinted to 8-byte FNV hashes in the chunking
+    // projection — the shuffles move longs, never chunk text. A chunk is
+    // "duplicated" when it occurs in ≥2 distinct documents; each doc
+    // reports how many of its chunks are corpus-duplicated. Unlike t12's
+    // eval probe, the duplicated-chunk table is corpus-scale, so
+    // membership is a plain shuffled equi-join on the hash (NOT a
+    // broadcast); the per-doc aggregates stay on the doc_id
+    // partitioning. Short docs (< 10 tokens) have no chunks and drop
+    // out, mirroring the oracle. Tail tokens past the last full window
+    // are ignored (fixed-stride chunking, the standard passage-dedup
+    // framing).
+    "d10_chunk_dedup" -> ((s, dir) => {
+      val w = 10
+      val tk = docs(s, dir).select(col("doc_id"), TF.tokens(col("text")).as("tks"))
+      val ch = tk.select(col("doc_id"),
+          explode(when(size(col("tks")) >= w,
+              transform(sequence(lit(0), floor(size(col("tks")) / w).cast("int") - 1),
+                i => Hashing.fnvChecksum(
+                  array_join(slice(col("tks"), i * w + 1, lit(w)), " ").cast("binary"))))
+            .otherwise(array().cast("array<bigint>"))).as("h"))
+      val dup = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd")).filter(col("nd") >= 2)
+        .select(col("h"))
+      val perDoc = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      val dupPerDoc = ch.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_chunks"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+    }),
 
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
@@ -509,6 +584,30 @@ object NorthStar {
             .as("top_term_ratio"))
     }),
 
+    // benchmark decontamination (the GPT-3-style n-gram overlap check):
+    // the held-out eval set (source 'src0' stands in for a benchmark
+    // suite) is reduced to its distinct 5-gram shingle hashes and
+    // BROADCAST — eval suites are KB-to-MB-scale metadata next to a
+    // 100 TB corpus, so the corpus side takes a broadcast left-semi probe
+    // and never shuffles for the membership test; the only exchanges are
+    // the per-doc counts, both keyed by doc_id (co-partitioned, reused).
+    // 5-grams (not 3) keep the random-collision floor near zero so a
+    // nonzero overlap is a real contamination signal.
+    "t12_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sh = d.select(col("doc_id"), col("source"),
+        explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+      val evalSet = sh.filter(col("source") === "src0").select(col("s")).distinct()
+      val corpus = sh.filter(col("source") =!= "src0")
+      val shared = corpus.join(broadcast(evalSet), Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+    }),
+
     // one distributed Lloyd (k-means) iteration over the embedding corpus:
     // assign every vector to its argmax-dot centroid (e03's quantizer),
     // then recompute per-cluster means. Output is (centroid_id, dim) rows
@@ -627,8 +726,11 @@ object NorthStar {
     // interpreted-update volume. Then pairwise estimated token-set
     // Jaccard between sources; the source set is small bounded metadata
     // (like partitions/tenants at 100 TB), so the pair join broadcasts a
-    // handful of sketches. Not SQL-expressible (xxhash64 sketches) →
-    // rows-only harness check; estimate-vs-exact agreement is unit-tested.
+    // handful of sketches. The hash family is FnvMinHashSignature
+    // (MinHashMix) precisely so the oracle can replay the sketch in
+    // HUGEINT arithmetic — min-of-mins makes the two-level aggregate
+    // equal a flat min over each source's token set, which is what the
+    // SQL twin computes.
     "g01_source_sketch" -> ((s, dir) => {
       // the sketch table is memoized+persisted per (session, dir): it feeds
       // BOTH sides of the pair join (one aggregation, not two) and repeated
@@ -636,8 +738,7 @@ object NorthStar {
       val sk = sketchMemo.getOrElseUpdate((s, dir), {
         val t = docs(s, dir)
           .select(col("source"),
-            TF.minhashFromHashes(
-              transform(TF.tokens(col("text")), tk => xxhash64(tk)), 128).as("doc_sig"))
+            Hashing.fnvMinhashSignature(TF.tokens(col("text")), 128).as("doc_sig"))
           .groupBy(col("source"))
           .agg(Hashing.minhashMergeAgg(col("doc_sig"), 128).as("sig"))
           .persist()
@@ -651,6 +752,51 @@ object NorthStar {
   )
 
   val oracles: Map[String, String] = Map(
+    // Replays the whole two-level sketch flat: per-source distinct token
+    // set (min-of-mins collapses the doc level), FNV base hash, the
+    // MinHashMix finalizer per component j, signed min per (source, j),
+    // then per-pair equal-component fraction. k = 128.
+    "g01_source_sketch" ->
+      s"""WITH tok AS (SELECT DISTINCT source, t FROM
+              (SELECT source, unnest($sqlToks) AS t FROM documents)),
+            hh AS (SELECT source, ${fnvSql("t")} AS hu FROM tok),
+            sig AS (SELECT source, j, min(${signedSql(mixSql("hu", "j"))}) AS v
+                    FROM hh CROSS JOIN (SELECT unnest(range(128)) AS j)
+                    GROUP BY 1, 2)
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) FILTER (WHERE a.v = b.v) AS DOUBLE) / 128
+                   AS est_jaccard
+          FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+          GROUP BY 1, 2""",
+    // oracle works on shingle STRINGS where Spark moves 64-bit hashes —
+    // identical counts up to FNV64 collisions (same contract as d03)
+    "t12_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $sqlToks AS tks FROM documents),
+            s AS (SELECT doc_id, source, unnest(${sqlShinglesN("tks", 5)}) AS s
+                  FROM tk),
+            ev AS (SELECT DISTINCT s FROM s WHERE source = 'src0'),
+            cp AS (SELECT doc_id, count(*) AS n_shingles,
+                     count(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS n_shared
+                   FROM s WHERE source <> 'src0' GROUP BY 1)
+          SELECT doc_id, n_shingles, n_shared,
+                 n_shared > 0 AS contaminated
+          FROM cp""",
+    "d10_chunk_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS tks FROM documents),
+            ix AS (SELECT doc_id, tks,
+                     unnest(range(len(tks) // 10)) AS i FROM tk),
+            ch AS (SELECT doc_id,
+                     array_to_string(list_slice(tks,
+                       CAST(i*10 + 1 AS BIGINT), CAST(i*10 + 10 AS BIGINT)),
+                       ' ') AS chunk
+                   FROM ix),
+            dup AS (SELECT chunk FROM ch GROUP BY chunk
+                    HAVING count(DISTINCT doc_id) >= 2),
+            pd AS (SELECT doc_id, count(*) AS n_chunks,
+                     count(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
+                       AS n_dup_chunks
+                   FROM ch GROUP BY 1)
+          SELECT doc_id, n_chunks, n_dup_chunks FROM pd""",
     "t11_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
             c AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),

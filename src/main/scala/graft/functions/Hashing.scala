@@ -387,6 +387,72 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /**
+ * The oracle-expressible MinHash hash family: component j's hash of a
+ * token is splitmix64-style finalization of (fnv1a64(token) XOR a
+ * golden-ratio seed for j) — two multiply-xorshift rounds. Every step is
+ * mod-2^64 integer arithmetic (multiply, xor, unsigned shift), so an
+ * external SQL engine replays it bit-exactly in HUGEINT residues
+ * (see NorthStar.mixSql), unlike XXH64 whose byte-block framing makes a
+ * SQL twin impractical. Mins are over SIGNED longs, matching the SQL
+ * twin's signed-residue conversion before MIN.
+ */
+object MinHashMix {
+  final val Golden = 0x9E3779B97F4A7C15L
+  final val M1 = 0xBF58476D1CE4E5B9L
+  final val M2 = 0x94D049BB133111EBL
+
+  def mix(h: Long, j: Int): Long = {
+    var z = h ^ ((j + 1) * Golden)
+    z *= M1
+    z ^= z >>> 32
+    z *= M2
+    z ^= z >>> 29
+    z
+  }
+}
+
+/**
+ * MinHash signature of an array<string> token column under the
+ * [[MinHashMix]] family: one FNV base hash per token, k mixed mins —
+ * single pass, no intermediate hash array. Prefer [[MinHashSignature]]
+ * (XXH64) when no SQL oracle needs to replay the signature.
+ */
+case class FnvMinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fnv_minhash_signature"
+
+  def compute(arr: ArrayData): ArrayData = {
+    val buf = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = Fnv.hashBytes(arr.getUTF8String(i).getBytes)
+        var j = 0
+        while (j < k) {
+          val v = MinHashMix.mix(h, j)
+          if (v < buf(j)) buf(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fnvMinhashExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FnvMinHashSignature =
+    copy(child = newChild)
+}
+
+/**
  * FNV-1a-64 checksum of a binary column — the "codec checksum" stage of
  * the multimodal decode path, in-place over the payload bytes (no
  * Dataset-encoder round-trip).
@@ -460,6 +526,8 @@ object Hashing {
     column(SortedLongIntersectCount(expression(a), expression(b)))
   def sigMatchCount(a: Column, b: Column): Column =
     column(SigMatchCount(expression(a), expression(b)))
+  def fnvMinhashSignature(tokens: Column, k: Int): Column =
+    column(FnvMinHashSignature(expression(tokens), k))
 
   /** MinHash sketch aggregate over a column of element hashes — see
     * [[MinHashAgg]]. Use in groupBy(...).agg(minhashAgg(xxhash64(col), k)). */

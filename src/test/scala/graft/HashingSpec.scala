@@ -81,6 +81,22 @@ class HashingSpec extends AnyFunSuite {
     assert(viaExpr == viaHof)
   }
 
+  test("FnvMinHashSignature equals per-token brute force over MinHashMix") {
+    import graft.functions.MinHashMix
+    val toks = Seq("key", "agg", "row", "zebra", "table")
+    val got = Seq(toks).toDF("tk")
+      .select(Hashing.fnvMinhashSignature(col("tk"), 32)).as[Seq[Long]].head()
+    val exp = (0 until 32).map { j =>
+      toks.map(t => MinHashMix.mix(Fnv.hashBytes(t.getBytes("UTF-8")), j)).min
+    }
+    assert(got == exp)
+    // empty token array -> neutral signature (Long.MaxValue everywhere),
+    // the identity element of the element-wise-min merge
+    val empty = Seq(Seq.empty[String]).toDF("tk")
+      .select(Hashing.fnvMinhashSignature(col("tk"), 4)).as[Seq[Long]].head()
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("fnvChecksum over binary equals Fnv.hashBytes") {
     val bytes = "payload-123".getBytes("UTF-8")
     val got = Seq("payload-123").toDF("t")
