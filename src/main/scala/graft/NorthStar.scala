@@ -608,6 +608,103 @@ object NorthStar {
           (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
     }),
 
+    // BM25 ranked retrieval — the search primitive behind
+    // retrieval-based decontamination and quality mining over a corpus.
+    // Distributed shape: one row of corpus statistics (N, avgdl, per-term
+    // df) is aggregated and BROADCAST; scoring is then a pure per-row map
+    // over the documents (no shuffle), and the top-10 is a
+    // TakeOrderedAndProject. Per-term scores add in the fixed query-term
+    // order, and the idf is the log-free rational variant
+    // (N − df + ½)/(df + ½) — same ranking signal, but every arithmetic
+    // step is a single IEEE op both engines execute identically (ln is
+    // not guaranteed correctly-rounded across libms, so it stays out of
+    // the hash-checked contract). k1 = 1.2, b = 0.75.
+    "t13_bm25_search" -> ((s, dir) => {
+      val qTerms = Seq("dup", "merge", "window")
+      val k1 = 1.2; val b = 0.75
+      val d = docs(s, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tks"))
+        .withColumn("dl", size(col("tks")).cast(DoubleType))
+      val statExprs =
+        count(lit(1)).cast(DoubleType).as("n_docs") +:
+        (sum(col("dl").cast(LongType)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avgdl") +:
+        qTerms.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("tks"), term), 1L).otherwise(0L))
+            .cast(DoubleType).as(s"df_$i")
+        }
+      val stats = d.agg(statExprs.head, statExprs.tail: _*)
+      val comps = qTerms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(col("tks"), x => x === term)).cast(DoubleType)
+        val idf = (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)
+        // literal 2.2 (not k1 + 1.0): both engines parse the same decimal
+        // literal to the same double; the runtime sum could round once more
+        idf * (tf * lit(2.2)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }
+      d.crossJoin(broadcast(stats))
+        .select(col("doc_id"), comps.reduceLeft(_ + _).as("score"))
+        .filter(col("score") > 0.0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // one BPE-style merge iteration — the corpus-wide step of tokenizer
+    // training: count every adjacent token pair and take the top-20 merge
+    // candidates. explode keeps the fan-out inside the scan task; the
+    // only shuffle carries (pair, partial count) after map-side combine,
+    // and the top-20 is a TakeOrderedAndProject (no global sort).
+    "t14_bpe_merge" -> ((s, dir) =>
+      docs(s, dir)
+        .select(TF.tokens(col("text")).as("tks"))
+        .filter(size(col("tks")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("tks")) - 2),
+          i => concat(element_at(col("tks"), i + 1), lit(" "),
+                      element_at(col("tks"), i + 2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)),
+
+    // data-mixing weights — temperature-based source sampling (the
+    // multi-corpus mixing step of a training-data pipeline): per-source
+    // token mass, α = 0.5 temperature (w ∝ n_tokens^α), normalized over
+    // the source set. Sources are bounded metadata, so the normalizer is
+    // a sorted fold over a handful of per-source weights (order-pinned —
+    // deterministic float sum) broadcast back to the per-source rows.
+    // sqrt is IEEE-correctly-rounded, so x^0.5 is engine-stable where a
+    // general pow/ln would not be.
+    "t15_mix_weights" -> ((s, dir) => {
+      val per = docs(s, dir)
+        .select(col("source"), TF.tokenCount(col("text")).cast(LongType).as("nt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .withColumn("w_raw", sqrt(col("n_tokens").cast(DoubleType)))
+      val denom = per.agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("source"), col("w_raw")))),
+            x => x.getField("w_raw")),
+          lit(0.0), (a, x) => a + x).as("denom"))
+      per.crossJoin(broadcast(denom))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("w_raw") / col("denom")).as("weight"))
+    }),
+
+    // positional phrase search ("fast merge") over an inverted positional
+    // index: each query term's postings are filtered BEFORE any shuffle
+    // (term-selective — the classic posting-list win), then consecutive
+    // positions align via an equi-join on (doc_id, position). Per-doc
+    // occurrence counts come out of the same doc_id partitioning.
+    "t16_phrase_search" -> ((s, dir) => {
+      val (w1, w2) = ("fast", "merge")
+      val pos = docs(s, dir)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("p", "term")))
+      val firsts = pos.filter(col("term") === w1).select(col("doc_id"), col("p"))
+      val seconds = pos.filter(col("term") === w2)
+        .select(col("doc_id"), (col("p") - 1).as("p"))
+      firsts.join(seconds, Seq("doc_id", "p"), "inner")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+    }),
+
     // one distributed Lloyd (k-means) iteration over the embedding corpus:
     // assign every vector to its argmax-dot centroid (e03's quantizer),
     // then recompute per-cluster means. Output is (centroid_id, dim) rows
@@ -807,6 +904,57 @@ object NorthStar {
                  COALESCE(CAST(n - nd AS DOUBLE) / n, 0.0) AS dup_token_ratio,
                  COALESCE(CAST(mx AS DOUBLE) / n, 0.0) AS top_term_ratio
           FROM documents d LEFT JOIN st USING (doc_id)""",
+    // the idf/tf arithmetic is written as the exact same single-op
+    // sequence as the Spark expressions (log-free idf; see the query)
+    "t13_bm25_search" ->
+      s"""WITH d AS (SELECT doc_id, $sqlToks AS tks,
+                       CAST(len($sqlToks) AS DOUBLE) AS dl
+                     FROM documents),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avgdl,
+                     CAST(SUM(CASE WHEN list_contains(tks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+                     CAST(SUM(CASE WHEN list_contains(tks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+                     CAST(SUM(CASE WHEN list_contains(tks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+                   FROM d),
+            sc AS (SELECT doc_id,
+                     (((n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                       * (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                   + (((n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                       * (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+                   + (((n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                       * (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE) * 2.2)
+                       / (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE)
+                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+                   FROM d, st)
+          SELECT doc_id, score FROM sc WHERE score > 0.0
+          ORDER BY score DESC, doc_id LIMIT 10""",
+    "t14_bpe_merge" ->
+      s"""WITH tk AS (SELECT $sqlToks AS tks FROM documents),
+            p AS (SELECT unnest(list_transform(range(1, len(tks)),
+                    i -> tks[i] || ' ' || tks[i+1])) AS pair
+                  FROM tk WHERE len(tks) >= 2)
+          SELECT pair, count(*) AS n FROM p GROUP BY 1
+          ORDER BY n DESC, pair LIMIT 20""",
+    "t15_mix_weights" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+                         CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
+                       FROM documents GROUP BY 1),
+            w AS (SELECT source, n_docs, n_tokens,
+                    sqrt(CAST(n_tokens AS DOUBLE)) AS w_raw FROM per),
+            dn AS (SELECT list_reduce(list_prepend(0.0, list(w_raw ORDER BY source)),
+                     (a, x) -> a + x) AS denom FROM w)
+          SELECT source, n_docs, n_tokens, w_raw / denom AS weight FROM w, dn""",
+    "t16_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS tks FROM documents),
+            p AS (SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+                    i -> tks[i] || ' ' || tks[i+1])) AS pair FROM tk)
+          SELECT doc_id, count(*) AS n_matches FROM p
+          WHERE pair = 'fast merge' GROUP BY 1""",
     "e04_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),

@@ -547,6 +547,42 @@ object Queries {
       t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         graft.functions.ZOrder.zorder(col("o_custkey"), col("o_orderkey"), 21).as("z"))),
 
+    // MERGE / upsert: a change batch (updated totals for keys ≡ 0 mod 97,
+    // brand-new orders for keys ≡ 0 mod 997) applied onto orders — the
+    // lakehouse MERGE INTO reduced to anti-join + unionByName (see
+    // Relational.mergeUpsert). The price bump is plain double
+    // multiplication, an identical single IEEE op in both engines.
+    "j03_merge_upsert" -> ((s, dir) => {
+      val target = t(s, dir, "orders")
+      val upd = target.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        .withColumn("o_orderstatus", lit("U"))
+      val ins = target.filter(pmod(col("o_orderkey"), lit(997L)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      Relational.mergeUpsert(target, upd.unionByName(ins), Seq("o_orderkey"))
+    }),
+
+    // exact distributed quantiles (nearest-rank p50/p90/p99 per group):
+    // value at rank ⌈p·n⌉ in the within-group value order. Integer rank
+    // selection — no interpolation — so the result is a value the data
+    // actually contains and both engines agree bit-exactly. Exact
+    // quantiles need the within-group sort; groups here are the bounded
+    // returnflag domain, so each is one window partition — for
+    // high-cardinality grouping this same shape shards by (group) with
+    // per-group parallel sort, and the approximate path is the KMV/
+    // sketch tier (a01).
+    "q43_percentiles" -> ((s, dir) => {
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val ranked = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(byFlag.orderBy(col("l_extendedprice"))))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      ranked.groupBy(col("l_returnflag")).agg(
+        max(when(col("rn") === ceil(col("n") * 0.5), col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90"),
+        max(when(col("rn") === ceil(col("n") * 0.99), col("l_extendedprice"))).as("p99"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -561,6 +597,31 @@ object Queries {
 
   val parityOracles: Map[String, String] = Map(
     "q01_fullscan" -> "SELECT * FROM region",
+    "j03_merge_upsert" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                  o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                  o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 997 = 0)
+         SELECT t.* FROM orders t
+         WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+         UNION ALL
+         SELECT * FROM src""",
+    "q43_percentiles" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+                max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90,
+                max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END) AS p99
+         FROM r GROUP BY 1""",
     "q02_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity AS qty, l_extendedprice AS price FROM lineitem",
     "q03_scalar_math" ->

@@ -119,6 +119,28 @@ object Relational {
   }
 
   /**
+   * MERGE / upsert (SCD type-1): apply a source batch of changed + new
+   * rows onto a target table keyed by `keys` — the lakehouse `MERGE INTO
+   * t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED
+   * THEN INSERT *` reduced to its dataflow: target rows whose key has a
+   * replacement are dropped (left_anti on the key set), then the source
+   * is appended. Schemas must match by name (unionByName enforces it).
+   *
+   * Scale shape: the anti join shuffles the target on the key it is
+   * usually already partitioned/bucketed by, and the source side is a
+   * change BATCH — typically orders of magnitude smaller than the
+   * target, so AQE broadcasts the key set and the target never shuffles
+   * at all. Exactly-once semantics at the sink come from writing the
+   * result with an overwrite of the affected partitions (see
+   * Sinks/StreamingIngest for the idempotent-write pattern).
+   */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    target.join(source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(source)
+  }
+
+  /**
    * Runtime bloom-prefilter join — the manual form of the runtime-filter
    * pattern Spark's `InjectRuntimeFilter` applies when statistics allow:
    * when the dimension side is too big to broadcast (so the join must

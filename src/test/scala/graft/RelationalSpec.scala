@@ -32,6 +32,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == got.sorted.reverse && got.head == 99L)
   }
 
+  test("mergeUpsert: matched keys replaced, new keys appended, rest untouched") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val source = Seq((2L, "b2", 25.0), (9L, "new", 90.0)).toDF("k", "name", "v")
+    val out = Relational.mergeUpsert(target, source, Seq("k"))
+      .orderBy(col("k")).as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 25.0), (3L, "c", 30.0),
+      (9L, "new", 90.0)))
+  }
+
+  test("mergeUpsert: a duplicated source key replaces the target row without double-dropping") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val source = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
+    val out = Relational.mergeUpsert(target, source, Seq("k"))
+    // both source rows survive (bag semantics on the source batch);
+    // the single stale target row is gone exactly once
+    assert(out.count() == 3)
+    assert(out.filter(col("k") === 2 && col("v") === "b").count() == 0)
+  }
+
   test("op SERIAL: withSerialId assigns dense 1..n ids in order") {
     val df = Seq("c", "a", "b").toDF("k")
     val ids = Relational.withSerialId(df, Seq(col("k")))
