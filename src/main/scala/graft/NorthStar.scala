@@ -199,6 +199,12 @@ object NorthStar {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), x -> x[1]*x[2])), (p,q) -> p+q)"
 
+  /** Left-to-right squared-L2 fold from 0.0 (matches the Spark
+    * zip_with + aggregate pair in e05). */
+  private def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b),
+        x -> (x[1] - x[2]) * (x[1] - x[2]))), (p, q) -> p + q)"""
+
   /** VectorFunctions.lshBucket(v, dim, planes) as SQL. */
   private def bucketSql(v: String, dim: Int, planes: Int): String =
     (0 until planes).map { p =>
@@ -734,6 +740,30 @@ object NorthStar {
           (col("sum_val") / col("n_members")).as("mean_val"))
     }),
 
+    // product quantization (PQ) codes — the compressed representation
+    // behind IVF-PQ ANN indexes: the 64-dim vector splits into 8
+    // subvectors, each assigned (min-L2, first-min-wins) to one of 16
+    // deterministic sub-centroids → an 8-byte code replacing 256 bytes of
+    // float64. Pure per-row map over broadcast-literal codebooks — no
+    // shuffle, and the per-cell squared-distance folds are order-pinned
+    // left-to-right so both engines agree bit-exactly.
+    "e05_pq_code" -> ((s, dir) => {
+      val m = 8; val dsub = 8; val ksub = 16
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val codes = (0 until m).map { mi =>
+        val sub = slice(col("v"), mi * dsub + 1, dsub)
+        val dists = array((0 until ksub).map { c =>
+          aggregate(
+            zip_with(sub, lit(VF.centroid(1000 + mi * ksub + c, dsub)),
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x)
+        }: _*)
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
+      e.select(col("vec_id"),
+        concat_ws(",", codes.map(_.cast("string")): _*).as("pq_code"))
+    }),
+
     // k-NN JOIN: top-3 cosine neighbors for EVERY vector (the batch ANN
     // workload behind corpus-wide near-dup mining and hard-negative
     // mining), not s01's single-query top-k. Exact scan via e01's block
@@ -1152,6 +1182,18 @@ object NorthStar {
                  CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT) AS centroid_id,
                  list_aggregate(dots, 'max') AS best_dot
           FROM d""",
+    "e05_pq_code" -> {
+      val m = 8; val dsub = 8; val ksub = 16
+      val codeExprs = (0 until m).map { mi =>
+        val sub = s"list_slice(v, ${mi * dsub + 1}, ${mi * dsub + dsub})"
+        val dists = (0 until ksub)
+          .map(c => l2Sql(sub, centroidSqlLiteral(1000 + mi * ksub + c, dsub)))
+          .mkString("[", ",", "]")
+        s"CAST(CAST(list_position($dists, list_aggregate($dists, 'min')) - 1 AS INT) AS VARCHAR)"
+      }.mkString("[", ",", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT vec_id, array_to_string($codeExprs, ',') AS pq_code FROM e"""
+    },
     "e02_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               m AS (SELECT vec_id, v,

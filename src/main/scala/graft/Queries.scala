@@ -583,6 +583,44 @@ object Queries {
         max(when(col("rn") === ceil(col("n") * 0.99), col("l_extendedprice"))).as("p99"))
     }),
 
+    // SCD type-2 history build: change-point detection (keep rows where
+    // the tracked attribute differs from its predecessor) then validity
+    // intervals via lead — the warehouse dimension-history primitive.
+    // Both windows share the (user_id) partitioning and (ts, event_id)
+    // order, so the plan is ONE shuffle with two window passes over the
+    // same sort — no re-exchange between them.
+    "q44_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      eventsTable(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    }),
+
+    // incremental materialized-view maintenance: yesterday's aggregate
+    // (base partials) merged with today's batch (delta partials) WITHOUT
+    // rescanning base rows — the ⊕-merge of partial aggregates that makes
+    // a 100 TB rollup maintainable. count merges by sum; DECIMAL sums
+    // merge exactly (order-independent), so the merged view is
+    // bit-identical to the full recompute the oracle performs.
+    "j04_incremental_agg" -> ((s, dir) => {
+      def partials(df: DataFrame) = df.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("tot"))
+      val orders = t(s, dir, "orders")
+      val base = partials(orders.filter(pmod(col("o_orderkey"), lit(5L)) =!= 0))
+      val delta = partials(orders.filter(pmod(col("o_orderkey"), lit(5L)) === 0))
+      base.unionByName(delta)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("n_orders")).as("n_orders"), sum(col("tot")).as("tot"))
+        .select(col("o_custkey"), col("n_orders"),
+          col("tot").cast(DoubleType).as("total_price"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -610,6 +648,24 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q44_scd2_history" ->
+      """WITH c AS (
+           SELECT user_id, event_type, ts, event_id,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+         ch AS (SELECT user_id, event_type, ts, event_id FROM c
+                WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS valid_to,
+                lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL AS is_current
+         FROM ch""",
+    "j04_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders GROUP BY 1""",
     "q43_percentiles" ->
       """WITH r AS (
            SELECT l_returnflag, l_extendedprice,

@@ -309,12 +309,17 @@ object Dedup {
    *  1. each prefix is reduced to its DISTINCT character q-grams; an edit
    *     touches at most q gram TYPES, so ed(a,b) ≤ k ⇒ a and b share at
    *     least |grams(a)| − k·q gram types;
-   *  2. PREFIX filter under the global (df, gram) rarity order (the d03
-   *     AllPairs machinery on gram sets): at most k·q of a's gram types
-   *     can be absent from b, so among a's k·q+1 RAREST grams at least
-   *     one occurs in b — only those join against the full gram table,
-   *     and the per-doc rarity ranking runs on the TopKPerKey bounded
-   *     heaps, no per-doc sort;
+   *  2. PREFIX-to-PREFIX filter under the global (df, gram) rarity order
+   *     (the Ed-Join form of the d03 AllPairs machinery, on gram sets):
+   *     ed(a,b) ≤ k ⇒ |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − k·q, and the prefix-
+   *     filter theorem then guarantees the two k·q+1-long rarest-gram
+   *     prefixes themselves intersect — so the candidate join is
+   *     prefix ⋈ prefix, NOT prefix ⋈ all-grams (the one-sided variant
+   *     is also sound but joins every doc's rare grams against the
+   *     corpus-wide gram table, which on gram-dense corpora degenerates
+   *     toward all-pairs). Rare grams have small df by construction, so
+   *     the per-gram fan-out is bounded. The per-doc rarity ranking runs
+   *     on the TopKPerKey bounded heaps, no per-doc sort;
    *  3. LENGTH filter: ed ≥ |len_a − len_b|, a one-line candidate
    *     predicate;
    *  4. exact verify with the THRESHOLD-BOUNDED levenshtein (Spark's
@@ -345,7 +350,7 @@ object Dedup {
         Seq(col("df").asc, col("g").asc), maxDist * q + 1)
       .select(col("doc_id").as("da"), col("g"))
     val cands = prefixGrams
-      .join(ex.select(col("doc_id").as("db"), col("g")), "g")
+      .join(prefixGrams.select(col("da").as("db"), col("g")), "g")
       .filter(col("da") =!= col("db"))
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))

@@ -122,6 +122,55 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("e05 PQ codes: 8 digits in [0,16) matching brute-force argmin sub-centroids") {
+    val got = q("e05_pq_code").as[(Long, String)].collect().toMap
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    assert(got.size == e.length && e.nonEmpty)
+    e.foreach { case (id, v) =>
+      val code = (0 until 8).map { mi =>
+        val sub = v.slice(mi * 8, mi * 8 + 8)
+        val dists = (0 until 16).map { c =>
+          sub.zip(VF.centroid(1000 + mi * 16 + c, 8))
+            .map { case (x, y) => (x - y) * (x - y) }.sum
+        }
+        dists.indexOf(dists.min)
+      }.mkString(",")
+      assert(got(id) == code, s"vec $id")
+    }
+  }
+
+  test("j04 incremental-agg merge is bit-identical to the full recompute") {
+    val got = q("j04_incremental_agg")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total_price"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == full && got.nonEmpty)
+  }
+
+  test("q44 SCD2: intervals chain per user and exactly one row is open") {
+    val rows = q("q44_scd2_history")
+      .select(col("user_id"), col("valid_from"), col("valid_to"), col("is_current"))
+      .collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      // consecutive rows: this row's valid_to == next row's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(2) == b.getTimestamp(1))
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(3)) == 1)
+      assert(sorted.last.isNullAt(2))
+    }
+  }
+
   test("s04 k-NN join: equals brute-force window top-3 and plans no cartesian") {
     val res = q("s04_knn_join")
     val got = res.as[(Long, Long, Double)].collect().toSet
