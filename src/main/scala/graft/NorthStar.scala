@@ -309,11 +309,14 @@ object NorthStar {
     // fuzzy (edit-distance) near-dup pairs over 160-char prefixes: the
     // character-level complement to d03's token-shingle Jaccard — catches
     // typo/boilerplate variants as a bounded levenshtein, found via the
-    // q-gram count-filter join (rarest-gram prefix + length filter +
-    // threshold-bounded verify; see Dedup.editDistancePairs). maxDist=8
-    // sits in the corpus's measured margin (matching pairs at ed ∈ {0,4},
-    // next band at 38), and every prefix has >k·q distinct grams — the
-    // operator's recall contract, checked across SFs.
+    // partition-based Pass-Join candidate scheme (pigeonhole segments +
+    // substring probes + length/position windows + threshold-bounded
+    // verify; see Dedup.editDistancePairs — segment equality stays
+    // selective on this corpus's tiny 377-gram vocabulary where gram
+    // signatures degenerate to all-pairs). maxDist=8 sits in the corpus's
+    // measured margin (matching pairs at ed ∈ {0,4}, next band at 38),
+    // and every prefix has ≥ k+1 chars — the operator's recall contract,
+    // checked across SFs (corpus min length 44).
     "d09_editdist_pairs" -> ((s, dir) =>
       graft.operators.Dedup.editDistancePairs(
         docs(s, dir), "doc_id", "text", prefixLen = 160, maxDist = 8)),

@@ -303,55 +303,76 @@ object Dedup {
    * shingle-Jaccard detectors miss (a handful of single-character edits
    * barely moves token shingles' Jaccard but IS a small edit distance).
    *
-   * Scale shape — the character-q-gram count-filter join (Gravano et al.
-   * VLDB'01), not a cross join:
+   * Scale shape — the PARTITION-based candidate scheme (the Pass-Join
+   * family, Li/Deng/Feng ICDE'11), not a gram-signature join and not a
+   * cross join. Gram-count filters (Gravano VLDB'01 / Ed-Join) prune by
+   * shared rare q-grams, which degenerates toward all-pairs on
+   * small-alphabet / low-vocabulary corpora (measured here: a 377-gram
+   * vocabulary put ~96% of all pairs through the gram filter). Segment
+   * equality keeps its selectivity regardless of vocabulary:
    *
-   *  1. each prefix is reduced to its DISTINCT character q-grams; an edit
-   *     touches at most q gram TYPES, so ed(a,b) ≤ k ⇒ a and b share at
-   *     least |grams(a)| − k·q gram types;
-   *  2. PREFIX-to-PREFIX filter under the global (df, gram) rarity order
-   *     (the Ed-Join form of the d03 AllPairs machinery, on gram sets):
-   *     ed(a,b) ≤ k ⇒ |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − k·q, and the prefix-
-   *     filter theorem then guarantees the two k·q+1-long rarest-gram
-   *     prefixes themselves intersect — so the candidate join is
-   *     prefix ⋈ prefix, NOT prefix ⋈ all-grams (the one-sided variant
-   *     is also sound but joins every doc's rare grams against the
-   *     corpus-wide gram table, which on gram-dense corpora degenerates
-   *     toward all-pairs). Rare grams have small df by construction, so
-   *     the per-gram fan-out is bounded. The per-doc rarity ranking runs
-   *     on the TopKPerKey bounded heaps, no per-doc sort;
-   *  3. LENGTH filter: ed ≥ |len_a − len_b|, a one-line candidate
-   *     predicate;
-   *  4. exact verify with the THRESHOLD-BOUNDED levenshtein (Spark's
+   *  1. SEGMENT (pigeonhole): each prefix a is split into k+1 contiguous
+   *     even segments. Any ≤ k edits touch at most k segments, so at
+   *     least one segment of a appears VERBATIM in any b with
+   *     ed(a,b) ≤ k — at a position shifted by at most k (net
+   *     inserts/deletes bound the alignment shift);
+   *  2. PROBE: each doc b emits its substrings of the partner-feasible
+   *     segment lengths (lengths of k+1-partitions of any La within ±k of
+   *     Lb — at most a handful of distinct lengths) at every position;
+   *     the candidate join is segment = substring on the raw string key,
+   *     then the position (|p − start| ≤ k) and length (|La − Lb| ≤ k)
+   *     filters. Emission is ~(#lengths)·|b| rows per doc — linear in
+   *     corpus size with a small constant, and exact long-substring
+   *     equality is selective on ANY alphabet;
+   *  3. exact verify with the THRESHOLD-BOUNDED levenshtein (Spark's
    *     3-arg form computes a banded O(k·n) DP and returns −1 past the
-   *     bound, not the full O(n²) matrix).
+   *     bound, not the full O(n²) matrix) on the DISTINCT candidate
+   *     pairs.
    *
-   * Recall contract (the step-2 guarantee): every prefix must have more
-   * than k·q distinct q-grams — short/degenerate strings below that bound
-   * may share zero grams with a qualifying partner. Callers with shorter
-   * texts lower q or raise prefixLen. Exactness under the contract is
-   * law-tested against brute force in SimilaritySpec.
+   * Recall contract: every prefix needs at least k+1 characters (so all
+   * k+1 segments are non-empty — shorter strings would emit empty
+   * segments whose "occurrences" are meaningless). Exactness is
+   * law-tested against brute-force full-DP levenshtein in
+   * SimilaritySpec across random corpora and edit counts.
    */
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
-                        prefixLen: Int, maxDist: Int, q: Int = 3): DataFrame = {
+                        prefixLen: Int, maxDist: Int): DataFrame = {
+    val k = maxDist
+    val nSeg = (k + 1).toDouble
     val pre = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixLen).as("pre"))
-    val grams = pre.select(col("doc_id"),
-      array_distinct(transform(
-        sequence(lit(1), greatest(length(col("pre")) - lit(q - 1), lit(1))),
-        i => col("pre").substr(i, lit(q)))).as("gs"))
-    val ex = grams.select(col("doc_id"), explode(col("gs")).as("g"))
-    // global document frequency per gram: the q-gram vocabulary is
-    // alphabet-bounded (tiny next to the corpus), so the rarity table
-    // broadcasts at any data size
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ranked = ex.join(broadcast(dfreq), "g")
-    val prefixGrams = Relational.topKPerKey(ranked, Seq("doc_id"),
-        Seq(col("df").asc, col("g").asc), maxDist * q + 1)
-      .select(col("doc_id").as("da"), col("g"))
-    val cands = prefixGrams
-      .join(prefixGrams.select(col("da").as("db"), col("g")), "g")
-      .filter(col("da") =!= col("db"))
+    // each doc's k+1 even segments with their 1-based start positions;
+    // boundary math in doubles is exact (lengths ≤ prefixLen << 2^53)
+    val segs = pre
+      .withColumn("la", length(col("pre")))
+      .select(col("doc_id").as("da"), col("la"),
+        explode(filter(transform(sequence(lit(0), lit(k)), i => {
+          val s0 = floor(col("la").cast("double") * i.cast("double") / lit(nSeg)).cast("int")
+          val e0 = floor(col("la").cast("double") * (i.cast("double") + 1) / lit(nSeg)).cast("int")
+          struct((s0 + 1).as("pa"), col("pre").substr(s0 + 1, e0 - s0).as("seg"))
+        }), s => length(s.getField("seg")) > 0)).as("s"))
+      .select(col("da"), col("la"), col("s.pa").as("pa"), col("s.seg").as("seg"))
+    // probe side: all substrings of the partner-feasible segment lengths.
+    // A partner La ∈ [Lb−k, Lb+k] has segment lengths in
+    // [⌊(Lb−k)/(k+1)⌋, ⌊(Lb+k)/(k+1)⌋ + 1].
+    val probes = pre
+      .withColumn("lb", length(col("pre")))
+      .select(col("doc_id").as("db"), col("lb"), col("pre"),
+        explode(sequence(
+          greatest(floor((col("lb") - lit(k)).cast("double") / lit(nSeg)).cast("int"), lit(1)),
+          floor((col("lb") + lit(k)).cast("double") / lit(nSeg)).cast("int") + 1)).as("len"))
+      .filter(col("len") <= col("lb"))
+      .select(col("db"), col("lb"),
+        explode(sequence(lit(1), col("lb") - col("len") + 1)).as("p"),
+        col("len"), col("pre"))
+      .select(col("db"), col("lb"), col("p"),
+        col("pre").substr(col("p"), col("len")).as("seg"))
+    // string equality implies equal length, so the join key is just the
+    // segment text; position/length windows prune before the distinct
+    val cands = segs.join(probes, "seg")
+      .filter(col("da") =!= col("db") &&
+        abs(col("la") - col("lb")) <= k &&
+        abs(col("p") - col("pa")) <= k)
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()

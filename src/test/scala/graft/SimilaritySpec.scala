@@ -143,8 +143,9 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("law: editDistancePairs equals brute-force bounded levenshtein") {
-    // strings satisfying the recall contract (>k·q distinct 3-grams):
-    // 60-90 chars over a 26-letter alphabet, some mutated copies
+    // strings satisfying the recall contract (length ≥ k+1 so all
+    // pigeonhole segments are non-empty): 60-90 chars over a 26-letter
+    // alphabet, some mutated copies
     import org.scalacheck.Gen
     val baseGen = Gen.listOfN(8, Gen.listOfN(80, Gen.alphaLowerChar).map(_.mkString))
     val prop = Prop.forAll(baseGen, Gen.choose(0L, 999L)) { (bases, seed) =>
