@@ -621,6 +621,87 @@ object Queries {
           col("tot").cast(DoubleType).as("total_price"))
     }),
 
+    // sequential funnel analysis (view → click → purchase): the
+    // event-analytics primitive. Each stage is the MIN event time
+    // strictly after the previous stage's time, so every aggregation and
+    // join is keyed by user_id — one shuffle establishes the
+    // partitioning and the chained stage joins reuse it (co-partitioned,
+    // AQE-local). Timestamps are exact micros; no float anywhere.
+    "q45_funnel" -> ((s, dir) => {
+      val ev = eventsTable(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+      val users = ev.select(col("user_id")).distinct()
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id")).filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id")).filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      users
+        .join(s1, Seq("user_id"), "left")
+        .join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0)).as("stage"))
+    }),
+
+    // weekly cohort retention: users grouped by first-seen week, counted
+    // per (cohort week, week offset) — two aggregations whose keys both
+    // start with user_id (first-seen + distinct active weeks), then one
+    // count per cohort cell. Week offsets are exact integer epoch math.
+    "q46_retention" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+        .distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          expr("(unix_timestamp(active_week) - unix_timestamp(cohort_week)) div 604800")
+            .as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // iterative graph computation: 3 PageRank rounds over the
+    // supplier↔part bipartite graph (distinct lineitem incidences, both
+    // directions). Ranks are FIXED-POINT BIGINTs (scale 10^12) and the
+    // update uses integer div — exact, order-independent arithmetic, so
+    // a distributed iteration is bit-reproducible and SQL-replayable
+    // (floats would make every re-partitioning a different answer).
+    // Each round is one join on src (ranks are co-partitioned after the
+    // first) + one sum by dst; no driver-side state. Overflow bound
+    // (ANSI mode throws rather than wraps): 85·max_indegree·scale must
+    // stay under 2^63 — callers shrink `scale` for hub-heavier graphs.
+    "g02_pagerank" -> ((s, dir) => {
+      val off = 10000000L
+      val scale = 1000000000000L
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
+        .distinct()
+      val both = edges.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+      val outdeg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = both.select(col("src").as("node")).distinct()
+      var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+      for (_ <- 1 to 3) {
+        val contrib = both
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(outdeg, Seq("src"))
+          .select(col("dst").as("node"), expr("rank div deg").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(scale * 15L / 100L) +
+              expr(s"(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+      }
+      ranks
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -648,6 +729,52 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q45_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY 1)
+         SELECT u.user_id, t_view, t_click, t_purchase,
+                CASE WHEN t_purchase IS NOT NULL THEN 3
+                     WHEN t_click IS NOT NULL THEN 2
+                     WHEN t_view IS NOT NULL THEN 1
+                     ELSE 0 END AS stage
+         FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+                LEFT JOIN s3 USING (user_id)""",
+    "q46_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                    FROM events GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+               FROM events)
+         SELECT cohort_week,
+                (epoch(active_week) - epoch(cohort_week)) // 604800 AS week_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
+    "g02_pagerank" -> {
+      def round(prev: String, out: String) =
+        s"""c$out AS (SELECT e.dst AS node, SUM($prev.rank // d.deg) AS in_sum
+                      FROM e JOIN $prev ON e.src = $prev.node
+                      JOIN deg d ON e.src = d.src GROUP BY 1),
+            $out AS (SELECT n.node,
+                       150000000000 + (85 * COALESCE(c$out.in_sum, 0)) // 100 AS rank
+                     FROM n LEFT JOIN c$out USING (node))"""
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+                      FROM lineitem),
+         e AS (SELECT s AS src, p AS dst FROM e0
+               UNION ALL SELECT p AS src, s AS dst FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM n),
+         ${round("r0", "r1")},
+         ${round("r1", "r2")},
+         ${round("r2", "r3")}
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
+    },
     "q44_scd2_history" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

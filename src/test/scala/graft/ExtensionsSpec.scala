@@ -171,6 +171,41 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 funnel: stage timestamps are strictly ordered and stage is consistent") {
+    val rows = q("q45_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tv, tc, tp) = (r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))
+      val stage = r.getInt(4)
+      if (tp != null) { assert(stage == 3 && tc != null && tv != null) }
+      else if (tc != null) assert(stage == 2 && tv != null)
+      else if (tv != null) assert(stage == 1)
+      else assert(stage == 0)
+      if (tc != null) assert(tc.after(tv))
+      if (tp != null) assert(tp.after(tc))
+    }
+  }
+
+  test("q46 retention: the week-0 cell equals the cohort size") {
+    val ret = q("q46_retention").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cohorts = Queries.eventsTable(spark, dir)
+      .groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+      .groupBy(col("cw")).count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(cohorts.nonEmpty)
+    cohorts.foreach { case (cw, n) => assert(ret((cw, 0L)) == n, s"cohort $cw") }
+  }
+
+  test("g02 pagerank: deterministic across runs, every rank >= the teleport floor") {
+    val a = q("g02_pagerank").as[(Long, Long)].collect().toMap
+    val b = q("g02_pagerank").as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+    assert(a.values.forall(_ >= 150000000000L))
+    // truncating integer division only loses mass: total stays under n·scale
+    assert(a.values.map(BigInt(_)).sum <= BigInt(a.size) * BigInt(1000000000000L))
+  }
+
   test("s04 k-NN join: equals brute-force window top-3 and plans no cartesian") {
     val res = q("s04_knn_join")
     val got = res.as[(Long, Long, Double)].collect().toSet
