@@ -155,7 +155,7 @@ object NorthStar {
     * become mod-2^64 multiply / xor / integer division by a power of
     * two. Validated bit-exact against the expression on the harness
     * corpus (the g01 oracle hash-matches). */
-  private def mixSql(h: String, j: String): String = {
+  private[graft] def mixSql(h: String, j: String): String = {
     val seed = s"((($j) + 1) * CAST($GoldenU AS HUGEINT)) % $U64"
     val z0 = s"xor(($h), $seed)"
     val z1 = mulmodSql(z0, M1U)

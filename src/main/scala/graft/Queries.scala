@@ -702,6 +702,58 @@ object Queries {
       ranks
     }),
 
+    // count-min frequency sketch (depth 4 × width 256) over per-user
+    // event counts, next to the exact answer — the bounded-state
+    // frequency-estimation twin of a01's KMV cardinality sketch. The
+    // hash family is the same FNV+MinHashMix the g01 oracle replays in
+    // HUGEINT arithmetic, so the SKETCH (and its over-estimates) is an
+    // engine-independent function of the input and exactly
+    // SQL-checkable. Cell table is d·w rows regardless of scale
+    // (map-side combined); the probe join broadcasts it. 2^64 ≡ 0
+    // (mod 256), so signed pmod equals the unsigned residue.
+    "a02_countmin" -> ((s, dir) => {
+      val d = 4; val w = 256L
+      val ev = eventsTable(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val h = ev
+        .withColumn("sig", graft.functions.Hashing.fnvMinhashSignature(
+          array(col("user_id").cast(StringType)), d))
+        .select(col("user_id"), col("n"),
+          posexplode(transform(sequence(lit(0), lit(d - 1)),
+            j => pmod(element_at(col("sig"), j + 1), lit(w)))).as(Seq("j", "bucket")))
+      val cells = h.groupBy(col("j"), col("bucket")).agg(sum(col("n")).as("cell"))
+      val est = h.join(broadcast(cells), Seq("j", "bucket"))
+        .groupBy(col("user_id")).agg(min(col("cell")).as("est_count"))
+      ev.join(est, Seq("user_id"))
+        .select(col("user_id"), col("n").as("n_exact"), col("est_count"))
+    }),
+
+    // per-group z-score outlier detection (data-cleaning tier): group
+    // moments from exact DECIMAL sums (q37's determinism contract), the
+    // z computation a fixed single-op sequence, flag |z| > 1.7 (the
+    // harness prices are uniform, so |z| is bounded by √3 ≈ 1.73 —
+    // 1.7 selects the genuine distribution tail; heavy-tailed real data
+    // uses the conventional 3). The stats
+    // row per group broadcasts; the scan stays pipelined — no shuffle of
+    // the fact table at all.
+    "q47_outliers" -> ((s, dir) => {
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      val stats = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(p).cast(DoubleType).as("sp"),
+          sum(p * p).cast(DoubleType).as("spp"))
+        .select(col("l_returnflag"),
+          (col("sp") / col("n")).as("mean_p"),
+          sqrt((col("spp") - col("sp") * col("sp") / col("n")) / (col("n") - 1))
+            .as("sd_p"))
+      t(s, dir, "lineitem")
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .withColumn("z", (col("l_extendedprice") - col("mean_p")) / col("sd_p"))
+        .filter(abs(col("z")) > 1.7)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"), col("z"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -729,6 +781,28 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "a02_countmin" ->
+      s"""WITH ev AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         h AS (SELECT user_id, n, j,
+                 (${NorthStar.mixSql(NorthStar.fnvSql("CAST(user_id AS VARCHAR)"), "j")}) % 256 AS bucket
+               FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)),
+         cells AS (SELECT j, bucket, SUM(n) AS cell FROM h GROUP BY 1, 2),
+         est AS (SELECT h.user_id, min(cell) AS est_count
+                 FROM h JOIN cells USING (j, bucket) GROUP BY 1)
+         SELECT user_id, n AS n_exact, CAST(est_count AS BIGINT) AS est_count
+         FROM ev JOIN est USING (user_id)""",
+    "q47_outliers" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp
+            FROM lineitem GROUP BY 1),
+         st AS (SELECT l_returnflag, sp / n AS mean_p,
+                  sqrt((spp - sp * sp / n) / (n - 1)) AS sd_p FROM s)
+         SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                (l_extendedprice - mean_p) / sd_p AS z
+         FROM lineitem JOIN st USING (l_returnflag)
+         WHERE abs((l_extendedprice - mean_p) / sd_p) > 1.7""",
     "q45_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
          s1 AS (SELECT user_id, min(ts) AS t_view FROM events

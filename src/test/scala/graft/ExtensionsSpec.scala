@@ -206,6 +206,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.values.map(BigInt(_)).sum <= BigInt(a.size) * BigInt(1000000000000L))
   }
 
+  test("a02 count-min: estimate is always >= the exact count (one-sided error)") {
+    val rows = q("a02_countmin")
+      .select(col("n_exact"), col("est_count")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, est) => assert(est >= n) }
+  }
+
+  test("q47 outliers: every flagged row's |z| exceeds the threshold, z matches moments") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("m"),
+        stddev_samp(col("l_extendedprice")).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = q("q47_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (m, sd) = stats(r.getString(2))
+      val z = (r.getDouble(3) - m) / sd
+      assert(math.abs(r.getDouble(4) - z) < 1e-9)
+      assert(math.abs(r.getDouble(4)) > 1.7)
+    }
+  }
+
   test("s04 k-NN join: equals brute-force window top-3 and plans no cartesian") {
     val res = q("s04_knn_join")
     val got = res.as[(Long, Long, Double)].collect().toSet
