@@ -353,6 +353,44 @@ object NorthStar {
           coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
     }),
 
+    // content-defined chunking (CDC — the rsync/dedup primitive d10's
+    // fixed-stride windows approximate): a boundary falls after position
+    // i+7 wherever the 8-char window hash at i satisfies h ≡ 0 (mod 64),
+    // so chunk boundaries move WITH the content — an insertion early in
+    // a document shifts d10's fixed windows but leaves CDC boundaries
+    // downstream of it untouched (expected chunk ≈ 64 chars). Pure
+    // per-row expression work: window hashes, cut positions, and chunk
+    // fingerprints all materialize inside the scan task via
+    // transform/filter/zip_with — no shuffle at any corpus size; the
+    // emitted rows are (doc_id, chunk_idx, chunk_len, chunk_hash), the
+    // fingerprint table downstream passage-dedup joins on.
+    "d11_cdc_chunks" -> ((s, dir) => {
+      val len = length(col("text"))
+      val cuts = when(len >= 8,
+        filter(
+          transform(sequence(lit(1), len - 7),
+            i => struct(i.as("i"),
+              Hashing.fnvChecksum(col("text").substr(i, lit(8)).cast(BinaryType)).as("h"))),
+          w => pmod(w.getField("h"), lit(64L)) === 0))
+        .otherwise(array().cast("array<struct<i:int,h:bigint>>"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          transform(cuts, w => w.getField("i") + 7).as("cs"))
+        .select(col("doc_id"), col("text"),
+          concat(array(lit(1)), transform(col("cs"), c => c + 1)).as("starts"),
+          concat(col("cs"), array(length(col("text")))).as("ends"))
+        .select(col("doc_id"),
+          posexplode(zip_with(col("starts"), col("ends"),
+            (st, en) => struct(st.as("st"), en.as("en")))).as(Seq("chunk_idx", "c")),
+          col("text"))
+        .filter(col("c.en") >= col("c.st"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("c.en") - col("c.st") + 1).as("chunk_len"),
+          Hashing.fnvChecksum(
+            col("text").substr(col("c.st"), col("c.en") - col("c.st") + 1)
+              .cast(BinaryType)).as("chunk_hash"))
+    }),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -927,6 +965,27 @@ object NorthStar {
                        AS n_dup_chunks
                    FROM ch GROUP BY 1)
           SELECT doc_id, n_chunks, n_dup_chunks FROM pd""",
+    // aligned unnest of equal-length lists is positional in DuckDB, which
+    // reproduces posexplode(zip_with(...)) exactly
+    "d11_cdc_chunks" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS len FROM documents),
+         cu AS (SELECT doc_id, text, len,
+                  list_transform(list_filter(range(1, greatest(len - 7, 0) + 1),
+                    i -> (${fnvSql("substring(text, CAST(i AS INT), 8)")}) % 64 = 0),
+                    i -> i + 7) AS cs
+                FROM base),
+         se AS (SELECT doc_id, text,
+                  list_prepend(CAST(1 AS BIGINT), list_transform(cs, c -> c + 1)) AS starts,
+                  list_append(cs, CAST(len AS BIGINT)) AS ends
+                FROM cu),
+         ex AS (SELECT doc_id, text,
+                  unnest(range(0, len(starts))) AS chunk_idx,
+                  unnest(starts) AS st, unnest(ends) AS en
+                FROM se)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                CAST(en - st + 1 AS INT) AS chunk_len,
+                ${signedSql(fnvSql("substring(text, CAST(st AS INT), CAST(en - st + 1 AS INT))"))} AS chunk_hash
+         FROM ex WHERE en >= st""",
     "t11_repetition" ->
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
             c AS (SELECT doc_id, term, count(*) AS c FROM tk GROUP BY 1, 2),

@@ -50,6 +50,26 @@ class SearchSpec extends AnyFunSuite {
     assert(out == Map(3L -> 2L))
   }
 
+  test("d11 CDC chunks: content-defined boundaries survive a prefix insertion") {
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val d = Files.createTempDirectory("graft_cdc").toString
+    Seq((0L, base, "en", "s0", base.length.toLong),
+        (1L, "INSERTED-PREFIX-" + base, "en", "s0", base.length + 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val chunks = NorthStar.queries("d11_cdc_chunks")(spark, d)
+      .select(col("doc_id"), col("chunk_hash")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val shared = chunks(0L).intersect(chunks(1L))
+    // only the chunks touching the insertion point may differ; every
+    // downstream boundary re-synchronizes (fixed-stride chunking would
+    // lose EVERY downstream chunk)
+    assert(chunks(0L).size > 10, s"expected many chunks, got ${chunks(0L).size}")
+    assert(shared.size >= chunks(0L).size - 2,
+      s"CDC must preserve downstream chunks: ${shared.size} of ${chunks(0L).size}")
+  }
+
   test("t15 mixing weights: normalized over sources, proportional to sqrt token mass") {
     val rows = NorthStar.queries("t15_mix_weights")(spark, dir)
       .select(col("source"), col("n_tokens"), col("weight"))
