@@ -137,6 +137,32 @@ class PlansSpec extends AnyFunSuite {
     assert(rankFn.queryExecution.executedPlan.toString.contains("Window"))
   }
 
+  test("round-4 third-wave plan shapes: t13/q44/t16/d11") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+    // t13 BM25: corpus stats broadcast to the scoring map; top-k is a
+    // TakeOrderedAndProject, never a global sort
+    val t13 = plan("t13_bm25_search")
+    assert(t13.contains("TakeOrderedAndProject") && t13.contains("BroadcastExchange"),
+      s"t13:\n$t13")
+    assert(!t13.contains("GlobalSort"), "t13 must not globally sort")
+    // q44 SCD2: both window passes share ONE exchange (same partitioning
+    // and order — no re-shuffle between lag and lead)
+    val q44 = plan("q44_scd2_history")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(q44).size == 1, s"q44:\n$q44")
+    assert(q44.split("\n").count(_.contains("Window")) >= 2)
+    // t16 phrase search: posting-list joins stay equi — no cartesian
+    val t16 = plan("t16_phrase_search")
+    assert(!t16.contains("CartesianProduct") && !t16.contains("BroadcastNestedLoopJoin"),
+      s"t16:\n$t16")
+    // d11 CDC: chunking is per-row expression work — no join, no
+    // aggregate; the only exchange is the harness input repartition
+    val d11 = plan("d11_cdc_chunks")
+    assert(!d11.contains("Join") && !d11.contains("HashAggregate"), s"d11:\n$d11")
+    assert("(?<!Broadcast)Exchange".r.findAllIn(d11).size <= 1, s"d11:\n$d11")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
     val df = (1 to 90).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong)).toDF("dt", "v")
