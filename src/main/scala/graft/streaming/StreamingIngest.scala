@@ -58,6 +58,48 @@ object StreamingIngest {
       .start()
 
   /**
+   * Streaming incremental materialized-view maintenance — the streaming
+   * twin of batch j04: each micro-batch reduces to per-key PARTIAL
+   * aggregates (count + exact DECIMAL sum — the ⊕-mergeable form) and
+   * overwrites ONLY its own `_batch_id` partition, so a replayed batch
+   * replaces itself instead of double-adding — exactly-once without
+   * read-modify-write on the store. The maintained view is
+   * [[aggView]]'s ⊕-merge of the partials at read; periodic compaction
+   * (fold old partitions with the same ⊕) bounds partition count
+   * without changing the result. Write path is append-only and carries
+   * only (key, n, tot) rows — batch-sized, never corpus-sized.
+   */
+  def startAggMaintenance(events: DataFrame, storePath: String,
+                          checkpointDir: String,
+                          keyCol: String = "user_id",
+                          valCol: String = "value"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n"),
+            sum(col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .as("tot"))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(storePath)
+      }
+      .start()
+
+  /** The maintained aggregate view over [[startAggMaintenance]]'s partial
+    * store: ⊕-merge (sum of counts, sum of exact DECIMAL partials) —
+    * bit-identical to a full recompute over every event ever ingested. */
+  def aggView(spark: SparkSession, storePath: String,
+              keyCol: String = "user_id"): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col(keyCol))
+      .agg(sum(col("n")).as("n"),
+        sum(col("tot")).cast("double").as("sum_value"))
+
+  /**
    * Watermarked windowed aggregation over the event stream (the streaming
    * analogue of q19): per event-type counts/sums in event-time windows;
    * rows later than the watermark are dropped, state for closed windows

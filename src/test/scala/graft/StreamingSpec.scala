@@ -47,6 +47,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.select(countDistinct(col("time_of_record"))).collect().head.getLong(0) == 2)
   }
 
+  test("incremental agg maintenance: view tracks the full recompute across batches and replays") {
+    val root = Files.createTempDirectory("graft_aggmaint").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def landCsv(name: String, rows: Seq[(Long, Double)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$landing/$name"),
+        rows.map { case (u, v) => s"$u,$v" }.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, value DOUBLE").csv(landing)
+      StreamingIngest.startAggMaintenance(src, store, ckpt).awaitTermination()
+    }
+    landCsv("b1.csv", Seq((1L, 10.0), (1L, 5.0), (2L, 7.0)))
+    drain()
+    val v1 = StreamingIngest.aggView(spark, store)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(v1 == Map(1L -> (2L, 15.0), 2L -> (1L, 7.0)))
+
+    // replay with no new data: partial partitions replace themselves,
+    // the view must NOT double-count
+    drain()
+    val v2 = StreamingIngest.aggView(spark, store)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(v2 == v1)
+
+    // a second batch merges incrementally — view equals full recompute
+    landCsv("b2.csv", Seq((2L, 3.0), (3L, 1.0)))
+    drain()
+    val v3 = StreamingIngest.aggView(spark, store)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(v3 == Map(1L -> (2L, 15.0), 2L -> (2L, 10.0), 3L -> (1L, 1.0)))
+  }
+
   test("watermarked windowed aggregation emits per-window per-type totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
