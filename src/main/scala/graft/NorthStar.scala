@@ -518,6 +518,32 @@ object NorthStar {
       VF.cosineTopKIvf(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64)
     }),
 
+    // maximum-inner-product search (MIPS — recommendation/retrieval
+    // scoring, where cosine's normalization is wrong) via the
+    // norm-augmentation reduction [Bachrach et al. RecSys'14]: append
+    // sqrt(M² − |x|²) to every data vector (M = max corpus norm) and 0
+    // to the query, and augmented cosine = dot(x,q)/(M·|q|) — a constant
+    // positive denominator, so ranking by augmented cosine IS ranking by
+    // inner product, and any cosine-ANN index (s02 LSH / s03 IVF) serves
+    // MIPS unchanged. The closed form is used directly; M is a 1-row
+    // broadcast (max is order-independent), scoring is one pass, top-10
+    // is a TakeOrderedAndProject. The ranking-equivalence law
+    // (augmented-cosine order == direct dot order) is unit-tested.
+    "s05_mips" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val mrow = e.agg(max(sqrt(VF.normSq(col("v")))).as("mnorm"))
+      val q = e.filter(col("vec_id") === 1)
+        .select(col("v").as("qv"), VF.normSq(col("v")).as("qnsq"))
+      e.crossJoin(broadcast(mrow)).crossJoin(broadcast(q))
+        .select(col("vec_id"), VF.dot(col("v"), col("qv")).as("ip"),
+          col("mnorm"), col("qnsq"))
+        .select(col("vec_id"), col("ip"),
+          (col("ip") / (col("mnorm") * sqrt(col("qnsq")))).as("cos_aug"))
+        .orderBy(col("cos_aug").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("ip"))
+    }),
+
     // -- text analysis --------------------------------------------------
 
     "t01_token_count" -> ((s, dir) =>
@@ -1141,6 +1167,13 @@ object NorthStar {
                  ${cosineSql("a.v", "b.v")} AS score
           FROM e a JOIN e b ON a.vec_id < b.vec_id
           WHERE ${cosineSql("a.v", "b.v")} >= 0.45""",
+    "s05_mips" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            m AS (SELECT max(sqrt(${dotSql("v", "v")})) AS mnorm FROM e),
+            q AS (SELECT v AS qv, ${dotSql("v", "v")} AS qnsq FROM e WHERE vec_id = 1),
+            sc AS (SELECT vec_id, ${dotSql("e.v", "q.qv")} AS ip FROM e, q)
+          SELECT vec_id, ip FROM sc, m, q
+          ORDER BY ip / (m.mnorm * sqrt(q.qnsq)) DESC, vec_id LIMIT 10""",
     "s01_cosine_topk" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
                e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

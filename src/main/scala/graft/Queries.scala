@@ -754,6 +754,24 @@ object Queries {
           col("l_extendedprice"), col("z"))
     }),
 
+    // explicit GROUPING SETS with grouping_id — the general form behind
+    // q22 rollup / q34 cube: user-chosen marginals in ONE Expand +
+    // hash-agg pass (not one scan per set), with grouping_id
+    // disambiguating "aggregated away" from "genuinely NULL". DECIMAL
+    // sums for exactness, via the SQL front-end (the surface a BI layer
+    // would drive).
+    "q48_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      """)
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -781,6 +799,13 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q48_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                count(*) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
     "a02_countmin" ->
       s"""WITH ev AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
          h AS (SELECT user_id, n, j,

@@ -206,6 +206,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.values.map(BigInt(_)).sum <= BigInt(a.size) * BigInt(1000000000000L))
   }
 
+  test("s05 MIPS reduction law: augmented-cosine ranking equals direct dot top-k") {
+    val got = q("s05_mips").select(col("vec_id")).as[Long].collect().toSeq
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+    val qv = e.filter(col("vec_id") === 1).select(col("v")).as[Seq[Double]].head().toArray
+    val direct = e.select(col("vec_id"), VF.dot(col("v"), lit(qv)).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).select(col("vec_id")).as[Long].collect().toSeq
+    assert(got == direct)
+  }
+
   test("a02 count-min: estimate is always >= the exact count (one-sided error)") {
     val rows = q("a02_countmin")
       .select(col("n_exact"), col("est_count")).as[(Long, Long)].collect()
