@@ -738,6 +738,31 @@ object NorthStar {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)),
 
+    // bigram language-model estimation — the count side of KN/MLE LM
+    // training over a corpus: P(w2|w1) = c(w1 w2) / c(w1 ·), where the
+    // denominator is the context's total CONTINUATION count (sum of its
+    // bigram counts — a doc's last token is no one's context). Counts
+    // are exact integers; the conditional is one exact-int division per
+    // row, so the probabilities hash-match cross-engine. Bigram fan-out
+    // stays in the scan task; the context totals are vocabulary-sized
+    // and broadcast back. Top-30 by raw count (TakeOrdered).
+    "t17_bigram_lm" -> ((s, dir) => {
+      val pairs = docs(s, dir)
+        .select(TF.tokens(col("text")).as("tks"))
+        .filter(size(col("tks")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("tks")) - 2),
+          i => struct(element_at(col("tks"), i + 1).as("w1"),
+                      element_at(col("tks"), i + 2).as("w2")))).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      c2.join(broadcast(c1), Seq("w1"))
+        .select(col("w1"), col("w2"), col("c2"),
+          (col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("p_cond"))
+        .orderBy(col("c2").desc, col("w1"), col("w2"))
+        .limit(30)
+    }),
+
     // data-mixing weights — temperature-based source sampling (the
     // multi-corpus mixing step of a training-data pipeline): per-source
     // token mass, α = 0.5 temperature (w ∝ n_tokens^α), normalized over
@@ -1058,6 +1083,17 @@ object NorthStar {
                   FROM tk WHERE len(tks) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "t17_bigram_lm" ->
+      s"""WITH tk AS (SELECT $sqlToks AS tks FROM documents),
+            p AS (SELECT unnest(list_transform(range(1, len(tks)),
+                    i -> struct_pack(w1 := tks[i], w2 := tks[i+1]))) AS pr
+                  FROM tk WHERE len(tks) >= 2),
+            c2 AS (SELECT pr.w1 AS w1, pr.w2 AS w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+            c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+          SELECT w1, w2, c2,
+                 CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_cond
+          FROM c2 JOIN c1 USING (w1)
+          ORDER BY c2 DESC, w1, w2 LIMIT 30""",
     "t15_mix_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,
                          CAST(SUM(len($sqlToks)) AS BIGINT) AS n_tokens
