@@ -772,6 +772,57 @@ object Queries {
       """)
     }),
 
+    // recursive CTE (Spark 4's WITH RECURSIVE / UnionLoop): generate the
+    // month spine of the order date range and gap-fill monthly totals —
+    // the calendar-dimension primitive warehouses derive rather than
+    // store. The two range bounds are scalar driver lookups (bounded
+    // collect, like s01's query vector); the recursion itself runs in
+    // the engine, one month per level (~80 levels, under the default
+    // recursion limit — a DAY spine would need the limit raised).
+    "q49_month_spine" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      val row = s.sql(
+        """SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS STRING),
+                  CAST(date_trunc('MONTH', max(o_orderdate)) AS STRING)
+           FROM orders""").head()
+      val (lo, hi) = (row.getString(0), row.getString(1))
+      s.sql(s"""
+        WITH RECURSIVE spine AS (
+          SELECT TIMESTAMP '$lo' AS month_start
+          UNION ALL
+          SELECT month_start + INTERVAL '1' MONTH FROM spine
+          WHERE month_start < TIMESTAMP '$hi'
+        ),
+        agg AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS month_start,
+                 count(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+          FROM orders GROUP BY 1
+        )
+        SELECT month_start,
+               COALESCE(n, 0L) AS n_orders,
+               COALESCE(tot, 0.0D) AS total_price
+        FROM spine LEFT JOIN agg USING (month_start)
+      """)
+    }),
+
+    // correlated EXISTS / NOT EXISTS through the SQL front-end —
+    // Catalyst decorrelates both into semi/anti joins (no per-row
+    // subquery execution, the property that keeps correlated predicates
+    // viable at scale)
+    "q50_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = o.o_orderkey
+                            AND l2.l_discount > 0.09)
+      """)
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -799,6 +850,30 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q49_month_spine" ->
+      """WITH RECURSIVE spine AS (
+           SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS month_start
+           UNION ALL
+           SELECT month_start + INTERVAL 1 MONTH FROM spine
+           WHERE month_start < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+         ),
+         agg AS (
+           SELECT date_trunc('month', o_orderdate) AS month_start,
+                  count(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tot
+           FROM orders GROUP BY 1
+         )
+         SELECT month_start,
+                COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+                COALESCE(tot, 0.0) AS total_price
+         FROM spine LEFT JOIN agg USING (month_start)""",
+    "q50_exists" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = o.o_orderkey
+                             AND l2.l_discount > 0.09)""",
     "q48_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -19,6 +19,16 @@ class ExtensionsSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = SparkEntry.queries(name)(spark, dir)
 
+  test("harness contract: every query has an oracle, no orphan oracles, no key collisions") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert((ok -- qk).isEmpty, s"oracles without queries: ${ok -- qk}")
+    assert((qk -- ok).isEmpty, s"rows-only queries (should be zero): ${qk -- ok}")
+    // Map ++ silently drops duplicates — sizes must add up across tiers
+    assert(qk.size == Queries.parity.size + NorthStar.queries.size,
+      "duplicate query key between parity and north-star tiers")
+  }
+
   test("q34 cube: contains the plain group-by rows plus marginals and one grand total") {
     val cube = q("q34_cube").collect()
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
