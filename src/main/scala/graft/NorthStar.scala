@@ -636,6 +636,27 @@ object NorthStar {
         .select(col("doc_id"), col("source"))
     }),
 
+    // systematic probability-proportional-to-size sampling by token
+    // mass — the weighted complement of t10's per-stratum fraction: one
+    // selection per crossing of a W/k boundary in cumulative-weight
+    // space, so heavy documents are proportionally more likely, the
+    // sample is deterministic (no RNG), and the selection predicate is
+    // pure integer arithmetic (floor-crossing via integer div — exactly
+    // SQL-replayable). The cumulative weight comes from the DISTRIBUTED
+    // exact prefix sum (Relational.withRunningTotal: range-partitioned
+    // parallel cumsum + a partition-count-sized offset fold), not an
+    // unpartitioned window.
+    "t18_weighted_sample" -> ((s, dir) => {
+      val k = 50L
+      val cw = graft.operators.Relational.withRunningTotal(
+        docs(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", "cw")
+      val tot = cw.agg(max(col("cw")).as("tw"))
+      cw.crossJoin(broadcast(tot))
+        .filter(expr(s"(cw * $k) div tw > ((cw - n_chars) * $k) div tw"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // within-document repetition signals (Gopher/C4-style quality rules):
     // duplicate-token fraction and top-term fraction per document. The
     // per-row mode can't be a per-row expression without O(n²) work, so
@@ -1083,6 +1104,14 @@ object NorthStar {
                   FROM tk WHERE len(tks) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "t18_weighted_sample" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+                      SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+                    FROM documents),
+         t AS (SELECT max(cw) AS tw FROM c)
+         SELECT doc_id, n_chars FROM c, t
+         WHERE (cw * 50) // tw > ((cw - n_chars) * 50) // tw""",
     "t17_bigram_lm" ->
       s"""WITH tk AS (SELECT $sqlToks AS tks FROM documents),
             p AS (SELECT unnest(list_transform(range(1, len(tks)),

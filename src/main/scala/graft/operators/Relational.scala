@@ -119,6 +119,37 @@ object Relational {
   }
 
   /**
+   * Distributed EXACT prefix sum (running total) over a total order —
+   * the scale-safe replacement for `sum().over(Window.orderBy(...))`,
+   * whose unpartitioned window funnels the whole table through one
+   * task. Two passes: (1) range-partition by the order column and run
+   * the prefix sum per partition in parallel; (2) fold the per-partition
+   * totals into starting offsets (a partition-count-sized table — the
+   * only single-task window — broadcast back). The result is
+   * independent of the partition count (law-tested) because range
+   * partitioning preserves the total order across partitions.
+   *
+   * Contract: `orderCol` must be a total order (no ties) and `valCol`
+   * non-null; sums must fit a long / the input type's sum.
+   */
+  def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
+                       outCol: String = "running_total",
+                       partitions: Int = 32): DataFrame = {
+    val parts = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val wl = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parts.withColumn("_lcw", sum(col(valCol)).over(wl))
+    val wo = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("_pid")).agg(max(col("_lcw")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(wo), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(outCol, col("_lcw") + col("_off"))
+      .drop("_pid", "_lcw")
+  }
+
+  /**
    * MERGE / upsert (SCD type-1): apply a source batch of changed + new
    * rows onto a target table keyed by `keys` — the lakehouse `MERGE INTO
    * t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED

@@ -32,6 +32,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == got.sorted.reverse && got.head == 99L)
   }
 
+  test("withRunningTotal equals the single-window cumsum, invariant to partition count") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (i.toLong * 3 + rnd.nextInt(2), // unique, gappy order keys
+      rnd.nextInt(100).toLong)).toMap.toSeq.toDF("k", "v")
+    val expected = df
+      .withColumn("rt", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("k"), col("rt")).as[(Long, Long)].collect().toMap
+    for (p <- Seq(1, 7, 32)) {
+      val got = Relational.withRunningTotal(df, "k", "v", "rt", partitions = p)
+        .select(col("k"), col("rt")).as[(Long, Long)].collect().toMap
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
   test("mergeUpsert: matched keys replaced, new keys appended, rest untouched") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
