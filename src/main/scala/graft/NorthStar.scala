@@ -391,6 +391,14 @@ object NorthStar {
               .cast(BinaryType)).as("chunk_hash"))
     }),
 
+    // asymmetric containment pairs — |A∩B| / min(|A|,|B|) ≥ 0.8: the
+    // quote/boilerplate-inclusion relation d03's symmetric Jaccard
+    // misses (a short doc embedded in a long one has containment ≈ 1,
+    // Jaccard ≈ |A|/|B|). Shares the memoized shingle-hash table;
+    // see Dedup.containmentPairs for the one-sided prefix filter.
+    "d12_containment_pairs" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(hsTable(s, dir), 0.8)),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -1186,6 +1194,23 @@ object NorthStar {
             FROM documents)
           WHERE doc_id = keep""",
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
+    // same shingle CTEs as the jaccard oracle, containment denominator
+    "d12_containment_pairs" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest($sqlShingles) AS s FROM documents
+          ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          ), pair AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+          )
+          SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+          FROM pair
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8""",
     // naive all-pairs bounded-levenshtein — feasible at the oracle gate's
     // 500-doc scale; the Spark side's filters only prune, never change
     // the result set

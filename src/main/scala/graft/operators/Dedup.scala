@@ -173,6 +173,51 @@ object Dedup {
    * per-row set allocation); jaccard = inter/(na+nb−inter), the oracle's
    * exact arithmetic.
    */
+  /**
+   * Containment pairs: |A ∩ B| / min(|A|, |B|) ≥ t — the ASYMMETRIC
+   * overlap relation symmetric Jaccard misses by construction (a short
+   * document quoted wholesale inside a long one has containment ≈ 1 but
+   * Jaccard ≈ |A|/|B| — arbitrarily small). This is the
+   * quote/boilerplate-inclusion detector of an LLM-data pipeline.
+   *
+   * Candidate scheme: the SMALLER side of a qualifying pair has at most
+   * n − ⌈t·n⌉ shingles outside the intersection, so its n − ⌈t·n⌉ + 1
+   * rarest shingles (global (df, hash) order — same machinery as
+   * [[jaccardPairsExact]]) must hit the intersection. The matching
+   * shingle can sit ANYWHERE in the larger side — containment is
+   * precisely about unequal sizes, so there is no length filter and the
+   * join is prefix ⋈ FULL index (every doc emits a prefix, covering
+   * both orientations). Prefix shingles are rare by construction, so
+   * the per-shingle fan-out stays bounded. Exact verification on the
+   * sorted hash arrays last.
+   */
+  def containmentPairs(hsTable: DataFrame, threshold: Double): DataFrame = {
+    val sh = hsTable.select(col("doc_id"), size(col("hs")).as("n"),
+      explode(col("hs")).as("s"))
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-6) + 1)
+      .select(col("doc_id").as("pa"), col("s"))
+    val cand = prefix
+      .join(sh.select(col("doc_id").as("pb"), col("s")), "s")
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"))
+      .distinct()
+    cand
+      .repartition(col("doc_a"))
+      .join(hsTable.toDF("doc_a", "hs_a"), "doc_a")
+      .join(hsTable.toDF("doc_b", "hs_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Hashing.sortedIntersectCount(col("hs_a"), col("hs_b")).as("inter"),
+        least(size(col("hs_a")), size(col("hs_b"))).as("mn"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast(DoubleType) / col("mn").cast(DoubleType)).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def exactVerify(cand: DataFrame, hsTable: DataFrame, threshold: Double): DataFrame =
     cand
       .repartition(col("doc_a"))

@@ -113,6 +113,37 @@ class SimilaritySpec extends AnyFunSuite {
     }, n = 8)
   }
 
+  private def bruteContainment(docs: Seq[(Long, List[String])],
+                               t: Double): Set[(Long, Long, Double)] =
+    (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      inter = (sa & sb).size
+      c = inter.toDouble / math.min(sa.size, sb.size)
+      if c >= t
+    } yield (ia, ib, c)).toSet
+
+  test("law: containmentPairs == brute force, incl. planted sub-documents") {
+    // plant a contiguous slice of an existing doc: containment vs its
+    // source ≈ 1 even though Jaccard is small — the asymmetric case
+    val genWithSub = for {
+      corpus <- corpusGen
+      subOf <- Gen.choose(0, 3)
+      takeN <- Gen.choose(5, 9)
+    } yield {
+      val src = corpus(subOf % corpus.size)._2
+      corpus :+ ((corpus.size.toLong, src.take(math.max(4, math.min(takeN, src.size)))))
+    }
+    check(Prop.forAll(genWithSub) { corpus =>
+      val docs = corpus.map { case (i, tks) => (i, tks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val hs = Dedup.shingleHashTable(docs, "doc_id", "text", 3)
+      val got = Dedup.containmentPairs(hs, 0.8)
+        .as[(Long, Long, Double)].collect().toSet
+      got == bruteContainment(corpus, 0.8)
+    }, n = 8)
+  }
+
   test("law: MinHash-LSH pairs == brute force on planted-duplicate corpora") {
     check(Prop.forAll(corpusGen) { corpus =>
       val docs = corpus.map { case (i, tks) => (i, tks.mkString(" ")) }
