@@ -823,6 +823,42 @@ object Queries {
       """)
     }),
 
+    // equi-width histogram (data-profiling tier): 20 buckets over the
+    // price range per return flag. Bounds come from one broadcast stats
+    // row; the bucket index is a fixed single-op sequence on doubles
+    // (identical both engines), the max value clamped into the last
+    // bucket. One partial/final agg pass — the scan never reshuffles.
+    "q51_histogram" -> ((s, dir) => {
+      val nb = 20
+      val bounds = t(s, dir, "lineitem").agg(
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      t(s, dir, "lineitem")
+        .crossJoin(broadcast(bounds))
+        .select(col("l_returnflag"),
+          least(
+            floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / nb))
+              .cast(LongType),
+            lit(nb - 1L)).as("bucket"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // column profiling ("ANALYZE TABLE" surface): per-column row count,
+    // null count, exact distinct, min/max — the statistics a cost-based
+    // optimizer and a data-quality dashboard both consume. One pass for
+    // the scalar stats; exact distincts expand per column (Spark plans
+    // multi-distinct via Expand, still one scan).
+    "q52_profile" -> ((s, dir) =>
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+        countDistinct(col("o_orderstatus")).as("distinct_status"),
+        countDistinct(col("o_custkey")).as("distinct_custkey"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -850,6 +886,26 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q51_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                    FROM lineitem)
+         SELECT l_returnflag,
+                least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20)) AS BIGINT),
+                      19) AS bucket,
+                count(*) AS n
+         FROM lineitem, b
+         GROUP BY 1, 2""",
+    "q52_profile" ->
+      """SELECT count(*) AS n_rows,
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS null_status,
+                count(DISTINCT o_orderstatus) AS distinct_status,
+                count(DISTINCT o_custkey) AS distinct_custkey,
+                min(o_totalprice) AS min_price,
+                max(o_totalprice) AS max_price,
+                min(o_orderdate) AS min_date,
+                max(o_orderdate) AS max_date
+         FROM orders""",
     "q49_month_spine" ->
       """WITH RECURSIVE spine AS (
            SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders)) AS month_start
