@@ -792,6 +792,43 @@ object NorthStar {
         .limit(30)
     }),
 
+    // model-based document scoring — the distributed shape of
+    // classifier/LM quality filtering at corpus scale: a model small
+    // enough to broadcast (here t17's bigram table, vocabulary²-bounded)
+    // scores every document in a single pass, no shuffle of text. The
+    // score is the mean conditional probability of the doc's bigrams —
+    // a fluency/typicality signal; probabilities are exact-integer
+    // ratios and the per-doc mean folds them in position order (sorted
+    // fold, e04's determinism pattern), so scores hash-match
+    // cross-engine without any log/exp.
+    "t19_lm_score" -> ((s, dir) => {
+      val pairs = docs(s, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tks"))
+        .select(col("doc_id"), size(col("tks")).as("ntk"),
+          posexplode(when(size(col("tks")) >= 2,
+              transform(sequence(lit(0), size(col("tks")) - 2),
+                i => struct(element_at(col("tks"), i + 1).as("w1"),
+                            element_at(col("tks"), i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+            .as(Seq("pos", "p")))
+        .select(col("doc_id"), col("pos"), col("p.w1"), col("p.w2"))
+      val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val model = c2.join(c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1")), Seq("w1"))
+        .select(col("w1"), col("w2"),
+          (col("c2").cast(DoubleType) / col("c1").cast(DoubleType)).as("p_cond"))
+      val scored = pairs.join(broadcast(model), Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (aggregate(
+            transform(array_sort(collect_list(struct(col("pos"), col("p_cond")))),
+              x => x.getField("p_cond")),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("lm_score"))
+      docs(s, dir).select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
+    }),
+
     // data-mixing weights — temperature-based source sampling (the
     // multi-corpus mixing step of a training-data pipeline): per-source
     // token mass, α = 0.5 temperature (w ∝ n_tokens^α), normalized over
@@ -1112,6 +1149,25 @@ object NorthStar {
                   FROM tk WHERE len(tks) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "t19_lm_score" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS tks FROM documents),
+         pp AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(tks)),
+                    i -> struct_pack(pos := i, w1 := tks[i], w2 := tks[i+1]))) AS e
+                FROM tk WHERE len(tks) >= 2),
+         p AS (SELECT doc_id, e.pos AS pos, e.w1 AS w1, e.w2 AS w2 FROM pp),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM p GROUP BY 1, 2),
+         c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         model AS (SELECT w1, w2, CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) AS p_cond
+                   FROM c2 JOIN c1 USING (w1)),
+         sc AS (SELECT doc_id, count(*) AS n_pairs,
+                  list_reduce(list_prepend(0.0, list(p_cond ORDER BY pos)),
+                    (a, x) -> a + x) / count(*) AS lm_score
+                FROM p JOIN model USING (w1, w2) GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(n_pairs, CAST(0 AS BIGINT)) AS n_pairs,
+                COALESCE(lm_score, 0.0) AS lm_score
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
     "t18_weighted_sample" ->
       """WITH c AS (SELECT doc_id, n_chars,
                       SUM(n_chars) OVER (ORDER BY doc_id
