@@ -261,6 +261,69 @@ object StreamingIngest {
         sessionTransition(gapMs, timeout == GroupStateTimeout.ProcessingTimeTimeout))
   }
 
+  /** A typed event for the streaming funnel. */
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp)
+  /** Funnel progress: the highest stage reached + its event time. */
+  case class FunnelState(stage: Int, last_ts: Long)
+  /** Emitted whenever a user ADVANCES a stage in a micro-batch. */
+  case class StageAdvance(user_id: Long, stage: Int,
+                          ts: java.sql.Timestamp)
+
+  /**
+   * The streaming funnel's per-group transition (q45's streaming twin —
+   * same pattern as [[sessionTransition]]): events advance the user
+   * through the ordered stage list when their type matches the NEXT
+   * stage and their event time is strictly after the previous
+   * advancement (the same strictly-later contract as batch q45). Emits
+   * one row per stage ADVANCED (append-mode friendly: each advancement
+   * exactly once); a fired idle timeout evicts the key — completed or
+   * abandoned funnels do not occupy the state store forever.
+   */
+  private[graft] def funnelTransition(stages: Seq[String], useTimeout: Boolean,
+                                      idleTimeoutMs: Long)(
+      uid: Long, batch: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[StageAdvance] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[StageAdvance]
+      var cur = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+      batch.toArray.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+        if (cur.stage < stages.length &&
+            e.event_type == stages(cur.stage) &&
+            e.ts.getTime > cur.last_ts) {
+          cur = FunnelState(cur.stage + 1, e.ts.getTime)
+          out += StageAdvance(uid, cur.stage, e.ts)
+        }
+      }
+      state.update(cur)
+      if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      out.iterator
+    }
+
+  /**
+   * Streaming funnel analysis: per-user progression through an ordered
+   * stage list (default view → click → purchase), emitted incrementally
+   * as stages are reached — each advancement exactly once, in Append
+   * mode, with idle keys evicted under ProcessingTimeTimeout. The batch
+   * q45 query recomputes the funnel from all history; this maintains it
+   * continuously with O(1) state per active user.
+   */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                   idleTimeoutMs: Long = 3600000L): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "funnelStream evicts idle keys on a processing-time clock; " +
+      "use ProcessingTimeTimeout (or NoTimeout), not EventTimeTimeout")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append, timeout)(
+        funnelTransition(stages,
+          timeout == GroupStateTimeout.ProcessingTimeTimeout, idleTimeoutMs))
+  }
+
   def runningUserStats(events: Dataset[Event],
                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
                        idleTimeoutMs: Long = 3600000L)

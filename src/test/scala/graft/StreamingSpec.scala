@@ -122,6 +122,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(timedOut.isRemoved, "idle key state must be evicted on timeout")
   }
 
+  test("funnel transition: ordered advances only, strictly-later times, timeout evicts") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingIngest.{FunnelEvent, FunnelState, StageAdvance}
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val stages = Seq("view", "click", "purchase")
+    val live = TestGroupState.create[FunnelState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    // out-of-order batch: click@5 view@1 purchase@3 — view advances to 1,
+    // then click@5 to 2; purchase@3 is NOT after the click => no stage 3
+    val out = StreamingIngest.funnelTransition(stages, useTimeout = true, 60000L)(
+      7L, Iterator(FunnelEvent(7L, "click", ts(5)), FunnelEvent(7L, "view", ts(1)),
+        FunnelEvent(7L, "purchase", ts(3))), live).toSeq
+    assert(out == Seq(StageAdvance(7L, 1, ts(1)), StageAdvance(7L, 2, ts(5))))
+    assert(live.get == FunnelState(2, 5L) && live.getTimeoutTimestampMs.isPresent)
+    // a later purchase completes the funnel; re-delivery advances nothing
+    val live2 = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(2, 5L)), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out2 = StreamingIngest.funnelTransition(stages, useTimeout = true, 60000L)(
+      7L, Iterator(FunnelEvent(7L, "purchase", ts(9)),
+        FunnelEvent(7L, "purchase", ts(11))), live2).toSeq
+    assert(out2 == Seq(StageAdvance(7L, 3, ts(9))))
+    // timeout path evicts
+    val timedOut = TestGroupState.create[FunnelState](
+      Optional.of(FunnelState(3, 9L)), GroupStateTimeout.ProcessingTimeTimeout,
+      5000L, Optional.empty[Long](), hasTimedOut = true)
+    assert(StreamingIngest.funnelTransition(stages, useTimeout = true, 60000L)(
+      7L, Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved)
+  }
+
+  test("funnelStream emits each advancement exactly once across micro-batches") {
+    import spark.implicits._
+    import StreamingIngest.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingIngest.funnelStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    mem.addData(FunnelEvent(1L, "view", ts(1000)), FunnelEvent(2L, "click", ts(1000)))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(1L, "click", ts(2000)), FunnelEvent(2L, "view", ts(2000)),
+      FunnelEvent(1L, "purchase", ts(3000)))
+    q.processAllAvailable()
+    val rows = spark.table("funnel_out")
+      .as[StreamingIngest.StageAdvance].collect().toSet
+    q.stop()
+    // user 1: view(1)->click(2)->purchase(3); user 2's click arrived BEFORE
+    // its view, so it only reaches stage 1 (view@2000)
+    assert(rows == Set(
+      StreamingIngest.StageAdvance(1L, 1, ts(1000)),
+      StreamingIngest.StageAdvance(1L, 2, ts(2000)),
+      StreamingIngest.StageAdvance(1L, 3, ts(3000)),
+      StreamingIngest.StageAdvance(2L, 1, ts(2000))))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
