@@ -859,6 +859,34 @@ object Queries {
         min(col("o_orderdate")).as("min_date"),
         max(col("o_orderdate")).as("max_date"))),
 
+    // the TPC-H Q5 shape: a 6-table star join (lineitem ⋈ orders ⋈
+    // customer ⋈ supplier ⋈ nation ⋈ region) with an alignment predicate
+    // (customer and supplier in the SAME nation), selective dimension
+    // filter, date range, and exact DECIMAL revenue rollup. The
+    // dimension chain broadcasts end-to-end; the only real exchange is
+    // lineitem ⋈ orders — the plan join reordering must find.
+    "q53_regional_revenue" -> ((s, dir) => {
+      val dec = (c: Column) => c.cast(DecimalType(18, 2))
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -886,6 +914,22 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q53_regional_revenue" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                     AS DOUBLE) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1""",
     "q51_histogram" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                     FROM lineitem)
