@@ -887,6 +887,23 @@ object Queries {
           count(lit(1)).as("n_items"))
     }),
 
+    // NULL-semantics surface: a nullable key (NULLIF), a NULL-SAFE
+    // equi-join (`<=>` / IS NOT DISTINCT FROM — the form that still
+    // plans as a hash join, unlike an OR-of-IS-NULLs), NULLs forming
+    // their own GROUP BY group, and count(col) vs count(*) divergence.
+    // These are the semantics data pipelines silently get wrong; one
+    // query pins them all cross-engine.
+    "q54_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "orders")
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'O')").as("st"))
+      val dim = Seq(("F", "final"), ("P", "pending"),
+        (null.asInstanceOf[String], "unknown")).toDF("k", "label")
+      a.join(broadcast(dim), col("st") <=> col("k"), "left")
+        .groupBy(col("st"), col("label"))
+        .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -914,6 +931,12 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q54_null_semantics" ->
+      """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders),
+         dim(k, label) AS (VALUES ('F', 'final'), ('P', 'pending'), (NULL, 'unknown'))
+         SELECT st, label, count(*) AS n_rows, count(st) AS n_nonnull
+         FROM a LEFT JOIN dim ON st IS NOT DISTINCT FROM k
+         GROUP BY 1, 2""",
     "q53_regional_revenue" ->
       """SELECT n_name,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

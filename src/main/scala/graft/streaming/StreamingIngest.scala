@@ -89,6 +89,40 @@ object StreamingIngest {
       }
       .start()
 
+  /**
+   * Continuously-maintained top-k — the streaming form of q10's batch
+   * top-k: each micro-batch's local top-k is merged with the stored
+   * top-k and re-reduced. The merge is IDEMPOTENT (merging the same
+   * batch twice cannot change a top-k — max-like reductions absorb
+   * replays), so a read-modify-write with the checkpoint is
+   * exactly-once-equivalent without partition bookkeeping; state is k
+   * rows regardless of stream volume. Ties break on the tieCol for a
+   * deterministic table.
+   */
+  def startTopKMaintenance(rows: DataFrame, storePath: String,
+                           checkpointDir: String, k: Int,
+                           orderCol: String, tieCol: String): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchTop = batch
+          .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+        val merged =
+          try batchTop.unionByName(spark.read.parquet(storePath))
+          catch { case _: Throwable => batchTop } // first batch: no store yet
+        // materialize BEFORE overwriting — the store is an input here
+        val rows = merged
+          .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+          .collect()
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+            batch.schema)
+          .write.mode("overwrite").parquet(storePath)
+      }
+      .start()
+
   /** The maintained aggregate view over [[startAggMaintenance]]'s partial
     * store: ⊕-merge (sum of counts, sum of exact DECIMAL partials) —
     * bit-identical to a full recompute over every event ever ingested. */

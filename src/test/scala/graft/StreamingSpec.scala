@@ -80,6 +80,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(v3 == Map(1L -> (2L, 15.0), 2L -> (2L, 10.0), 3L -> (1L, 1.0)))
   }
 
+  test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
+    val root = Files.createTempDirectory("graft_topk").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def land(name: String, rows: Seq[(Long, Double)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$landing/$name"),
+        rows.map { case (id, v) => s"$id,$v" }.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val src = spark.readStream.schema("id LONG, v DOUBLE").csv(landing)
+      StreamingIngest.startTopKMaintenance(src, store, ckpt, 3, "v", "id")
+        .awaitTermination()
+    }
+    land("b1.csv", Seq((1L, 10.0), (2L, 50.0), (3L, 20.0), (4L, 5.0)))
+    drain()
+    import spark.implicits._
+    def top(): Seq[(Long, Double)] = spark.read.parquet(store)
+      .orderBy(col("v").desc, col("id")).as[(Long, Double)].collect().toSeq
+    assert(top() == Seq((2L, 50.0), (3L, 20.0), (1L, 10.0)))
+    // replay with no new data: idempotent merge leaves the store unchanged
+    drain()
+    assert(top() == Seq((2L, 50.0), (3L, 20.0), (1L, 10.0)))
+    // a later batch displaces part of the top-k
+    land("b2.csv", Seq((5L, 40.0), (6L, 1.0)))
+    drain()
+    assert(top() == Seq((2L, 50.0), (5L, 40.0), (3L, 20.0)))
+  }
+
   test("watermarked windowed aggregation emits per-window per-type totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
