@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Dedup
+
+/**
+ * End-to-end LLM training-corpus preparation — the COMPOSITION of the
+ * north-star operators into the pipeline a user actually runs (each
+ * stage is individually oracle-verified as a harness query; this driver
+ * chains them):
+ *
+ *   1. quality filter          (t06's keep rules)
+ *   2. exact dedup             (d02: min-doc_id survivor per fingerprint)
+ *   3. near-dup dedup          (d03 pairs → d06 clusters → d07 keep rule:
+ *                               longest text per cluster)
+ *   4. decontamination         (t12: drop docs sharing 5-gram shingles
+ *                               with the held-out eval source)
+ *   5. split assignment        (t09: content-stable md5 train/val/test)
+ *
+ * Dataflow discipline (the 100 TB contract): document TEXT is read once
+ * into the shingle/fingerprint projections; every stage communicates by
+ * doc_id keep-sets joined back as left_semi/left_anti (the text column
+ * never crosses a shuffle), and stage counts come from the same lazily
+ * composed plan — materialized once per stage for the stats report.
+ */
+object CorpusPipeline {
+
+  /** Per-stage document counts, in pipeline order. */
+  case class StageStats(stage: String, docs_in: Long, docs_out: Long)
+
+  case class Result(corpus: DataFrame, stats: Seq[StageStats])
+
+  /**
+   * Run the full preparation over a documents table
+   * (doc_id, text, lang, source, n_chars).
+   *
+   * @param evalSource  the source treated as the held-out eval suite for
+   *                    decontamination (t12's contract)
+   * @param jaccard     near-dup threshold on 3-gram shingle Jaccard
+   */
+  def run(docs: DataFrame, evalSource: String = "src0",
+          jaccard: Double = 0.8): Result = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[StageStats]
+    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame = {
+      stats += StageStats(name, in.count(), out.count())
+      out
+    }
+
+    // 1. quality filter — per-row expressions only
+    val quality = {
+      val q = docs.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
+        .select(col("doc_id"))
+      stage("quality_filter", docs, docs.join(q, Seq("doc_id"), "left_semi"))
+    }
+
+    // 2. exact dedup — keep the min doc_id per content fingerprint
+    val exact = {
+      val keep = quality
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      stage("exact_dedup", quality, quality.join(keep, Seq("doc_id"), "left_semi"))
+    }
+
+    // 3. near-dup dedup — pairs → components → longest-text survivor
+    val nearDup = {
+      val hs = Dedup.shingleHashTable(exact, "doc_id", "text", 3).persist()
+      val pairs = Dedup.jaccardPairsExact(hs, jaccard)
+      val comps = Dedup.connectedComponents(
+        pairs.select(col("doc_a"), col("doc_b")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      val keep = exact.select(col("doc_id"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+      val out = stage("neardup_dedup", exact,
+        exact.join(keep, Seq("doc_id"), "left_semi"))
+      hs.unpersist()
+      out
+    }
+
+    // 4. decontamination — drop docs overlapping the eval source's 5-grams
+    val clean = {
+      val sh = nearDup.select(col("doc_id"), col("source"),
+        explode(graft.functions.Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+      val evalSet = docs.filter(col("source") === evalSource)
+        .select(explode(graft.functions.Hashing.shingleHashSet(
+          TF.tokens(col("text")), 5)).as("s")).distinct()
+      val contaminated = sh.filter(col("source") =!= evalSource)
+        .join(broadcast(evalSet), Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      // eval-source docs themselves also leave the training corpus
+      stage("decontaminate", nearDup,
+        nearDup.filter(col("source") =!= evalSource)
+          .join(contaminated, Seq("doc_id"), "left_anti"))
+    }
+
+    // 5. content-stable split assignment
+    val hb = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long"), lit(100L))
+    val corpus = clean.withColumn("split",
+      when(hb < 90, "train").when(hb < 95, "val").otherwise("test"))
+    Result(corpus, stats.toSeq)
+  }
+}

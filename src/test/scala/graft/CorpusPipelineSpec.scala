@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.pipeline.CorpusPipeline
+
+/** End-to-end corpus preparation: the composed pipeline's invariants on
+  * the harness documents table (each stage is oracle-verified alone as a
+  * harness query; here the CHAIN is checked). */
+class CorpusPipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val result = CorpusPipeline.run(docs)
+
+  test("stages run in order and only ever shrink the corpus") {
+    val st = result.stats
+    assert(st.map(_.stage) == Seq("quality_filter", "exact_dedup",
+      "neardup_dedup", "decontaminate"))
+    st.foreach(s => assert(s.docs_out <= s.docs_in, s.toString))
+    // chaining: each stage's input is the previous stage's output
+    st.sliding(2).foreach {
+      case Seq(a, b) => assert(b.docs_in == a.docs_out)
+      case _ =>
+    }
+    assert(st.last.docs_out > 0, "pipeline must not empty the corpus")
+  }
+
+  test("final corpus: no exact duplicates, no eval-source docs, full split cover") {
+    val c = result.corpus.cache()
+    val n = c.count()
+    val fps = c.select(TF.fingerprint(col("text"))).distinct().count()
+    assert(fps == n, "exact duplicates must not survive")
+    assert(c.filter(col("split").isin("train", "val", "test")).count() == n)
+    assert(c.filter(col("source") === "src0").count() == 0,
+      "held-out eval source must not appear in the training corpus")
+    c.unpersist()
+  }
+
+  test("no surviving pair exceeds the near-dup threshold") {
+    val pairs = graft.operators.Dedup.jaccardPairsExact(
+      result.corpus.select(col("doc_id"), col("text")), "doc_id", "text", 0.8)
+    assert(pairs.count() == 0)
+  }
+
+  test("split assignment is content-stable: re-running yields identical splits") {
+    val a = result.corpus.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val b = CorpusPipeline.run(docs).corpus.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+}
