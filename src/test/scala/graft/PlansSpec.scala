@@ -163,6 +163,25 @@ class PlansSpec extends AnyFunSuite {
     assert("(?<!Broadcast)Exchange".r.findAllIn(d11).size <= 1, s"d11:\n$d11")
   }
 
+  test("q53 star join: dimension chain broadcasts, exactly one shuffled join") {
+    val plan = SparkEntry.queries("q53_regional_revenue")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the 4 dimension joins must broadcast; lineitem⋈orders is the only
+    // join allowed to shuffle (at sf0.001 orders broadcasts too → 5 BHJs)
+    assert(plan.split("\n").count(_.contains("BroadcastHashJoin")) >= 4, s"q53:\n$plan")
+    val shuffled = plan.split("\n").count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1, s"only lineitem⋈orders may shuffle:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q54 null-safe join still plans as a hash join (not BNLJ)") {
+    val plan = SparkEntry.queries("q54_null_semantics")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"q54:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q54:\n$plan")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
     val df = (1 to 90).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong)).toDF("dt", "v")
