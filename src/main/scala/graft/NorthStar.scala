@@ -665,6 +665,34 @@ object NorthStar {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // sequence packing — the "make training batches" step: concatenate
+    // the corpus in doc_id order and cut every C tokens (the standard
+    // concat-then-chunk packing of GPT-style pretraining). Each doc's
+    // global token offset comes from the DISTRIBUTED exact prefix sum
+    // (Relational.withRunningTotal), and the doc emits one row per
+    // context window it overlaps — pure integer arithmetic
+    // (div/min/max), so the packing manifest is deterministic under any
+    // partitioning and exactly SQL-replayable. Output: which token span
+    // of which doc lands in which window — the manifest a tokenizer
+    // worker consumes to materialize training sequences.
+    "t20_pack_sequences" -> ((s, dir) => {
+      val C = 512L
+      val toks = docs(s, dir)
+        .select(col("doc_id"), TF.tokenCount(col("text")).cast(LongType).as("ntk"))
+        .filter(col("ntk") > 0)
+      val off = graft.operators.Relational
+        .withRunningTotal(toks, "doc_id", "ntk", "cum")
+        .select(col("doc_id"), col("ntk"), (col("cum") - col("ntk")).as("off"))
+      off
+        .select(col("doc_id"), col("ntk"), col("off"),
+          explode(sequence(expr(s"off div $C"),
+            expr(s"(off + ntk - 1) div $C"))).as("window_id"))
+        .select(col("doc_id"), col("window_id"),
+          greatest(lit(0L), col("window_id") * C - col("off")).as("start_tok"),
+          (least(col("ntk"), (col("window_id") + 1) * C - col("off")) -
+            greatest(lit(0L), col("window_id") * C - col("off"))).as("n_toks"))
+    }),
+
     // within-document repetition signals (Gopher/C4-style quality rules):
     // duplicate-token fraction and top-term fraction per document. The
     // per-row mode can't be a per-row expression without O(n²) work, so
@@ -1149,6 +1177,22 @@ object NorthStar {
                   FROM tk WHERE len(tks) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "t20_pack_sequences" ->
+      s"""WITH toks AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS ntk
+                        FROM documents WHERE len($sqlToks) > 0),
+         o AS (SELECT doc_id, ntk,
+                 CAST(SUM(ntk) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntk
+                   AS BIGINT) AS off
+               FROM toks),
+         w AS (SELECT doc_id, ntk, off,
+                 unnest(range(off // 512, (off + ntk - 1) // 512 + 1)) AS window_id
+               FROM o)
+         SELECT doc_id, window_id,
+                greatest(0, window_id * 512 - off) AS start_tok,
+                least(ntk, (window_id + 1) * 512 - off)
+                  - greatest(0, window_id * 512 - off) AS n_toks
+         FROM w""",
     "t19_lm_score" ->
       s"""WITH tk AS (SELECT doc_id, $sqlToks AS tks FROM documents),
          pp AS (SELECT doc_id,

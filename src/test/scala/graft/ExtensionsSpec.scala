@@ -216,6 +216,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(a.values.map(BigInt(_)).sum <= BigInt(a.size) * BigInt(1000000000000L))
   }
 
+  test("t20 packing: every window is exactly full (except the last), docs fully covered") {
+    val rows = q("t20_pack_sequences")
+      .select(col("doc_id"), col("window_id"), col("n_toks"))
+      .as[(Long, Long, Long)].collect()
+    val perWindow = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val lastW = perWindow.keys.max
+    perWindow.foreach { case (w, n) =>
+      if (w != lastW) assert(n == 512L, s"window $w holds $n tokens")
+      else assert(n > 0 && n <= 512L)
+    }
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0).as[(Long, Long)].collect().toMap
+    assert(perDoc == expected, "every token of every doc lands in exactly one window span")
+  }
+
   test("s05 MIPS reduction law: augmented-cosine ranking equals direct dot top-k") {
     val got = q("s05_mips").select(col("vec_id")).as[Long].collect().toSeq
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
