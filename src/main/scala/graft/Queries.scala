@@ -904,6 +904,38 @@ object Queries {
         .agg(count(lit(1)).as("n_rows"), count(col("st")).as("n_nonnull"))
     }),
 
+    // histogram-based quantile ESTIMATION — the bounded-state quantile
+    // sketch completing the approximate tier (a01 KMV cardinality, a02
+    // count-min frequency): per group, q51's fixed 64-bucket histogram
+    // is cumulated and each target quantile reports its bucket's upper
+    // edge — error bounded by one bucket width, state d·buckets at any
+    // scale, next to q43's exact (sort-requiring) answer. All index
+    // math is the fixed single-op double sequence both engines share.
+    "a03_histogram_quantiles" -> ((s, dir) => {
+      val nb = 64
+      val bounds = t(s, dir, "lineitem").agg(
+        min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      val hist = t(s, dir, "lineitem")
+        .crossJoin(broadcast(bounds))
+        .select(col("l_returnflag"), col("lo"), col("hi"),
+          least(
+            floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / nb))
+              .cast(LongType),
+            lit(nb - 1L)).as("bucket"))
+        .groupBy(col("l_returnflag"), col("lo"), col("hi"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("l_returnflag"))))
+      def est(p: Double) =
+        min(when(col("cum") >= ceil(col("tot") * p),
+          col("lo") + (col("bucket") + 1) * ((col("hi") - col("lo")) / nb)))
+      cum.groupBy(col("l_returnflag"))
+        .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -931,6 +963,27 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "a03_histogram_quantiles" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+                    FROM lineitem),
+         h AS (SELECT l_returnflag, lo, hi,
+                 least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 64)) AS BIGINT),
+                       63) AS bucket,
+                 count(*) AS n
+               FROM lineitem, b GROUP BY 1, 2, 3, 4),
+         c AS (SELECT l_returnflag, lo, hi, bucket, n,
+                 SUM(n) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+               FROM h)
+         SELECT l_returnflag,
+                min(CASE WHEN cum >= ceil(tot * 0.5)
+                         THEN lo + (bucket + 1) * ((hi - lo) / 64) END) AS p50_est,
+                min(CASE WHEN cum >= ceil(tot * 0.9)
+                         THEN lo + (bucket + 1) * ((hi - lo) / 64) END) AS p90_est,
+                min(CASE WHEN cum >= ceil(tot * 0.99)
+                         THEN lo + (bucket + 1) * ((hi - lo) / 64) END) AS p99_est
+         FROM c GROUP BY 1""",
     "q54_null_semantics" ->
       """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders),
          dim(k, label) AS (VALUES ('F', 'final'), ('P', 'pending'), (NULL, 'unknown'))

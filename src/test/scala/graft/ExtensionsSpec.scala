@@ -245,6 +245,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("a03 histogram quantiles bracket the exact percentiles within one bucket") {
+    val exact = q("q43_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val Array(lo, hi) = li.agg(min(col("l_extendedprice")), max(col("l_extendedprice")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = (hi - lo) / 64
+    q("a03_histogram_quantiles").collect().foreach { r =>
+      val (e50, e90, e99) = exact(r.getString(0))
+      Seq((r.getDouble(1), e50), (r.getDouble(2), e90), (r.getDouble(3), e99))
+        .foreach { case (est, ex) =>
+          assert(est >= ex - 1e-9 && est <= ex + width + 1e-9,
+            s"estimate $est not within one bucket above exact $ex")
+        }
+    }
+  }
+
   test("a02 count-min: estimate is always >= the exact count (one-sided error)") {
     val rows = q("a02_countmin")
       .select(col("n_exact"), col("est_count")).as[(Long, Long)].collect()
