@@ -936,6 +936,20 @@ object Queries {
         .agg(est(0.5).as("p50_est"), est(0.9).as("p90_est"), est(0.99).as("p99_est"))
     }),
 
+    // ordered string aggregation (LISTAGG/string_agg surface): the
+    // deterministic form — collect the distinct set, sort, join — since
+    // an unordered string_agg is partition-order-dependent and therefore
+    // not reproducible. Distinct sets here are bounded domains (status ×
+    // priority), so the collected state is small by contract.
+    "q55_string_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -963,6 +977,13 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q55_string_agg" ->
+      """SELECT o_orderstatus,
+                array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
+                  AS priorities,
+                count(DISTINCT o_orderpriority) AS n_priorities,
+                count(*) AS n_orders
+         FROM orders GROUP BY 1""",
     "a03_histogram_quantiles" ->
       """WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
                     FROM lineitem),
