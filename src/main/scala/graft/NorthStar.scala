@@ -665,6 +665,31 @@ object NorthStar {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // feature hashing (the hashing trick) — bag-of-words → fixed 32-dim
+    // signed-count vectors, the featurization step feeding linear
+    // quality classifiers at corpus scale: no vocabulary table, no
+    // fitting, dimension fixed a priori. bucket = FNV(token) mod 32 and
+    // the debiasing sign = bit 5 of the hash — both residues of 2^64
+    // divisors, so signed arithmetic equals the unsigned definition and
+    // the oracle replays it in HUGEINT. Counts are exact ints; the
+    // vector serializes canonically like e02's q8.
+    "t21_feature_hash" -> ((s, dir) => {
+      val dim = 32
+      val h = Hashing.fnvChecksum(col("term").cast(BinaryType))
+      val cells = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .select(col("doc_id"), pmod(h, lit(dim.toLong)).as("bucket"),
+          (shiftrightunsigned(h, 5).bitwiseAND(lit(1L)) * 2 - 1).as("sign"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(sum(col("sign")).as("v"))
+      cells.groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(0L), lit(dim - 1L)),
+            b => coalesce(element_at(col("m"), b), lit(0L)).cast("string")), ",")
+            .as("features"))
+    }),
+
     // sequence packing — the "make training batches" step: concatenate
     // the corpus in doc_id order and cut every C tokens (the standard
     // concat-then-chunk packing of GPT-style pretraining). Each doc's
@@ -1027,6 +1052,30 @@ object NorthStar {
             expr("substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)").cast(BinaryType))
             .as("frame_checksum"))),
 
+    // corpus-similarity map over embedding labels — the data-mixing
+    // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
+    // folds per (label, dim)) and pairwise cosine between the handful of
+    // label centroids. Labels are bounded metadata, so the pair join
+    // broadcasts k vectors; the heavy part (per-cell means) is a
+    // map-side-combined aggregation keyed by (label, dim).
+    "g03_label_centroid_sim" -> ((s, dir) => {
+      val cells = emb(s, dir)
+        .select(col("label"), col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+        .select(col("label"), col("vec_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("dim"))
+        .agg((aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+              x => x.getField("val")),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
+      val cents = cells.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("c"))
+      cents.as("a").join(broadcast(cents.as("b")), col("a.label") < col("b.label"))
+        .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+          (VF.dot(col("a.c"), col("b.c")) /
+            (sqrt(VF.normSq(col("a.c"))) * sqrt(VF.normSq(col("b.c"))))).as("cos_sim"))
+    }),
+
     // -- group sketches -------------------------------------------------
 
     // per-source MinHash sketch as a TWO-LEVEL aggregate: the codegen'd
@@ -1177,6 +1226,25 @@ object NorthStar {
                   FROM tk WHERE len(tks) >= 2)
           SELECT pair, count(*) AS n FROM p GROUP BY 1
           ORDER BY n DESC, pair LIMIT 20""",
+    "t21_feature_hash" -> {
+      val hu = fnvSql("term")
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         cells AS (SELECT doc_id,
+                     CAST(($hu) % 32 AS BIGINT) AS bucket,
+                     SUM(CAST((($hu) // CAST(32 AS HUGEINT)) % 2 AS BIGINT) * 2 - 1) AS v
+                   FROM tk GROUP BY 1, 2),
+         vecs AS (SELECT doc_id, bucket, CAST(v AS BIGINT) AS v FROM cells),
+         spine AS (SELECT o.doc_id, b.bucket
+                   FROM (SELECT DISTINCT doc_id FROM vecs) o
+                   CROSS JOIN (SELECT unnest(range(0, 32)) AS bucket) b),
+         dense AS (SELECT s.doc_id, s.bucket, COALESCE(v.v, 0) AS v
+                   FROM spine s LEFT JOIN vecs v
+                     ON s.doc_id = v.doc_id AND s.bucket = v.bucket)
+         SELECT doc_id,
+                array_to_string(list(CAST(v AS VARCHAR) ORDER BY bucket), ',')
+                  AS features
+         FROM dense GROUP BY 1"""
+    },
     "t20_pack_sequences" ->
       s"""WITH toks AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS ntk
                         FROM documents WHERE len($sqlToks) > 0),
@@ -1246,6 +1314,20 @@ object NorthStar {
                     i -> tks[i] || ' ' || tks[i+1])) AS pair FROM tk)
           SELECT doc_id, count(*) AS n_matches FROM p
           WHERE pair = 'fast merge' GROUP BY 1""",
+    "g03_label_centroid_sim" ->
+      s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+         pe AS (SELECT label, vec_id,
+                  CAST(unnest(range(0, len(v))) AS INT) AS dim, unnest(v) AS val
+                FROM e),
+         cells AS (SELECT label, dim,
+                     list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                       (p, q) -> p + q) / count(*) AS m
+                   FROM pe GROUP BY 1, 2),
+         cents AS (SELECT label, list(m ORDER BY dim) AS c FROM cells GROUP BY 1)
+         SELECT a.label AS label_a, b.label AS label_b,
+                ${cosineSql("a.c", "b.c")} AS cos_sim
+         FROM cents a JOIN cents b ON a.label < b.label""",
     "e04_kmeans_step" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),
