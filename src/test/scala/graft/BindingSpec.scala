@@ -19,6 +19,20 @@ import graft.sources.Sources
 class BindingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("schema evolution: mergeSchema unions columns across parquet generations") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_evolve").toString + "/t"
+    // generation 1: (id, v); generation 2 adds a column
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/g=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score").write.parquet(s"$root/g=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.sorted.toSeq == Seq("g", "id", "score", "v"))
+    val byId = merged.select(col("id"), col("score")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // old-generation rows surface the new column as NULL, not an error
+    assert(byId == Map(1L -> None, 2L -> Some(9.5)))
+  }
+
   test("op 9: csvPositional discards the BOM'd mismatched header and binds by position") {
     val path = Fixtures.writeUsCitiesCsv(Files.createTempDirectory("graft_bind"))
     val df = Sources.csvPositional(spark, path, Schemas.cityLookup)

@@ -70,6 +70,23 @@ class SearchSpec extends AnyFunSuite {
       s"CDC must preserve downstream chunks: ${shared.size} of ${chunks(0L).size}")
   }
 
+  test("t21 feature hashing matches a hand-computed reference vector") {
+    val out = NorthStar.queries("t21_feature_hash")(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val texts = Map(0L -> "dup dup merge", 1L -> "merge window merge window merge",
+      2L -> "the a of", 3L -> "window fast merge fast merge")
+    texts.foreach { case (id, text) =>
+      val expected = Array.fill(32)(0L)
+      text.split("\\s+").foreach { w =>
+        val h = graft.functions.Fnv.hashBytes(w.getBytes("UTF-8"))
+        val bucket = java.lang.Long.remainderUnsigned(h, 32L).toInt
+        val sign = if (((h >>> 5) & 1L) == 1L) 1L else -1L
+        expected(bucket) += sign
+      }
+      assert(out(id) == expected.mkString(","), s"doc $id")
+    }
+  }
+
   test("t15 mixing weights: normalized over sources, proportional to sqrt token mass") {
     val rows = NorthStar.queries("t15_mix_weights")(spark, dir)
       .select(col("source"), col("n_tokens"), col("weight"))
