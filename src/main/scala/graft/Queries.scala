@@ -27,6 +27,12 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Clamp-to-last-bucket equi-width bucket index — the shared bucket
+    * algebra of q51/a03 (a fixed single-op double sequence both engines
+    * execute identically; the max value lands in bucket nb−1). */
+  private def bucketIdx(x: Column, lo: Column, hi: Column, nb: Int): Column =
+    least(floor((x - lo) / ((hi - lo) / nb)).cast(LongType), lit(nb - 1L))
+
   /**
    * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
    * only exposes as a long (legacy nanosAsLong — set once at session build
@@ -835,10 +841,7 @@ object Queries {
       t(s, dir, "lineitem")
         .crossJoin(broadcast(bounds))
         .select(col("l_returnflag"),
-          least(
-            floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / nb))
-              .cast(LongType),
-            lit(nb - 1L)).as("bucket"))
+          bucketIdx(col("l_extendedprice"), col("lo"), col("hi"), nb).as("bucket"))
         .groupBy(col("l_returnflag"), col("bucket"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -918,10 +921,7 @@ object Queries {
       val hist = t(s, dir, "lineitem")
         .crossJoin(broadcast(bounds))
         .select(col("l_returnflag"), col("lo"), col("hi"),
-          least(
-            floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / nb))
-              .cast(LongType),
-            lit(nb - 1L)).as("bucket"))
+          bucketIdx(col("l_extendedprice"), col("lo"), col("hi"), nb).as("bucket"))
         .groupBy(col("l_returnflag"), col("lo"), col("hi"), col("bucket"))
         .agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))

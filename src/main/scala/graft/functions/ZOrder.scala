@@ -63,6 +63,9 @@ object ZOrder {
   /** The interleave as portable SQL over two BIGINT column names — the
     * oracle twin of [[ZOrderLong]] (same masking, same bit placement). */
   def zorderSql(a: String, b: String, bits: Int): String = {
+    // same fail-fast as ZOrderLong: bits ≥ 32 would wrap the shifted
+    // multipliers negative and silently emit SQL that can never match
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val mask = (1L << bits) - 1
     (0 until bits).map { i =>
       s"((($a & $mask) >> $i) & 1) * ${1L << (2 * i)} + " +

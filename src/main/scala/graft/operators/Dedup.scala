@@ -163,17 +163,6 @@ object Dedup {
   }
 
   /**
-   * Join candidate (doc_a, doc_b) pairs back to the shingle-hash arrays
-   * and keep exact Jaccard ≥ t. The explicit repartition matters: the
-   * candidate shuffle is only a few MB, so AQE's bytes-based coalescing
-   * would fold it into one partition — but each row here runs a merge
-   * intersect, so the stage is CPU-bound and must stay spread across the
-   * cluster. One sorted-merge intersect per pair
-   * ([[graft.functions.SortedLongIntersectCount]] — primitive longs, no
-   * per-row set allocation); jaccard = inter/(na+nb−inter), the oracle's
-   * exact arithmetic.
-   */
-  /**
    * Containment pairs: |A ∩ B| / min(|A|, |B|) ≥ t — the ASYMMETRIC
    * overlap relation symmetric Jaccard misses by construction (a short
    * document quoted wholesale inside a long one has containment ≈ 1 but
@@ -218,6 +207,17 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /**
+   * Join candidate (doc_a, doc_b) pairs back to the shingle-hash arrays
+   * and keep exact Jaccard ≥ t. The explicit repartition matters: the
+   * candidate shuffle is only a few MB, so AQE's bytes-based coalescing
+   * would fold it into one partition — but each row here runs a merge
+   * intersect, so the stage is CPU-bound and must stay spread across the
+   * cluster. One sorted-merge intersect per pair
+   * ([[graft.functions.SortedLongIntersectCount]] — primitive longs, no
+   * per-row set allocation); jaccard = inter/(na+nb−inter), the oracle's
+   * exact arithmetic.
+   */
   private def exactVerify(cand: DataFrame, hsTable: DataFrame, threshold: Double): DataFrame =
     cand
       .repartition(col("doc_a"))

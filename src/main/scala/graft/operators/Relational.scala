@@ -141,7 +141,10 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parts.withColumn("_lcw", sum(col(valCol)).over(wl))
     val wo = Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("_pid")).agg(max(col("_lcw")).as("_psum"))
+    // partition totals are sum(valCol) — NOT max of the running sum,
+    // which diverges whenever valCol has negative values (in-contract:
+    // running balances/deltas)
+    val offsets = parts.groupBy(col("_pid")).agg(sum(col(valCol)).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum")).over(wo), lit(0L)))
       .select(col("_pid"), col("_off"))
     local.join(broadcast(offsets), Seq("_pid"))

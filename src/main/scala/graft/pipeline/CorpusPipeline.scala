@@ -45,8 +45,14 @@ object CorpusPipeline {
   def run(docs: DataFrame, evalSource: String = "src0",
           jaccard: Double = 0.8): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStats]
-    def stage(name: String, in: DataFrame, out: DataFrame): DataFrame = {
-      stats += StageStats(name, in.count(), out.count())
+    // each stage's input IS the previous stage's output, so count each
+    // frame ONCE and thread the count forward — re-counting `in` would
+    // re-execute every earlier stage's uncached lineage per stage
+    var prevCount = docs.count()
+    def stage(name: String, out: DataFrame): DataFrame = {
+      val n = out.count()
+      stats += StageStats(name, prevCount, n)
+      prevCount = n
       out
     }
 
@@ -56,7 +62,7 @@ object CorpusPipeline {
         .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
           col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
         .select(col("doc_id"))
-      stage("quality_filter", docs, docs.join(q, Seq("doc_id"), "left_semi"))
+      stage("quality_filter", docs.join(q, Seq("doc_id"), "left_semi"))
     }
 
     // 2. exact dedup — keep the min doc_id per content fingerprint
@@ -65,7 +71,7 @@ object CorpusPipeline {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      stage("exact_dedup", quality, quality.join(keep, Seq("doc_id"), "left_semi"))
+      stage("exact_dedup", quality.join(keep, Seq("doc_id"), "left_semi"))
     }
 
     // 3. near-dup dedup — pairs → components → longest-text survivor
@@ -82,7 +88,7 @@ object CorpusPipeline {
           w.orderBy(col("n_chars").desc, col("doc_id"))))
         .filter(col("rn") === 1)
         .select(col("doc_id"))
-      val out = stage("neardup_dedup", exact,
+      val out = stage("neardup_dedup",
         exact.join(keep, Seq("doc_id"), "left_semi"))
       hs.unpersist()
       out
@@ -99,7 +105,7 @@ object CorpusPipeline {
         .join(broadcast(evalSet), Seq("s"), "left_semi")
         .select(col("doc_id")).distinct()
       // eval-source docs themselves also leave the training corpus
-      stage("decontaminate", nearDup,
+      stage("decontaminate",
         nearDup.filter(col("source") =!= evalSource)
           .join(contaminated, Seq("doc_id"), "left_anti"))
     }

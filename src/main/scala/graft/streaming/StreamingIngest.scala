@@ -109,9 +109,16 @@ object StreamingIngest {
         val spark = batch.sparkSession
         val batchTop = batch
           .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+        // probe existence explicitly: a catch-all here would also swallow
+        // real read failures (corrupt footer, transient FS error) and
+        // silently overwrite the accumulated top-k with just this batch —
+        // those must fail the batch so the checkpoint retries it
+        val storeExists = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(new org.apache.hadoop.fs.Path(storePath))
         val merged =
-          try batchTop.unionByName(spark.read.parquet(storePath))
-          catch { case _: Throwable => batchTop } // first batch: no store yet
+          if (storeExists) batchTop.unionByName(spark.read.parquet(storePath))
+          else batchTop
         // materialize BEFORE overwriting — the store is an input here
         val rows = merged
           .orderBy(col(orderCol).desc, col(tieCol)).limit(k)

@@ -34,8 +34,10 @@ class RelationalSpec extends AnyFunSuite {
 
   test("withRunningTotal equals the single-window cumsum, invariant to partition count") {
     val rnd = new scala.util.Random(11)
+    // signed values on purpose: partition totals must be sum(v), which
+    // diverges from max(running sum) whenever negatives are present
     val df = (1 to 500).map(i => (i.toLong * 3 + rnd.nextInt(2), // unique, gappy order keys
-      rnd.nextInt(100).toLong)).toMap.toSeq.toDF("k", "v")
+      rnd.nextInt(100).toLong - 40L)).toMap.toSeq.toDF("k", "v")
     val expected = df
       .withColumn("rt", sum(col("v")).over(
         org.apache.spark.sql.expressions.Window.orderBy(col("k"))
