@@ -396,7 +396,11 @@ object Dedup {
           val e0 = floor(col("la").cast("double") * (i.cast("double") + 1) / lit(nSeg)).cast("int")
           struct((s0 + 1).as("pa"), col("pre").substr(s0 + 1, e0 - s0).as("seg"))
         }), s => length(s.getField("seg")) > 0)).as("s"))
-      .select(col("da"), col("la"), col("s.pa").as("pa"), col("s.seg").as("seg"))
+      // join key is the 8-byte FNV of the segment, not the segment text —
+      // halves the exchange width; a hash collision only adds a false
+      // CANDIDATE, which the exact levenshtein verify removes
+      .select(col("da"), col("la"), col("s.pa").as("pa"),
+        Hashing.fnvChecksum(col("s.seg").cast("binary")).as("segh"))
     // probe side: all substrings of the partner-feasible segment lengths.
     // A partner La ∈ [Lb−k, Lb+k] has segment lengths in
     // [⌊(Lb−k)/(k+1)⌋, ⌊(Lb+k)/(k+1)⌋ + 1].
@@ -411,10 +415,12 @@ object Dedup {
         explode(sequence(lit(1), col("lb") - col("len") + 1)).as("p"),
         col("len"), col("pre"))
       .select(col("db"), col("lb"), col("p"),
-        col("pre").substr(col("p"), col("len")).as("seg"))
-    // string equality implies equal length, so the join key is just the
-    // segment text; position/length windows prune before the distinct
-    val cands = segs.join(probes, "seg")
+        Hashing.fnvChecksum(col("pre").substr(col("p"), col("len")).cast("binary"))
+          .as("segh"))
+    // hash equality stands in for string equality (equal strings hash
+    // equal; collisions only widen the candidate set, verified exactly);
+    // position/length windows prune before the distinct
+    val cands = segs.join(probes, "segh")
       .filter(col("da") =!= col("db") &&
         abs(col("la") - col("lb")) <= k &&
         abs(col("p") - col("pa")) <= k)
