@@ -182,6 +182,23 @@ class PlansSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"q54:\n$plan")
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    (1 to 300).map(i => (i.toLong, i % 3)).toDF("v", "part")
+      .write.partitionBy("part").parquet(s"$root/fact")
+    Seq((0, "keep")).toDF("part", "tag").write.parquet(s"$root/dim")
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim").filter(col("tag") === "keep")
+    val joined = fact.join(dim, Seq("part"))
+    assert(joined.count() == 100)
+    // the fact side's partition filter must carry the runtime
+    // dynamicpruning subquery — only dim-surviving partitions are read
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+  }
+
   test("hive-partitioned layout prunes partitions at the scan (PartitionFilters)") {
     val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/t"
     val df = (1 to 90).map(i => (s"2024-01-0${i % 3 + 1}", i.toLong)).toDF("dt", "v")
