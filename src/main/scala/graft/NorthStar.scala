@@ -498,6 +498,32 @@ object NorthStar {
           array_max(col("dots")).as("best_dot"))
     }),
 
+    // binary (1-bit) quantization — the third compression tier next to
+    // e02 (int8) and e05 (PQ): a 64-dim vector collapses to the 64 sign
+    // bits of ONE long (64× smaller than float64), and similarity
+    // becomes Hamming distance (xor + popcount — the cheapest possible
+    // distance kernel). Packing is a per-row fold of distinct powers of
+    // two (bit 63 contributes Long.MinValue — the signed reinterpretation
+    // — so the fold never overflows ANSI arithmetic); retrieval is
+    // top-10 by Hamming to query vector 0, ties on vec_id.
+    "e06_binary_quantize" -> ((s, dir) => {
+      def pack(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = aggregate(
+        zip_with(v, sequence(lit(0L), lit(63L)), (x, i) =>
+          when(x >= 0,
+            when(i === 63, lit(Long.MinValue))
+              .otherwise(pow(lit(2.0), i.cast(DoubleType)).cast(LongType)))
+            .otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x)
+      val e = emb(s, dir)
+        .select(col("vec_id"), pack(VF.toDouble(col("embedding"))).as("bq"))
+      val q = e.filter(col("vec_id") === 0).select(col("bq").as("qbq"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), col("bq"),
+          Hashing.hammingDist(col("bq"), col("qbq")).as("hamming"))
+        .orderBy(col("hamming").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // -- similarity search ----------------------------------------------
 
     // brute-force cosine top-k (exact baseline; query = vec_id 0)
@@ -1439,6 +1465,23 @@ object NorthStar {
                  ${cosineSql("a.v", "b.v")} AS score
           FROM e a JOIN e b ON a.vec_id < b.vec_id
           WHERE ${cosineSql("a.v", "b.v")} >= 0.45""",
+    "e06_binary_quantize" -> {
+      val packSql = (v: String) =>
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(list_zip($v, range(0, 64)),
+              p -> CASE WHEN p[1] >= 0 THEN
+                     CASE WHEN p[2] = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                          ELSE CAST(power(2, p[2]) AS BIGINT) END
+                   ELSE CAST(0 AS BIGINT) END)),
+            (a, x) -> a + x)"""
+      s"""WITH e AS (SELECT vec_id,
+                       ${packSql("CAST(embedding AS DOUBLE[])")} AS bq
+                     FROM embeddings),
+            q AS (SELECT bq AS qbq FROM e WHERE vec_id = 0)
+          SELECT vec_id, bq, CAST(bit_count(xor(bq, qbq)) AS INT) AS hamming
+          FROM e, q
+          ORDER BY hamming, vec_id LIMIT 10"""
+    },
     "s05_mips" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             m AS (SELECT max(sqrt(${dotSql("v", "v")})) AS mnorm FROM e),

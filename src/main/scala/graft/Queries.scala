@@ -950,6 +950,30 @@ object Queries {
           countDistinct(col("o_orderpriority")).as("n_priorities"),
           count(lit(1)).as("n_orders"))),
 
+    // referential-integrity audit (the dbt-test / data-contract surface):
+    // orphan counts for every FK edge of the star schema in ONE result —
+    // each edge is a left_anti join (the dimension key set broadcasts),
+    // so the audit costs one pass per fact table, not a full join.
+    "q56_fk_audit" -> ((s, dir) => {
+      import s.implicits._
+      def orphans(name: String, fact: DataFrame, factKey: String,
+                  dim: DataFrame, dimKey: String) = {
+        val n = fact.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+          Seq(factKey), "left_anti").count()
+        (name, n)
+      }
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
+      val part = t(s, dir, "part"); val nat = t(s, dir, "nation")
+      Seq(
+        orphans("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+        orphans("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem.suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
+        orphans("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+        orphans("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"))
+        .toDF("fk_edge", "n_orphans")
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -977,6 +1001,22 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q56_fk_audit" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk_edge,
+                (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders)) AS n_orphans
+         UNION ALL SELECT 'lineitem.partkey->part',
+                (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+                  (SELECT p_partkey FROM part))
+         UNION ALL SELECT 'lineitem.suppkey->supplier',
+                (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier))
+         UNION ALL SELECT 'orders.custkey->customer',
+                (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer))
+         UNION ALL SELECT 'customer.nationkey->nation',
+                (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+                  (SELECT n_nationkey FROM nation))""",
     "q55_string_agg" ->
       """SELECT o_orderstatus,
                 array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
