@@ -974,6 +974,28 @@ object Queries {
         .toDF("fk_edge", "n_orphans")
     }),
 
+    // q43's scale path: exact nearest-rank percentiles WITHOUT ranking
+    // raw rows — aggregate to per-(group, value) counts first (map-side
+    // combined; the window then runs over distinct values, not rows),
+    // cumulate, and take the smallest value whose cumulative count
+    // reaches ⌈p·n⌉ — identical results to q43 (same oracle), but the
+    // sort touches |distinct values| per group instead of |rows|.
+    "q57_percentiles_agg" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("c"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val cum = counts
+        .withColumn("cum", sum(col("c")).over(
+          byFlag.orderBy(col("l_extendedprice"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(byFlag))
+      cum.groupBy(col("l_returnflag")).agg(
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("l_extendedprice"))).as("p50"),
+        min(when(col("cum") >= ceil(col("n") * 0.9), col("l_extendedprice"))).as("p90"),
+        min(when(col("cum") >= ceil(col("n") * 0.99), col("l_extendedprice"))).as("p99"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1204,6 +1226,18 @@ object Queries {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY 1""",
+    "q57_percentiles_agg" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_extendedprice,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+         SELECT l_returnflag,
+                max(CASE WHEN rn = ceil(n * 0.5) THEN l_extendedprice END) AS p50,
+                max(CASE WHEN rn = ceil(n * 0.9) THEN l_extendedprice END) AS p90,
+                max(CASE WHEN rn = ceil(n * 0.99) THEN l_extendedprice END) AS p99
+         FROM r GROUP BY 1""",
     "q43_percentiles" ->
       """WITH r AS (
            SELECT l_returnflag, l_extendedprice,
