@@ -399,6 +399,62 @@ object NorthStar {
     "d12_containment_pairs" -> ((s, dir) =>
       graft.operators.Dedup.containmentPairs(hsTable(s, dir), 0.8)),
 
+    // the dedup-pipeline VERDICT table — CorpusPipeline's staged
+    // composition (quality → exact → near-dup → eval/contamination)
+    // surfaced as one labeled, ORACLE-CHECKED result: every document and
+    // the stage that dropped it (or 'kept'). This hash-verifies the
+    // pipeline's end-to-end semantics cross-engine, not just each stage
+    // alone — the audit trail a production dedup run ships next to its
+    // output corpus. Stage order matters and is replicated exactly: each
+    // stage's pool is the previous stage's survivors.
+    "d13_dedup_verdict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // stage 1: quality (t06 rules)
+      val qKeep = d.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
+        .select(col("doc_id"))
+      val pool1 = d.join(qKeep, Seq("doc_id"), "left_semi")
+      // stage 2: exact dedup among quality survivors
+      val eKeep = pool1.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val pool2 = pool1.join(eKeep, Seq("doc_id"), "left_semi")
+      // stage 3: near-dup representative among exact survivors
+      val hs = graft.operators.Dedup.shingleHashTable(pool2, "doc_id", "text", 3)
+      val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.jaccardPairsExact(hs, 0.8)
+          .select(col("doc_a"), col("doc_b")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      val nKeep = pool2.select(col("doc_id"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      val pool3 = pool2.join(nKeep, Seq("doc_id"), "left_semi")
+      // stage 4: eval exclusion + contamination among near-dup survivors
+      val evalSet = d.filter(col("source") === "src0")
+        .select(explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+        .distinct()
+      val contaminated = pool3.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+        .join(broadcast(evalSet), Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      d.select(col("doc_id"), col("source"))
+        .join(qKeep.withColumn("fq", lit(1)), Seq("doc_id"), "left")
+        .join(eKeep.withColumn("fe", lit(1)), Seq("doc_id"), "left")
+        .join(nKeep.withColumn("fn", lit(1)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("fc", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("fq").isNull, "dropped_quality")
+            .when(col("fe").isNull, "dropped_exact")
+            .when(col("fn").isNull, "dropped_near")
+            .when(col("source") === "src0", "dropped_eval")
+            .when(col("fc").isNotNull, "dropped_contaminated")
+            .otherwise("kept").as("verdict"))
+    }),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -1401,6 +1457,71 @@ object NorthStar {
                    min(doc_id) OVER (PARTITION BY md5(array_to_string($sqlToks, ' '))) AS keep
             FROM documents)
           WHERE doc_id = keep""",
+    // the staged composition replayed end-to-end: every stage's oracle
+    // fragment (t06 quality rules, d01/d02 fingerprint min, d03 pair
+    // CTEs, d06 recursive components, d07 representative window, t12
+    // 5-gram decontamination) chained on each stage's survivor pool
+    "d13_dedup_verdict" -> {
+      val t06cond =
+        s"""CAST(len($sqlToks) AS INT) >= 5
+            AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) <= 0.2
+            AND CAST(len(list_filter($sqlToks,
+                 x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                / greatest(len($sqlToks), 1) >= 0.01
+            AND CAST(len(list_distinct($sqlToks)) AS DOUBLE)
+                / greatest(len($sqlToks), 1) >= 0.3"""
+      s"""WITH RECURSIVE
+         q AS (SELECT doc_id FROM documents WHERE $t06cond),
+         p1 AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+         efp AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp FROM p1),
+         ek AS (SELECT min(doc_id) AS doc_id FROM efp GROUP BY fp),
+         p2 AS (SELECT p1.* FROM p1 JOIN ek USING (doc_id)),
+         sh AS (SELECT doc_id, unnest($sqlShingles) AS s FROM p2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM pr
+                   JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src),
+         lab AS (SELECT p2.doc_id, p2.n_chars,
+                        COALESCE(c.component, p2.doc_id) AS component
+                 FROM p2 LEFT JOIN comp c USING (doc_id)),
+         nk AS (SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+                WHERE rn = 1),
+         p3 AS (SELECT p2.* FROM p2 JOIN nk USING (doc_id)),
+         ev AS (SELECT DISTINCT s FROM (
+                  SELECT unnest(${sqlShinglesN("tks", 5)}) AS s FROM (
+                    SELECT $sqlToks AS tks FROM documents WHERE source = 'src0'))),
+         cont AS (SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(${sqlShinglesN("tks", 5)}) AS s FROM (
+                      SELECT doc_id, $sqlToks AS tks FROM p3 WHERE source <> 'src0'))
+                  WHERE s IN (SELECT s FROM ev))
+         SELECT d.doc_id,
+                CASE WHEN q.doc_id IS NULL THEN 'dropped_quality'
+                     WHEN ek.doc_id IS NULL THEN 'dropped_exact'
+                     WHEN nk.doc_id IS NULL THEN 'dropped_near'
+                     WHEN d.source = 'src0' THEN 'dropped_eval'
+                     WHEN cont.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                     ELSE 'kept' END AS verdict
+         FROM documents d
+         LEFT JOIN q ON d.doc_id = q.doc_id
+         LEFT JOIN ek ON d.doc_id = ek.doc_id
+         LEFT JOIN nk ON d.doc_id = nk.doc_id
+         LEFT JOIN cont ON d.doc_id = cont.doc_id"""
+    },
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
     // same shingle CTEs as the jaccard oracle, containment denominator
     "d12_containment_pairs" ->
