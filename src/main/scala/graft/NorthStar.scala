@@ -419,11 +419,18 @@ object NorthStar {
       val eKeep = pool1.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
       val pool2 = pool1.join(eKeep, Seq("doc_id"), "left_semi")
-      // stage 3: near-dup representative among exact survivors
-      val hs = graft.operators.Dedup.shingleHashTable(pool2, "doc_id", "text", 3)
+      // stage 3: near-dup representative among exact survivors. Pairwise
+      // Jaccard is pool-independent, so the pool's pair set is exactly
+      // the MEMOIZED corpus pair set restricted to pairs with both
+      // endpoints in the pool — two semi-joins over the persisted table,
+      // not a fresh PPJoin run (which would also leak its internal
+      // persist: d03's machinery is memoized for precisely this reuse)
+      val pool2Ids = pool2.select(col("doc_id"))
+      val poolPairs = neardupPairs(s, dir)
+        .join(pool2Ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(pool2Ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
       val comps = graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup.jaccardPairsExact(hs, 0.8)
-          .select(col("doc_a"), col("doc_b")))
+        poolPairs.select(col("doc_a"), col("doc_b")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
       val nKeep = pool2.select(col("doc_id"), col("n_chars"))
         .join(comps, Seq("doc_id"), "left")

@@ -952,16 +952,16 @@ object Queries {
 
     // referential-integrity audit (the dbt-test / data-contract surface):
     // orphan counts for every FK edge of the star schema in ONE result —
-    // each edge is a left_anti join (the dimension key set broadcasts),
-    // so the audit costs one pass per fact table, not a full join.
+    // each edge is a broadcast anti-join + count, and the five edges
+    // union into a single LAZY plan (no eager driver-side jobs, so
+    // Explain shows the real audit plan and the action runs once).
     "q56_fk_audit" -> ((s, dir) => {
-      import s.implicits._
       def orphans(name: String, fact: DataFrame, factKey: String,
-                  dim: DataFrame, dimKey: String) = {
-        val n = fact.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
-          Seq(factKey), "left_anti").count()
-        (name, n)
-      }
+                  dim: DataFrame, dimKey: String): DataFrame =
+        fact.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+            Seq(factKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(name).as("fk_edge"), col("n_orphans"))
       val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
       val cust = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
       val part = t(s, dir, "part"); val nat = t(s, dir, "nation")
@@ -971,7 +971,7 @@ object Queries {
         orphans("lineitem.suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
         orphans("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
         orphans("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"))
-        .toDF("fk_edge", "n_orphans")
+        .reduce(_.unionByName(_))
     }),
 
     // q43's scale path: exact nearest-rank percentiles WITHOUT ranking
@@ -1023,22 +1023,25 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    // NOT EXISTS, not NOT IN: left_anti counts a NULL-keyed fact row as
+    // an orphan while NOT IN's NULL semantics would silently suppress
+    // whole edges — NOT EXISTS matches anti-join semantics exactly
     "q56_fk_audit" ->
       """SELECT 'lineitem.orderkey->orders' AS fk_edge,
-                (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-                  (SELECT o_orderkey FROM orders)) AS n_orphans
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
          UNION ALL SELECT 'lineitem.partkey->part',
-                (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
-                  (SELECT p_partkey FROM part))
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
          UNION ALL SELECT 'lineitem.suppkey->supplier',
-                (SELECT count(*) FROM lineitem WHERE l_suppkey NOT IN
-                  (SELECT s_suppkey FROM supplier))
+                (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
          UNION ALL SELECT 'orders.custkey->customer',
-                (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-                  (SELECT c_custkey FROM customer))
+                (SELECT count(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
          UNION ALL SELECT 'customer.nationkey->nation',
-                (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
-                  (SELECT n_nationkey FROM nation))""",
+                (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))""",
     "q55_string_agg" ->
       """SELECT o_orderstatus,
                 array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',')
