@@ -1109,6 +1109,27 @@ object NorthStar {
         .select(col("vec_id"), col("neighbor_id"), col("score"))
     }),
 
+    // classifier evaluation — the metrics step of every model-based
+    // filter (t03's lang-ID evaluated against the table's gold labels):
+    // per-(gold, predicted) confusion counts plus per-class precision
+    // and recall as exact integer ratios (single divisions — engine-
+    // stable). The confusion matrix is classes², bounded metadata; the
+    // only corpus-sized work is the one count aggregation.
+    "t22_langid_eval" -> ((s, dir) => {
+      val pred = docs(s, dir).select(col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("lang_pred"))
+      val conf = pred.groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+      val byGold = conf.groupBy(col("lang")).agg(sum(col("n")).as("n_gold"))
+      val byPred = conf.groupBy(col("lang_pred")).agg(sum(col("n")).as("n_pred"))
+      conf.join(byGold, Seq("lang")).join(byPred, Seq("lang_pred"))
+        .select(col("lang"), col("lang_pred"), col("n"),
+          when(col("lang") === col("lang_pred"),
+            col("n").cast(DoubleType) / col("n_pred").cast(DoubleType)).as("precision"),
+          when(col("lang") === col("lang_pred"),
+            col("n").cast(DoubleType) / col("n_gold").cast(DoubleType)).as("recall"))
+    }),
+
     // -- multimodal columns ---------------------------------------------
 
     // opaque binary payload + typed metadata (decode stubbed: the
@@ -1654,6 +1675,30 @@ object NorthStar {
              AND CAST(len(list_distinct($sqlToks)) AS DOUBLE)
                  / greatest(len($sqlToks), 1) >= 0.3) AS keep
           FROM documents""",
+    "t22_langid_eval" ->
+      s"""WITH v AS (
+            SELECT doc_id, lang,
+              len(list_filter($sqlToks, x -> list_contains(['the','and','of'], x))) AS en,
+              len(list_filter($sqlToks, x -> list_contains(['der','und','die'], x))) AS de,
+              len(list_filter($sqlToks, x -> list_contains(['le','et','la'], x))) AS fr,
+              len(list_filter($sqlToks, x -> list_contains(['el','y','los'], x))) AS es
+            FROM documents),
+         p AS (SELECT doc_id, lang,
+                 CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                      WHEN en = greatest(en, de, fr, es) THEN 'en'
+                      WHEN de = greatest(en, de, fr, es) THEN 'de'
+                      WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                      ELSE 'es' END AS lang_pred
+               FROM v),
+         conf AS (SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2),
+         g AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_gold FROM conf GROUP BY 1),
+         pr AS (SELECT lang_pred, CAST(SUM(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1)
+         SELECT conf.lang, conf.lang_pred, conf.n,
+                CASE WHEN conf.lang = conf.lang_pred
+                     THEN CAST(conf.n AS DOUBLE) / CAST(pr.n_pred AS DOUBLE) END AS precision,
+                CASE WHEN conf.lang = conf.lang_pred
+                     THEN CAST(conf.n AS DOUBLE) / CAST(g.n_gold AS DOUBLE) END AS recall
+         FROM conf JOIN g USING (lang) JOIN pr USING (lang_pred)""",
     "t03_lang_id" ->
       s"""WITH v AS (
             SELECT doc_id,

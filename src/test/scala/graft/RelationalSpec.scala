@@ -60,6 +60,27 @@ class RelationalSpec extends AnyFunSuite {
       (9L, "new", 90.0)))
   }
 
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("law: mergeUpsert equals the naive keep-unmatched-plus-source reference") {
+    import org.scalacheck.Gen
+    val rowGen = Gen.listOf(Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 99)))
+    val prop = Prop.forAll(rowGen, rowGen) { (t0, s0) =>
+      val target = t0.toDF("k", "v")
+      val source = s0.toDF("k", "v")
+      val got = Relational.mergeUpsert(target, source, Seq("k"))
+        .as[(Long, Int)].collect().sorted.toSeq
+      val srcKeys = s0.map(_._1).toSet
+      val expected = (t0.filterNot(r => srcKeys(r._1)) ++ s0)
+        .map { case (k, v) => (k, v) }.sorted
+      got == expected
+    }
+    check(prop, 12)
+  }
+
   test("mergeUpsert: a duplicated source key replaces the target row without double-dropping") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val source = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
