@@ -117,4 +117,18 @@ object CorpusPipeline {
       when(hb < 90, "train").when(hb < 95, "val").otherwise("test"))
     Result(corpus, stats.toSeq)
   }
+
+  /**
+   * Materialize the prepared corpus with the consumption-ready layout:
+   * one directory per split (training jobs read exactly the split they
+   * need — directory pruning, zero I/O on the others) and doc_id-sorted
+   * rows within each partition (parquet min/max row-group stats make
+   * id-range lookups skip row groups; downstream packing/t20 reads in
+   * offset order for free).
+   */
+  def write(result: Result, path: String): Unit =
+    result.corpus
+      .repartition(col("split"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").partitionBy("split").parquet(path)
 }

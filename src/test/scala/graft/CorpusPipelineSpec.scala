@@ -46,6 +46,19 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(pairs.count() == 0)
   }
 
+  test("write: one directory per split, content round-trips, rows sorted in-file") {
+    val root = java.nio.file.Files.createTempDirectory("graft_corpus").toString + "/corpus"
+    CorpusPipeline.write(result, root)
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq.forall(_.startsWith("split=")) && dirs.nonEmpty)
+    val back = spark.read.parquet(root)
+    assert(back.count() == result.corpus.count())
+    // read with the split filter: partition pruning leaves only that dir
+    val train = back.filter(col("split") === "train")
+    val scan = train.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), s"expected partition pruning:\n$scan")
+  }
+
   test("split assignment is content-stable: re-running yields identical splits") {
     val a = result.corpus.select(col("doc_id"), col("split"))
       .as[(Long, String)].collect().toMap
