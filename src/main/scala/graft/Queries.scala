@@ -951,27 +951,43 @@ object Queries {
           count(lit(1)).as("n_orders"))),
 
     // referential-integrity audit (the dbt-test / data-contract surface):
-    // orphan counts for every FK edge of the star schema in ONE result —
-    // each edge is a broadcast anti-join + count, and the five edges
-    // union into a single LAZY plan (no eager driver-side jobs, so
-    // Explain shows the real audit plan and the action runs once).
+    // orphan counts for every FK edge of the star schema in ONE lazy
+    // result, ONE scan per fact table — a fact with several FK edges
+    // takes all its broadcast membership probes (left joins against
+    // marker key sets) in the same pass, and the per-edge orphan counts
+    // are conditional sums over the missing markers. Lazy throughout:
+    // Explain shows the real audit plan and the action runs once.
     "q56_fk_audit" -> ((s, dir) => {
-      def orphans(name: String, fact: DataFrame, factKey: String,
-                  dim: DataFrame, dimKey: String): DataFrame =
-        fact.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
-            Seq(factKey), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-          .select(lit(name).as("fk_edge"), col("n_orphans"))
-      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
-      val cust = t(s, dir, "customer"); val sup = t(s, dir, "supplier")
-      val part = t(s, dir, "part"); val nat = t(s, dir, "nation")
-      Seq(
-        orphans("lineitem.orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
-        orphans("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
-        orphans("lineitem.suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
-        orphans("orders.custkey->customer", ord, "o_custkey", cust, "c_custkey"),
-        orphans("customer.nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"))
-        .reduce(_.unionByName(_))
+      def keys(df: DataFrame, k: String, marker: String) =
+        broadcast(df.select(col(k)).distinct().withColumn(marker, lit(1)))
+      def edges(fact: DataFrame, probes: Seq[(String, String, DataFrame, String)]) =
+        probes.foldLeft(fact) { case (f, (factKey, dimKey, dim, marker)) =>
+          f.join(keys(dim, dimKey, marker).withColumnRenamed(dimKey, factKey),
+            Seq(factKey), "left")
+        }.agg(probes.map { case (_, _, _, m) =>
+            sum(when(col(m).isNull, 1L).otherwise(0L)).as(m) }.head,
+          probes.map { case (_, _, _, m) =>
+            sum(when(col(m).isNull, 1L).otherwise(0L)).as(m) }.tail: _*)
+      val liAudit = edges(t(s, dir, "lineitem"), Seq(
+        ("l_orderkey", "o_orderkey", t(s, dir, "orders"), "m_ord"),
+        ("l_partkey", "p_partkey", t(s, dir, "part"), "m_part"),
+        ("l_suppkey", "s_suppkey", t(s, dir, "supplier"), "m_supp")))
+      val ordAudit = edges(t(s, dir, "orders"), Seq(
+        ("o_custkey", "c_custkey", t(s, dir, "customer"), "m_cust")))
+      val custAudit = edges(t(s, dir, "customer"), Seq(
+        ("c_nationkey", "n_nationkey", t(s, dir, "nation"), "m_nat")))
+      // unpivot each one-row audit via explode so the fact scan executes
+      // once per table (a union of selects would re-run it per edge)
+      def unpivot(audit: DataFrame, names: Seq[(String, String)]) =
+        audit.select(explode(array(names.map { case (m, label) =>
+            struct(lit(label).as("fk_edge"), col(m).as("n_orphans")) }: _*)).as("e"))
+          .select(col("e.fk_edge"), col("e.n_orphans"))
+      unpivot(liAudit, Seq(
+          ("m_ord", "lineitem.orderkey->orders"),
+          ("m_part", "lineitem.partkey->part"),
+          ("m_supp", "lineitem.suppkey->supplier")))
+        .unionByName(unpivot(ordAudit, Seq(("m_cust", "orders.custkey->customer"))))
+        .unionByName(unpivot(custAudit, Seq(("m_nat", "customer.nationkey->nation"))))
     }),
 
     // q43's scale path: exact nearest-rank percentiles WITHOUT ranking
