@@ -1012,6 +1012,23 @@ object Queries {
         min(when(col("cum") >= ceil(col("n") * 0.99), col("l_extendedprice"))).as("p99"))
     }),
 
+    // FULL OUTER join — the one join type the surface lacked (inner /
+    // left / semi / anti / as-of / interval are covered elsewhere):
+    // per-nation customer vs supplier presence, where each side
+    // genuinely contributes unmatched rows (q13 shows the key sets
+    // differ). Aggregate-then-join so the outer join runs on the small
+    // per-key frames, and the nullable sides surface as explicit zeros.
+    "q58_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select(col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1039,6 +1056,15 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q58_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                    FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier GROUP BY 1)
+         SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+                COALESCE(n_cust, 0) AS n_cust,
+                COALESCE(n_supp, 0) AS n_supp
+         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""",
     // NOT EXISTS, not NOT IN: left_anti counts a NULL-keyed fact row as
     // an orphan while NOT IN's NULL semantics would silently suppress
     // whole edges — NOT EXISTS matches anti-join semantics exactly
