@@ -1029,6 +1029,22 @@ object Queries {
           coalesce(col("n_supp"), lit(0L)).as("n_supp"))
     }),
 
+    // the ranking window-function family q14 (row_number) and q40
+    // (ntile/first/last/nth) leave open: rank / dense_rank with their
+    // tie semantics (quantities tie heavily, so gaps vs no-gaps
+    // genuinely differ) and the distribution functions percent_rank =
+    // (rank−1)/(N−1), cume_dist = peers≤/N — exact integer ratios, so
+    // the doubles hash-match. One shuffle + one sort serves all four.
+    "q59_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1056,6 +1072,14 @@ object Queries {
          WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
          UNION ALL
          SELECT * FROM src""",
+    "q59_rank_funcs" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                CAST(rank() OVER w AS INT) AS rnk,
+                CAST(dense_rank() OVER w AS INT) AS drnk,
+                percent_rank() OVER w AS prnk,
+                cume_dist() OVER w AS cd
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)""",
     "q58_full_outer" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
                     FROM customer GROUP BY 1),
