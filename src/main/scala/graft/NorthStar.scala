@@ -281,6 +281,20 @@ object NorthStar {
         .select(col("doc_id"), col("source"))
     }),
 
+    // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
+    // arrivals (odd doc_ids stand in for tonight's batch) probe the
+    // existing corpus's (even ids) LSH band index — new ⋈ index only,
+    // never index ⋈ index, the shape that amortizes a 100 TB corpus
+    // across nightly ingests. Shares the memoized shingle-hash table;
+    // see Dedup.minhashLshPairsAgainst for the banding/recall math.
+    "d14_incremental_neardup" -> ((s, dir) => {
+      val hs = hsTable(s, dir)
+      graft.operators.Dedup.minhashLshPairsAgainst(
+        hs.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        hs.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        0.8, k = 128, bands = 32, estFloor = 0.6)
+    }),
+
     // duplicate-cluster formation over the near-dup pair graph: connected
     // components via iterative min-label propagation (the post-pair stage
     // of an LLM-data dedup pipeline — keep min doc_id per cluster)
@@ -1578,6 +1592,25 @@ object NorthStar {
          FROM p a JOIN p b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.pre, b.pre) <= 8""",
     "d04_minhash_lsh" -> jaccardOracle(0.8),
+    // the jaccard pair CTEs restricted to cross-parity pairs (new = odd,
+    // existing = even), with the new side first
+    "d14_incremental_neardup" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest($sqlShingles) AS s FROM documents
+          ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+          ), pair AS (
+            SELECT a.doc_id AS doc_new, b.doc_id AS doc_existing, count(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s
+            WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            GROUP BY 1, 2
+          )
+          SELECT doc_new, doc_existing,
+                 CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+          FROM pair
+          JOIN sizes sa ON doc_new = sa.doc_id
+          JOIN sizes sb ON doc_existing = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""",
     // transitive closure over the pair graph; component = min reachable id
     "d06_neardup_groups" ->
       s"""WITH RECURSIVE pr AS (${jaccardOracle(0.8)}),

@@ -163,6 +163,50 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup probe — the PRODUCTION form of MinHash-LSH
+   * dedup at ingest time: new arrivals are checked against an EXISTING
+   * corpus's band index (new ⋈ index only — no new×new, no index×index
+   * work), which is how a nightly batch joins a 100 TB corpus without
+   * re-running the corpus-wide self-join. Same banding/recall math as
+   * [[minhashLshPairs]] (P(candidate | J) = 1 − (1 − J^r)^bands), same
+   * signature-estimate prefilter, same exact verification; in
+   * production the index side's signatures/bands are a PRECOMPUTED
+   * table — here they build from the hs table so the operator is
+   * self-contained.
+   */
+  def minhashLshPairsAgainst(hsNew: DataFrame, hsIndex: DataFrame,
+                             threshold: Double, k: Int, bands: Int,
+                             estFloor: Double): DataFrame = {
+    def sigs(hs: DataFrame) = hs
+      .select(col("doc_id"), col("hs"), TF.minhashFromHashes(col("hs"), k).as("sig"))
+    def banded(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(TF.lshBandHashes(col("sig"), k, bands)).as(Seq("band", "bh")))
+    val sn = sigs(hsNew).persist(); val si = sigs(hsIndex).persist()
+    val cand = banded(sn).as("a").join(banded(si).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_existing"))
+      .distinct()
+    val out = cand
+      .repartition(col("doc_new"))
+      .join(sn.select(col("doc_id").as("doc_new"), col("hs").as("hs_n"),
+        col("sig").as("sig_n")), "doc_new")
+      .join(si.select(col("doc_id").as("doc_existing"), col("hs").as("hs_e"),
+        col("sig").as("sig_e")), "doc_existing")
+      .filter(Hashing.sigMatchCount(col("sig_n"), col("sig_e"))
+        .cast(DoubleType) / k >= estFloor)
+      .select(col("doc_new"), col("doc_existing"),
+        (Hashing.sortedIntersectCount(col("hs_n"), col("hs_e")).cast(DoubleType) /
+          (size(col("hs_n")) + size(col("hs_e")) -
+            Hashing.sortedIntersectCount(col("hs_n"), col("hs_e"))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .persist()
+    out.count()
+    sn.unpersist(); si.unpersist()
+    out
+  }
+
+  /**
    * Containment pairs: |A ∩ B| / min(|A|, |B|) ≥ t — the ASYMMETRIC
    * overlap relation symmetric Jaccard misses by construction (a short
    * document quoted wholesale inside a long one has containment ≈ 1 but
