@@ -285,6 +285,19 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("d14 incremental probe equals the corpus-wide pairs restricted to cross-parity") {
+    val got = q("d14_incremental_neardup")
+      .select(col("doc_new"), col("doc_existing"), col("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    val full = q("d03_jaccard_pairs").as[(Long, Long, Double)].collect()
+    // d03 emits (min, max); reorient to (odd=new, even=existing)
+    val expected = full.collect {
+      case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j)
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("s04 k-NN join: equals brute-force window top-3 and plans no cartesian") {
     val res = q("s04_knn_join")
     val got = res.as[(Long, Long, Double)].collect().toSet
