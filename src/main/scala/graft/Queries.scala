@@ -1249,12 +1249,15 @@ object Queries {
          FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
                 LEFT JOIN s3 USING (user_id)""",
     "q46_retention" ->
-      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      """WITH c AS (SELECT user_id,
+                           CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
                     FROM events GROUP BY 1),
-         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+         a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
                FROM events)
          SELECT cohort_week,
-                (epoch(active_week) - epoch(cohort_week)) // 604800 AS week_offset,
+                CAST((epoch(active_week) - epoch(cohort_week)) // 604800 AS BIGINT)
+                  AS week_offset,
                 count(DISTINCT user_id) AS n_users
          FROM a JOIN c USING (user_id) GROUP BY 1, 2""",
     "g02_pagerank" -> {
