@@ -717,9 +717,12 @@ object NorthStar {
 
     // deterministic train/val/test split — the reproducibility-critical
     // sampling primitive of a training-data pipeline: bucket = integer
-    // value of the first 8 md5 hex chars of the doc id, mod 100. Content-
+    // value of the first 8 md5 hex chars of the doc id, mod 100. ID-
     // stable (no RNG, no partition dependence), re-runnable anywhere, and
-    // exactly reproducible in SQL.
+    // exactly reproducible in SQL. Note this is keyed on doc_id, so a
+    // re-ingest under a new id re-rolls the bucket; the leakage-proof
+    // CONTENT-stable form (hash of the text fingerprint) is what
+    // CorpusPipeline's split stage uses.
     "t09_split_assign" -> ((s, dir) => {
       val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long")

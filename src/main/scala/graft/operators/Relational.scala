@@ -131,11 +131,25 @@ object Relational {
    *
    * Contract: `orderCol` must be a total order (no ties) and `valCol`
    * non-null; sums must fit a long / the input type's sum.
+   *
+   * Correctness note on the two-branch shape: `parts` feeds BOTH the
+   * local-window branch and the offsets branch, and the two must see
+   * identical range-partition boundaries (the boundaries are sampled per
+   * physical exchange, so two DIFFERENT exchanges can disagree and
+   * silently corrupt `_pid` alignment). That is guaranteed here by
+   * making the exchange subtrees canonically identical: the frame is
+   * narrowed to exactly (orderCol, valCol) BEFORE the repartition, so
+   * column pruning cannot specialize one branch's exchange, and Spark's
+   * exchange reuse (`spark.sql.exchange.reuse`, on by default) collapses
+   * them into ONE physical exchange — asserted by a plan test. Inputs
+   * with extra columns are joined back on `orderCol` afterwards (unique
+   * by the total-order contract).
    */
   def withRunningTotal(df: DataFrame, orderCol: String, valCol: String,
                        outCol: String = "running_total",
                        partitions: Int = 32): DataFrame = {
-    val parts = df.repartitionByRange(partitions, col(orderCol))
+    val parts = df.select(col(orderCol), col(valCol))
+      .repartitionByRange(partitions, col(orderCol))
       .withColumn("_pid", spark_partition_id())
     val wl = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -147,9 +161,11 @@ object Relational {
     val offsets = parts.groupBy(col("_pid")).agg(sum(col(valCol)).as("_psum"))
       .withColumn("_off", coalesce(sum(col("_psum")).over(wo), lit(0L)))
       .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), Seq("_pid"))
+    val totals = local.join(broadcast(offsets), Seq("_pid"))
       .withColumn(outCol, col("_lcw") + col("_off"))
-      .drop("_pid", "_lcw")
+      .drop("_pid", "_lcw", "_off")
+    if (df.columns.toSeq == Seq(orderCol, valCol)) totals
+    else df.join(totals.drop(valCol), Seq(orderCol))
   }
 
   /**

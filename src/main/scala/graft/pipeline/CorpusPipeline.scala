@@ -110,8 +110,13 @@ object CorpusPipeline {
           .join(contaminated, Seq("doc_id"), "left_anti"))
     }
 
-    // 5. content-stable split assignment
-    val hb = pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+    // 5. content-stable split assignment: the bucket hash is the CONTENT
+    // fingerprint (same md5 as stage 2), NOT doc_id — re-ingesting the
+    // same document under a new id must land in the same split, or the
+    // re-ingest leaks val/test text into train (the exact leakage this
+    // pattern exists to prevent). Id-keyed bucketing (t09's form) is
+    // only id-stable.
+    val hb = pmod(conv(substring(TF.fingerprint(col("text")), 1, 8), 16, 10)
       .cast("long"), lit(100L))
     val corpus = clean.withColumn("split",
       when(hb < 90, "train").when(hb < 95, "val").otherwise("test"))

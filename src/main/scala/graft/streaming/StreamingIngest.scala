@@ -92,12 +92,16 @@ object StreamingIngest {
   /**
    * Continuously-maintained top-k — the streaming form of q10's batch
    * top-k: each micro-batch's local top-k is merged with the stored
-   * top-k and re-reduced. The merge is IDEMPOTENT (merging the same
-   * batch twice cannot change a top-k — max-like reductions absorb
-   * replays), so a read-modify-write with the checkpoint is
-   * exactly-once-equivalent without partition bookkeeping; state is k
-   * rows regardless of stream volume. Ties break on the tieCol for a
-   * deterministic table.
+   * top-k, DEDUPLICATED, and re-reduced. The dedup is what makes a true
+   * replay idempotent: if a batch was already folded into the store (the
+   * store write succeeded but the checkpoint commit did not, so the
+   * engine re-runs the batch), the union contains that batch's rows
+   * twice — without the dedup those copies occupy multiple top-k slots
+   * and evict legitimate rows. With it, a replayed row collapses onto
+   * its stored copy and the reduction is max-like again, so the
+   * read-modify-write with the checkpoint is exactly-once-equivalent
+   * without partition bookkeeping; state is k rows regardless of stream
+   * volume. Ties break on the tieCol for a deterministic table.
    */
   def startTopKMaintenance(rows: DataFrame, storePath: String,
                            checkpointDir: String, k: Int,
@@ -106,29 +110,40 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val batchTop = batch
-          .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
-        // probe existence explicitly: a catch-all here would also swallow
-        // real read failures (corrupt footer, transient FS error) and
-        // silently overwrite the accumulated top-k with just this batch —
-        // those must fail the batch so the checkpoint retries it
-        val storeExists = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(new org.apache.hadoop.fs.Path(storePath))
-        val merged =
-          if (storeExists) batchTop.unionByName(spark.read.parquet(storePath))
-          else batchTop
-        // materialize BEFORE overwriting — the store is an input here
-        val rows = merged
-          .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
-          .collect()
-        spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
-            batch.schema)
-          .write.mode("overwrite").parquet(storePath)
+        topKMergeBatch(batch, storePath, k, orderCol, tieCol)
       }
       .start()
+
+  /** The per-batch read-merge-reduce-overwrite behind
+    * [[startTopKMaintenance]], exposed so a replay (same batch applied
+    * again after a successful store write) can be unit-tested directly. */
+  private[graft] def topKMergeBatch(batch: DataFrame, storePath: String,
+                                    k: Int, orderCol: String,
+                                    tieCol: String): Unit = {
+    val spark = batch.sparkSession
+    val batchTop = batch
+      .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+    // probe existence explicitly: a catch-all here would also swallow
+    // real read failures (corrupt footer, transient FS error) and
+    // silently overwrite the accumulated top-k with just this batch —
+    // those must fail the batch so the checkpoint retries it
+    val storeExists = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(storePath))
+    val merged =
+      if (storeExists) batchTop.unionByName(spark.read.parquet(storePath))
+      else batchTop
+    // dropDuplicates BEFORE the reduce: a replayed batch's rows are exact
+    // copies of rows already in the store and must not take extra slots
+    // materialize BEFORE overwriting — the store is an input here
+    val rows = merged.dropDuplicates()
+      .orderBy(col(orderCol).desc, col(tieCol)).limit(k)
+      .collect()
+    spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](java.util.Arrays.asList(rows: _*)),
+        batch.schema)
+      .write.mode("overwrite").parquet(storePath)
+  }
 
   /** The maintained aggregate view over [[startAggMaintenance]]'s partial
     * store: ⊕-merge (sum of counts, sum of exact DECIMAL partials) —

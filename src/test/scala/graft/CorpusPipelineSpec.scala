@@ -66,4 +66,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(a == b)
   }
+
+  test("split assignment is CONTENT-stable, not id-stable: the same text " +
+       "re-ingested under a new doc_id keeps its split") {
+    val byText = result.corpus.select(col("text"), col("split"))
+      .as[(String, String)].collect().toMap
+    // re-key every surviving doc with a disjoint id range and re-run only
+    // the split stage semantics (full pipeline; dedup stages are keyed on
+    // content so survivors carry the same text set)
+    val rekeyed = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val again = CorpusPipeline.run(rekeyed).corpus
+      .select(col("text"), col("split")).as[(String, String)].collect().toMap
+    assert(again == byText,
+      "re-ingesting identical content under new ids must not move splits")
+  }
 }

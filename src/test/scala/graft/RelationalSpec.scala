@@ -50,6 +50,48 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningTotal on a WIDE input: extra columns survive, totals " +
+       "still exact, and both branches share ONE reused range exchange") {
+    val rnd = new scala.util.Random(17)
+    // k = i*5 + [0,3) is unique by construction (stride 5 > jitter range)
+    val wide = (1 to 300).map(i => (i.toLong * 5 + rnd.nextInt(3),
+      rnd.nextInt(50).toLong - 20L, s"tag$i", i % 7)).toDF("k", "v", "tag", "grp")
+    val expected = wide
+      .withColumn("rt", sum(col("v")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("k"), col("tag"), col("rt"))
+      .as[(Long, String, Long)].collect().toSet
+    val got = Relational.withRunningTotal(wide, "k", "v", "rt", partitions = 7)
+    assert(got.columns.toSet == Set("k", "v", "tag", "grp", "rt"))
+    assert(got.select(col("k"), col("tag"), col("rt"))
+      .as[(Long, String, Long)].collect().toSet == expected)
+    // the corruption ADVICE flagged arises when the two derived subtrees
+    // each plan their own range exchange (independently sampled
+    // boundaries). With the internal narrow projection the subtrees must
+    // canonicalize identically and collapse to ONE exchange — that
+    // canonical identity is the exact key both the ReuseExchange rule
+    // (non-AQE) and AQE's shuffle-stage cache deduplicate on. AQE wraps
+    // stages as leaf nodes, hiding the reuse from a plan traversal, so
+    // assert it on the non-adaptive plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Relational.withRunningTotal(wide, "k", "v", "rt", partitions = 7)
+        .queryExecution.executedPlan
+      val ranges = plan.collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e
+      }
+      val reused = plan.collectWithSubqueries {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(ranges.size == 1,
+        s"expected exactly one physical range exchange, got ${ranges.size}:\n$plan")
+      assert(reused.nonEmpty, s"expected a ReusedExchange in:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("mergeUpsert: matched keys replaced, new keys appended, rest untouched") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")

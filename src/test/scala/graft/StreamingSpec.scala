@@ -107,6 +107,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() == Seq((2L, 50.0), (5L, 40.0), (3L, 20.0)))
   }
 
+  test("top-k maintenance: a TRUE replay (same batch re-applied after the " +
+       "store write) cannot double-occupy slots") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_topk_replay").toString + "/store"
+    val batch = Seq((1L, 10.0), (2L, 50.0), (3L, 20.0), (4L, 5.0))
+      .toDF("id", "v")
+    StreamingIngest.topKMergeBatch(batch, store, 3, "v", "id")
+    def top(): Seq[(Long, Double)] = spark.read.parquet(store)
+      .orderBy(col("v").desc, col("id")).as[(Long, Double)].collect().toSeq
+    assert(top() == Seq((2L, 50.0), (3L, 20.0), (1L, 10.0)))
+    // the failure mode ADVICE flagged: store write committed, checkpoint
+    // commit lost, engine re-runs the SAME batch — its rows are now in
+    // both inputs of the union and must collapse, not take extra slots
+    StreamingIngest.topKMergeBatch(batch, store, 3, "v", "id")
+    assert(top() == Seq((2L, 50.0), (3L, 20.0), (1L, 10.0)))
+    // and a genuinely new batch still merges normally afterwards
+    StreamingIngest.topKMergeBatch(Seq((5L, 40.0)).toDF("id", "v"),
+      store, 3, "v", "id")
+    assert(top() == Seq((2L, 50.0), (5L, 40.0), (3L, 20.0)))
+  }
+
   test("watermarked windowed aggregation emits per-window per-type totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
