@@ -71,14 +71,40 @@ object VectorFunctions {
     bits.reduce(_ + _)
   }
 
-  /** Deterministic ±1.0 plane as a literal array (computed at plan time). */
-  private def planeLiteral(p: Int, dim: Int): Column = {
-    val arr = Array.tabulate(dim) { j =>
-      val h = Fnv.hashBytes(s"plane:$p:$j".getBytes("UTF-8"))
+  /**
+   * Deterministic ±1.0 random hyperplane `p` — THE single source of
+   * plane values (the engine-side literals, the driver-side query-bucket
+   * replication, and the DuckDB oracle literals all call this).
+   * Signs come from `Fnv.mixed`, not the raw FNV hash: raw FNV's bit 0
+   * is the parity of the key bytes, which made every plane ±the same
+   * vector (see Fnv.mixed's doc) — unmixed, LSH had exactly one
+   * effective hyperplane.
+   */
+  def planeArray(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = Fnv.mixed(s"plane:$p:$j".getBytes("UTF-8"))
       if ((h & 1L) == 1L) 1.0 else -1.0
     }
-    lit(arr)
-  }
+
+  /** [[planeArray]] as a literal column (computed at plan time). */
+  private def planeLiteral(p: Int, dim: Int): Column = lit(planeArray(p, dim))
+
+  /**
+   * nBits-wide sign signature: bit i of word w = sign of the dot with
+   * hyperplane 64·w + i, packed into `nBits/64` longs (bit 63
+   * contributes Long.MinValue — the signed reinterpretation — so the
+   * per-word sum never overflows ANSI arithmetic). The sketch behind
+   * [[graft.NorthStar]]'s s06 ANN k-NN join: E[hamming]/nBits estimates
+   * the pair's angle/π, so ranking by hamming approximates ranking by
+   * cosine, at 8 bytes per 64 planes instead of 8 bytes per dimension.
+   */
+  def bitSignature(vec: Column, dim: Int, nBits: Int): Column =
+    column(BitSignature(expression(toDouble(vec)), dim, nBits))
+
+  /** Hamming distance between two packed signatures (xor + popcount per
+    * word — the cheapest pair kernel there is), codegen'd. */
+  def hammingSig(a: Column, b: Column): Column =
+    column(HammingSig(expression(a), expression(b)))
 
   /**
    * IVF-style coarse quantization (the other standard ANN scale path,
@@ -92,7 +118,10 @@ object VectorFunctions {
    */
   def centroid(c: Int, dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      val h = Fnv.hashBytes(s"centroid:$c:$j".getBytes("UTF-8"))
+      // mixed, not raw: raw FNV's structured high bits left the 16
+      // coarse centroids at mean pairwise |cos| 0.70 (some identical);
+      // mixed they sit at 0.10 ≈ 1/√dim, i.e. genuinely random
+      val h = Fnv.mixed(s"centroid:$c:$j".getBytes("UTF-8"))
       ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 
@@ -135,11 +164,7 @@ object VectorFunctions {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), dim, planes))
     // query bucket computed with the same deterministic planes, driver-side
     val qBucket = (0 until planes).map { p =>
-      val plane = Array.tabulate(dim) { j =>
-        val h = Fnv.hashBytes(s"plane:$p:$j".getBytes("UTF-8"))
-        if ((h & 1L) == 1L) 1.0 else -1.0
-      }
-      val d = query.zip(plane).map { case (x, r) => x * r }.sum
+      val d = query.zip(planeArray(p, dim)).map { case (x, r) => x * r }.sum
       if (d >= 0) 1L << p else 0L
     }.sum
     val probes: Seq[Long] =

@@ -226,4 +226,63 @@ class SimilaritySpec extends AnyFunSuite {
     val top = VF.cosineTopKLsh(df, "embedding", "vec_id", q, 1, dim = 16, planes = 8).collect()
     assert(top.head.getLong(0) == 7L) // own bucket always probed
   }
+
+  test("hyperplanes and centroids are genuinely random (the raw-FNV " +
+       "degeneracy stays fixed)") {
+    // raw FNV bit 0 is input parity: every plane was ±one vector and
+    // centroids duplicated. With Fnv.mixed, pairwise |cos| must sit
+    // near 1/√dim ≈ 0.125, nowhere near collinear.
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val planes = (0 until 64).map(p => VF.planeArray(p, 64))
+    val pc = for (i <- 0 until 64; j <- i + 1 until 64)
+      yield math.abs(cos(planes(i), planes(j)))
+    assert(pc.max < 0.8, s"plane |cos| max ${pc.max} — planes degenerate")
+    assert(pc.sum / pc.size < 0.2, s"plane |cos| mean ${pc.sum / pc.size}")
+    val cents = (0 until 16).map(c => VF.centroid(c, 64))
+    val cc = for (i <- 0 until 16; j <- i + 1 until 16)
+      yield math.abs(cos(cents(i), cents(j)))
+    assert(cc.max < 0.6, s"centroid |cos| max ${cc.max} — centroids degenerate")
+    assert(cc.sum / cc.size < 0.25, s"centroid |cos| mean ${cc.sum / cc.size}")
+  }
+
+  test("law: BitSignature packs exactly the plane-dot signs and " +
+       "HammingSig counts exactly the sign disagreements") {
+    val gen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    val planes = (0 until 128).map(p => VF.planeArray(p, 16))
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      def signs(v: List[Double]): Seq[Boolean] =
+        planes.map(pl => v.zip(pl).map { case (x, w) => x * w }
+          .foldLeft(0.0)(_ + _) >= 0)
+      val df = Seq((a.map(_.toFloat).toArray, b.map(_.toFloat).toArray))
+        .toDF("va", "vb")
+        .select(VF.bitSignature(col("va"), 16, 128).as("sa"),
+          VF.bitSignature(col("vb"), 16, 128).as("sb"))
+      val row = df.select(col("sa"), col("sb"),
+        VF.hammingSig(col("sa"), col("sb")).as("h")).head()
+      val sa = row.getSeq[Long](0); val sb = row.getSeq[Long](1)
+      val expWords = signs(a).grouped(64).map(_.zipWithIndex
+        .foldLeft(0L) { case (acc, (s, i)) => if (s) acc | (1L << i) else acc })
+        .toSeq
+      val expHam = signs(a).zip(signs(b)).count { case (x, y) => x != y }
+      Prop(sa == expWords) :| s"words $sa != $expWords" &&
+        Prop(row.getLong(2) == expHam.toLong) :| s"ham ${row.getLong(2)} != $expHam"
+    }, 30)
+  }
+
+  test("law: s06 sketch-cascade k-NN join recall >= 0.95 vs s04's exact " +
+       "top-3 (measured on the harness corpus)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("s04_knn_join")(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val approx = SparkEntry.queries("s06_ann_knn_join")(spark, dir)
+      .select(col("vec_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"s06 recall vs exact s04 top-3: $recall%.4f (${exact.size} truths)")
+    assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
+  }
 }
