@@ -1,24 +1,40 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.functions.{PpmCodec, PpmDecodeFeatures, PpmEncode}
 
 /**
  * Multimodal column plumbing (SURVEY.md §7.1 M5): media as opaque
  * `binary` payloads with typed metadata, processed by a partition-wise
  * decode/feature-extract stage.
  *
- * The actual codec step is STUBBED (this container has no image/audio
- * libraries): [[FakeCodec]] is a deterministic stand-in that "decodes" a
- * payload to a fixed-length feature vector. Everything around it — the
- * payload schema, the `mapPartitions` batch shape (one codec instance per
- * partition, streamed rows, no driver materialization), the partitioning
- * contract — is real and is what matters at 100 TB: payloads stay
- * distributed, the codec is initialized once per task, and feature
- * extraction is embarrassingly parallel.
+ * The codec is REAL: binary PPM (P6) with an actual header parser
+ * ([[graft.functions.PpmCodec]] — magic, comments, whitespace, maxval,
+ * truncation all handled; malformed payloads become NULL rows). The
+ * corpus has no binary fixtures, so payloads are rendered
+ * deterministically from the documents table by the encoder half
+ * ([[graft.functions.PpmEncode]]) and then decoded by the parser half —
+ * a genuine encode→parse→extract round trip per row. Production swaps
+ * the PPM kernel for JPEG/PNG/wav behind the same two expressions (or
+ * the [[decodeFeatures]] mapPartitions shape when the codec needs
+ * per-task native-handle init); the pipeline shape does not change:
+ * payloads stay distributed, extraction is per-row, no shuffle.
  */
 object Multimodal {
+
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  /** Encoder: deterministic PPM payload rendered from (doc_id, text). */
+  def ppmEncode(docId: Column, text: Column): Column =
+    column(PpmEncode(expression(docId), expression(text.cast(BinaryType))))
+
+  /** Decoder: PPM payload → [w, h, meanRGB, lum-histogram], NULL if
+    * malformed. */
+  def ppmDecode(data: Column): Column =
+    column(PpmDecodeFeatures(expression(data)))
 
   /** A media payload row: opaque bytes + typed metadata. */
   case class MediaRecord(
@@ -33,78 +49,63 @@ object Multimodal {
       checksum: Long,
       feature: Array[Double])
 
-  /**
-   * Deterministic fake codec: replace with a real decoder (JPEG/PNG/wav)
-   * by swapping this object — the pipeline shape does not change. Its
-   * "feature vector" is an 8-bin byte histogram, normalized: cheap,
-   * deterministic, and shaped like a real embedding output.
-   */
-  object FakeCodec {
-    val dim = 8
-    def decode(data: Array[Byte]): Array[Double] = {
-      val hist = new Array[Double](dim)
-      var i = 0
-      while (i < data.length) {
-        hist((data(i) & 0xff) % dim) += 1.0
-        i += 1
-      }
-      val n = math.max(data.length, 1).toDouble
-      var b = 0
-      while (b < dim) { hist(b) /= n; b += 1 }
-      hist
-    }
-    def checksum(data: Array[Byte]): Long =
-      graft.functions.Fnv.hashBytes(data)
-  }
-
-  /** documents(text) → binary payload table with metadata. */
+  /** documents(text) → binary media table: each doc rendered as a real
+    * PPM image payload with typed metadata. */
   def toMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast(BinaryType).as("data"),
-      lit("text/plain").as("mime"),
-      length(col("text").cast(BinaryType)).cast(LongType).as("n_bytes"))
+    docs
+      .select(col("doc_id"),
+        ppmEncode(col("doc_id"), col("text")).as("data"))
+      .select(
+        col("doc_id"),
+        col("data"),
+        lit("image/x-portable-pixmap").as("mime"),
+        length(col("data")).cast(LongType).as("n_bytes"))
 
   /**
    * Partition-wise decode: one codec per partition, rows streamed —
-   * the Scala analogue of a Pandas-UDF `mapInPandas` decode stage.
+   * the Scala analogue of a Pandas-UDF `mapInPandas` decode stage. Kept
+   * as the integration shape for codecs that need per-task init (native
+   * lib handle); must agree row-for-row with [[decodePipeline]]'s
+   * expression path (A/B-tested). Malformed payloads are dropped here
+   * (the expression path NULLs them — flatMap is the Dataset twin).
    */
   def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       // per-task codec init would go here (e.g. native lib handle)
-      rows.map { r =>
-        MediaFeatures(r.doc_id, r.n_bytes, FakeCodec.checksum(r.data),
-          FakeCodec.decode(r.data))
+      rows.flatMap { r =>
+        PpmCodec.decode(r.data).map { img =>
+          MediaFeatures(r.doc_id, r.n_bytes,
+            graft.functions.Fnv.hashBytes(r.data), PpmCodec.features(img))
+        }
       }
     }
   }
 
   /**
-   * End-to-end: docs → media table → decoded features. The deterministic
-   * FakeCodec math runs as Catalyst expressions
-   * ([[graft.functions.FnvChecksum]] / [[graft.functions.ByteHistogram]])
-   * directly over the binary column — no Dataset-encoder round-trip, rows
-   * never deserialize to case classes. [[decodeFeatures]] remains as the
-   * `mapPartitions` shape a REAL native codec (per-task handle init)
-   * would need; use it only when an expression can't host the codec.
-   * Feature bins are flattened to scalar columns (h0..h7) so the result
-   * is oracle-comparable.
+   * End-to-end: docs → PPM media table → parsed/decoded features, all as
+   * codegen'd Catalyst expressions — no Dataset-encoder round-trip.
+   * The feature vector is projected ONCE into an intermediate column and
+   * the scalar outputs are element_at over it (single parse per row, not
+   * one parse per output column). Columns: payload metadata + checksum,
+   * parsed width/height, exact channel means, 8-bin luminance histogram.
    */
   def decodePipeline(docs: DataFrame): DataFrame = {
     import graft.functions.Hashing
     val media = toMediaTable(docs)
-    // the histogram is projected ONCE into an intermediate column and the
-    // bins are element_at over it — guaranteeing a single pass over the
-    // payload bytes rather than trusting subexpression elimination to
-    // dedupe dim copies of the expression
-    val bins = (0 until FakeCodec.dim).map(b =>
-      element_at(col("_hist"), b + 1).as(s"h$b"))
+    val f = col("_f")
     media.select(
       col("doc_id"), col("n_bytes"),
       Hashing.fnvChecksum(col("data")).as("checksum"),
-      Hashing.byteHistogram(col("data"), FakeCodec.dim).as("_hist"))
-      .select(Seq(col("doc_id"), col("n_bytes"), col("checksum")) ++ bins: _*)
+      ppmDecode(col("data")).as("_f"))
+      .select(Seq(
+        col("doc_id"), col("n_bytes"), col("checksum"),
+        element_at(f, 1).cast(IntegerType).as("width"),
+        element_at(f, 2).cast(IntegerType).as("height"),
+        element_at(f, 3).as("mean_r"),
+        element_at(f, 4).as("mean_g"),
+        element_at(f, 5).as("mean_b")) ++
+        (0 until 8).map(b => element_at(f, 6 + b).as(s"h$b")): _*)
   }
 }
