@@ -57,6 +57,22 @@ object Sinks {
   }
 
   /**
+   * Ops 8/10/16 over a REAL JDBC connection — the reference's actual
+   * warehouse path (`df.to_sql` / INSERT over psycopg2), not the parquet
+   * stand-in: Spark's JDBC writer batches INSERTs (`batchsize`, default
+   * 1000) and binds BY NAME against an existing table's DDL (the INSERT
+   * carries an explicit column list from the DataFrame schema), so op
+   * 10's positional imposition and op 16's DDL re-alignment are the same
+   * `toDF`/`select` normalizations as the parquet twins composed with
+   * this writer. Exercised in-process against embedded Derby
+   * (JdbcSinkSpec) — swap the URL for Postgres in production; the writer
+   * path is identical.
+   */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /**
    * Op 17's retry semantics (reference: retries=1, delay 3 s,
    * weather_etl_pipeline.py:265-266) as a driver-side wrapper. Note the
    * reference's retry double-inserts on partial failure (SURVEY.md §2.1);
