@@ -234,4 +234,58 @@ class PlansSpec extends AnyFunSuite {
       .as[(Int, String, String)].collect().sorted.toSeq
     assert(salted == plain)
   }
+
+  test("saltedJoin MECHANISM fires: the join keys carry the salt and the " +
+       "hot key's rows spread across every salt value") {
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
+    val dim = (0 to 5).map(k => (k, s"d$k")).toDF("k", "dv")
+    val factor = 8
+    // the internal salted fact side: the hot key must genuinely occupy
+    // all `factor` salt buckets (the whole point — one reducer becomes
+    // `factor` reducers), deterministically (hash of the full row)
+    val salts = fact.withColumn("_salt",
+      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(factor.toLong)).cast("int"))
+      .filter(col("k") === 1)
+      .select(col("_salt")).distinct().as[Int].collect().toSet
+    assert(salts == (0 until factor).toSet,
+      s"hot key only landed in salts $salts — not spread")
+    // and the physical join actually keys on (k, _salt), not k alone
+    val plan = Relational.saltedJoin(fact, dim, "k", factor)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"join does not carry the salt key:\n$plan")
+  }
+
+  test("AQE skew-join engages on a skewed shuffle join (split partitions, " +
+       "same result)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // scale the skew thresholds down so the default-256MB machinery is
+      // triggerable by a test-sized hot partition (sizes are COMPRESSED
+      // shuffle bytes — repetitive test payloads shrink a lot)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pad = "x" * 64
+      val fact = (1 to 60000)
+        .map(i => (if (i % 20 == 0) i % 7 else 1, s"$pad$i")).toDF("k", "fv")
+      val dim = (0 to 7).map(k => (k, s"d$k")).toDF("k", "dv")
+      val joined = fact.join(dim, Seq("k"))
+      // execute THIS dataframe (count() would plan its own execution and
+      // leave joined's adaptive plan unfinalized)
+      assert(joined.collect().length == 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
