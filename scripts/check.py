@@ -9,8 +9,16 @@ Usage: python3 scripts/check.py <sfDir> <verifyOutDir> [query ...]
 import sys, os, json, glob
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3:])
+args = sys.argv[1:]
+skip = set()
+if "--skip" in args:
+    i = args.index("--skip")
+    if i + 1 >= len(args):
+        sys.exit("usage: check.py <sfDir> <outDir> [--skip q1,q2] [query ...]")
+    skip = set(args[i + 1].split(","))
+    args = args[:i] + args[i + 2:]
+sfdir, outdir = args[0], args[1]
+only = set(args[2:])
 
 with open(os.path.join(outdir, "oracle_sql.json")) as f:
     oracles = json.load(f)
@@ -26,6 +34,8 @@ for qdir in sorted(glob.glob(os.path.join(outdir, "*"))):
         continue
     q = os.path.basename(qdir)
     if only and q not in only:
+        continue
+    if q in skip:
         continue
     spark = con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
     if q not in oracles:

@@ -47,10 +47,14 @@ object Bench {
     }
     // min-of-2: this host's neighbor steal inflates single-shot timings
     // up to ~2×; the per-query min of two full passes is the robust
-    // quiet-host estimate. The cache is cleared between passes so pass 2
-    // repeats pass 1's exact work (same intra-pass cache reuse, no
-    // carry-over that would underreport the tier that builds the caches).
+    // quiet-host estimate. Between passes the MEMOIZED tier is released
+    // through its lifecycle handle (releaseCaches drops the memo entries,
+    // so pass 2's first dedup/sketch query rebuilds AND re-persists them
+    // — clearCache alone would leave stale memo entries pointing at
+    // evicted plans and pass 2 would run the whole tier uncached), then
+    // any remaining cached plans are cleared.
     val p1 = pass()
+    NorthStar.releaseCaches(spark, sfDir)
     spark.catalog.clearCache()
     val p2 = pass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }

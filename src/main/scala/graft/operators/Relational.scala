@@ -165,7 +165,10 @@ object Relational {
       .withColumn(outCol, col("_lcw") + col("_off"))
       .drop("_pid", "_lcw", "_off")
     if (df.columns.toSeq == Seq(orderCol, valCol)) totals
-    else df.join(totals.drop(valCol), Seq(orderCol))
+    // drop a pre-existing outCol before the join-back: the old
+    // withColumn form REPLACED it, and a join would instead produce two
+    // same-named columns (ambiguous-reference on any later col(outCol))
+    else df.drop(outCol).join(totals.drop(valCol), Seq(orderCol))
   }
 
   /**

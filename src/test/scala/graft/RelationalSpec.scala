@@ -92,6 +92,16 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("withRunningTotal REPLACES a pre-existing outCol on wide inputs " +
+       "(withColumn semantics, no ambiguous duplicate)") {
+    val wide = Seq((1L, 10L, 999L, "a"), (2L, -3L, 999L, "b"), (3L, 5L, 999L, "c"))
+      .toDF("k", "v", "rt", "tag") // stale rt column must be overwritten
+    val got = Relational.withRunningTotal(wide, "k", "v", "rt", partitions = 2)
+    assert(got.columns.count(_ == "rt") == 1)
+    assert(got.select(col("k"), col("rt")).as[(Long, Long)].collect().toMap ==
+      Map(1L -> 10L, 2L -> 7L, 3L -> 12L))
+  }
+
   test("mergeUpsert: matched keys replaced, new keys appended, rest untouched") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "name", "v")
