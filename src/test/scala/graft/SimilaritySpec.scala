@@ -285,4 +285,31 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"s06 recall vs exact s04 top-3: $recall%.4f (${exact.size} truths)")
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
   }
+
+  test("law: s07 incremental probe recall >= 0.95 vs the brute-force " +
+       "arrival-vs-index top-3, and probes emit ONLY arrivals") {
+    val dir = "/root/testdata/sf0.001"
+    val spark2 = spark
+    import org.apache.spark.sql.functions.col
+    val e = spark2.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val idx = e.keys.filter(_ % 100 != 0).toSeq
+    val exact = e.keys.filter(_ % 100 == 0).flatMap { q =>
+      idx.map(n => (q, n, cos(e(q), e(n))))
+        .sortBy { case (_, n, s) => (-s, n) }.take(3).map { case (q2, n, _) => (q2, n) }
+    }.toSet
+    val got = SparkEntry.queries("s07_ann_incremental")(spark2, dir)
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    assert(got.forall(_._1 % 100 == 0), "probe emitted a non-arrival query id")
+    assert(got.forall(_._2 % 100 != 0), "probe matched against an arrival, not the index")
+    val recall = (exact & got.toSet).size.toDouble / exact.size
+    info(f"s07 recall vs brute-force arrival-vs-index top-3: $recall%.4f (${exact.size} truths)")
+    assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
+  }
 }
