@@ -145,6 +145,99 @@ object StreamingIngest {
       .write.mode("overwrite").parquet(storePath)
   }
 
+  /**
+   * Streaming embedding-dedup ingest gate — the streaming twin of the
+   * s07 incremental ANN probe, and the missing half of a production
+   * vector-corpus ingest: each micro-batch of arriving vectors is
+   * probed against the PERSISTED index (batch signatures broadcast over
+   * ONE scan of the stored sketch column — no corpus self-join, same
+   * shape as s07), near-duplicates (max cosine ≥ `simThreshold` against
+   * the index OR against an earlier row of the same batch) are DROPPED,
+   * and survivors append to the index under their own `_batch_id`
+   * partition — so a replayed batch replaces itself (idempotent, like
+   * [[startIdempotentAppend]]) and the store doubles as the sketch
+   * index for the next batch. Store rows carry (vec_id, embedding,
+   * sig); per-batch cost is O(|index|·|batch|) popcounts +
+   * O(|batch|·cands) exact dots.
+   */
+  def startVectorDedupIngest(vectors: DataFrame, storePath: String,
+                             checkpointDir: String,
+                             simThreshold: Double = 0.95,
+                             dim: Int = 64, nBits: Int = 512,
+                             cands: Int = 32): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        vectorDedupBatch(batch, storePath, batchId, simThreshold, dim,
+          nBits, cands)
+      }
+      .start()
+
+  /** The per-batch probe-filter-append behind [[startVectorDedupIngest]],
+    * exposed for direct unit testing (incl. true replays). */
+  private[graft] def vectorDedupBatch(batch: DataFrame, storePath: String,
+                                      batchId: Long, simThreshold: Double,
+                                      dim: Int, nBits: Int,
+                                      cands: Int): Unit = {
+    import graft.functions.{VectorFunctions => VF}
+    val spark = batch.sparkSession
+    val b = batch
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .withColumn("sig", VF.bitSignature(col("v"), dim, nBits))
+      .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+      .persist()
+    b.count()
+    val storeExists = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(storePath))
+    // max cosine of each batch vector against the index: sketch top-C
+    // candidates (broadcast batch sigs over one index scan), exact rerank
+    val dupVsIndex =
+      if (!storeExists) b.select(col("vec_id")).limit(0)
+      else {
+        val idx = spark.read.parquet(storePath)
+          // a replayed batch's own partition must not count as "the
+          // index" — otherwise every replayed row sees itself stored
+          // and the whole batch is dropped instead of replaced
+          .filter(col("_batch_id") =!= batchId)
+          .select(col("vec_id").as("idx_id"),
+            VF.toDouble(col("embedding")).as("idx_v"), col("sig").as("idx_sig"))
+        val hams = idx.crossJoin(
+            broadcast(b.select(col("vec_id"), col("sig"))))
+          .select(col("vec_id"), col("idx_id"),
+            VF.hammingSig(col("sig"), col("idx_sig")).as("ham"),
+            col("idx_v"))
+        val cand = graft.operators.Relational.topKPerKey(hams, Seq("vec_id"),
+          Seq(col("ham").asc, col("idx_id").asc), cands)
+        cand.join(b.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+          .select(col("vec_id"),
+            (VF.dot(col("v"), col("idx_v")) /
+              (col("nrm") * sqrt(VF.normSq(col("idx_v"))))).as("sim"))
+          .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim"))
+          .filter(col("max_sim") >= simThreshold)
+          .select(col("vec_id"))
+      }
+    // within-batch near-dups: keep the LOWEST vec_id of each dup pair
+    // (batches are small — the pair scan broadcasts the batch)
+    val dupInBatch = b.as("x").join(broadcast(b.as("y")),
+        col("x.vec_id") > col("y.vec_id") &&
+        VF.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
+          >= simThreshold)
+      .select(col("x.vec_id")).distinct()
+    val survivors = b
+      .join(dupVsIndex, Seq("vec_id"), "left_anti")
+      .join(dupInBatch, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"),
+        transform(col("v"), x => x.cast("float")).as("embedding"), col("sig"))
+      .withColumn("_batch_id", lit(batchId))
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(storePath)
+    b.unpersist()
+  }
+
   /** The maintained aggregate view over [[startAggMaintenance]]'s partial
     * store: ⊕-merge (sum of counts, sum of exact DECIMAL partials) —
     * bit-identical to a full recompute over every event ever ingested. */

@@ -128,6 +128,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(top() == Seq((2L, 50.0), (5L, 40.0), (3L, 20.0)))
   }
 
+  test("vector dedup ingest gate: index probes drop near-dups, survivors " +
+       "append, replays replace (idempotent), within-batch dups collapse") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_vec_ingest").toString + "/store"
+    def vec(seed: Int, noise: Double = 0.0): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val base = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(seed + 1000)
+      val v = base.map(x => x + noise * rn.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def df(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    def storedIds(): Set[Long] =
+      spark.read.parquet(store).select(col("vec_id")).as[Long].collect().toSet
+
+    // batch 0: three distinct vectors + a within-batch near-dup of id 1
+    // (same seed, tiny noise) — the higher id of the dup pair drops
+    StreamingIngest.vectorDedupBatch(
+      df(1L -> vec(1), 2L -> vec(2), 3L -> vec(3), 4L -> vec(1, 0.01)),
+      store, 0L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(1L, 2L, 3L))
+
+    // batch 1: a near-dup of stored id 2 (dropped via the index probe)
+    // and a novel vector (survives)
+    StreamingIngest.vectorDedupBatch(
+      df(10L -> vec(2, 0.01), 11L -> vec(11)),
+      store, 1L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(1L, 2L, 3L, 11L))
+
+    // TRUE replay of batch 1 (store write committed, checkpoint lost):
+    // its own partition must not probe as "the index" — the partition is
+    // REPLACED, not emptied and not duplicated
+    StreamingIngest.vectorDedupBatch(
+      df(10L -> vec(2, 0.01), 11L -> vec(11)),
+      store, 1L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(1L, 2L, 3L, 11L))
+    assert(spark.read.parquet(store).count() == 4)
+
+    // and the streaming wrapper drives the same path end-to-end on a
+    // fresh store (micro-batch ids are assigned by the engine, so the
+    // wrapper gets its own store rather than colliding with the manual
+    // batch ids above): batch 0 seeds the index, batch 1 probes it
+    val store2 = Files.createTempDirectory("graft_vec_ingest2").toString + "/store"
+    val landing = Files.createTempDirectory("graft_vec_land").toString
+    val ckpt = Files.createTempDirectory("graft_vec_ckpt").toString
+    def drain(): Unit = {
+      val src = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(s"$landing/*") // each landed batch is a parquet DIR
+      StreamingIngest.startVectorDedupIngest(src, store2, ckpt)
+        .awaitTermination()
+    }
+    def stored2(): Set[Long] =
+      spark.read.parquet(store2).select(col("vec_id")).as[Long].collect().toSet
+    df(20L -> vec(20), 21L -> vec(21), 22L -> vec(20, 0.01))
+      .write.parquet(s"$landing/b0.parquet")
+    drain()
+    assert(stored2() == Set(20L, 21L)) // within-batch dup 22 dropped
+    df(30L -> vec(21, 0.01), 31L -> vec(31))
+      .write.parquet(s"$landing/b1.parquet")
+    drain()
+    assert(stored2() == Set(20L, 21L, 31L)) // index probe dropped 30
+  }
+
   test("watermarked windowed aggregation emits per-window per-type totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
