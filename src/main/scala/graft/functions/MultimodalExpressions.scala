@@ -141,7 +141,13 @@ case class PpmEncode(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[Long], b.asInstanceOf[Array[Byte]])
+    // widen, don't cast: the interpreted path (e.g. ConstantFolding of
+    // an INT doc_id literal) must accept the same inputs the codegen
+    // path's implicit Java int→long widening does
+    compute(a.asInstanceOf[Number].longValue(), b match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+      case bytes => bytes.asInstanceOf[Array[Byte]]
+    })
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ppmEncExpr", this)

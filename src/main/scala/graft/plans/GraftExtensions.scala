@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{ByteHistogram, DotProduct, FnvChecksum, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles, ZOrderLong}
+import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles, ZOrderLong}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -83,7 +83,27 @@ object GraftFunctions {
     ("zorder_long",
       info("zorder_long", "zorder_long(a, b, bits) - Morton interleave of two longs' low bits"),
       (args: Seq[Expression]) => ZOrderLong(args(0), args(1),
-        args(2).eval(null).asInstanceOf[Int])))
+        args(2).eval(null).asInstanceOf[Int])),
+    ("bit_signature",
+      info("bit_signature", "bit_signature(vec, dim, nbits) - hyperplane sign sketch packed into nbits/64 longs"),
+      // cast to array<double> like the Column API's toDouble does —
+      // BitSignature.compute reads 8-byte doubles, so a raw float-array
+      // child would produce silent garbage, not an error
+      (args: Seq[Expression]) => BitSignature(
+        org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        args(1).eval(null).asInstanceOf[Int],
+        args(2).eval(null).asInstanceOf[Int])),
+    ("hamming_sig",
+      info("hamming_sig", "hamming_sig(a, b) - hamming distance of two packed long-array signatures"),
+      (args: Seq[Expression]) => HammingSig(args(0), args(1))),
+    ("ppm_encode",
+      info("ppm_encode", "ppm_encode(doc_id, text) - deterministic binary PPM (P6) rendering"),
+      (args: Seq[Expression]) => PpmEncode(args(0), args(1))),
+    ("ppm_decode_features",
+      info("ppm_decode_features", "ppm_decode_features(data) - parse binary PPM: [w, h, meanRGB, lum histogram], NULL if malformed"),
+      (args: Seq[Expression]) => PpmDecodeFeatures(args.head)))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

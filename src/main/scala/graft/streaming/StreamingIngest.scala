@@ -187,40 +187,55 @@ object StreamingIngest {
       .withColumn("sig", VF.bitSignature(col("v"), dim, nBits))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
       .persist()
-    b.count()
+    // an EMPTY batch must write nothing: a zero-row partitioned write on
+    // a fresh storePath creates a schemaless directory that wedges every
+    // later batch's read (UNABLE_TO_INFER_SCHEMA, retried forever)
+    if (b.count() == 0) { b.unpersist(); return }
     val storeExists = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(storePath))
     // max cosine of each batch vector against the index: sketch top-C
-    // candidates (broadcast batch sigs over one index scan), exact rerank
+    // candidates from a genuinely NARROW probe — the hamming pass reads
+    // only (vec_id, sig) from the store; full vectors are joined back
+    // for the ≤ |batch|·cands candidate pairs only, with each side's
+    // norm computed once
     val dupVsIndex =
       if (!storeExists) b.select(col("vec_id")).limit(0)
       else {
-        val idx = spark.read.parquet(storePath)
-          // a replayed batch's own partition must not count as "the
-          // index" — otherwise every replayed row sees itself stored
-          // and the whole batch is dropped instead of replaced
+        // a replayed batch's own partition must not count as "the
+        // index" — otherwise every replayed row sees itself stored
+        // and the whole batch is dropped instead of replaced
+        val store = spark.read.parquet(storePath)
           .filter(col("_batch_id") =!= batchId)
-          .select(col("vec_id").as("idx_id"),
-            VF.toDouble(col("embedding")).as("idx_v"), col("sig").as("idx_sig"))
-        val hams = idx.crossJoin(
-            broadcast(b.select(col("vec_id"), col("sig"))))
+        val hams = store.select(col("vec_id").as("idx_id"), col("sig").as("idx_sig"))
+          .crossJoin(broadcast(b.select(col("vec_id"), col("sig"))))
           .select(col("vec_id"), col("idx_id"),
-            VF.hammingSig(col("sig"), col("idx_sig")).as("ham"),
-            col("idx_v"))
+            VF.hammingSig(col("sig"), col("idx_sig")).as("ham"))
         val cand = graft.operators.Relational.topKPerKey(hams, Seq("vec_id"),
           Seq(col("ham").asc, col("idx_id").asc), cands)
-        cand.join(b.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        val idxVec = store.select(col("vec_id").as("idx_id"),
+          VF.toDouble(col("embedding")).as("idx_v"))
+          .withColumn("idx_nrm", sqrt(VF.normSq(col("idx_v"))))
+        cand
+          .join(idxVec, Seq("idx_id"))
+          .join(b.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
           .select(col("vec_id"),
-            (VF.dot(col("v"), col("idx_v")) /
-              (col("nrm") * sqrt(VF.normSq(col("idx_v"))))).as("sim"))
+            (VF.dot(col("v"), col("idx_v")) / (col("nrm") * col("idx_nrm")))
+              .as("sim"))
           .groupBy(col("vec_id")).agg(max(col("sim")).as("max_sim"))
           .filter(col("max_sim") >= simThreshold)
           .select(col("vec_id"))
       }
-    // within-batch near-dups: keep the LOWEST vec_id of each dup pair
-    // (batches are small — the pair scan broadcasts the batch)
-    val dupInBatch = b.as("x").join(broadcast(b.as("y")),
+    // within-batch near-dups, anchored on the batch rows that SURVIVED
+    // the index probe: a row dropped as an index near-dup must not also
+    // drag down later batch rows that are NOT near anything stored (the
+    // unanchored pair rule silently lost such rows). Remaining known
+    // conservatism: a pure in-batch similarity chain (A kept, B~A
+    // dropped, C~B but not ~A) still drops C — the gate may over-drop
+    // on chains, never under-drop. Batches are small; the pair scan
+    // broadcasts the anchor side.
+    val anchors = b.join(dupVsIndex, Seq("vec_id"), "left_anti")
+    val dupInBatch = b.as("x").join(broadcast(anchors.as("y")),
         col("x.vec_id") > col("y.vec_id") &&
         VF.dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))
           >= simThreshold)

@@ -223,6 +223,40 @@ class PlansSpec extends AnyFunSuite {
     assert(viaSql == viaCol && viaSql == 27L) // 5=101₂, 3=011₂ → 011011₂
   }
 
+  test("round-5 kernels are SQL-registered and match the Column API") {
+    val viaSql = spark.sql(
+      """SELECT bit_signature(array(1.0d, -2.0d, 0.5d), 3, 128) AS sig,
+                hamming_sig(array(7L, 0L), array(1L, 3L)) AS ham,
+                ppm_encode(1L, cast('abc' AS binary)) AS img""").collect().head
+    val viaCol = Seq(Seq(1.0, -2.0, 0.5)).toDF("v").select(
+      graft.functions.VectorFunctions.bitSignature(col("v"), 3, 128).as("sig"))
+      .collect().head
+    assert(viaSql.getSeq[Long](viaSql.fieldIndex("sig")) ==
+      viaCol.getSeq[Long](viaCol.fieldIndex("sig")))
+    assert(viaSql.getAs[Long]("ham") == 4L) // 7^1=6 (2 bits) + 3 (2 bits)
+    val img = viaSql.getAs[Array[Byte]]("img")
+    // decode the SQL-encoded payload through the SQL decoder: header
+    // parses, dims match the doc_id-derived 9x9, histogram sums to 1
+    val feats = spark.sql(
+      s"SELECT ppm_decode_features(ppm_encode(1L, cast('abc' AS binary))) AS f")
+      .collect().head.getSeq[Double](0)
+    assert(new String(img.take(2), "US-ASCII") == "P6")
+    assert(feats(0) == 9.0 && feats(1) == 9.0)
+    assert(math.abs(feats.drop(5).sum - 1.0) < 1e-12)
+    // SQL path must coerce float arrays like the Column API does —
+    // BitSignature reads doubles, so a raw float-array child would be
+    // silent garbage, not an error
+    val floatDf = Seq(Seq(1.0f, -2.0f, 0.5f)).toDF("v")
+    floatDf.createOrReplaceTempView("bs_float_in")
+    val sqlSig = spark.sql(
+      "SELECT bit_signature(v, 3, 128) AS sig FROM bs_float_in")
+      .collect().head.getSeq[Long](0)
+    val colSig = floatDf.select(
+      graft.functions.VectorFunctions.bitSignature(col("v"), 3, 128).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(sqlSig == colSig, "SQL bit_signature diverged on a float array")
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")

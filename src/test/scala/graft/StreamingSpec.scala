@@ -193,6 +193,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(stored2() == Set(20L, 21L, 31L)) // index probe dropped 30
   }
 
+  test("vector dedup gate edges: empty first batch writes nothing (store " +
+       "not poisoned); an index-dropped row does not drag down a unique " +
+       "later row") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_vec_edge").toString + "/store"
+    def vec(seed: Int, noise: Double = 0.0): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val base = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(seed + 1000)
+      val v = base.map(x => x + noise * rn.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def df(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    // rotate `base` toward the part of `other` orthogonal to it, landing
+    // at exactly cos(result, base) = c
+    def mix(base: Array[Float], other: Array[Float], c: Double): Array[Float] = {
+      val s = math.sqrt(1 - c * c)
+      val dot = base.zip(other).map { case (p, q) => p.toDouble * q }.sum
+      val orth = other.zip(base).map { case (q, p) => q - (dot * p).toFloat }
+      val on = math.sqrt(orth.map(z => z.toDouble * z).sum)
+      base.zip(orth).map { case (p, o) => (c * p + s * o / on).toFloat }
+    }
+    // empty batch on a fresh store: a zero-row partitioned write would
+    // create a schemaless dir and wedge every later read
+    StreamingIngest.vectorDedupBatch(
+      df().select(col("vec_id"), col("embedding")), store, 0L, 0.95, 64, 512, 32)
+    assert(!new java.io.File(store).exists())
+    // regression for the unanchored pair rule: stored anchor x; batch of
+    // ax (cos(ax, x) ≈ 0.96 → dropped by the index probe) and b with
+    // cos(b, ax) ≈ 0.96 but cos(b, x) ≈ 0.92 < threshold — b is NOT a
+    // near-dup of anything stored and must survive even though its
+    // lower-id batch neighbor ax was dropped
+    val x = vec(7)
+    val u = vec(8)
+    StreamingIngest.vectorDedupBatch(df(1L -> x), store, 0L, 0.95, 64, 512, 32)
+    val ax = mix(x, u, 0.96)
+    val b = mix(ax, u, 0.96)
+    val cosBX = b.zip(x).map { case (p, q) => p.toDouble * q }.sum
+    assert(cosBX < 0.95, s"test construction: cos(b, x) = $cosBX must be below threshold")
+    StreamingIngest.vectorDedupBatch(df(10L -> ax, 11L -> b), store, 1L, 0.95, 64, 512, 32)
+    val ids = spark.read.parquet(store).select(col("vec_id")).as[Long].collect().toSet
+    assert(ids == Set(1L, 11L),
+      s"ax (10) must drop vs index, unique b (11) must survive; got $ids")
+  }
+
   test("watermarked windowed aggregation emits per-window per-type totals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
