@@ -311,6 +311,13 @@ object NorthStar {
         0.8, k = 128, bands = 32, estFloor = 0.6)
     }),
 
+    // duplicate-SPAN detection (Lee et al. ACL'22): maximal token ranges
+    // whose every 8-gram repeats in the corpus — span-level boilerplate
+    // removal, the complement of whole-doc dedup. Three narrow shuffles;
+    // gram strings never leave the hash projection (see Dedup.duplicateSpans)
+    "d15_span_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", 8)),
+
     // duplicate-cluster formation over the near-dup pair graph: connected
     // components via iterative min-label propagation (the post-pair stage
     // of an LLM-data dedup pipeline — keep min doc_id per cluster)
@@ -1740,6 +1747,28 @@ object NorthStar {
           JOIN sizes sa ON doc_new = sa.doc_id
           JOIN sizes sb ON doc_existing = sb.doc_id
           WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""",
+    // duplicated 8-gram start positions merged gaps-and-islands style;
+    // the oracle groups by gram STRING where Spark groups by its 64-bit
+    // hash (the d03 stance: collisions only widen a span, and none occur
+    // at the gate's corpus size)
+    "d15_span_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, len(t) - 8 + 2)) AS i
+                    FROM tk WHERE len(t) >= 8),
+            grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                             array_to_string(t[i:i+7], ' ') AS gram FROM pos),
+            dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1),
+            hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+            brk AS (SELECT doc_id, pos,
+                      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+                           THEN 0 ELSE 1 END AS b
+                    FROM hits),
+            grp AS (SELECT doc_id, pos,
+                      SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+                    FROM brk)
+          SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+                 MAX(pos) + 8 - MIN(pos) AS span_tokens
+          FROM grp GROUP BY doc_id, gid""",
     // transitive closure over the pair graph; component = min reachable id
     "d06_neardup_groups" ->
       s"""WITH RECURSIVE pr AS (${jaccardOracle(0.8)}),

@@ -479,4 +479,62 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("edit_dist"))
   }
+
+  /**
+   * Duplicate-SPAN detection: maximal token ranges whose every k-gram
+   * occurs more than once in the corpus (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better", ACL'22 — the span-level
+   * complement of the whole-document detectors above; repeated boilerplate
+   * is removed from otherwise-unique documents instead of dropping whole
+   * docs). Output: (doc_id, span_start, span_end, span_tokens), token
+   * positions 1-based inclusive.
+   *
+   * Shape, not a suffix array: the paper's single-node suffix array
+   * doesn't distribute, but its output over k-grams is equivalent to
+   * "start positions whose k-gram is corpus-duplicated, merged when they
+   * overlap or touch" — and that is three narrow shuffles:
+   *
+   *  1. gram census — explode (doc_id:int, pos:int, gh:long) and
+   *     groupBy(gh).count: map-side combine means only distinct hashes
+   *     cross the wire; gram STRINGS exist only inside the projection
+   *     that hashes them and never shuffle.
+   *  2. hit filter — left_semi join of positions against the duplicated
+   *     hash set (count > 1): AQE broadcasts it when small, and a hash
+   *     collision can only ADD a position (64-bit xxhash over the gram
+   *     text; at 100 TB ≈ 2^44 grams the expected extra-position count
+   *     from collisions is ≪ 1 per exabyte — and a false hit merely
+   *     widens a span by one gram).
+   *  3. island merge — per-doc window over pos (gaps-and-islands: break
+   *     when pos − lag(pos) > k, running-sum the breaks, group). Shuffle
+   *     key doc_id, payload one int.
+   *
+   * Positions are emitted as a per-row `transform(sequence(...))` — no
+   * row explosion before the hash projection, so the explode feeding
+   * shuffle 1 is already the narrow (id, pos, hash) shape.
+   */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"), TF.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= k) // sequence(1, n<1) would count DOWN in Spark
+    val hits = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - lit(k) + 1),
+        i => struct(i.cast("long").as("pos"),
+          xxhash64(array_join(slice(col("t"), i, lit(k)), " ")).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val dupGrams = hits.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select(col("gh"))
+    val dupPos = hits.join(dupGrams, Seq("gh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("gid", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("gid"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k.toLong) - 1).as("span_end"),
+        (max(col("pos")) + lit(k.toLong) - min(col("pos"))).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
+  }
 }

@@ -312,4 +312,68 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"s07 recall vs brute-force arrival-vs-index top-3: $recall%.4f (${exact.size} truths)")
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
   }
+
+  // ---- duplicateSpans (d15): planted spans + brute-force law ----------
+
+  /** Reference implementation of the d15 definition: start positions
+    * whose k-gram (space-joined, lowercased tokens) occurs >1 time in
+    * the corpus, merged per doc while the gap between starts is ≤ k. */
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty) }
+    val counts = toks.flatMap { case (_, t) =>
+      t.sliding(k).filter(_.size == k).map(_.mkString(" ")) }
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    toks.flatMap { case (id, t) =>
+      val dupPos = t.sliding(k).zipWithIndex
+        .collect { case (g, i) if g.size == k && counts(g.mkString(" ")) > 1 => i + 1 }
+        .toSeq
+      val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (cur :: rest), p) if p - cur.head <= k => (p :: cur) :: rest
+        case (acc, p) => List(p) :: acc
+      }
+      islands.map { isl =>
+        (id, isl.min.toLong, isl.max.toLong + k - 1, (isl.max + k - isl.min).toLong) }
+    }.toSet
+  }
+
+  private def gotSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] =
+    Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("duplicateSpans finds exactly the planted cross-doc span in both docs") {
+    val shared = (1 to 6).map(i => s"sh$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"u11 u12 u13 $shared u14 u15 u16",
+      2L -> s"$shared u21 u22 u23 u24")
+    // doc1: dup 4-gram starts 4,5,6 → span tokens 4..9; doc2: 1,2,3 → 1..6
+    assert(gotSpans(docs, 4) === Set((1L, 4L, 9L, 6L), (2L, 1L, 6L, 6L)))
+  }
+
+  test("duplicateSpans flags a WITHIN-doc repeat and keeps separated islands apart") {
+    val docs = Seq(3L -> "r1 r2 r3 r4 x1 x2 x3 x4 x5 r1 r2 r3 r4")
+    // the 4-gram at 1 and 10 repeats; gap 9 > 4 → two maximal spans
+    assert(gotSpans(docs, 4) === Set((3L, 1L, 4L, 4L), (3L, 10L, 13L, 4L)))
+  }
+
+  test("duplicateSpans merges TOUCHING duplicated grams into one span") {
+    val docs = Seq(
+      4L -> "a1 a2 a3 a4 b1 b2 b3 b4",
+      5L -> "a1 a2 a3 a4 z1 z2 z3 z4",
+      6L -> "y1 y2 y3 y4 b1 b2 b3 b4")
+    // doc4's dup starts are 1 and 5 (gap = k) → one merged span 1..8
+    val got = gotSpans(docs, 4)
+    assert(got.contains((4L, 1L, 8L, 8L)), s"doc4 span not merged: $got")
+    assert(got === bruteSpans(docs, 4))
+  }
+
+  test("law: duplicateSpans equals the brute-force definition on random small-vocab corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val doc = Gen.choose(8, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    check(Prop.forAll(corpus) { docs =>
+      gotSpans(docs, 3) == bruteSpans(docs, 3)
+    }, 20)
+  }
 }
