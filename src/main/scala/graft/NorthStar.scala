@@ -652,6 +652,20 @@ object NorthStar {
       VF.cosineTopKIvf(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64)
     }),
 
+    // PQ-ADC top-k (Jégou TPAMI'11): 8-byte codes scanned with a
+    // per-subspace lookup table, C=192 approximate candidates, exact
+    // cosine rerank. Data-sampled sub-centroids (the 16 lowest-id
+    // vectors); recall@10 = 1.0 vs s01 at all three SFs (law-tested).
+    // The memory-bound ANN scale path: see VectorFunctions.pqAdcTopK.
+    "s08_pq_adc_topk" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val seeds = e.orderBy(col("vec_id")).limit(16)
+        .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
+      val q = e.filter(col("vec_id") === 0).select(col("v")).head().getSeq[Double](0)
+      VF.pqAdcTopK(emb(s, dir), "embedding", "vec_id", q, seeds,
+        k = 10, m = 16, candidates = 192)
+    }),
+
     // maximum-inner-product search (MIPS — recommendation/retrieval
     // scoring, where cosine's normalization is wrong) via the
     // norm-augmentation reduction [Bachrach et al. RecSys'14]: append
@@ -1835,6 +1849,31 @@ object NorthStar {
           SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS score
           FROM e, q
           ORDER BY score DESC, e.vec_id LIMIT 10""",
+    // PQ-ADC replayed in SQL: sub-centroids are the 16 lowest-vec_id
+    // vectors gathered into one ordered list; per subspace, dists/qdots
+    // are list_transform over that list with e05's exact fold shapes,
+    // the code is the FIRST minimum's position (Spark's array_position
+    // tie rule), and the ADC score sums the LUT entries left-to-right
+    "s08_pq_adc_topk" -> {
+      val m = 16; val dsub = 4; val ksub = 16; val nCand = 192
+      def sub(v: String, mi: Int) =
+        s"list_slice($v, ${mi * dsub + 1}, ${mi * dsub + dsub})"
+      val adc = (0 until m).map { mi =>
+        val dists = s"list_transform(s.svs, cc -> ${l2Sql(sub("e.v", mi), sub("cc", mi))})"
+        val qdots = s"list_transform(s.svs, cc -> ${dotSql(sub("q.qv", mi), sub("cc", mi))})"
+        s"list_extract($qdots, list_position($dists, list_aggregate($dists, 'min')))"
+      }.mkString("(", " + ", ")")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT list(sv ORDER BY vec_id) AS svs FROM
+                    (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS sv
+                     FROM embeddings ORDER BY vec_id LIMIT $ksub)),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cand AS (SELECT e.vec_id, e.v, q.qv, $adc AS adc
+                     FROM e, q, s
+                     ORDER BY adc DESC, e.vec_id LIMIT $nCand)
+          SELECT vec_id, ${cosineSql("v", "qv")} AS score
+          FROM cand ORDER BY score DESC, vec_id LIMIT 10"""
+    },
     "t01_token_count" ->
       s"SELECT doc_id, CAST(len($sqlToks) AS INT) AS n_tokens FROM documents",
     // DuckDB string literals are escape-free, so the Java regex drops in

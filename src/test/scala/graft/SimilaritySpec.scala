@@ -313,6 +313,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
   }
 
+  test("law: s08 PQ-ADC rerank matches s01's exact top-10 at sf0.001 and sf0.01") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = SparkEntry.queries("s01_cosine_topk")(spark, dir)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val got = SparkEntry.queries("s08_pq_adc_topk")(spark, dir)
+        .select(col("vec_id")).as[Long].collect().toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      info(f"$dir s08 recall@10 vs exact: $recall%.2f")
+      assert(recall >= 0.95, f"$dir recall $recall%.2f below 0.95")
+    }
+  }
+
   // ---- duplicateSpans (d15): planted spans + brute-force law ----------
 
   /** Reference implementation of the d15 definition: start positions
