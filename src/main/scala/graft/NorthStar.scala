@@ -1326,6 +1326,14 @@ object NorthStar {
             expr("substring(text, CAST(frame_idx * 16 + 1 AS INT), 16)").cast(BinaryType))
             .as("frame_checksum"))),
 
+    // the audio modality, decoded for real: docs rendered as RIFF/WAVE
+    // PCM16 payloads, re-parsed by a genuine chunk-walking RIFF parser
+    // (LE fields, pad rule, fmt contract, truncation guards), then PCM
+    // features from integer accumulators — encode→parse→extract per row,
+    // no shuffle (see multimodal.Multimodal.wavPipeline)
+    "m04_audio_decode" -> ((s, dir) =>
+      graft.multimodal.Multimodal.wavPipeline(docs(s, dir))),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -1643,6 +1651,53 @@ object NorthStar {
       s"""SELECT md5(array_to_string($sqlToks, ' ')) AS fingerprint,
                  min(doc_id) AS keep_id, count(*) AS n_copies
           FROM documents GROUP BY 1""",
+    // replays the WAV round trip at the BYTE level: regenerate the
+    // deterministic PCM samples, rebuild the exact 44-byte RIFF header +
+    // little-endian sample bytes (so the checksum pins the encoder's
+    // byte output, not just the decoded values), then compute what the
+    // decoder extracts — integer accumulators, one divide per double
+    // output, sqrt only for rms (divide and sqrt are cross-libm stable)
+    "m04_audio_decode" -> {
+      def le32(e: String) =
+        s"[($e) % 256, (($e) // 256) % 256, (($e) // 65536) % 256, (($e) // 16777216) % 256]"
+      def le16(e: String) = s"[($e) % 256, (($e) // 256) % 256]"
+      def ascii(s: String) = s.map(_.toLong).mkString("[", ", ", "]")
+      val hdr = Seq(
+        ascii("RIFF"), le32("36 + 2 * n"), ascii("WAVE"),
+        ascii("fmt "), le32("16"), le16("1"), le16("1"),
+        le32("rate"), le32("rate * 2"), le16("2"), le16("16"),
+        ascii("data"), le32("2 * n")).mkString("(", " || ", ")")
+      s"""WITH d AS (SELECT doc_id,
+              CAST(64 + doc_id % 193 AS BIGINT) AS n,
+              CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
+              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb
+            FROM documents),
+          sm AS (SELECT doc_id, n, rate,
+              list_transform(range(0, n), i ->
+                (coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0) * 129 + (i % 251)) % 65536) AS us
+            FROM d),
+          sg AS (SELECT doc_id, n, rate, us,
+              list_transform(us, u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ss
+            FROM sm),
+          b AS (SELECT doc_id, n, rate, ss,
+              list_transform(
+                list_concat($hdr,
+                  flatten(list_transform(us, u -> [u % 256, u // 256]))),
+                x -> CAST(x AS HUGEINT)) AS payload
+            FROM sg)
+          SELECT doc_id,
+            CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+            ${signedSql(s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), payload),
+              (h2, b2) -> (xor(h2, b2) * CAST(1099511628211 AS HUGEINT)) % $U64)""")} AS checksum,
+            CAST(rate AS INT) AS sample_rate,
+            CAST(n AS INT) AS n_samples,
+            CAST(list_aggregate(list_transform(ss, s2 -> abs(s2)), 'max') AS BIGINT) AS peak_amp,
+            CAST(len(list_filter(range(1, n), i -> (ss[i + 1] >= 0) <> (ss[i] >= 0))) AS BIGINT)
+              AS zero_crossings,
+            CAST(list_sum(list_transform(ss, s2 -> abs(s2))) AS DOUBLE) / n AS mean_amp,
+            sqrt(CAST(list_sum(list_transform(ss, s2 -> s2 * s2)) AS DOUBLE) / n) AS rms
+          FROM b"""
+    },
     "d02_dedup_survivors" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
             SELECT doc_id, lang, source, n_chars,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{PpmCodec, PpmDecodeFeatures, PpmEncode}
+import graft.functions.{PpmCodec, PpmDecodeFeatures, PpmEncode, WavDecodeFeatures, WavEncode}
 
 /**
  * Multimodal column plumbing (SURVEY.md §7.1 M5): media as opaque
@@ -107,5 +107,42 @@ object Multimodal {
         element_at(f, 4).as("mean_g"),
         element_at(f, 5).as("mean_b")) ++
         (0 until 8).map(b => element_at(f, 6 + b).as(s"h$b")): _*)
+  }
+
+  /** Encoder: deterministic RIFF/WAVE PCM16 payload from (doc_id, text). */
+  def wavEncode(docId: Column, text: Column): Column =
+    column(WavEncode(expression(docId), expression(text.cast(BinaryType))))
+
+  /** Decoder: WAV payload → [rate, n, peak, zc, mean_amp, rms], NULL if
+    * malformed. */
+  def wavDecode(data: Column): Column =
+    column(WavDecodeFeatures(expression(data)))
+
+  /**
+   * The audio twin of [[decodePipeline]]: docs → WAV media table →
+   * parsed PCM features, all per-row codegen'd expressions (encode,
+   * RIFF chunk-walk parse, integer-accumulator features — no shuffle).
+   * Columns: payload metadata + checksum, parsed rate and sample count,
+   * peak amplitude, zero crossings, mean |amplitude|, RMS.
+   */
+  def wavPipeline(docs: DataFrame): DataFrame = {
+    import graft.functions.Hashing
+    val f = col("_f")
+    docs
+      .select(col("doc_id"), wavEncode(col("doc_id"), col("text")).as("data"))
+      .select(col("doc_id"), col("data"),
+        length(col("data")).cast(LongType).as("n_bytes"))
+      .select(
+        col("doc_id"), col("n_bytes"),
+        Hashing.fnvChecksum(col("data")).as("checksum"),
+        wavDecode(col("data")).as("_f"))
+      .select(
+        col("doc_id"), col("n_bytes"), col("checksum"),
+        element_at(f, 1).cast(IntegerType).as("sample_rate"),
+        element_at(f, 2).cast(IntegerType).as("n_samples"),
+        element_at(f, 3).cast(LongType).as("peak_amp"),
+        element_at(f, 4).cast(LongType).as("zero_crossings"),
+        element_at(f, 5).as("mean_amp"),
+        element_at(f, 6).as("rms"))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WordShingles, ZOrderLong}
+import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WavDecodeFeatures, WavEncode, WordShingles, ZOrderLong}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -103,7 +103,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => PpmEncode(args(0), args(1))),
     ("ppm_decode_features",
       info("ppm_decode_features", "ppm_decode_features(data) - parse binary PPM: [w, h, meanRGB, lum histogram], NULL if malformed"),
-      (args: Seq[Expression]) => PpmDecodeFeatures(args.head)))
+      (args: Seq[Expression]) => PpmDecodeFeatures(args.head)),
+    ("wav_encode",
+      info("wav_encode", "wav_encode(doc_id, text) - deterministic RIFF/WAVE PCM16 rendering"),
+      (args: Seq[Expression]) => WavEncode(args(0), args(1))),
+    ("wav_decode_features",
+      info("wav_decode_features", "wav_decode_features(data) - parse RIFF/WAVE PCM16: [rate, n, peak, zero_crossings, mean_amp, rms], NULL if malformed"),
+      (args: Seq[Expression]) => WavDecodeFeatures(args.head)))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Fnv, PpmCodec}
+import graft.functions.{Fnv, PpmCodec, WavCodec}
 import graft.multimodal.Multimodal
 
 /** Multimodal decode plumbing: a REAL (toy-format) codec — binary PPM
@@ -113,5 +113,91 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(99L))
     assert(Multimodal.decodeFeatures(media).collect().map(_.doc_id).sorted
       .toSeq == Seq(1L, 2L, 3L))
+  }
+
+  // ---- WAV (m04): the audio modality -------------------------------
+
+  test("WavCodec round trip: decode(encode(audio)) recovers rate and samples") {
+    val samples = Array.tabulate(200)(i => ((i * 1103) % 65536 - 32768).toShort)
+    val a = WavCodec.decode(WavCodec.encode(16000, samples))
+    assert(a.isDefined)
+    assert(a.get.sampleRate == 16000)
+    assert(a.get.samples.toSeq == samples.toSeq)
+  }
+
+  test("WavCodec parser: unknown chunks are skipped with the RIFF pad rule") {
+    val samples = Array.tabulate(10)(i => (i * 100).toShort)
+    val good = WavCodec.encode(8000, samples)
+    // splice an odd-sized LIST chunk (5 bytes + 1 pad) between fmt and data
+    val fmtEnd = 36 // canonical header: fmt chunk ends at byte 36
+    val oddChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val spliced = good.take(fmtEnd) ++ oddChunk ++ good.drop(fmtEnd)
+    // fix the RIFF size field (bytes 4..7) for the extra 14 bytes
+    val riffSize = 36 + samples.length * 2 + oddChunk.length
+    for (i <- 0 until 4) spliced(4 + i) = ((riffSize >>> (8 * i)) & 0xff).toByte
+    val a = WavCodec.decode(spliced)
+    assert(a.isDefined, "pad rule broken: parser desynced on the odd chunk")
+    assert(a.get.samples.toSeq == samples.toSeq)
+  }
+
+  test("WavCodec parser: every malformation yields None, not an exception") {
+    val good = WavCodec.encode(8000, Array.tabulate(10)(i => i.toShort))
+    assert(WavCodec.decode(good).isDefined)
+    // bad magic and bad form type
+    assert(WavCodec.decode("RIFX".getBytes ++ good.drop(4)).isEmpty)
+    val badForm = good.clone(); badForm(8) = 'X'.toByte
+    assert(WavCodec.decode(badForm).isEmpty)
+    // truncated data chunk
+    assert(WavCodec.decode(good.dropRight(1)).isEmpty)
+    // stereo (channels=2) must refuse, not misparse interleaved samples
+    val stereo = good.clone(); stereo(22) = 2
+    assert(WavCodec.decode(stereo).isEmpty)
+    // non-PCM format code
+    val float32 = good.clone(); float32(20) = 3
+    assert(WavCodec.decode(float32).isEmpty)
+    // 8-bit samples
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(WavCodec.decode(bits8).isEmpty)
+    // data chunk before any fmt chunk
+    assert(WavCodec.decode(good.take(12) ++ good.drop(36)).isEmpty)
+    // empty / header-only
+    assert(WavCodec.decode(Array[Byte]()).isEmpty)
+    assert(WavCodec.decode(good.take(12)).isEmpty)
+  }
+
+  test("wavPipeline: real parse of the rendered payload, exact features") {
+    val rows = Multimodal.wavPipeline(docs).orderBy(col("doc_id")).collect()
+    val texts = Map(1L -> "hello world", 2L -> "a slightly longer payload 12345",
+      3L -> "x")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = (64 + id % 193).toInt
+      val text = texts(id).getBytes("US-ASCII")
+      val samples = Array.tabulate(n) { i =>
+        (((text(i % text.length) & 0xff) * 129 + i % 251) % 65536).toShort
+      }
+      assert(r.getLong(1) == 44 + 2L * n) // n_bytes
+      assert(r.getInt(3) == 8000 + (id % 3) * 4000) // sample_rate
+      assert(r.getInt(4) == n) // n_samples
+      assert(r.getLong(5) == samples.map(s => math.abs(s.toLong)).max) // peak
+      val zc = (1 until n).count(i => (samples(i) >= 0) != (samples(i - 1) >= 0))
+      assert(r.getLong(6) == zc)
+      assert(r.getDouble(7) ==
+        samples.map(s => math.abs(s.toLong)).sum.toDouble / n)
+      assert(r.getDouble(8) ==
+        math.sqrt(samples.map(s => s.toLong * s.toLong).sum.toDouble / n))
+    }
+  }
+
+  test("a corrupt WAV payload becomes a NULL feature row, not a stage failure") {
+    val media = docs.select(col("doc_id"),
+      Multimodal.wavEncode(col("doc_id"), col("text")).as("data"))
+      .unionByName(Seq((99L, "RIFFjunk".getBytes("US-ASCII")))
+        .toDF("doc_id", "data"))
+    val f = media.select(col("doc_id"), Multimodal.wavDecode(col("data")).as("f"))
+    assert(f.filter(col("f").isNull).select(col("doc_id"))
+      .as[Long].collect().toSeq == Seq(99L))
+    assert(f.filter(col("f").isNotNull).count() == 3)
   }
 }
