@@ -1395,6 +1395,68 @@ object NorthStar {
     })
   )
 
+  /**
+   * The shared s06/s07 sketch-cascade oracle body: the 512 plane sign
+   * vectors are REGENERATED in SQL (FNV-1a + the fmix64 finalizer in
+   * HUGEINT-mod-2^64 arithmetic — embedding them as literals would be
+   * ~170 KB of SQL), packed into 8 signed BIGINT words exactly like
+   * BitSignature's longs, pair-ranked by bit_count(xor), top-`cands`
+   * per query by (hamming, neighbor), exact-cosine reranked to top-`k`.
+   * Every plane dot uses the pinned left-to-right fold, so each sign
+   * bit — and therefore the candidate set — matches Spark bit-for-bit.
+   * `pairPred` chooses who probes whom (s06: all-pairs self-join;
+   * s07: arrivals × index only) — the ONE line the two queries differ
+   * by, factored here so a signature-scheme change cannot silently
+   * diverge the twins (the FNV parity fix had to touch every copy).
+   */
+  private def sketchCascadeSql(pairPred: String, cands: Int, k: Int = 3): String = {
+    val nBits = 512
+    val fmixC1 = BigInt(java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL))
+    val fmixC2 = BigInt(java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L))
+    val pow64 = (0 until 64)
+      .map(i => s"CAST('${java.math.BigInteger.ONE.shiftLeft(i)}' AS HUGEINT)")
+      .mkString("[", ",", "]")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       pl0 AS (SELECT p, j,
+                 ${fnvSql("'plane:' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} AS h0
+               FROM range(0, $nBits) t(p) CROSS JOIN range(0, 64) u(j)),
+       pl1 AS (SELECT p, j, xor(h0, h0 // 8589934592) AS h1 FROM pl0),
+       pl2 AS (SELECT p, j, ${mulmodSql("h1", fmixC1)} AS h2 FROM pl1),
+       pl3 AS (SELECT p, j, xor(h2, h2 // 8589934592) AS h3 FROM pl2),
+       pl4 AS (SELECT p, j, ${mulmodSql("h3", fmixC2)} AS h4 FROM pl3),
+       pl5 AS (SELECT p, j, CASE WHEN xor(h4, h4 // 8589934592) % 2 = 1
+                            THEN CAST(1.0 AS DOUBLE)
+                            ELSE CAST(-1.0 AS DOUBLE) END AS w FROM pl4),
+       pl AS (SELECT p, list(w ORDER BY j) AS pw FROM pl5 GROUP BY p),
+       sbit AS (SELECT e.vec_id, pl.p,
+                  CASE WHEN ${dotSql("e.v", "pl.pw")} >= 0 THEN 1 ELSE 0 END AS bit
+                FROM e CROSS JOIN pl),
+       sword AS (SELECT vec_id, p // 64 AS w,
+                   ${signedSql(s"SUM(CASE WHEN bit = 1 THEN $pow64[(p % 64) + 1] ELSE CAST(0 AS HUGEINT) END)")} AS word
+                 FROM sbit GROUP BY vec_id, p // 64),
+       sw AS (SELECT vec_id, list(word ORDER BY w) AS ws FROM sword GROUP BY vec_id),
+       hp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_zip(a.ws, b.ws),
+                         x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))),
+                       (p, q) -> p + q) AS ham
+              FROM sw a JOIN sw b ON $pairPred),
+       cand AS (SELECT vec_id, neighbor_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY ham, neighbor_id) AS rn
+                FROM hp),
+       ex AS (SELECT c.vec_id, c.neighbor_id,
+                     ${cosineSql("ea.v", "eb.v")} AS score
+              FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
+                          JOIN e eb ON eb.vec_id = c.neighbor_id
+              WHERE c.rn <= $cands),
+       fin AS (SELECT vec_id, neighbor_id, score,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+               FROM ex)
+       SELECT vec_id, neighbor_id, score FROM fin WHERE rn <= $k"""
+  }
+
   val oracles: Map[String, String] = Map(
     // Replays the whole two-level sketch flat: per-source distinct token
     // set (min-of-mins collapses the doc level), FNV base hash, the
@@ -2158,112 +2220,13 @@ object NorthStar {
           FROM b, q WHERE $probes
           ORDER BY score DESC, b.vec_id LIMIT 10"""
     },
-    "s06_ann_knn_join" -> {
-      // replays the whole sketch cascade: the 512 plane sign vectors
-      // are REGENERATED in SQL (FNV-1a + the fmix64 finalizer in
-      // HUGEINT-mod-2^64 arithmetic — embedding them as literals would
-      // be ~170 KB of SQL), packed into 8 signed BIGINT words exactly
-      // like BitSignature's longs, pair-ranked by bit_count(xor),
-      // top-96 per query by (hamming, neighbor), exact-cosine reranked
-      // to top-3. Every plane dot uses the pinned left-to-right fold, so
-      // each sign bit — and therefore the candidate set — matches Spark
-      // bit-for-bit.
-      val nBits = 512; val cands = 96; val k = 3
-      val fmixC1 = BigInt(java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL))
-      val fmixC2 = BigInt(java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L))
-      val pow64 = (0 until 64)
-        .map(i => s"CAST('${java.math.BigInteger.ONE.shiftLeft(i)}' AS HUGEINT)")
-        .mkString("[", ",", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pl0 AS (SELECT p, j,
-                   ${fnvSql("'plane:' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} AS h0
-                 FROM range(0, $nBits) t(p) CROSS JOIN range(0, 64) u(j)),
-         pl1 AS (SELECT p, j, xor(h0, h0 // 8589934592) AS h1 FROM pl0),
-         pl2 AS (SELECT p, j, ${mulmodSql("h1", fmixC1)} AS h2 FROM pl1),
-         pl3 AS (SELECT p, j, xor(h2, h2 // 8589934592) AS h3 FROM pl2),
-         pl4 AS (SELECT p, j, ${mulmodSql("h3", fmixC2)} AS h4 FROM pl3),
-         pl5 AS (SELECT p, j, CASE WHEN xor(h4, h4 // 8589934592) % 2 = 1
-                              THEN CAST(1.0 AS DOUBLE)
-                              ELSE CAST(-1.0 AS DOUBLE) END AS w FROM pl4),
-         pl AS (SELECT p, list(w ORDER BY j) AS pw FROM pl5 GROUP BY p),
-         sbit AS (SELECT e.vec_id, pl.p,
-                    CASE WHEN ${dotSql("e.v", "pl.pw")} >= 0 THEN 1 ELSE 0 END AS bit
-                  FROM e CROSS JOIN pl),
-         sword AS (SELECT vec_id, p // 64 AS w,
-                     ${signedSql(s"SUM(CASE WHEN bit = 1 THEN $pow64[(p % 64) + 1] ELSE CAST(0 AS HUGEINT) END)")} AS word
-                   FROM sbit GROUP BY vec_id, p // 64),
-         sw AS (SELECT vec_id, list(word ORDER BY w) AS ws FROM sword GROUP BY vec_id),
-         hp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                       list_reduce(list_prepend(CAST(0 AS BIGINT),
-                         list_transform(list_zip(a.ws, b.ws),
-                           x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))),
-                         (p, q) -> p + q) AS ham
-                FROM sw a JOIN sw b ON a.vec_id <> b.vec_id),
-         cand AS (SELECT vec_id, neighbor_id,
-                         row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY ham, neighbor_id) AS rn
-                  FROM hp),
-         ex AS (SELECT c.vec_id, c.neighbor_id,
-                       ${cosineSql("ea.v", "eb.v")} AS score
-                FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
-                            JOIN e eb ON eb.vec_id = c.neighbor_id
-                WHERE c.rn <= $cands),
-         fin AS (SELECT vec_id, neighbor_id, score,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY score DESC, neighbor_id) AS rn
-                 FROM ex)
-         SELECT vec_id, neighbor_id, score FROM fin WHERE rn <= $k"""
-    },
-    "s07_ann_incremental" -> {
-      // the s06 cascade restricted to arrivals × index (no new×new, no
-      // index×index) — same regenerated planes, same word packing, same
-      // tie orders, so the candidate set matches Spark bit-for-bit
-      val nBits = 512; val cands = 128; val k = 3
-      val fmixC1 = BigInt(java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL))
-      val fmixC2 = BigInt(java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L))
-      val pow64 = (0 until 64)
-        .map(i => s"CAST('${java.math.BigInteger.ONE.shiftLeft(i)}' AS HUGEINT)")
-        .mkString("[", ",", "]")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pl0 AS (SELECT p, j,
-                   ${fnvSql("'plane:' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)")} AS h0
-                 FROM range(0, $nBits) t(p) CROSS JOIN range(0, 64) u(j)),
-         pl1 AS (SELECT p, j, xor(h0, h0 // 8589934592) AS h1 FROM pl0),
-         pl2 AS (SELECT p, j, ${mulmodSql("h1", fmixC1)} AS h2 FROM pl1),
-         pl3 AS (SELECT p, j, xor(h2, h2 // 8589934592) AS h3 FROM pl2),
-         pl4 AS (SELECT p, j, ${mulmodSql("h3", fmixC2)} AS h4 FROM pl3),
-         pl5 AS (SELECT p, j, CASE WHEN xor(h4, h4 // 8589934592) % 2 = 1
-                              THEN CAST(1.0 AS DOUBLE)
-                              ELSE CAST(-1.0 AS DOUBLE) END AS w FROM pl4),
-         pl AS (SELECT p, list(w ORDER BY j) AS pw FROM pl5 GROUP BY p),
-         sbit AS (SELECT e.vec_id, pl.p,
-                    CASE WHEN ${dotSql("e.v", "pl.pw")} >= 0 THEN 1 ELSE 0 END AS bit
-                  FROM e CROSS JOIN pl),
-         sword AS (SELECT vec_id, p // 64 AS w,
-                     ${signedSql(s"SUM(CASE WHEN bit = 1 THEN $pow64[(p % 64) + 1] ELSE CAST(0 AS HUGEINT) END)")} AS word
-                   FROM sbit GROUP BY vec_id, p // 64),
-         sw AS (SELECT vec_id, list(word ORDER BY w) AS ws FROM sword GROUP BY vec_id),
-         hp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-                       list_reduce(list_prepend(CAST(0 AS BIGINT),
-                         list_transform(list_zip(a.ws, b.ws),
-                           x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))),
-                         (p, q) -> p + q) AS ham
-                FROM sw a JOIN sw b
-                  ON a.vec_id % 100 = 0 AND b.vec_id % 100 <> 0),
-         cand AS (SELECT vec_id, neighbor_id,
-                         row_number() OVER (PARTITION BY vec_id
-                                            ORDER BY ham, neighbor_id) AS rn
-                  FROM hp),
-         ex AS (SELECT c.vec_id, c.neighbor_id,
-                       ${cosineSql("ea.v", "eb.v")} AS score
-                FROM cand c JOIN e ea ON ea.vec_id = c.vec_id
-                            JOIN e eb ON eb.vec_id = c.neighbor_id
-                WHERE c.rn <= $cands),
-         fin AS (SELECT vec_id, neighbor_id, score,
-                        row_number() OVER (PARTITION BY vec_id
-                                           ORDER BY score DESC, neighbor_id) AS rn
-                 FROM ex)
-         SELECT vec_id, neighbor_id, score FROM fin WHERE rn <= $k"""
-    }
+    // the sketch cascade over the full self-join (see sketchCascadeSql)
+    "s06_ann_knn_join" ->
+      sketchCascadeSql("a.vec_id <> b.vec_id", cands = 96),
+    // the cascade restricted to arrivals × index (no new×new, no
+    // index×index) — same planes/packing/tie orders as s06, different
+    // probe predicate and a wider hamming cut
+    "s07_ann_incremental" ->
+      sketchCascadeSql("a.vec_id % 100 = 0 AND b.vec_id % 100 <> 0", cands = 128)
   )
 }

@@ -114,6 +114,23 @@ object PpmCodec {
 }
 
 /**
+ * Shared interpreted-path input coercion for the media ENCODE
+ * expressions ([[PpmEncode]], [[WavEncode]]): the codegen path gets
+ * Java's implicit int→long widening and a BINARY child for free, but
+ * the interpreted path (e.g. ConstantFolding of an INT doc_id literal,
+ * or a STRING payload that escaped the builder cast) sees the raw
+ * boxed values — both encoders must accept exactly the same ones, so
+ * the adapter lives in ONE place.
+ */
+private[functions] object MediaEncodeInputs {
+  def docId(a: Any): Long = a.asInstanceOf[Number].longValue()
+  def bytes(b: Any): Array[Byte] = b match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
+    case raw => raw.asInstanceOf[Array[Byte]]
+  }
+}
+
+/**
  * Deterministic PPM rendering of a document: dims derive from doc_id
  * (w = 8 + id mod 9, h = 8 + id mod 7 — varying, so the decoder's
  * header parse is exercised on non-constant headers), pixel byte i is
@@ -141,13 +158,7 @@ case class PpmEncode(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    // widen, don't cast: the interpreted path (e.g. ConstantFolding of
-    // an INT doc_id literal) must accept the same inputs the codegen
-    // path's implicit Java int→long widening does
-    compute(a.asInstanceOf[Number].longValue(), b match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
-      case bytes => bytes.asInstanceOf[Array[Byte]]
-    })
+    compute(MediaEncodeInputs.docId(a), MediaEncodeInputs.bytes(b))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("ppmEncExpr", this)

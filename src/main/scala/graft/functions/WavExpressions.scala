@@ -167,10 +167,7 @@ case class WavEncode(left: Expression, right: Expression)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[Number].longValue(), b match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.getBytes
-      case bytes => bytes.asInstanceOf[Array[Byte]]
-    })
+    compute(MediaEncodeInputs.docId(a), MediaEncodeInputs.bytes(b))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("wavEncExpr", this)

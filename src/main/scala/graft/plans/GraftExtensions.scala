@@ -98,15 +98,24 @@ object GraftFunctions {
     ("hamming_sig",
       info("hamming_sig", "hamming_sig(a, b) - hamming distance of two packed long-array signatures"),
       (args: Seq[Expression]) => HammingSig(args(0), args(1))),
+    // encode payload args are cast to BINARY in the builder (like
+    // bit_signature's array<double> cast): a raw STRING child would make
+    // the generated Java call compute(long, byte[]) with a UTF8String —
+    // janino fails, and every row silently falls back to the interpreted
+    // projection on the exact 10^9-row stage the codecs exist for
     ("ppm_encode",
       info("ppm_encode", "ppm_encode(doc_id, text) - deterministic binary PPM (P6) rendering"),
-      (args: Seq[Expression]) => PpmEncode(args(0), args(1))),
+      (args: Seq[Expression]) => PpmEncode(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.BinaryType))),
     ("ppm_decode_features",
       info("ppm_decode_features", "ppm_decode_features(data) - parse binary PPM: [w, h, meanRGB, lum histogram], NULL if malformed"),
       (args: Seq[Expression]) => PpmDecodeFeatures(args.head)),
     ("wav_encode",
       info("wav_encode", "wav_encode(doc_id, text) - deterministic RIFF/WAVE PCM16 rendering"),
-      (args: Seq[Expression]) => WavEncode(args(0), args(1))),
+      (args: Seq[Expression]) => WavEncode(args(0),
+        org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+          org.apache.spark.sql.types.BinaryType))),
     ("wav_decode_features",
       info("wav_decode_features", "wav_decode_features(data) - parse RIFF/WAVE PCM16: [rate, n, peak, zero_crossings, mean_amp, rms], NULL if malformed"),
       (args: Seq[Expression]) => WavDecodeFeatures(args.head)))

@@ -187,10 +187,14 @@ object StreamingIngest {
       .withColumn("sig", VF.bitSignature(col("v"), dim, nBits))
       .withColumn("nrm", sqrt(VF.normSq(col("v"))))
       .persist()
+    // unpersist in finally: a transient probe/write failure throws out of
+    // foreachBatch and the query retries — without the finally each failed
+    // attempt would leak one persisted batch into the long-lived session
+    try {
     // an EMPTY batch must write nothing: a zero-row partitioned write on
     // a fresh storePath creates a schemaless directory that wedges every
     // later batch's read (UNABLE_TO_INFER_SCHEMA, retried forever)
-    if (b.count() == 0) { b.unpersist(); return }
+    if (b.count() == 0) return
     val storeExists = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(storePath))
@@ -250,7 +254,7 @@ object StreamingIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(storePath)
-    b.unpersist()
+    } finally b.unpersist()
   }
 
   /** The maintained aggregate view over [[startAggMaintenance]]'s partial
