@@ -141,8 +141,8 @@ object ScaleDryRun {
       .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
 
     val ops = Seq("d03_jaccard_pairs", "d04_minhash_lsh",
-      "d14_incremental_neardup", "d13_dedup_verdict",
-      "s04_knn_join", "s06_ann_knn_join")
+      "d14_incremental_neardup", "d13_dedup_verdict", "d15_span_dedup",
+      "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk")
 
     println("| corpus | operator | output rows | wall s |")
     println("|---|---|---|---|")

@@ -257,6 +257,24 @@ class PlansSpec extends AnyFunSuite {
     assert(sqlSig == colSig, "SQL bit_signature diverged on a float array")
   }
 
+  test("wav codec is SQL-registered; a STRING payload arg survives the builder cast") {
+    // the builder casts arg 2 to BINARY, so a plain string column must
+    // flow through codegen (not fall back to the interpreted projection)
+    val feats = spark.sql(
+      "SELECT wav_decode_features(wav_encode(5L, 'hello world')) AS f")
+      .collect().head.getSeq[Double](0)
+    val viaCol = Seq((5L, "hello world")).toDF("doc_id", "text")
+      .select(graft.multimodal.Multimodal.wavDecode(
+        graft.multimodal.Multimodal.wavEncode(col("doc_id"), col("text"))).as("f"))
+      .collect().head.getSeq[Double](0)
+    assert(feats == viaCol)
+    assert(feats(0) == 8000 + 5 % 3 * 4000) // parsed sample rate
+    assert(feats(1) == 64 + 5 % 193) // parsed sample count
+    // malformed payload → NULL through the SQL surface too
+    assert(spark.sql("SELECT wav_decode_features(cast('RIFFjunk' AS binary)) AS f")
+      .collect().head.isNullAt(0))
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
