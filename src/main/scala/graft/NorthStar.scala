@@ -241,6 +241,35 @@ object NorthStar {
     (0 until nCentroids).map(c => dotSql(v, centroidSqlLiteral(c, dim)))
       .mkString("[", ",", "]")
 
+  /** Shared BM25 scoring WITH-clauses (d, st, sc over `documents`) for
+    * the t13 and s09 oracles — one generator so the two replays cannot
+    * drift. */
+  private def bm25WithClauses: String =
+    s"""d AS (SELECT doc_id, $sqlToks AS tks,
+                CAST(len($sqlToks) AS DOUBLE) AS dl
+              FROM documents),
+     st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS avgdl,
+              CAST(SUM(CASE WHEN list_contains(tks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+              CAST(SUM(CASE WHEN list_contains(tks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+              CAST(SUM(CASE WHEN list_contains(tks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+            FROM d),
+     sc AS (SELECT doc_id,
+              (((n_docs - df_0 + 0.5) / (df_0 + 0.5))
+                * (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE) * 2.2)
+                / (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+            + (((n_docs - df_1 + 0.5) / (df_1 + 0.5))
+                * (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE) * 2.2)
+                / (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+            + (((n_docs - df_2 + 0.5) / (df_2 + 0.5))
+                * (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE) * 2.2)
+                / (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE)
+                   + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+            FROM d, st)"""
+
   /** DuckDB double-precision cosine with the pinned left-to-right fold. */
   private def cosineSql(a: String, b: String): String =
     s"""(list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)
@@ -624,6 +653,43 @@ object NorthStar {
         .limit(10)
     }),
 
+    // semantic dedup, SemDeDup-shaped (Abbas et al. 2023, arXiv
+    // 2303.09540): assign every embedding to its nearest deterministic
+    // centroid (e03's coarse quantizer), then search for duplicates ONLY
+    // within a cluster — the pairwise cosine work drops from O(n²) to
+    // O(Σ|cluster|²), the published trick that makes semantic dedup
+    // feasible on web-scale corpora (cluster count grows with the corpus,
+    // so cluster size — and the per-cluster quadratic — stays bounded).
+    // The within-cluster pair join shuffles both sides by centroid_id
+    // (co-partitioned, no cartesian node); survivors keep the smallest
+    // vec_id of each duplicate edge, d02's deterministic keep rule.
+    "e07_semdedup" -> ((s, dir) => {
+      val dim = 64; val nC = 16; val tau = 0.45
+      val assigned = emb(s, dir)
+        .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+        .withColumn("dots",
+          array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
+        .select(col("vec_id"), col("v"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int")
+            .as("centroid_id"),
+          sqrt(VF.normSq(col("v"))).as("nrm"))
+      val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+        col("v").as("v_a"), col("nrm").as("nrm_a"))
+      val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+        col("v").as("v_b"), col("nrm").as("nrm_b"))
+      val dropped = a.join(b, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        // dot's fold is the same left-to-right index walk on both sides,
+        // so the score is orientation-independent (e01's determinism note)
+        .filter(VF.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b"))
+          >= tau)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.select(col("vec_id"), col("centroid_id"))
+        .join(dropped.withColumn("_drop", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"),
+          col("_drop").isNull.as("kept"))
+    }),
+
     // -- similarity search ----------------------------------------------
 
     // brute-force cosine top-k (exact baseline; query = vec_id 0)
@@ -664,6 +730,62 @@ object NorthStar {
       val q = e.filter(col("vec_id") === 0).select(col("v")).head().getSeq[Double](0)
       VF.pqAdcTopK(emb(s, dir), "embedding", "vec_id", q, seeds,
         k = 10, m = 16, candidates = 192)
+    }),
+
+    // hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    // SIGIR'09): the sparse arm is t13's full BM25 scorer, the dense arm
+    // s01's cosine scan (query = vec 0; the harness corpus aligns
+    // doc_id = vec_id), each truncated to its top-50 candidate list by
+    // TakeOrderedAndProject — NO global sort of the corpus. Ranks are
+    // then assigned inside the 50-row candidate frames (the unpartitioned
+    // window is bounded by construction, so the single-task window is a
+    // constant, not a scale hazard), RRF-fused with k=60 over the full
+    // outer union of the two lists (a candidate missing from one arm
+    // simply contributes nothing for it — standard RRF), and the fused
+    // top-10 returned. Fusing RANKS rather than scores is the point:
+    // BM25 and cosine live on incomparable scales, and ranks make the
+    // fusion score an engine-independent rational number.
+    "s09_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cand = 50
+      val qTerms = Seq("dup", "merge", "window")
+      val k1 = 1.2; val b = 0.75
+      val d = docs(s, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tks"))
+        .withColumn("dl", size(col("tks")).cast(DoubleType))
+      val statExprs =
+        count(lit(1)).cast(DoubleType).as("n_docs") +:
+        (sum(col("dl").cast(LongType)).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avgdl") +:
+        qTerms.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("tks"), term), 1L).otherwise(0L))
+            .cast(DoubleType).as(s"df_$i")
+        }
+      val stats = d.agg(statExprs.head, statExprs.tail: _*)
+      val comps = qTerms.zipWithIndex.map { case (term, i) =>
+        val tf = size(filter(col("tks"), x => x === term)).cast(DoubleType)
+        val idf = (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)
+        idf * (tf * lit(2.2)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      }
+      val sparseTop = d.crossJoin(broadcast(stats))
+        .select(col("doc_id").as("id"), comps.reduceLeft(_ + _).as("score"))
+        .orderBy(col("score").desc, col("id")).limit(cand)
+      val qv = emb(s, dir).filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding"))).head().getSeq[Double](0)
+      val denseTop = VF.cosineTopK(emb(s, dir), "embedding", "vec_id", qv, cand)
+        .select(col("vec_id").as("id"), col("score"))
+      val rankW = Window.orderBy(col("score").desc, col("id"))
+      val sp = sparseTop.withColumn("rank_sparse", row_number().over(rankW))
+        .select(col("id"), col("rank_sparse"))
+      val dn = denseTop.withColumn("rank_dense", row_number().over(rankW))
+        .select(col("id"), col("rank_dense"))
+      sp.join(dn, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"), col("rank_sparse"), col("rank_dense"),
+          (coalesce(lit(1.0) / (lit(60) + col("rank_sparse")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)))
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
     }),
 
     // maximum-inner-product search (MIPS — recommendation/retrieval
@@ -1273,6 +1395,31 @@ object NorthStar {
         .select(col("vec_id"), col("neighbor_id"), col("score"))
     }),
 
+    // per-document n-gram novelty — the corpus-level duplication signal
+    // (RefinedWeb/Gopher-style): for every document, the fraction of its
+    // DISTINCT 3-gram shingles that occur in any other document
+    // (document frequency ≥ 2). d15 localizes duplicated spans; this
+    // reduces the same evidence to one scalar per doc, the form a
+    // quality-filter threshold consumes. Dataflow: one explode of the
+    // per-doc distinct shingle set, one map-side-combined count by gram
+    // (the gram-frequency table — shared shape with t08's rare-terms),
+    // one join back keyed by gram, one count-up per doc. Everything is
+    // linear in total shingle volume; at 100 TB the join-back would
+    // prefilter with a bloom of the df≥2 grams (j02's machinery) so
+    // unique-gram rows — the vast majority — never shuffle.
+    "t23_ngram_novelty" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"), explode(TF.shingles(col("text"))).as("gram"))
+      val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      g.join(dfreq, Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+          (lit(1.0) - col("n_dup_grams").cast(DoubleType)
+            / col("n_grams").cast(DoubleType)).as("novelty"))
+    }),
+
     // classifier evaluation — the metrics step of every model-based
     // filter (t03's lang-ID evaluated against the table's gold labels):
     // per-(gold, predicted) confusion counts plus per-class precision
@@ -1537,30 +1684,7 @@ object NorthStar {
     // the idf/tf arithmetic is written as the exact same single-op
     // sequence as the Spark expressions (log-free idf; see the query)
     "t13_bm25_search" ->
-      s"""WITH d AS (SELECT doc_id, $sqlToks AS tks,
-                       CAST(len($sqlToks) AS DOUBLE) AS dl
-                     FROM documents),
-            st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                     CAST(CAST(SUM(CAST(dl AS BIGINT)) AS BIGINT) AS DOUBLE)
-                       / CAST(count(*) AS DOUBLE) AS avgdl,
-                     CAST(SUM(CASE WHEN list_contains(tks, 'dup') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
-                     CAST(SUM(CASE WHEN list_contains(tks, 'merge') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
-                     CAST(SUM(CASE WHEN list_contains(tks, 'window') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
-                   FROM d),
-            sc AS (SELECT doc_id,
-                     (((n_docs - df_0 + 0.5) / (df_0 + 0.5))
-                       * (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE) * 2.2)
-                       / (CAST(len(list_filter(tks, x -> x = 'dup')) AS DOUBLE)
-                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
-                   + (((n_docs - df_1 + 0.5) / (df_1 + 0.5))
-                       * (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE) * 2.2)
-                       / (CAST(len(list_filter(tks, x -> x = 'merge')) AS DOUBLE)
-                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
-                   + (((n_docs - df_2 + 0.5) / (df_2 + 0.5))
-                       * (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE) * 2.2)
-                       / (CAST(len(list_filter(tks, x -> x = 'window')) AS DOUBLE)
-                          + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
-                   FROM d, st)
+      s"""WITH $bm25WithClauses
           SELECT doc_id, score FROM sc WHERE score > 0.0
           ORDER BY score DESC, doc_id LIMIT 10""",
     "t14_bpe_merge" ->
@@ -1953,6 +2077,47 @@ object NorthStar {
           FROM e, q
           ORDER BY hamming, vec_id LIMIT 10"""
     },
+    // SemDeDup replay: e03's centroid assignment, within-cluster cosine
+    // pairs, min-id keep rule
+    "e07_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),
+            a AS (SELECT vec_id, v,
+                    CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT)
+                      AS centroid_id
+                  FROM d),
+            drp AS (SELECT DISTINCT y.vec_id
+                    FROM a x JOIN a y
+                      ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+                    WHERE ${cosineSql("x.v", "y.v")} >= 0.45)
+          SELECT a.vec_id, a.centroid_id,
+                 (a.vec_id NOT IN (SELECT vec_id FROM drp)) AS kept
+          FROM a""",
+    // RRF fusion replay: t13's BM25 clauses + s01's cosine scan, both
+    // truncated to 50 candidates, ranked, full-outer fused with k=60
+    "s09_hybrid_rrf" ->
+      s"""WITH $bm25WithClauses,
+            spt AS (SELECT doc_id AS id, score FROM sc
+                    ORDER BY score DESC, doc_id LIMIT 50),
+            sp AS (SELECT id,
+                     CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+                       AS rank_sparse
+                   FROM spt),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            dnt AS (SELECT e.vec_id AS id, ${cosineSql("e.v", "q.qv")} AS score
+                    FROM e, q
+                    ORDER BY score DESC, e.vec_id LIMIT 50),
+            dn AS (SELECT id,
+                     CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+                       AS rank_dense
+                   FROM dnt)
+          SELECT COALESCE(sp.id, dn.id) AS doc_id, rank_sparse, rank_dense,
+                 COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_sparse), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_dense), 0.0)
+                   AS rrf_score
+          FROM sp FULL JOIN dn ON sp.id = dn.id
+          ORDER BY rrf_score DESC, doc_id LIMIT 10""",
     "s05_mips" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             m AS (SELECT max(sqrt(${dotSql("v", "v")})) AS mnorm FROM e),
@@ -2022,6 +2187,17 @@ object NorthStar {
              AND CAST(len(list_distinct($sqlToks)) AS DOUBLE)
                  / greatest(len($sqlToks), 1) >= 0.3) AS keep
           FROM documents""",
+    "t23_ngram_novelty" ->
+      s"""WITH g AS (SELECT doc_id, unnest($sqlShingles) AS gram FROM documents),
+            df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+            p AS (SELECT doc_id, count(*) AS n_grams,
+                    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dup_grams
+                  FROM g JOIN df USING (gram) GROUP BY 1)
+          SELECT doc_id, n_grams, n_dup_grams,
+                 CAST(1.0 AS DOUBLE) - CAST(n_dup_grams AS DOUBLE)
+                   / CAST(n_grams AS DOUBLE) AS novelty
+          FROM p""",
     "t22_langid_eval" ->
       s"""WITH v AS (
             SELECT doc_id, lang,

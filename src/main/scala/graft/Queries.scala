@@ -708,6 +708,38 @@ object Queries {
       ranks
     }),
 
+    // bounded-depth BFS (single-source hop counts ≤ 4) over the same
+    // supplier↔part bipartite graph as g02 — the frontier-delta iteration
+    // (Pregel's delta optimization): each round expands ONLY the nodes
+    // discovered last round (the frontier), and an anti-join against the
+    // visited set keeps re-expansion out of the plan, so total join work
+    // is O(edges touched), not O(rounds × edges). First discovery fixes a
+    // node's hop count, which IS the min — no per-node min aggregation
+    // needed. The SQL twin replays it as a recursive CTE with UNION
+    // (distinct) semantics: state rows (node, hops) dedup across
+    // iterations, so the recursion is bounded by nodes × depth — path
+    // enumeration under UNION ALL would be combinatorial on this graph.
+    "g04_bfs_hops" -> ((s, dir) => {
+      val off = 10000000L
+      val start = 1L
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + off).as("dst"))
+        .distinct()
+      val both = edges
+        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      var dist = s.range(1)
+        .select(lit(start).as("node"), lit(0).as("hops"))
+      var frontier = dist.select(col("node"))
+      for (h <- 1 to 4) {
+        val next = both.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+        dist = dist.unionByName(next.withColumn("hops", lit(h)))
+        frontier = next
+      }
+      dist
+    }),
+
     // count-min frequency sketch (depth 4 × width 256) over per-user
     // event counts, next to the exact answer — the bounded-state
     // frequency-estimation twin of a01's KMV cardinality sketch. The
@@ -731,6 +763,47 @@ object Queries {
         .groupBy(col("user_id")).agg(min(col("cell")).as("est_count"))
       ev.join(est, Seq("user_id"))
         .select(col("user_id"), col("n").as("n_exact"), col("est_count"))
+    }),
+
+    // HyperLogLog distinct sketch (Flajolet et al. AofA'07), m = 64
+    // registers — the third sketch next to a01's KMV (order statistics)
+    // and a02's count-min (frequencies). Register index = the hash's low
+    // 6 bits; rho = position of the lowest set bit among bits 6..37 (an
+    // unrolled when-chain — two's-complement bit tests agree between
+    // engines, unlike shifts on negative longs). State is max-per-
+    // register: 64 bytes per group regardless of cardinality, map-side
+    // combined — the whole point at 100 TB. The estimate is the RAW HLL
+    // harmonic mean: every 2^-M_j term is a power of two ≥ 2^-33 and the
+    // register sum spans < 52 mantissa bits, so the double addition is
+    // EXACT and order-independent — the one float aggregate in the repo
+    // that needs no order pinning. The small-range linear-counting
+    // correction (m·ln(m/V)) is deliberately NOT applied: ln differs in
+    // last-ulp between libm implementations; we emit the zero-register
+    // count V so a consumer can apply it.
+    "a04_hll_sketch" -> ((s, dir) => {
+      val hv = graft.functions.Hashing.fnvChecksum(
+        col("user_id").cast(StringType).cast(BinaryType))
+      val rho = (6 to 37).foldRight(lit(33): Column)((k, els) =>
+        when(col("h").bitwiseAND(lit(1L << k)) =!= lit(0L), lit(k - 5))
+          .otherwise(els))
+      val regs = eventsTable(s, dir)
+        .select(col("event_type"), hv.as("h"))
+        .select(col("event_type"),
+          col("h").bitwiseAND(lit(63L)).cast("int").as("j"), rho.as("rho"))
+        .groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("m_j"))
+      val est = regs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(pow(lit(2.0), -col("m_j").cast(DoubleType))).as("sum_present"))
+        .select(col("event_type"),
+          (lit(64L) - col("n_present")).as("n_zero_registers"),
+          (lit(0.709) * lit(4096.0) /
+            (col("sum_present") + (lit(64L) - col("n_present")).cast(DoubleType)))
+            .as("est_hll"))
+      eventsTable(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(est, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          col("n_zero_registers"), col("est_hll"))
     }),
 
     // per-group z-score outlier detection (data-cleaning tier): group
@@ -1280,6 +1353,21 @@ object Queries {
          ${round("r2", "r3")}
          SELECT node, CAST(rank AS BIGINT) AS rank FROM r3"""
     },
+    // recursive CTE with UNION (distinct) semantics: the (node, hops)
+    // state space is bounded by nodes × 5; min(hops) recovers the
+    // first-discovery hop the Spark frontier iteration records directly
+    "g04_bfs_hops" ->
+      """WITH RECURSIVE
+           e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+                  FROM lineitem),
+           e AS (SELECT s AS src, p AS dst FROM e0
+                 UNION ALL SELECT p AS src, s AS dst FROM e0),
+           r AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS hops
+                 UNION
+                 SELECT e.dst AS node, r.hops + 1 AS hops
+                 FROM r JOIN e ON e.src = r.node
+                 WHERE r.hops < 4)
+         SELECT node, MIN(hops) AS hops FROM r GROUP BY 1""",
     "q44_scd2_history" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,
@@ -1557,6 +1645,29 @@ object Queries {
                                    CASE WHEN kth.kh < 0 THEN 1.0 ELSE 0.0 END)
                  END AS est_distinct
           FROM ex JOIN st USING (event_type) LEFT JOIN kth USING (event_type)""",
+    // HLL replay: same FNV hash, low-6-bit register index, lowest-set-bit
+    // rho via the identical unrolled CASE, raw harmonic-mean estimate
+    "a04_hll_sketch" -> {
+      val rhoSql = (6 to 37)
+        .map(k => s"WHEN (h & ${1L << k}) <> 0 THEN ${k - 5}")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH hv AS (SELECT DISTINCT event_type,
+                        ${NorthStar.signedSql(NorthStar.fnvSql("CAST(user_id AS VARCHAR)"))} AS h
+                      FROM events),
+            r AS (SELECT event_type, CAST(h & 63 AS INT) AS j, $rhoSql AS rho
+                  FROM hv),
+            regs AS (SELECT event_type, j, MAX(rho) AS m_j FROM r GROUP BY 1, 2),
+            est AS (SELECT event_type, count(*) AS n_present,
+                      SUM(power(CAST(2.0 AS DOUBLE), -m_j)) AS sum_present
+                    FROM regs GROUP BY 1),
+            ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+                   FROM events GROUP BY 1)
+          SELECT ex.event_type, ex.n_exact,
+                 64 - est.n_present AS n_zero_registers,
+                 CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                   / (sum_present + CAST(64 - n_present AS DOUBLE)) AS est_hll
+          FROM ex JOIN est USING (event_type)"""
+    },
     "q40_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
                 CAST(ntile(4) OVER wr AS INT) AS quartile,

@@ -335,4 +335,120 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("g04 BFS: hop 0/1 exact, bipartite parity, all hops within depth, deterministic") {
+    val off = 10000000L
+    val a = q("g04_bfs_hops").as[(Long, Int)].collect().toMap
+    val b = q("g04_bfs_hops").as[(Long, Int)].collect().toMap
+    assert(a == b && a.nonEmpty)
+    assert(a(1L) == 0)
+    assert(a.values.forall(h => h >= 0 && h <= 4))
+    // suppliers sit at even hops, parts at odd — the graph is bipartite
+    a.foreach { case (n, h) =>
+      if (n >= off) assert(h % 2 == 1, s"part node $n at even hop $h")
+      else assert(h % 2 == 0, s"supplier node $n at odd hop $h")
+    }
+    // the hop-1 frontier is exactly supplier 1's distinct part set
+    val parts1 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_suppkey") === 1).select(col("l_partkey")).distinct()
+      .as[Long].collect().map(_ + off).toSet
+    assert(a.filter(_._2 == 1).keySet == parts1)
+  }
+
+  test("e07 SemDeDup equals the brute-force within-cluster min-id survivor set") {
+    val dim = 64; val nC = 16
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val cents = (0 until nC).map(c => VF.centroid(c, dim))
+    // first-max-wins, mirroring array_position(dots, array_max(dots))
+    val cid = vecs.map { case (id, v) =>
+      val dots = cents.map(dot(v, _)); id -> (dots.indexOf(dots.max) + 1)
+    }.toMap
+    val dropped = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cid(ia) == cid(ib)
+      if dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) >= 0.45
+    } yield ib).toSet
+    val got = q("e07_semdedup").as[(Long, Int, Boolean)].collect()
+    assert(got.length == vecs.length)
+    got.foreach { case (id, c, kept) =>
+      assert(c == cid(id), s"vec $id centroid")
+      assert(kept == !dropped(id), s"vec $id kept flag")
+    }
+    assert(dropped.nonEmpty, "corpus should contain at least one semantic dup")
+  }
+
+  test("s09 RRF: fused scores recompute from the rank columns and order the output") {
+    val rows = q("s09_hybrid_rrf").collect()
+    assert(rows.length == 10)
+    val scores = rows.map { r =>
+      val rs = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rs.nonEmpty || rd.nonEmpty)
+      (rs.toSeq ++ rd.toSeq).foreach(k => assert(k >= 1 && k <= 50))
+      val expected = rs.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        rd.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"doc ${r.getLong(0)} rrf")
+      r.getDouble(3)
+    }
+    assert(scores.sameElements(scores.sortBy(-_)), "output ordered by fused score")
+    // the dense arm's rank-1 candidate is the query vector itself (cosine 1
+    // with vec 0), and nothing can out-fuse a rank-1 + any sparse rank …
+    // but at minimum vec 0 must survive into the fused top-10
+    assert(rows.exists(_.getLong(0) == 0L), "query doc fused out of top-10")
+  }
+
+  test("t23 n-gram novelty equals the brute-force distinct-shingle df computation") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val tks = t.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (tks.size < 3) Set(tks.mkString(" "))
+      else tks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val grams = texts.map { case (id, t) => id -> sh(t) }
+    val dfreq = grams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = grams.map { case (id, gs) =>
+      val dup = gs.count(dfreq(_) >= 2)
+      id -> ((gs.size.toLong, dup.toLong, 1.0 - dup.toDouble / gs.size))
+    }.toMap
+    val got = q("t23_ngram_novelty").as[(Long, Long, Long, Double)].collect()
+    assert(got.length == texts.length)
+    got.foreach { case (id, n, dup, nov) =>
+      assert((n, dup, nov) == expected(id), s"doc $id")
+    }
+    assert(got.exists(_._3 > 0), "corpus should contain some duplicated grams")
+  }
+
+  test("a04 HLL registers and raw estimate replay exactly; error is sketch-bounded") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type"), col("user_id")).as[(String, Long)].collect()
+    def rho(h: Long): Int =
+      (6 to 37).find(k => (h & (1L << k)) != 0L).map(_ - 5).getOrElse(33)
+    val expected = ev.distinct.groupBy(_._1).map { case (et, rows) =>
+      val regs = rows.map(_._2)
+        .map(u => Fnv.hashBytes(u.toString.getBytes("UTF-8")))
+        .groupBy(h => (h & 63L).toInt).map { case (j, hs) => j -> hs.map(rho).max }
+      val sumPresent = regs.values.map(m => math.pow(2.0, -m)).sum
+      val est = 0.709 * 4096.0 / (sumPresent + (64 - regs.size).toDouble)
+      et -> ((rows.map(_._2).distinct.length.toLong, (64 - regs.size).toLong, est))
+    }
+    val got = q("a04_hll_sketch").as[(String, Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (et, nExact, nZero, est) =>
+      assert((nExact, nZero, est) == expected(et), s"event_type $et")
+      // the operator emits the RAW estimate + V; apply the consumer-side
+      // linear-counting correction (n ≪ m regime) before bounding the
+      // error at 3·(1.04/√64) ≈ 0.39
+      val corrected =
+        if (est <= 2.5 * 64 && nZero > 0) 64.0 * math.log(64.0 / nZero) else est
+      assert(math.abs(corrected - nExact) / nExact < 0.39,
+        s"$et corrected=$corrected exact=$nExact")
+    }
+  }
 }
