@@ -1481,6 +1481,17 @@ object NorthStar {
     "m04_audio_decode" -> ((s, dir) =>
       graft.multimodal.Multimodal.wavPipeline(docs(s, dir))),
 
+    // perceptual image hashing — the multimodal arm of the dedup tier:
+    // every PPM payload decodes to a 64-bit average hash (8×8 nearest-
+    // neighbor luminance grid, integer mean compare — see
+    // PpmCodec.aHash), so image near-dup detection becomes a small-
+    // hamming pair search over longs: the EXACT shape d05's byte-banded
+    // SimHash join already scales (band on 8 hash bytes, pigeonhole
+    // guarantees hamming ≤ 7 pairs collide on some band). Per-row
+    // decode+hash, no shuffle.
+    "m05_image_phash" -> ((s, dir) =>
+      graft.multimodal.Multimodal.phashTable(docs(s, dir))),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -1837,6 +1848,38 @@ object NorthStar {
       s"""SELECT md5(array_to_string($sqlToks, ' ')) AS fingerprint,
                  min(doc_id) AS keep_id, count(*) AS n_copies
           FROM documents GROUP BY 1""",
+    // replays the aHash at the PIXEL level: regenerate the deterministic
+    // PPM pixels (text bytes cycled), luminance by integer div, the 8×8
+    // nearest-neighbor sample grid, and the no-division mean compare
+    // (lum·64 ≥ Σ), packed with e06's bit-63-as-MinValue trick
+    "m05_image_phash" ->
+      s"""WITH d AS (SELECT doc_id,
+              CAST(8 + doc_id % 9 AS INT) AS w,
+              CAST(8 + doc_id % 7 AS INT) AS h,
+              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb
+            FROM documents),
+          p AS (SELECT doc_id, w, h,
+              list_transform(range(0, w * h * 3),
+                i -> coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0)) AS px
+            FROM d),
+          l AS (SELECT doc_id, w, h,
+              list_transform(range(0, w * h), k ->
+                (px[3 * k + 1] + px[3 * k + 2] + px[3 * k + 3]) // 3) AS lum
+            FROM p),
+          sm AS (SELECT doc_id,
+              list_transform(range(0, 64), k ->
+                lum[((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1]) AS smp
+            FROM l),
+          ag AS (SELECT doc_id, smp, list_sum(smp) AS s FROM sm)
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(0, 64), k ->
+                CASE WHEN smp[k + 1] * 64 >= s THEN
+                  CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                       ELSE CAST(power(2, k) AS BIGINT) END
+                ELSE CAST(0 AS BIGINT) END)),
+              (a, x) -> a + x) AS phash
+          FROM ag""",
     // replays the WAV round trip at the BYTE level: regenerate the
     // deterministic PCM samples, rebuild the exact 44-byte RIFF header +
     // little-endian sample bytes (so the checksum pins the encoder's

@@ -722,18 +722,32 @@ object Queries {
     "g04_bfs_hops" -> ((s, dir) => {
       val off = 10000000L
       val start = 1L
+      // NO distinct on the edge list: the frontier is deduped each round
+      // anyway, so duplicate incidences only widen the pre-distinct fan-
+      // out — cheaper than shuffling the whole edge table to dedupe it
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), (col("l_partkey") + off).as("dst"))
-        .distinct()
       val both = edges
         .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       var dist = s.range(1)
         .select(lit(start).as("node"), lit(0).as("hops"))
       var frontier = dist.select(col("node"))
       for (h <- 1 to 4) {
-        val next = both.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        // frontier and visited-set are node lists (bounded by the node
+        // count, tiny next to the edge table) — broadcasting them makes
+        // each round one scan-side hash probe with NO edge shuffle. On a
+        // graph whose frontier outgrows the driver, drop the hints and
+        // the same plan falls back to shuffled joins per round.
+        // localCheckpoint truncates the lineage each round — without it
+        // round h recursively recomputes rounds 1..h-1 (the plan tree
+        // doubles per round), the classic iterative-dataflow trap. This
+        // is executor-local materialization of a bounded node list, not
+        // driver state.
+        val next = both
+          .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node")).distinct()
-          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti")
+          .localCheckpoint()
         dist = dist.unionByName(next.withColumn("hops", lit(h)))
         frontier = next
       }

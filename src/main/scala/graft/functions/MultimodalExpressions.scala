@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, LongType}
 
 /**
  * A real (toy-format) image codec for the multimodal tier: binary PPM
@@ -83,6 +83,33 @@ object PpmCodec {
   }
 
   final val FeatureLen = 13
+
+  /**
+   * 64-bit average perceptual hash (aHash): luminance sampled on a fixed
+   * 8×8 grid (sample (i,j) reads pixel (⌊i·h/8⌋, ⌊j·w/8⌋) — a nearest-
+   * neighbor downscale, so the hash is resolution-tolerant), bit k set
+   * iff sample k is ≥ the grid mean. The mean compare is the integer
+   * inequality `lum·64 ≥ Σlum` — no division, so the bit pattern is
+   * replayable exactly in SQL. Near-duplicate IMAGES then reduce to
+   * small-hamming 64-bit pairs, i.e. exactly the shape d05's byte-banded
+   * SimHash pair search already handles at scale.
+   */
+  def aHash(img: Image): Long = {
+    val w = img.width; val h = img.height
+    val s = new Array[Long](64)
+    var sum = 0L
+    var k = 0
+    while (k < 64) {
+      val p = ((k / 8) * h / 8) * w + (k % 8) * w / 8
+      val lum = ((img.pixels(3 * p) & 0xff) + (img.pixels(3 * p + 1) & 0xff)
+        + (img.pixels(3 * p + 2) & 0xff)) / 3
+      s(k) = lum; sum += lum; k += 1
+    }
+    var acc = 0L
+    k = 0
+    while (k < 64) { if (s(k) * 64 >= sum) acc |= (1L << k); k += 1 }
+    acc
+  }
 
   /** Decoded features: [width, height, meanR, meanG, meanB, lum0..lum7]
     * — channel means are exact integer sums with ONE final divide, and
@@ -200,5 +227,39 @@ case class PpmDecodeFeatures(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): PpmDecodeFeatures =
+    copy(child = newChild)
+}
+
+/**
+ * Perceptual-hash decode: PPM payload → 64-bit aHash ([[PpmCodec.aHash]]),
+ * NULL if the payload is malformed. Same captured-reference codegen as
+ * [[PpmDecodeFeatures]]; parse + sample + pack is one primitive pass.
+ */
+case class PpmAHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ppm_ahash"
+  override def nullable: Boolean = true
+
+  def compute(data: Array[Byte]): java.lang.Long =
+    PpmCodec.decode(data) match {
+      case Some(img) => java.lang.Long.valueOf(PpmCodec.aHash(img))
+      case None => null
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ppmAHashExpr", this)
+    val boxed = ctx.freshName("boxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long $boxed = $ref.compute($c);
+       |${ev.isNull} = ($boxed == null);
+       |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PpmAHash =
     copy(child = newChild)
 }

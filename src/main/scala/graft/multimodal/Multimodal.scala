@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{PpmCodec, PpmDecodeFeatures, PpmEncode, WavDecodeFeatures, WavEncode}
+import graft.functions.{PpmAHash, PpmCodec, PpmDecodeFeatures, PpmEncode, WavDecodeFeatures, WavEncode}
 
 /**
  * Multimodal column plumbing (SURVEY.md §7.1 M5): media as opaque
@@ -35,6 +35,18 @@ object Multimodal {
     * malformed. */
   def ppmDecode(data: Column): Column =
     column(PpmDecodeFeatures(expression(data)))
+
+  /** Perceptual hash: PPM payload → 64-bit aHash, NULL if malformed. */
+  def ppmAHash(data: Column): Column =
+    column(PpmAHash(expression(data)))
+
+  /** docs → media table → per-image perceptual hash. Each row is one
+    * decode + 8×8 sample + pack — no shuffle; the downstream image
+    * near-dup pair search is d05's byte-banded hamming join applied to
+    * the `phash` column unchanged. */
+  def phashTable(docs: DataFrame): DataFrame =
+    toMediaTable(docs)
+      .select(col("doc_id"), ppmAHash(col("data")).as("phash"))
 
   /** A media payload row: opaque bytes + typed metadata. */
   case class MediaRecord(

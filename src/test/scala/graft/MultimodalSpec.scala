@@ -200,4 +200,47 @@ class MultimodalSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(99L))
     assert(f.filter(col("f").isNotNull).count() == 3)
   }
+
+  test("aHash is resolution-tolerant: a 2x nearest-neighbor upscale hashes identically") {
+    val base = PpmCodec.decode(PpmCodec.encode(9, 7,
+      Array.tabulate(9 * 7 * 3)(i => ((i * 131 + 17) % 256).toByte))).get
+    // up(r, c) = base(r/2, c/2); the 8x8 sample grid composes floors:
+    // floor(floor(i*2h/8)/2) = floor(i*h/8), so samples hit the SAME
+    // source pixels and the hash is bit-identical
+    val up = PpmCodec.Image(18, 14, Array.tabulate(18 * 14 * 3) { i =>
+      val p = i / 3; val ch = i % 3
+      val r = p / 18; val c = p % 18
+      base.pixels(((r / 2) * 9 + c / 2) * 3 + ch)
+    })
+    assert(PpmCodec.aHash(up) == PpmCodec.aHash(base))
+  }
+
+  test("aHash: identical payloads collide, a strong local edit moves few bits, " +
+    "malformed payloads are NULL rows") {
+    val media = docs.select(col("doc_id"),
+      Multimodal.ppmEncode(col("doc_id"), col("text")).as("data"))
+    val h = media.select(col("doc_id"), Multimodal.ppmAHash(col("data")).as("ph"))
+      .as[(Long, Long)].collect().toMap
+    // same (doc_id, text) → same payload → same hash, via the expression path
+    val h2 = media.select(Multimodal.ppmAHash(col("data"))).as[Long].collect()
+    assert(h2.toSet == h.values.toSet && h.size == 3)
+    // on a HIGH-CONTRAST image (half black / half white, margins of
+    // ~127 around the mean) flipping one sampled pixel flips exactly
+    // its own bit: the mean moves by 255/64 ≈ 4, far inside every other
+    // sample's margin. (On a near-flat image — like these cycled-text
+    // payloads — a local edit legitimately moves MANY borderline bits;
+    // that is aHash semantics, not a defect.)
+    val contrast = PpmCodec.decode(PpmCodec.encode(8, 8,
+      Array.tabulate(8 * 8 * 3) { i => if ((i / 3) % 8 < 4) 0.toByte else 255.toByte })).get
+    val px = contrast.pixels.clone()
+    px(0) = 255.toByte; px(1) = 255.toByte; px(2) = 255.toByte // pixel (0,0) → white
+    val edited = PpmCodec.aHash(PpmCodec.Image(8, 8, px))
+    assert(java.lang.Long.bitCount(edited ^ PpmCodec.aHash(contrast)) == 1)
+    // malformed payload → NULL hash, not a stage failure
+    val withJunk = media.unionByName(
+      Seq((99L, "P6 not really".getBytes("US-ASCII"))).toDF("doc_id", "data"))
+    val nulls = withJunk.select(col("doc_id"), Multimodal.ppmAHash(col("data")).as("ph"))
+      .filter(col("ph").isNull).as[(Long, Option[Long])].collect().map(_._1)
+    assert(nulls.toSeq == Seq(99L))
+  }
 }
