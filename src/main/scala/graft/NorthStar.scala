@@ -690,6 +690,24 @@ object NorthStar {
           col("_drop").isNull.as("kept"))
     }),
 
+    // Johnson–Lindenstrauss random projection, Achlioptas' database-
+    // friendly form (KDD'01): 64-dim embeddings drop to 16 dims through
+    // the SAME deterministic ±1 Rademacher plane family the LSH tier
+    // already generates in-engine (no stored projection matrix — any
+    // executor and the SQL oracle regenerate plane p from FNV bits),
+    // scaled by 1/√16 = 0.25, an exact power of two so the scaling
+    // loses no precision. Pure per-row map, no shuffle; this is the
+    // storage/compute reduction in front of clustering or ANN when even
+    // PQ (e05) is too lossy to train on — distances are preserved in
+    // expectation with (ε, δ) guarantees instead of codebook bias.
+    "e08_jl_projection" -> ((s, dir) => {
+      val dim = 64; val kOut = 16
+      val v = VF.toDouble(col("embedding"))
+      emb(s, dir).select(col("vec_id") +:
+        (0 until kOut).map(p =>
+          (VF.dot(v, lit(VF.planeArray(p, dim))) * lit(0.25)).as(f"p$p%02d")): _*)
+    }),
+
     // -- similarity search ----------------------------------------------
 
     // brute-force cosine top-k (exact baseline; query = vec_id 0)
@@ -2136,6 +2154,13 @@ object NorthStar {
           SELECT a.vec_id, a.centroid_id,
                  (a.vec_id NOT IN (SELECT vec_id FROM drp)) AS kept
           FROM a""",
+    // JL replay: the 16 plane dot folds regenerated as literals, same
+    // 0.25 power-of-two scale
+    "e08_jl_projection" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+          SELECT vec_id, ${(0 until 16).map(p =>
+            f"${dotSql("v", planeSqlLiteral(p, 64))} * 0.25 AS p$p%02d").mkString(", ")}
+          FROM e""",
     // RRF fusion replay: t13's BM25 clauses + s01's cosine scan, both
     // truncated to 50 candidates, ranked, full-outer fused with k=60
     "s09_hybrid_rrf" ->

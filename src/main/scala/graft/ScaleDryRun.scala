@@ -142,7 +142,9 @@ object ScaleDryRun {
 
     val ops = Seq("d03_jaccard_pairs", "d04_minhash_lsh",
       "d14_incremental_neardup", "d13_dedup_verdict", "d15_span_dedup",
-      "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk")
+      "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk",
+      "e07_semdedup", "e08_jl_projection", "t23_ngram_novelty",
+      "m05_image_phash", "s09_hybrid_rrf")
 
     println("| corpus | operator | output rows | wall s |")
     println("|---|---|---|---|")

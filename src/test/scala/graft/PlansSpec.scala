@@ -275,6 +275,19 @@ class PlansSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("ppm_ahash is SQL-registered and agrees with the Column API; malformed → NULL") {
+    val viaSql = spark.sql(
+      "SELECT ppm_ahash(ppm_encode(1L, cast('abc' AS binary))) AS ph")
+      .collect().head.getLong(0)
+    val viaCol = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(graft.multimodal.Multimodal.ppmAHash(
+        graft.multimodal.Multimodal.ppmEncode(col("doc_id"), col("text"))).as("ph"))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    assert(spark.sql("SELECT ppm_ahash(cast('P6 junk' AS binary)) AS ph")
+      .collect().head.isNullAt(0))
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")

@@ -388,4 +388,32 @@ class SimilaritySpec extends AnyFunSuite {
       gotSpans(docs, 3) == bruteSpans(docs, 3)
     }, 20)
   }
+
+  test("e08 JL projection: exact plane-fold replay; pairwise sq-distance ratio ≈ 1") {
+    val dir = "/root/testdata/sf0.001"
+    def dotL(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val planes = (0 until 16).map(p => VF.planeArray(p, 64).toSeq)
+    val expected = vecs.map { case (id, v) =>
+      id -> planes.map(pl => dotL(v, pl) * 0.25)
+    }.toMap
+    val got = SparkEntry.queries("e08_jl_projection")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getDouble).toSeq).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, p) => assert(p == expected(id), s"vec $id") }
+    // JL guarantee (unbiased Rademacher projection): the mean over all
+    // pairs of ||proj(a)-proj(b)||² / ||a-b||² concentrates near 1
+    def sqDist(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq if ia < ib
+    } yield sqDist(expected(ia), expected(ib)) / sqDist(va, vb)
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"mean distance-preservation ratio $mean")
+  }
 }
