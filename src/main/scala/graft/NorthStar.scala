@@ -690,6 +690,46 @@ object NorthStar {
           col("_drop").isNull.as("kept"))
     }),
 
+    // prototypicality-based corpus pruning (Sorscher et al., NeurIPS'22
+    // "Beyond neural scaling laws"): a vector's prototypicality is its
+    // cosine to the centroid of its assigned cluster; the MOST
+    // prototypical (easiest, most redundant) 20% of each cluster is
+    // pruned and the hard diverse tail kept — the published data-diet
+    // rule for large corpora. Spark shape: e03's argmax-dot assignment
+    // (per-row, no shuffle), then ONE window partitioned by centroid_id
+    // for rank + cluster size — at 100 TB the window key has
+    // cluster-count cardinality, so partitions stay balanced by the
+    // quantizer's design (cluster count grows with the corpus, size
+    // stays bounded — e07's contract). Centroid norms are plan-time
+    // literals: same left-to-right fold the SQL twin replays, so the
+    // cosine is bit-identical cross-engine.
+    "e09_prototype_prune" -> ((s, dir) => {
+      val dim = 64; val nC = 16
+      val cnorms = (0 until nC).map(c =>
+        math.sqrt(VF.centroid(c, dim).map(x => x * x).sum)).toArray
+      val v = VF.toDouble(col("embedding"))
+      val scored = emb(s, dir)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("dots",
+          array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
+        .select(col("vec_id"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int")
+            .as("centroid_id"),
+          array_max(col("dots")).as("best_dot"),
+          sqrt(VF.normSq(col("v"))).as("nrm"))
+        .select(col("vec_id"), col("centroid_id"),
+          (col("best_dot")
+            / (col("nrm") * element_at(lit(cnorms), col("centroid_id"))))
+            .as("proto_cos"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))
+      scored
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("proto_cos").desc, col("vec_id"))))
+        .withColumn("n_c", count(lit(1)).over(w))
+        .select(col("vec_id"), col("centroid_id"), col("proto_cos"),
+          (col("rn") > ceil(lit(0.2) * col("n_c"))).as("kept"))
+    }),
+
     // Johnson–Lindenstrauss random projection, Achlioptas' database-
     // friendly form (KDD'01): 64-dim embeddings drop to 16 dims through
     // the SAME deterministic ±1 Rademacher plane family the LSH tier
@@ -925,6 +965,50 @@ object NorthStar {
         .withColumn("n_src", count(lit(1)).over(w.partitionBy(col("source"))))
         .filter(col("rn") <= ceil(col("n_src") * 0.1))
         .select(col("doc_id"), col("source"))
+    }),
+
+    // deterministic global training-order shuffle — the "shuffle the
+    // corpus each epoch" primitive: order key = md5 of (doc_id, epoch
+    // tag), position = dense 1..n rank in that order via the
+    // DISTRIBUTED serial-id machinery (range partition on the key +
+    // per-partition offsets — q28's shape), NOT a single-task global
+    // window. Because the key is a uniform hash, the range partitioner's
+    // sampled boundaries give near-equal partitions regardless of how
+    // skewed the natural ids are, and a new epoch is just a new tag —
+    // no RNG state, reproducible on any cluster layout.
+    "t24_global_shuffle" -> ((s, dir) => {
+      val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":epoch0"))), 1, 8), 16, 10).cast("long")
+      val keyed = docs(s, dir).select(col("doc_id"), h.as("shuffle_key"))
+      graft.operators.Relational.withSerialIdDistributed(
+        keyed, Seq(col("shuffle_key"), col("doc_id")), "pos")
+    }),
+
+    // sliding-window chunking with overlap (the RAG / context-window
+    // segmentation primitive): windows of 32 tokens at stride 16, so
+    // consecutive chunks share half their tokens and no boundary
+    // sentence is ever split across chunks without also appearing whole
+    // in a neighbor. Pure per-row Generate + slice — fan-out is bounded
+    // by doc length / stride, there is NO shuffle, and the chunk table
+    // inherits the corpus partitioning (each doc's chunks stay on its
+    // partition, ready for per-chunk embedding or indexing downstream).
+    // Every doc emits ≥ 1 chunk (short and empty docs yield one short
+    // or empty chunk) — a corpus row can never silently vanish.
+    "t25_rag_chunk" -> ((s, dir) => {
+      val W = 32; val S = 16
+      docs(s, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("tks"))
+        .select(col("doc_id"), col("tks"),
+          explode(sequence(lit(0L),
+            greatest(size(col("tks")).cast("long") - 1L, lit(0L)),
+            lit(S.toLong))).as("start"))
+        .select(col("doc_id"),
+          expr(s"start div $S").as("chunk_idx"),
+          col("start"),
+          size(slice(col("tks"), (col("start") + 1L).cast("int"), lit(W)))
+            .cast("long").as("n_tokens"),
+          array_join(slice(col("tks"), (col("start") + 1L).cast("int"), lit(W)), " ")
+            .as("chunk_text"))
     }),
 
     // systematic probability-proportional-to-size sampling by token
@@ -2154,6 +2238,34 @@ object NorthStar {
           SELECT a.vec_id, a.centroid_id,
                  (a.vec_id NOT IN (SELECT vec_id FROM drp)) AS kept
           FROM a""",
+    // centroid norms recomputed from the same literals with the same
+    // left-to-right fold the Scala side bakes into its plan-time
+    // constants — the division structure matches term for term
+    "e09_prototype_prune" -> {
+      val cnormList = (0 until 16).map(c =>
+        s"""sqrt(list_reduce(list_transform(${centroidSqlLiteral(c, 64)},
+            y -> y * y), (p, q) -> p + q))""").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),
+            a AS (SELECT vec_id,
+                    CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT)
+                      AS centroid_id,
+                    list_aggregate(dots, 'max') AS best_dot,
+                    sqrt(list_reduce(list_transform(v, y -> y * y), (p, q) -> p + q))
+                      AS nrm
+                  FROM d),
+            sc AS (SELECT vec_id, centroid_id,
+                     best_dot / (nrm * list_extract($cnormList, centroid_id))
+                       AS proto_cos
+                   FROM a),
+            r AS (SELECT vec_id, centroid_id, proto_cos,
+                    row_number() OVER (PARTITION BY centroid_id
+                                       ORDER BY proto_cos DESC, vec_id) AS rn,
+                    count(*) OVER (PARTITION BY centroid_id) AS n_c
+                  FROM sc)
+          SELECT vec_id, centroid_id, proto_cos, rn > ceil(0.2 * n_c) AS kept
+          FROM r"""
+    },
     // JL replay: the 16 plane dot folds regenerated as literals, same
     // 0.25 power-of-two scale
     "e08_jl_projection" ->
@@ -2341,6 +2453,26 @@ object NorthStar {
              count(*) OVER (PARTITION BY source) AS n_src
            FROM h)
          SELECT doc_id, source FROM r WHERE rn <= ceil(n_src * 0.1)""",
+    "t24_global_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+             ${md5HexIntSql("CAST(doc_id AS VARCHAR) || ':epoch0'")} AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key,
+                row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+         FROM h""",
+    // list_slice (not bracket slicing) — the bracket form returns NULL
+    // on an empty list where Spark's slice returns an empty array
+    "t25_rag_chunk" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlToks AS tks FROM documents),
+            st AS (SELECT doc_id, tks,
+                     unnest(range(0, greatest(len(tks) - 1, 0) + 1, 16)) AS start
+                   FROM tk)
+          SELECT doc_id, start // 16 AS chunk_idx, start,
+                 CAST(len(list_slice(tks, start + 1, start + 32)) AS BIGINT)
+                   AS n_tokens,
+                 array_to_string(list_slice(tks, start + 1, start + 32), ' ')
+                   AS chunk_text
+          FROM st""",
     "d08_incremental_dedup" ->
       s"""WITH f AS (SELECT doc_id, source,
                        md5(array_to_string($sqlToks, ' ')) AS fp

@@ -754,6 +754,26 @@ object Queries {
       dist
     }),
 
+    // triangle / wedge census + global clustering coefficient over the
+    // part co-order graph (parts linked when a heavy lineitem pair shares
+    // an order — the quantity filter is pushed to the scan and prunes the
+    // incidence list before any pair work). The operator is
+    // [[graft.operators.Graph.triangleStats]]: degree-ordered edge
+    // orientation (Suri & Vassilvitskii WWW'11) bounds wedge fan-out at
+    // O(√m) per node, so no hub vertex can straggle one reducer. The
+    // oracle counts the same triangles with the naive id-ordered triple
+    // join — a different (skew-unsafe) plan computing the same census,
+    // exactly the ground-truth/scale-path split of d03/d04 and s04/s06.
+    "g05_triangles" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Graph.triangleStats(edges)
+    }),
+
     // count-min frequency sketch (depth 4 × width 256) over per-user
     // event counts, next to the exact answer — the bounded-state
     // frequency-estimation twin of a01's KMV cardinality sketch. The
@@ -1382,6 +1402,24 @@ object Queries {
                  FROM r JOIN e ON e.src = r.node
                  WHERE r.hops < 4)
          SELECT node, MIN(hops) AS hops FROM r GROUP BY 1""",
+    // naive id-ordered triple join — same census as the degree-ordered
+    // plan (each triangle has exactly one u<v<w labeling)
+    "g05_triangles" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_quantity >= 30),
+           e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           deg AS (SELECT x, count(*) AS d
+                   FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                   GROUP BY x),
+           tri AS (SELECT count(*) AS t
+                   FROM e e1
+                   JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+           wd AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS nw FROM deg)
+         SELECT t AS n_triangles, nw AS n_wedges,
+                3.0 * t / nw AS global_clustering
+         FROM tri, wd""",
     "q44_scd2_history" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

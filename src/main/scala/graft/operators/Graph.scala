@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed graph statistics over an edge table.
+ *
+ * Beyond-reference operator (the reference's only graph-shaped work is a
+ * single equi-join, `codes/weather_etl_pipeline.py:160-180`); this is the
+ * community-structure primitive a web-corpus pipeline runs over its
+ * link/near-dup graphs (d03/d04 pair output, hyperlink graphs) to find
+ * template farms and mirror clusters — densely inter-linked page groups
+ * whose clustering coefficient is far above the corpus background.
+ */
+object Graph {
+
+  /**
+   * Exact triangle count, wedge (open-triad) count, and the global
+   * clustering coefficient 3·triangles/wedges, over an undirected simple
+   * edge set `edges(u, v)` with u < v, no self-loops, no duplicates.
+   *
+   * Scale design — degree-ordered orientation (Suri & Vassilvitskii,
+   * WWW'11, "the curse of the last reducer"): the naive wedge join fans
+   * out quadratically in the hottest vertex's degree — a celebrity node
+   * of degree d pushes d² wedge rows through ONE reducer key, the
+   * classic straggler. Orienting every edge from its (degree, id)-smaller
+   * endpoint to the larger caps out-degree at O(√m) for ANY graph, so
+   * per-key fan-out — and total wedge volume — is bounded by m^(3/2)
+   * regardless of skew. Each triangle is then generated exactly once
+   * (as the wedge at its (degree, id)-minimal vertex) and confirmed by
+   * one semi-join probe of the closing oriented edge; the semi-join
+   * keeps no payload, so the probe shuffles only (node, node) pairs.
+   * The (degree, id) total order is packed into one long
+   * (degree << 32 | id) so orientation needs no struct comparison.
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val keyed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"),
+        (shiftleft(col("du"), 32) + col("u")).as("ku"),
+        (shiftleft(col("dv"), 32) + col("v")).as("kv"))
+    // src = (degree, id)-smaller endpoint; kdst carries the order key of
+    // the other end so the wedge join can pair out-edges without a
+    // second degree lookup
+    val oriented = keyed.select(
+      when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+      when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+      greatest(col("ku"), col("kv")).as("kdst"))
+    // wedge (a, b) at minimal vertex src, a before b in the total order;
+    // the closing edge — if present — is oriented a -> b by transitivity
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+      .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("wu"), col("dst").as("wv")),
+        Seq("wu", "wv"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeTotal = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    // two one-row aggregates — the scalar-broadcast crossJoin pattern
+    tri.crossJoin(broadcast(wedgeTotal))
+      .select(col("n_triangles"), col("n_wedges"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_clustering"))
+  }
+}

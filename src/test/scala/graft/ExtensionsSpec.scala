@@ -451,4 +451,82 @@ class ExtensionsSpec extends AnyFunSuite {
         s"$et corrected=$corrected exact=$nExact")
     }
   }
+
+  test("law: degree-ordered triangleStats equals brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(12)
+      val edges = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.3
+      } yield (u.toLong, v.toLong)).toSeq
+      val es = edges.toSet
+      val expectedTri = (for {
+        u <- 0 until n; v <- u + 1 until n; w <- v + 1 until n
+        if es((u, v)) && es((u, w)) && es((v, w))
+      } yield 1).size.toLong
+      val deg = edges.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).map(_._2.size.toLong)
+      val expectedWedges = deg.map(d => d * (d - 1) / 2).sum
+      val got = graft.operators.Graph
+        .triangleStats(edges.toDF("u", "v")).collect().head
+      assert(got.getLong(0) == expectedTri, s"trial $trial triangles")
+      assert(got.getLong(1) == expectedWedges, s"trial $trial wedges")
+      assert(got.getDouble(2) == 3.0 * expectedTri / expectedWedges)
+    }
+  }
+
+  test("t24 global shuffle: pos is a dense 1..n permutation in hash order, stable") {
+    val rows = q("t24_global_shuffle")
+      .as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(rows.map(_._3).sameElements(1L to rows.length))
+    // pos order is exactly (shuffle_key, doc_id) order
+    val keys = rows.map(r => (r._2, r._1))
+    assert(keys.sameElements(keys.sorted), "pos order != (shuffle_key, doc_id) order")
+    // deterministic: a second evaluation assigns identical positions
+    val again = q("t24_global_shuffle").as[(Long, Long, Long)].collect().sortBy(_._3)
+    assert(rows.sameElements(again))
+    // the hash key actually permutes (not the natural id order)
+    assert(!rows.map(_._1).sameElements(rows.map(_._1).sorted))
+  }
+
+  test("t25 rag chunks: stride-aligned, half-overlapping, lossless cover") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    def toks(t: String): Seq[String] = {
+      val tt = t.trim.toLowerCase
+      if (tt.isEmpty) Seq.empty else tt.split("\\s+").toSeq
+    }
+    val chunks = q("t25_rag_chunk")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet == docs.keySet, "every doc emits at least one chunk")
+    chunks.foreach { case (id, cs) =>
+      val tk = toks(docs(id))
+      // starts are exactly 0, 16, 32, … while < max(n, 1)
+      assert(cs.map(_._3).sameElements(
+        0L until math.max(tk.length, 1).toLong by 16L), s"doc $id starts")
+      cs.foreach { case (_, idx, start, nTok, text) =>
+        assert(idx == start / 16 && nTok <= 32)
+        assert(text == tk.slice(start.toInt, start.toInt + 32).mkString(" "),
+          s"doc $id chunk $idx")
+      }
+      // even-indexed chunks tile the doc exactly (stride 2 × 16 = width)
+      val even = cs.filter(_._2 % 2 == 0).map(_._5).filter(_.nonEmpty)
+      assert(even.mkString(" ") == tk.mkString(" "), s"doc $id even-chunk tiling")
+    }
+  }
+
+  test("e09 prototype prune: per-cluster 20% hardest-boundary rule, exact") {
+    val rows = q("e09_prototype_prune")
+      .as[(Long, Int, Double, Boolean)].collect()
+    assert(rows.length == 500)
+    rows.groupBy(_._2).foreach { case (cid, cl) =>
+      val cut = math.ceil(0.2 * cl.length).toLong
+      assert(cl.count(!_._4) == cut, s"cluster $cid pruned count")
+      // pruned set = the cut most-prototypical under (cos desc, vec_id)
+      val ordered = cl.sortBy(r => (-r._3, r._1))
+      assert(ordered.take(cut.toInt).forall(!_._4), s"cluster $cid pruned head")
+      assert(ordered.drop(cut.toInt).forall(_._4), s"cluster $cid kept tail")
+    }
+  }
 }
