@@ -627,6 +627,33 @@ object Queries {
           col("tot").cast(DoubleType).as("total_price"))
     }),
 
+    // interval-OVERLAP join with NO equality key — the proximity-join
+    // shape ("every purchase within 10 min of an error"): each event
+    // carries a half-open 10-minute window and a pair qualifies iff the
+    // windows overlap, i.e. |t_p − t_e| < 10 min. Declaratively that is
+    // a keyless inequality theta-join — a BroadcastNestedLoopJoin, the
+    // canonical scale-killer. [[graft.operators.Relational
+    // .intervalOverlapJoin]] grid-buckets BOTH sides (time buckets are
+    // the join key; ≤2× replication at width = window) and emits each
+    // pair only in the bucket of max(start, start) — duplicate-free with
+    // no post-join distinct. All math in integer micros; the overlap
+    // duration is exact BIGINT arithmetic both engines replay.
+    "j05_overlap_join" -> ((s, dir) => {
+      val W = 600L * 1000000L // 10 minutes in micros
+      val ev = eventsTable(s, dir)
+      def side(tp: String, p: String) = ev
+        .filter(col("event_type") === tp)
+        .select(col("event_id").as(s"${p}_id"),
+          unix_micros(col("ts")).as(s"${p}_us"))
+        .withColumn(s"${p}_end", col(s"${p}_us") + W)
+      Relational.intervalOverlapJoin(
+          side("purchase", "p"), side("error", "e"),
+          "p_us", "p_end", "e_us", "e_end", Seq.empty, W)
+        .select(col("p_id"), col("e_id"),
+          (least(col("p_end"), col("e_end"))
+            - greatest(col("p_us"), col("e_us"))).as("overlap_us"))
+    }),
+
     // sequential funnel analysis (view → click → purchase): the
     // event-analytics primitive. Each stage is the MIN event time
     // strictly after the previous stage's time, so every aggregation and
@@ -1438,6 +1465,18 @@ object Queries {
       """SELECT o_custkey, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders GROUP BY 1""",
+    // the declarative inequality theta-join the grid join replaces —
+    // overlap of [t, t+10min) windows ⇔ |t_p − t_e| < 10 min; exact
+    // integer-micros arithmetic in both engines
+    "j05_overlap_join" ->
+      """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us
+                    FROM events WHERE event_type = 'purchase'),
+            e AS (SELECT event_id AS e_id, epoch_us(ts) AS e_us
+                  FROM events WHERE event_type = 'error')
+         SELECT p_id, e_id,
+                least(p_us, e_us) + 600000000 - greatest(p_us, e_us) AS overlap_us
+         FROM p JOIN e
+           ON p_us < e_us + 600000000 AND e_us < p_us + 600000000""",
     "q57_percentiles_agg" ->
       """WITH r AS (
            SELECT l_returnflag, l_extendedprice,

@@ -320,4 +320,57 @@ object Relational {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("_b")
   }
+
+  /**
+   * Interval-OVERLAP join (`[lStart,lEnd)` meets `[rStart,rEnd)`, i.e.
+   * `lStart < rEnd && rStart < lEnd`) sharing equality `keys` — possibly
+   * EMPTY, in which case the time bucket alone is the join key. The
+   * declarative form is an inequality theta-join: a per-key nested loop,
+   * and with no keys a BroadcastNestedLoopJoin — the canonical
+   * scale-killer. Here BOTH sides replicate to the fixed-width buckets
+   * their interval covers and the join becomes an equi-join on
+   * (keys…, bucket) + the exact overlap predicate.
+   *
+   * Duplicate-free by construction: a qualifying pair is emitted only in
+   * the bucket containing `max(lStart, rStart)` — a point both intervals
+   * cover (it is < min(lEnd, rEnd) when they overlap) — so no post-join
+   * `distinct` is needed. That matters at scale: the distinct would be a
+   * second full shuffle of the OUTPUT, the largest table in the query.
+   * Replication factor is ⌈len/width⌉ per side (caller-tuned constant);
+   * time buckets are uniform by construction, so the shuffle is balanced
+   * regardless of how the intervals cluster on any natural key.
+   *
+   * Timestamp/date columns are bucketed in epoch seconds (`bucketWidth`
+   * in seconds); numeric columns are taken as-is (`bucketWidth` in the
+   * caller's units). Non-key column names must be disjoint across sides.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          keys: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucket width must be positive")
+    val collisions =
+      left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    require(collisions.isEmpty, s"non-key column names collide: $collisions")
+    def epoch(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType =>
+          unix_timestamp(col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => col(c).cast("long")
+      }
+    val w = lit(bucketWidth)
+    // column exprs by NAME so they re-resolve against the joined plan
+    val (ls, le) = (epoch(left, lStart), epoch(left, lEnd))
+    val (rs, re) = (epoch(right, rStart), epoch(right, rEnd))
+    val l2 = left.withColumn("_b", explode(sequence(
+      floor(ls / w).cast("long"), floor(le / w).cast("long"))))
+    val r2 = right.withColumn("_b", explode(sequence(
+      floor(rs / w).cast("long"), floor(re / w).cast("long"))))
+    l2.join(r2, (keys :+ "_b").toSeq)
+      .filter(ls < re && rs < le)
+      .filter(col("_b") === floor(greatest(ls, rs) / w).cast("long"))
+      .drop("_b")
+  }
 }

@@ -238,6 +238,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("law: intervalOverlapJoin equals the naive overlap join, dup-free, across widths") {
+    val ivGen = (n: Int) => Gen.listOfN(n, for {
+      k <- Gen.choose(0L, 2L); s <- Gen.choose(0L, 180L); len <- Gen.choose(0L, 50L)
+    } yield (k, s, s + len))
+    val prop = Prop.forAll(ivGen(15), ivGen(15), Gen.oneOf(7L, 30L, 100L),
+      Gen.oneOf(true, false)) { (as, bs, w, keyed) =>
+      val af = as.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("aid", "k", "as0", "ae0")
+      val bf = bs.zipWithIndex.map { case ((k, s, e), i) => (i.toLong, k, s, e) }
+        .toDF("bid", "bk", "bs0", "be0")
+      val keys = if (keyed) Seq("k") else Seq.empty[String]
+      val rhs = if (keyed) bf.withColumnRenamed("bk", "k") else bf
+      val got = Relational.intervalOverlapJoin(af, rhs,
+          "as0", "ae0", "bs0", "be0", keys, w)
+        .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSeq
+      val expected = (for {
+        ((ak, s1, e1), i) <- as.zipWithIndex
+        ((bk, s2, e2), j) <- bs.zipWithIndex
+        if (!keyed || ak == bk) && s1 < e2 && s2 < e1
+      } yield (i.toLong, j.toLong)).sorted
+      // sorted equality also proves no duplicate emission
+      got.sorted == expected && got.size == got.distinct.size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("intervalJoin handles timestamp columns under ANSI mode (no bigint cast)") {
     val pts = Seq((1L, "2024-01-05 12:00:00"), (2L, "2024-01-20 00:00:00"))
       .toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("ts"))
