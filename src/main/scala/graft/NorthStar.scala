@@ -1594,6 +1594,39 @@ object NorthStar {
     "m05_image_phash" -> ((s, dir) =>
       graft.multimodal.Multimodal.phashTable(docs(s, dir))),
 
+    // scene-cut detection — the video arm of the multimodal tier: a doc
+    // is treated as a frame SEQUENCE (every 48-char slice renders its
+    // own PPM through the m02/m05 encoder, dims still keyed by doc_id so
+    // all frames of a doc share a resolution), each frame gets its
+    // 64-bit aHash, and the hamming distance between CONSECUTIVE frame
+    // hashes (lag window per doc, ordered by frame index) marks a cut
+    // wherever the perceptual content jumps. Encode+hash are per-row
+    // expressions; the only shuffle is the window keyed by doc_id, and a
+    // doc's frame count is bounded, so the partition-local sort stays
+    // tiny at any corpus scale (the 100 TB shape: billions of docs ×
+    // tens of frames, never one giant ordered partition).
+    "m06_scene_cut" -> ((s, dir) => {
+      val frameChars = 48
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      docs(s, dir)
+        .filter(length(col("text")) >= 2 * frameChars)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            (floor(length(col("text")) / frameChars) - 1).cast("long")))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          graft.multimodal.Multimodal.ppmAHash(
+            graft.multimodal.Multimodal.ppmEncode(col("doc_id"),
+              expr(s"substring(text, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)")))
+            .as("phash"))
+        .withColumn("prev_phash", lag(col("phash"), 1).over(byDoc))
+        .filter(col("prev_phash").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          bit_count(col("phash").bitwiseXOR(col("prev_phash"))).as("hamming"))
+        .withColumn("is_cut", col("hamming") >= 18)
+    }),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -1982,6 +2015,50 @@ object NorthStar {
                 ELSE CAST(0 AS BIGINT) END)),
               (a, x) -> a + x) AS phash
           FROM ag""",
+    // m05's pixel-level replay applied per FRAME (48-char slices, dims
+    // still keyed by doc_id), then the consecutive-frame hamming via a
+    // lag window — bit_count is TINYINT in DuckDB, cast to match Spark
+    "m06_scene_cut" ->
+      s"""WITH fr AS (SELECT doc_id,
+              CAST(8 + doc_id % 9 AS INT) AS w,
+              CAST(8 + doc_id % 7 AS INT) AS h,
+              unnest(range(0, CAST(floor(length(text) / 48) AS BIGINT))) AS frame_idx,
+              text
+            FROM documents WHERE length(text) >= 96),
+          d AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(
+                string_split(substring(text, CAST(frame_idx * 48 + 1 AS INT), 48), ''),
+                c -> CAST(ord(c) AS BIGINT)) AS tb
+            FROM fr),
+          p AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(range(0, w * h * 3),
+                i -> coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0)) AS px
+            FROM d),
+          l AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(range(0, w * h), k ->
+                (px[3 * k + 1] + px[3 * k + 2] + px[3 * k + 3]) // 3) AS lum
+            FROM p),
+          sm AS (SELECT doc_id, frame_idx,
+              list_transform(range(0, 64), k ->
+                lum[((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1]) AS smp
+            FROM l),
+          ag AS (SELECT doc_id, frame_idx, smp, list_sum(smp) AS s FROM sm),
+          ph AS (SELECT doc_id, frame_idx,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, 64), k ->
+                  CASE WHEN smp[k + 1] * 64 >= s THEN
+                    CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(power(2, k) AS BIGINT) END
+                  ELSE CAST(0 AS BIGINT) END)),
+                (a, x) -> a + x) AS phash
+            FROM ag),
+          lg AS (SELECT doc_id, frame_idx, phash,
+              lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+            FROM ph)
+          SELECT doc_id, frame_idx,
+                 CAST(bit_count(xor(phash, prev)) AS INT) AS hamming,
+                 CAST(bit_count(xor(phash, prev)) AS INT) >= 18 AS is_cut
+          FROM lg WHERE prev IS NOT NULL""",
     // replays the WAV round trip at the BYTE level: regenerate the
     // deterministic PCM samples, rebuild the exact 44-byte RIFF header +
     // little-endian sample bytes (so the checksum pins the encoder's
