@@ -748,6 +748,56 @@ object NorthStar {
           (VF.dot(v, lit(VF.planeArray(p, dim))) * lit(0.25)).as(f"p$p%02d")): _*)
     }),
 
+    // one POWER-ITERATION step toward the dominant principal component
+    // of the centered embedding cloud — the anisotropy diagnostic (and
+    // the first step of whitening) a corpus embedding pipeline runs
+    // before cosine-based dedup: if λ₁ dominates, cosine similarity is
+    // hostage to one direction and the common-direction removal
+    // (all-but-the-top) is warranted. Distributed shape: two map-side-
+    // combined aggregations keyed by dim (64 keys — bounded state, never
+    // a wide row), a broadcast one-row mean vector, and per-row centered
+    // dot products; u = Σᵢ cᵢ(cᵢ·v₀) never materializes the n×n Gram
+    // matrix. The per-dim sums are order-pinned (sorted by vec_id before
+    // the fold, like e04) so the distributed float math is bit-equal to
+    // the SQL replay; production at 100 TB would trade that pin for
+    // unordered partial sums and a tolerance compare. v₀ = (1..64), a
+    // fixed deterministic start; λ̂ = ‖u‖/‖v₀‖ is the one-step Rayleigh
+    // estimate.
+    "e10_power_iteration" -> ((s, dir) => {
+      val dim = 64
+      val v0 = (1 to dim).map(_.toDouble).toArray
+      val v0Norm = math.sqrt(v0.map(x => x * x).sum)
+      val e = emb(s, dir).select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      val mu = e.select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("dim"))
+        .agg((aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+              x => x.getField("val")),
+            lit(0.0), (a, x) => a + x) / count(lit(1))).as("m"))
+      val marr = mu.groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("marr"))
+      val cx = e.crossJoin(broadcast(marr))
+        .select(col("vec_id"), zip_with(col("v"), col("marr"), (x, m) => x - m).as("c"))
+      val dt = cx.select(col("vec_id"), col("c"), VF.dot(col("c"), lit(v0)).as("d"))
+      val u = dt
+        .select(col("vec_id"), col("d"), posexplode(col("c")).as(Seq("dim", "cval")))
+        .groupBy(col("dim"))
+        .agg(aggregate(
+            transform(array_sort(collect_list(
+              struct(col("vec_id"), (col("cval") * col("d")).as("p")))),
+              x => x.getField("p")),
+            lit(0.0), (a, x) => a + x).as("uval"))
+      val nrm = u.groupBy()
+        .agg(sqrt(aggregate(
+            transform(array_sort(collect_list(struct(col("dim"), col("uval")))),
+              x => x.getField("uval") * x.getField("uval")),
+            lit(0.0), (a, x) => a + x)).as("un"))
+      u.crossJoin(broadcast(nrm))
+        .select(col("dim"), (col("uval") / col("un")).as("pc_loading"),
+          (col("un") / lit(v0Norm)).as("eigenvalue"))
+    }),
+
     // -- similarity search ----------------------------------------------
 
     // brute-force cosine top-k (exact baseline; query = vec_id 0)
@@ -1009,6 +1059,34 @@ object NorthStar {
             .cast("long").as("n_tokens"),
           array_join(slice(col("tks"), (col("start") + 1L).cast("int"), lit(W)), " ")
             .as("chunk_text"))
+    }),
+
+    // TF-IDF keyword extraction — each document's top-3 terms by
+    // tf · (N+1)/(df+1), the tf-WEIGHTED complement of t08's rarest-term
+    // pick (t08 ignores within-doc frequency; here a term repeated in
+    // one doc but common nowhere else wins). The idf is the log-free
+    // rational form for the same reason as t13's BM25: ln is not
+    // correctly-rounded across libms, and (N+1)/(df+1) is the same
+    // monotone signal in one IEEE divide. Distributed shape: tf is one
+    // map-side-combined agg keyed by (doc, term); the df table is
+    // vocabulary-sized so the join BROADCASTS; N is a broadcast one-row
+    // frame; the per-doc top-3 is the custom TopKPerKey operator
+    // (bounded heaps, no per-doc sort).
+    "t26_tfidf_keywords" -> ((s, dir) => {
+      val tk = docs(s, dir).select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("term"))
+      val tf = tk.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("tf"))
+      val dfreq = tk.distinct()
+        .groupBy(col("term")).agg(count(lit(1)).cast(DoubleType).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          (col("tf") * ((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+            .as("tfidf"))
+      graft.operators.Relational.topKPerKey(
+        scored, Seq("doc_id"), Seq(col("tfidf").desc, col("term").asc), 3)
     }),
 
     // systematic probability-proportional-to-size sampling by token
@@ -2350,6 +2428,40 @@ object NorthStar {
           SELECT vec_id, ${(0 until 16).map(p =>
             f"${dotSql("v", planeSqlLiteral(p, 64))} * 0.25 AS p$p%02d").mkString(", ")}
           FROM e""",
+    // replays the power-iteration step with the SAME operation order:
+    // per-dim ordered sums (ORDER BY vec_id / dim mirror the Spark
+    // array_sort-then-fold pins), products formed before the fold, and
+    // only divide/sqrt at the end (both correctly-rounded per IEEE754,
+    // so cross-libm safe; ln/pow never appear)
+    "e10_power_iteration" -> {
+      val v0Lit = (1 to 64).map(i => s"$i.0").mkString("[", ",", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            pe AS (SELECT vec_id, CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                     unnest(v) AS val
+                   FROM e),
+            mu AS (SELECT dim,
+                     list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                       (a, x) -> a + x) / count(*) AS m
+                   FROM pe GROUP BY 1),
+            mv AS (SELECT list(m ORDER BY dim) AS marr FROM mu),
+            cx AS (SELECT vec_id,
+                     list_transform(list_zip(v, marr), x -> x[1] - x[2]) AS c
+                   FROM e, mv),
+            dt AS (SELECT vec_id, c, ${dotSql("c", v0Lit)} AS d FROM cx),
+            pc AS (SELECT vec_id, d, CAST(unnest(range(0, len(c))) AS INT) AS dim,
+                     unnest(c) AS cval
+                   FROM dt),
+            u AS (SELECT dim,
+                    list_reduce(list_prepend(0.0, list(cval * d ORDER BY vec_id)),
+                      (a, x) -> a + x) AS uval
+                  FROM pc GROUP BY 1),
+            nrm AS (SELECT sqrt(
+                      list_reduce(list_prepend(0.0, list(uval * uval ORDER BY dim)),
+                        (a, x) -> a + x)) AS un
+                    FROM u)
+          SELECT dim, uval / un AS pc_loading, un / sqrt(89440.0) AS eigenvalue
+          FROM u, nrm"""
+    },
     // RRF fusion replay: t13's BM25 clauses + s01's cosine scan, both
     // truncated to 50 candidates, ranked, full-outer fused with k=60
     "s09_hybrid_rrf" ->
@@ -2550,6 +2662,23 @@ object NorthStar {
                  array_to_string(list_slice(tks, start + 1, start + 32), ' ')
                    AS chunk_text
           FROM st""",
+    // log-free idf: (N+1)/(df+1) in one divide, products before the
+    // compare — same single-IEEE-op sequence as the Spark expressions
+    "t26_tfidf_keywords" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                   FROM tk GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+                   FROM tk GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term,
+                     tf.tf * ((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+                   FROM tf JOIN df USING (term), n),
+            r AS (SELECT doc_id, term, tfidf,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+                  FROM sc)
+          SELECT doc_id, term, tfidf FROM r WHERE rn <= 3""",
     "d08_incremental_dedup" ->
       s"""WITH f AS (SELECT doc_id, source,
                        md5(array_to_string($sqlToks, ' ')) AS fp
