@@ -34,16 +34,21 @@ object Queries {
     least(floor((x - lo) / ((hi - lo) / nb)).cast(LongType), lit(nb - 1L))
 
   /**
-   * events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-   * only exposes as a long (legacy nanosAsLong — set once at session build
-   * by Verify/Bench/tests, NOT here: a per-query conf mutation would be an
-   * order-dependent global); normalize to a microsecond TimestampType so
-   * downstream ops see a timestamp, exactly as DuckDB does (ns → micros).
+   * events.ts arrives in whatever physical form the generator last wrote:
+   * parquet TIMESTAMP(NANOS) surfaces as a long under the legacy
+   * nanosAsLong reader (set once at session build by Verify/Bench/tests,
+   * NOT here: a per-query conf mutation would be an order-dependent
+   * global), and naive TIMESTAMP(MICROS) surfaces as TimestampNTZ under
+   * Spark's NTZ inference. Normalize BOTH to a microsecond TimestampType
+   * (identity wall-clock under the UTC session) so every downstream op —
+   * and every test — sees one stable timestamp type, exactly as DuckDB
+   * sees one naive TIMESTAMP regardless of the physical encoding.
    */
   private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame = {
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

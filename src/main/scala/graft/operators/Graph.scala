@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -33,9 +33,26 @@ object Graph {
    * keeps no payload, so the probe shuffles only (node, node) pairs.
    * The (degree, id) total order is packed into one long
    * (degree << 32 | id) so orientation needs no struct comparison.
+   *
+   * PRECONDITION: vertex ids must fit in [0, 2^32) — the packed-long
+   * order key reserves the low 32 bits for the id. Violations are
+   * detected at runtime (a codegen'd per-row assert on the edge scan,
+   * negligible next to the wedge join) and raise an error rather than
+   * silently corrupting the orientation and the triangle count.
+   * Empty edge sets and wedge-free graphs return a single row with
+   * zero counts and a NULL clustering coefficient (0/0 is undefined).
    */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+    // assert_true yields NULL when the condition holds and raises
+    // otherwise; adding its long-cast keeps the check inside the same
+    // whole-stage-codegen'd projection with zero extra passes.
+    def checkedId(c: Column): Column = {
+      val id = c.cast("long")
+      id + coalesce(assert_true(id >= 0L && id < (1L << 32),
+        concat(lit("triangleStats: vertex id out of [0, 2^32): "),
+          id.cast("string"))).cast("long"), lit(0L))
+    }
+    val e = edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v"))
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val keyed = e
@@ -62,8 +79,14 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val wedgeTotal = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     // two one-row aggregates — the scalar-broadcast crossJoin pattern
+    // sum() over an empty degree table is NULL → coalesce counts to 0;
+    // clustering = 3T/W is undefined when W = 0, reported as NULL rather
+    // than a division-by-zero NULL-with-wrong-counts row
     tri.crossJoin(broadcast(wedgeTotal))
-      .select(col("n_triangles"), col("n_wedges"),
-        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_clustering"))
+      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        when(coalesce(col("n_wedges"), lit(0L)) > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_clustering"))
   }
 }

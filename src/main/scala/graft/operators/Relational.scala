@@ -368,8 +368,14 @@ object Relational {
       floor(ls / w).cast("long"), floor(le / w).cast("long"))))
     val r2 = right.withColumn("_b", explode(sequence(
       floor(rs / w).cast("long"), floor(re / w).cast("long"))))
+    // Exact overlap predicate on the RAW columns — epoch-second truncation
+    // is monotone but lossy, and comparing truncated values would drop
+    // genuinely overlapping pairs at sub-second precision (e.g. [1.2s,2.2s)
+    // vs [2.1s,3.1s) truncates to rs=2 < le=2 = false). The dedup-bucket
+    // filter below stays on truncated values: truncation is monotone, so
+    // floor(max(ls_t,rs_t)/w) remains inside both sides' exploded ranges.
     l2.join(r2, (keys :+ "_b").toSeq)
-      .filter(ls < re && rs < le)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
       .filter(col("_b") === floor(greatest(ls, rs) / w).cast("long"))
       .drop("_b")
   }

@@ -475,6 +475,23 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleStats: empty graph yields zero counts + NULL clustering; oversize ids raise") {
+    val empty = graft.operators.Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("u", "v")).collect().head
+    assert(empty.getLong(0) == 0L, "empty-graph triangle count")
+    assert(empty.getLong(1) == 0L, "empty-graph wedge count")
+    assert(empty.isNullAt(2), "0/0 clustering must be NULL, not NaN")
+    // the packed (degree << 32 | id) order key requires ids < 2^32; a
+    // violating id must raise, not silently corrupt the orientation
+    val ex = intercept[Exception] {
+      graft.operators.Graph.triangleStats(
+        Seq((1L, 1L << 33), (1L, 2L)).toDF("u", "v")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + chain(t.getCause)
+    assert(chain(ex).contains("2^32"), s"unexpected failure: ${chain(ex)}")
+  }
+
   test("t24 global shuffle: pos is a dense 1..n permutation in hash order, stable") {
     val rows = q("t24_global_shuffle")
       .as[(Long, Long, Long)].collect().sortBy(_._3)

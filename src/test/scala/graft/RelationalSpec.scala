@@ -265,6 +265,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("intervalOverlapJoin keeps sub-second timestamp overlaps (raw-column predicate)") {
+    // [1.2s, 2.2s) vs [2.1s, 3.1s) overlap by 100ms; epoch-second
+    // truncation would compare rs=2 < le=2 = false and drop the pair
+    def ts(df: org.apache.spark.sql.DataFrame, from: String, to: String) =
+      df.withColumn(to, col(from).cast("timestamp")).drop(from)
+    val lf = ts(ts(Seq((1L, "2024-01-01 00:00:01.2", "2024-01-01 00:00:02.2"))
+      .toDF("aid", "s0", "e0"), "s0", "ls"), "e0", "le")
+    val rf = ts(ts(Seq((10L, "2024-01-01 00:00:02.1", "2024-01-01 00:00:03.1"))
+      .toDF("bid", "s1", "e1"), "s1", "rs"), "e1", "rend")
+    val got = Relational.intervalOverlapJoin(lf, rf, "ls", "le", "rs", "rend", Nil, 10L)
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L)), s"sub-second overlap dropped: $got")
+    // and a genuinely disjoint sub-second pair ([1.2,2.2) vs [2.3,3.1)) stays out
+    val rf2 = ts(ts(Seq((11L, "2024-01-01 00:00:02.3", "2024-01-01 00:00:03.1"))
+      .toDF("bid", "s1", "e1"), "s1", "rs"), "e1", "rend")
+    assert(Relational.intervalOverlapJoin(lf, rf2, "ls", "le", "rs", "rend", Nil, 10L)
+      .count() == 0L)
+  }
+
   test("intervalJoin handles timestamp columns under ANSI mode (no bigint cast)") {
     val pts = Seq((1L, "2024-01-05 12:00:00"), (2L, "2024-01-20 00:00:00"))
       .toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("ts"))
