@@ -1483,8 +1483,10 @@ object NorthStar {
     // at 0.94 of all pairs), while the sketch ranking exploits the
     // per-pair angle estimate instead. The coarse pass still touches
     // all block pairs, but at 1/8 the bytes and ~1/8 the cycles; on
-    // clustered corpora the same sketch feeds band-bucketing (d14) to
-    // cut the pair count itself.
+    // CLUSTERED corpora use s10_ann_bucketed (operators/AnnJoin), which
+    // cuts the pair count itself via coarse-centroid cells — recall and
+    // candidate-growth evidence on a clustered synthetic corpus in
+    // SearchSpec + SCALE.md.
     "s06_ann_knn_join" -> ((s, dir) => {
       val B = 8; val nBits = 512; val cands = 96; val k = 3
       val e = emb(s, dir)
@@ -1573,6 +1575,25 @@ object NorthStar {
       graft.operators.Relational.topKPerKey(rerank, Seq("vec_id"),
         Seq(col("score").desc, col("neighbor_id").asc), k)
         .select(col("vec_id"), col("neighbor_id"), col("score"))
+    }),
+
+    // BUCKETED batch k-NN join — the sub-quadratic candidate mode of
+    // s06 for CLUSTERED corpora: coarse-centroid cells (top-2 of 16
+    // deterministic centroids, multi-probe for boundary pairs) prune
+    // the pair space BEFORE the sketch ranks anything; only co-resident
+    // pairs reach the hamming/rerank cascade. On this harness corpus
+    // (isotropic) the cells have deliberately weak pruning power — the
+    // oracle replays the identical cascade so the COMPOSITION is
+    // hash-verified here; the pruning/recall evidence lives on the
+    // clustered synthetic corpus (SearchSpec law: recall ≥ 0.95 vs the
+    // exact join at candidate fraction ≪ 1; SCALE.md: candidate growth
+    // ~linear in n when nCells scales with n). See operators/AnnJoin.
+    "s10_ann_bucketed" -> ((s, dir) => {
+      val nBits = 512; val nC = 16; val probes = 2; val cands = 96; val k = 3
+      val sig = sigTable(s, dir, nBits, 8).select(col("vec_id"), col("sig"))
+      graft.operators.AnnJoin.bucketedKnnJoin(
+        emb(s, dir), sig, "vec_id", "embedding",
+        dim = 64, nCells = nC, probes = probes, cands = cands, k = k)
     }),
 
     // per-document n-gram novelty — the corpus-level duplication signal
@@ -1775,12 +1796,16 @@ object NorthStar {
    * per query by (hamming, neighbor), exact-cosine reranked to top-`k`.
    * Every plane dot uses the pinned left-to-right fold, so each sign
    * bit — and therefore the candidate set — matches Spark bit-for-bit.
-   * `pairPred` chooses who probes whom (s06: all-pairs self-join;
-   * s07: arrivals × index only) — the ONE line the two queries differ
-   * by, factored here so a signature-scheme change cannot silently
-   * diverge the twins (the FNV parity fix had to touch every copy).
+   * `pairFrom` chooses who probes whom (s06: all-pairs self-join;
+   * s07: arrivals × index only; s10: the bucketed candidate table from
+   * `extraCtes`) — the ONE clause the three queries differ by, factored
+   * here so a signature-scheme change cannot silently diverge the
+   * triplets (the FNV parity fix had to touch every copy). `extraCtes`
+   * (must end with a comma when non-empty) may define candidate
+   * relations over `e`/`sw` for `pairFrom` to reference.
    */
-  private def sketchCascadeSql(pairPred: String, cands: Int, k: Int = 3): String = {
+  private def sketchCascadeSql(pairFrom: String, cands: Int, k: Int = 3,
+                               extraCtes: String = ""): String = {
     val nBits = 512
     val fmixC1 = BigInt(java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL))
     val fmixC2 = BigInt(java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L))
@@ -1806,12 +1831,13 @@ object NorthStar {
                    ${signedSql(s"SUM(CASE WHEN bit = 1 THEN $pow64[(p % 64) + 1] ELSE CAST(0 AS HUGEINT) END)")} AS word
                  FROM sbit GROUP BY vec_id, p // 64),
        sw AS (SELECT vec_id, list(word ORDER BY w) AS ws FROM sword GROUP BY vec_id),
+       $extraCtes
        hp AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(list_zip(a.ws, b.ws),
                          x -> CAST(bit_count(xor(x[1], x[2])) AS BIGINT))),
                        (p, q) -> p + q) AS ham
-              FROM sw a JOIN sw b ON $pairPred),
+              FROM $pairFrom),
        cand AS (SELECT vec_id, neighbor_id,
                        row_number() OVER (PARTITION BY vec_id
                                           ORDER BY ham, neighbor_id) AS rn
@@ -2804,11 +2830,37 @@ object NorthStar {
     },
     // the sketch cascade over the full self-join (see sketchCascadeSql)
     "s06_ann_knn_join" ->
-      sketchCascadeSql("a.vec_id <> b.vec_id", cands = 96),
+      sketchCascadeSql("sw a JOIN sw b ON a.vec_id <> b.vec_id", cands = 96),
     // the cascade restricted to arrivals × index (no new×new, no
     // index×index) — same planes/packing/tie orders as s06, different
     // probe predicate and a wider hamming cut
     "s07_ann_incremental" ->
-      sketchCascadeSql("a.vec_id % 100 = 0 AND b.vec_id % 100 <> 0", cands = 128)
+      sketchCascadeSql(
+        "sw a JOIN sw b ON a.vec_id % 100 = 0 AND b.vec_id % 100 <> 0",
+        cands = 128),
+    // the cascade over BUCKETED candidates: top-2-of-16 coarse-centroid
+    // cells (same deterministic centroids as e03/s03, ranked by dot
+    // with cell-id tiebreak), pairs co-resident in ≥1 cell — the
+    // candidate relation AnnJoin.candidatePairs materializes, replayed
+    // stage-for-stage; the downstream hamming/rerank body is shared
+    // with s06/s07 verbatim
+    "s10_ann_bucketed" -> {
+      val nC = 16; val probes = 2
+      sketchCascadeSql(
+        "candp cp JOIN sw a ON a.vec_id = cp.qa JOIN sw b ON b.vec_id = cp.qb",
+        cands = 96,
+        extraCtes = s"""cdq AS (SELECT vec_id, ${centroidDotsSql("v", 64, nC)} AS dots
+                   FROM e),
+       cdl AS (SELECT vec_id, u AS cell, dots[u + 1] AS d
+               FROM cdq CROSS JOIN range(0, $nC) r(u)),
+       crk AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d DESC, cell) AS rn
+               FROM cdl),
+       cells AS (SELECT vec_id, cell FROM crk WHERE rn <= $probes),
+       candp AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+                 FROM cells a JOIN cells b
+                   ON a.cell = b.cell AND a.vec_id <> b.vec_id),""")
+    }
   )
 }

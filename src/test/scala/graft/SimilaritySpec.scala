@@ -286,6 +286,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
   }
 
+  test("law: s10 bucketed k-NN join on a CLUSTERED corpus: recall >= 0.95 " +
+       "vs brute-force top-3 at candidate fraction << 1") {
+    // 64 tight gaussian clusters of 32 members (the realistic embedding
+    // profile: topics/templates/sources) — the corpus shape where coarse
+    // cells prune the pair space; isotropic corpora are s06's domain
+    val nClusters = 64; val perCluster = 32; val dim = 64
+    val n = nClusters * perCluster
+    val rnd = new scala.util.Random(9001)
+    def unit(): Array[Double] = {
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val nm = math.sqrt(g.map(x => x * x).sum)
+      g.map(_ / nm)
+    }
+    val centers = Array.fill(nClusters)(unit())
+    val vecs: Array[(Long, Array[Float])] = Array.tabulate(n) { i =>
+      val c = centers(i % nClusters)
+      val u = unit()
+      val raw = Array.tabulate(dim)(j => c(j) + 0.2 * u(j))
+      val nm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / nm).toFloat))
+    }
+    val df = vecs.toSeq.toDF("vec_id", "embedding").repartition(8)
+    // candidate fraction: co-resident pairs over the full pair space
+    val nCells = 32; val probes = 2
+    val cells = graft.operators.AnnJoin
+      .cellAssignments(df, "vec_id", "embedding", dim, nCells, probes)
+    val nCand = graft.operators.AnnJoin.candidatePairs(cells).count()
+    val fraction = nCand.toDouble / (n.toDouble * (n - 1) / 2)
+    info(f"s10 candidate fraction: $fraction%.4f ($nCand of ${n.toLong * (n - 1) / 2} pairs)")
+    assert(fraction < 0.2, f"cells prune nothing: fraction $fraction%.4f")
+    // recall vs driver-side brute-force exact top-3
+    val ds = vecs.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val exact = ds.keys.flatMap { q =>
+      ds.keys.filter(_ != q).map(m => (m, cos(ds(q), ds(m))))
+        .toSeq.sortBy { case (m, s) => (-s, m) }.take(3)
+        .map { case (m, _) => (q, m) }
+    }.toSet
+    val sig = df.select(col("vec_id"),
+      VF.bitSignature(col("embedding"), dim, 512).as("sig"))
+    val got = graft.operators.AnnJoin
+      .bucketedKnnJoin(df, sig, "vec_id", "embedding", dim, nCells, probes,
+        cands = 96, k = 3)
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"s10 recall vs brute-force top-3: $recall%.4f (${exact.size} truths)")
+    assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
+  }
+
   test("law: s07 incremental probe recall >= 0.95 vs the brute-force " +
        "arrival-vs-index top-3, and probes emit ONLY arrivals") {
     val dir = "/root/testdata/sf0.001"
