@@ -76,16 +76,29 @@ object NorthStar {
   // persisted: both sides of the coarse self-join read it (without the
   // memo each branch re-derives every signature), and it is exactly the
   // sketch index a production corpus would materialize next to the
-  // embeddings
+  // embeddings. When `spark.graft.annIndexDir` is set, that
+  // materialization is literal: the PRE-WRITTEN AnnIndex parquet
+  // artifact at `$dir/sig_b<nBits>` is loaded (and built on first
+  // touch), so s06/s07/s10 probe the on-disk index with no in-session
+  // signature computation — the cross-session production shape.
   private[graft] def sigTable(s: SparkSession, dir: String,
                               nBits: Int, blocks: Int): DataFrame =
-    sigMemo.getOrElseUpdate((s, dir, nBits, blocks),
-      emb(s, dir)
-        .select(col("vec_id"),
-          // bitSignature applies toDouble itself — pass the raw column
-          VF.bitSignature(col("embedding"), 64, nBits).as("sig"))
-        .withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
-        .persist())
+    sigMemo.getOrElseUpdate((s, dir, nBits, blocks), {
+      val base = s.conf.getOption("spark.graft.annIndexDir") match {
+        case Some(root) =>
+          val path = s"$root/sig_b$nBits"
+          if (!graft.operators.AnnIndex.exists(s, path))
+            graft.operators.AnnIndex.build(emb(s, dir), "vec_id", "embedding",
+              dim = 64, path = path, nBits = nBits)
+          graft.operators.AnnIndex.load(s, path).select(col("vec_id"), col("sig"))
+        case None =>
+          emb(s, dir).select(col("vec_id"),
+            // bitSignature applies toDouble itself — pass the raw column
+            VF.bitSignature(col("embedding"), 64, nBits).as("sig"))
+      }
+      base.withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
+        .persist()
+    })
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, dir),
       graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.8))

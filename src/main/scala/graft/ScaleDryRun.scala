@@ -2,17 +2,28 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /**
- * Scale dry-run (round-5 item 3): materialize a synthetic corpus ~Rx
- * the size of sf0.1 with the SAME statistics — documents drawn from the
- * source corpus's empirical unigram/length distributions with the same
- * planted near-dup rate, embeddings as seeded unit-normalized gaussians
- * (the source profile: isotropic unit vectors) — as a parquet dir with
- * the harness layout, then run the REAL harness queries
- * (d03/d04/d14/d13 dedup tier, s04/s06 k-NN joins) against 1x and Rx
- * and report wall times, plus the LSH candidate count against the
- * banding-math prediction. Results land in SCALE.md.
+ * Scale dry-run (round-5 item 3, extended round 6): materialize synthetic
+ * corpora Rx the size of sf0.1 with the SAME statistics — documents drawn
+ * from the source corpus's empirical unigram/length distributions with
+ * the same planted near-dup rate, embeddings as seeded unit-normalized
+ * gaussians (the source profile: isotropic unit vectors) — as parquet
+ * dirs with the harness layout, then run the REAL harness queries against
+ * 1x and Rx and report wall times AND total shuffle-write bytes (the
+ * budget that actually binds on a cluster). Results land in SCALE.md.
+ *
+ * Modes (4th CLI arg):
+ *  - `dedup` (default): the dedup/k-NN tier at the given factor. At
+ *    factor >= 100 the all-pairs k-NN joins (s04/s06) are dropped —
+ *    that infeasibility is the point; the bucketed join (`clustered`
+ *    mode) is the form that carries that scale.
+ *  - `clustered`: the s10 bucketed ANN study on CLUSTERED corpora
+ *    (fixed cluster size, cluster count grows with n, nCells scaled
+ *    ~n/64): candidate count growth across 1x/10x/30x vs the n^2 pair
+ *    space, recall vs the exact join, and wall vs the all-pairs sketch
+ *    cascade at 10x.
  *
  * The document corpus keeps the source's ~30-word vocabulary on
  * purpose: growing the doc count under a FIXED vocabulary is the
@@ -20,8 +31,9 @@ import org.apache.spark.sql.functions._
  * shingle's document frequency grows with the corpus) — a
  * disjoint-vocabulary replication would flatter the numbers.
  *
- * Generation is driver-side (a few MB) and seeded: run i is identical
- * every time.
+ * Generation is seeded (run i is identical every time) and CACHED: a
+ * corpus dir whose parquet already exists (`_SUCCESS` marker) is reused,
+ * so the 100x run does not pay generation twice.
  */
 object ScaleDryRun {
 
@@ -86,6 +98,34 @@ object ScaleDryRun {
     rows.toDF("vec_id", "embedding", "label").repartition(32)
   }
 
+  /**
+   * CLUSTERED embeddings — the realistic large-corpus profile (topics /
+   * templates / sources): fixed-size tight gaussian clusters, cluster
+   * COUNT grows with n (bigger corpora have more content modes, not
+   * fatter ones). Distributed generation (one task group per cluster
+   * range), seeded per (cluster, member) so any n prefix-agrees.
+   */
+  def synthesizeClusteredEmbeddings(spark: SparkSession, n: Long,
+                                    perCluster: Int = 32,
+                                    dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val nClusters = n / perCluster
+    def unit(r: scala.util.Random): Array[Double] = {
+      val g = Array.fill(dim)(r.nextGaussian())
+      val nm = math.sqrt(g.map(x => x * x).sum)
+      g.map(_ / nm)
+    }
+    spark.range(nClusters).repartition(32).as[Long].flatMap { c =>
+      val center = unit(new scala.util.Random(77000L + c))
+      (0 until perCluster).map { i =>
+        val u = unit(new scala.util.Random(c * 100003L + i))
+        val raw = Array.tabulate(dim)(j => center(j) + 0.2 * u(j))
+        val nm = math.sqrt(raw.map(x => x * x).sum)
+        (c * perCluster + i, raw.map(x => (x / nm).toFloat), (c % 10).toInt)
+      }
+    }.toDF("vec_id", "embedding", "label")
+  }
+
   /** Candidate-pair count of the banded LSH join (sum of C(m,2) over
     * (band, bandhash) buckets — what the equi-join materializes before
     * the estimate/verify stages). */
@@ -117,10 +157,165 @@ object ScaleDryRun {
     mean * totalPairs
   }
 
+  /** Total shuffle-write bytes across all completed stages — the
+    * cluster-side budget that binds at 100 TB. Read as deltas around
+    * each measured action (stage-completion events land before the
+    * blocking action returns for all stages the action waited on). */
+  private final class ShuffleMeter(spark: SparkSession) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def measure[T](body: => T): (T, Double, Long) = {
+      // brief settle so async stage events from the PREVIOUS action
+      // don't bleed into this window
+      Thread.sleep(300)
+      val start = bytes.get()
+      val (r, t) = time(body)
+      Thread.sleep(300)
+      (r, t, bytes.get() - start)
+    }
+  }
+
+  private def fmtBytes(b: Long): String =
+    if (b >= (1L << 30)) f"${b / (1L << 30).toDouble}%.2f GiB"
+    else if (b >= (1L << 20)) f"${b / (1L << 20).toDouble}%.1f MiB"
+    else f"${b / 1024.0}%.1f KiB"
+
+  /** Generate-if-absent: parquet dirs are cached by path (the factor is
+    * in the path), keyed on the _SUCCESS marker. */
+  private def materialize(spark: SparkSession, path: String)
+                         (gen: => DataFrame): Unit = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val (_, t) = time(gen.write.mode("overwrite").parquet(path))
+      println(s"-- generated $path in ${t.round} s")
+    } else println(s"-- reusing cached $path")
+  }
+
+  private def dedupMode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    materialize(spark, s"$synthDir/embeddings.parquet")(
+      synthesizeEmbeddings(spark, srcDir, factor))
+
+    val quadratic = Seq("s04_knn_join", "s06_ann_knn_join")
+    val ops = Seq("d03_jaccard_pairs", "d04_minhash_lsh",
+      "d14_incremental_neardup", "d13_dedup_verdict", "d15_span_dedup",
+      "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk",
+      "e07_semdedup", "e08_jl_projection", "t23_ngram_novelty",
+      "m05_image_phash", "s09_hybrid_rrf")
+      .filterNot(op => factor >= 100 && quadratic.contains(op))
+    if (factor >= 100)
+      println(s"-- factor ${factor}: skipping all-pairs ${quadratic.mkString("/")} " +
+        "(quadratic by design; the bucketed join carries this scale — see clustered mode)")
+
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir))) {
+      for (op <- ops) {
+        val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
+        println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val hs = graft.operators.Dedup
+        .shingleHashTable(docs, "doc_id", "text", 3).persist()
+      hs.count()
+      val (cand, _) = time(lshCandidates(hs, 128, 32))
+      val pred = predictedCandidates(hs, 128, 32, nDocs.toDouble * (nDocs - 1) / 2)
+      println(s"| $label | LSH candidate pairs (measured vs banding-math) " +
+        s"| $cand vs ${pred.toLong} | - | - |")
+      hs.unpersist()
+      NorthStar.releaseCaches(spark, dir)
+    }
+  }
+
+  /** The s10 bucketed-ANN clustered study: candidate growth, recall vs
+    * exact, wall vs the all-pairs sketch cascade. */
+  private def clusteredMode(spark: SparkSession, workDir: String): Unit = {
+    import graft.functions.{VectorFunctions => VF}
+    import graft.operators.AnnJoin
+    // probes=3: at scaled nCells a tight cluster near a 3-way Voronoi
+    // boundary splits across cells; the third probe recovers those pairs
+    // (measured: recall 0.946 -> over the 0.95 bar at n=20k) for a ~1.5x
+    // candidate cost that leaves the fraction well under 1e-1
+    val dim = 64; val perCluster = 32; val probes = 3
+    val meter = new ShuffleMeter(spark)
+    // 1x/10x/30x of sf0.1's 2,000-vector scale; nCells ~ n/64 keeps the
+    // expected cell population constant — the knob a production corpus
+    // turns as it grows
+    val sizes = Seq(2048L, 20480L, 61440L)
+    println("| n (clustered) | nCells | candidates | pair space | fraction " +
+      "| cand/n | s10 wall s | s10 shuffle |")
+    println("|---|---|---|---|---|---|---|---|")
+    val dirs = sizes.map { n =>
+      val dir = s"$workDir/clustered_$n"
+      materialize(spark, s"$dir/embeddings.parquet")(
+        synthesizeClusteredEmbeddings(spark, n, perCluster, dim))
+      dir
+    }
+    for ((n, dir) <- sizes.zip(dirs)) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nCells = (n / 64).toInt.max(16)
+      val cells = AnnJoin.cellAssignments(emb, "vec_id", "embedding",
+        dim, nCells, probes)
+      val nCand = AnnJoin.candidatePairs(cells).count()
+      val pairSpace = n.toDouble * (n - 1) / 2
+      val sig = emb.select(col("vec_id"),
+        VF.bitSignature(col("embedding"), dim, 512).as("sig")).persist()
+      sig.count()
+      val (rows, t, sb) = meter.measure(
+        AnnJoin.bucketedKnnJoin(emb, sig, "vec_id", "embedding",
+          dim, nCells, probes, cands = 96, k = 3).count())
+      println(f"| $n | $nCells | $nCand | ${pairSpace.toLong} " +
+        f"| ${nCand / pairSpace}%.5f | ${nCand.toDouble / n}%.1f " +
+        f"| $t%.1f | ${fmtBytes(sb)} |")
+      sig.unpersist()
+    }
+    // head-to-head at 10x: all-pairs sketch cascade (s06 shape) vs
+    // bucketed, same corpus, plus recall vs the exact join (s04 shape)
+    val dir10 = dirs(1); val n10 = sizes(1)
+    val emb10 = spark.read.parquet(s"$dir10/embeddings.parquet")
+    val sig10 = emb10.select(col("vec_id"),
+      VF.bitSignature(col("embedding"), dim, 512).as("sig")).persist()
+    sig10.count()
+    val nCells10 = (n10 / 64).toInt
+    val (bRows, bT, bSb) = meter.measure(
+      AnnJoin.bucketedKnnJoin(emb10, sig10, "vec_id", "embedding",
+        dim, nCells10, probes, cands = 96, k = 3).count())
+    val (aRows, aT, aSb) = meter.measure(
+      SparkEntry.queries("s06_ann_knn_join")(spark, dir10).count())
+    val (eRows, eT, eSb) = meter.measure(
+      SparkEntry.queries("s04_knn_join")(spark, dir10).count())
+    println()
+    println(s"head-to-head at n=$n10 (clustered):")
+    println("| approach | rows | wall s | shuffle write |")
+    println("|---|---|---|---|")
+    println(f"| s10 bucketed (nCells=$nCells10) | $bRows | $bT%.1f | ${fmtBytes(bSb)} |")
+    println(f"| s06 all-pairs sketch | $aRows | $aT%.1f | ${fmtBytes(aSb)} |")
+    println(f"| s04 exact | $eRows | $eT%.1f | ${fmtBytes(eSb)} |")
+    val exact = SparkEntry.queries("s04_knn_join")(spark, dir10)
+      .select(col("vec_id"), col("neighbor_id"))
+    val bucketed = AnnJoin.bucketedKnnJoin(emb10, sig10, "vec_id", "embedding",
+      dim, nCells10, probes, cands = 96, k = 3)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hit = exact.intersect(bucketed).count()
+    val truths = exact.count()
+    println(f"s10 recall vs exact top-3 at n=$n10: ${hit.toDouble / truths}%.4f " +
+      s"($hit of $truths)")
+    sig10.unpersist()
+    NorthStar.releaseCaches(spark, dir10)
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val mode = if (args.length > 3) args(3) else "dedup"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -133,37 +328,9 @@ object ScaleDryRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // materialize the synthetic harness dir once (seeded — reruns identical)
-    val synthDir = s"$workDir/${factor}x"
-    synthesizeDocs(spark, srcDir, factor)
-      .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
-    synthesizeEmbeddings(spark, srcDir, factor)
-      .write.mode("overwrite").parquet(s"$synthDir/embeddings.parquet")
-
-    val ops = Seq("d03_jaccard_pairs", "d04_minhash_lsh",
-      "d14_incremental_neardup", "d13_dedup_verdict", "d15_span_dedup",
-      "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk",
-      "e07_semdedup", "e08_jl_projection", "t23_ngram_novelty",
-      "m05_image_phash", "s09_hybrid_rrf")
-
-    println("| corpus | operator | output rows | wall s |")
-    println("|---|---|---|---|")
-    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir))) {
-      for (op <- ops) {
-        val (rows, t) = time(SparkEntry.queries(op)(spark, dir).count())
-        println(f"| $label | $op | $rows | $t%.1f |")
-      }
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val nDocs = docs.count()
-      val hs = graft.operators.Dedup
-        .shingleHashTable(docs, "doc_id", "text", 3).persist()
-      hs.count()
-      val (cand, _) = time(lshCandidates(hs, 128, 32))
-      val pred = predictedCandidates(hs, 128, 32, nDocs.toDouble * (nDocs - 1) / 2)
-      println(s"| $label | LSH candidate pairs (measured vs banding-math) " +
-        s"| $cand vs ${pred.toLong} | - |")
-      hs.unpersist()
-      NorthStar.releaseCaches(spark, dir)
+    mode match {
+      case "clustered" => clusteredMode(spark, workDir)
+      case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
   }
