@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * SQL surface for the multi-stage ANN cascades (round-6 item 5): the
+ * kernels (bit_signature, dot_product, …) are SQL-registered via
+ * [[GraftExtensions]], but the production compositions — batch k-NN
+ * join, bucketed k-NN join, incremental probe — were Scala-only.
+ * Spark has no user-defined TVF surface for Scala, so the cascades are
+ * exposed as REGISTERED VIEWS over a corpus dir: one `register` call
+ * per corpus, then any SQL client on the session can
+ * `SELECT * FROM graft_ann_knn` / join against it / build more views
+ * on top. The view templates below are the documented contract; the
+ * parameters are fixed at registration (a view is a closed plan).
+ *
+ * | view | composition | shape |
+ * |---|---|---|
+ * | `graft_ann_knn`            | all-pairs sketch cascade (s06)  | (vec_id, neighbor_id, score), top-3/query |
+ * | `graft_ann_knn_bucketed`   | coarse-cell bucketed cascade (s10) | same, sub-quadratic on clustered corpora |
+ * | `graft_ann_incremental`    | arrivals-probe-index (s07)      | same, arrivals only |
+ *
+ * The views are lazy plans, not materializations: each `SELECT`
+ * executes the cascade against the CURRENT corpus/index state, and the
+ * shared signature table still memoizes/loads the [[graft.operators
+ * .AnnIndex]] artifact when `spark.graft.annIndexDir` is set.
+ */
+object GraftViews {
+
+  /**
+   * Register the ANN cascade views over a harness-layout corpus `dir`.
+   * `nCells`/`probes` parameterize only the bucketed view (scale
+   * nCells ~ corpus/64 as it grows; see operators/AnnJoin).
+   */
+  def registerAnn(spark: SparkSession, dir: String,
+                  nCells: Int = 16, probes: Int = 2): Unit = {
+    graft.SparkEntry.queries("s06_ann_knn_join")(spark, dir)
+      .createOrReplaceTempView("graft_ann_knn")
+    graft.SparkEntry.queries("s07_ann_incremental")(spark, dir)
+      .createOrReplaceTempView("graft_ann_incremental")
+    val sig = graft.NorthStar.sigTable(spark, dir, 512, 8)
+      .select(col("vec_id"), col("sig"))
+    graft.operators.AnnJoin.bucketedKnnJoin(
+        spark.read.parquet(s"$dir/embeddings.parquet"), sig,
+        "vec_id", "embedding", dim = 64, nCells = nCells, probes = probes,
+        cands = 96, k = 3)
+      .createOrReplaceTempView("graft_ann_knn_bucketed")
+  }
+}

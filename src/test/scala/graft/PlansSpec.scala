@@ -353,4 +353,97 @@ class PlansSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("ANN cascades are SQL-callable as registered views and match the " +
+       "Scala compositions") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.GraftViews.registerAnn(spark, dir)
+    for (view <- Seq("graft_ann_knn", "graft_ann_knn_bucketed",
+                     "graft_ann_incremental")) {
+      val n = spark.sql(s"SELECT count(*) FROM $view").as[Long].head()
+      assert(n > 0, s"$view returned no rows")
+    }
+    // the view IS the cascade: result parity with the direct Scala call
+    val viaSql = spark.sql(
+      "SELECT vec_id, neighbor_id FROM graft_ann_knn").as[(Long, Long)]
+      .collect().toSet
+    val direct = SparkEntry.queries("s06_ann_knn_join")(spark, dir)
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(viaSql == direct)
+    // views compose downstream: a SQL consumer can aggregate over them
+    val perQuery = spark.sql(
+      """SELECT vec_id, count(*) AS k FROM graft_ann_knn_bucketed
+         GROUP BY vec_id ORDER BY k DESC LIMIT 1""").as[(Long, Long)].head()
+    assert(perQuery._2 <= 3)
+    NorthStar.releaseCaches(spark, dir)
+  }
+
+  test("bounded-window contract: every unpartitioned WindowExec in the " +
+       "harness queries feeds on a bounded input that does NOT scale " +
+       "with the corpus") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def deepKids(p: SparkPlan): Seq[SparkPlan] = (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(im.relation.cachedPlan)
+      case other => other.children
+    // p.subqueries casts still-logical expression plans pre-execution —
+    // pull only PHYSICAL subquery plans straight off the expressions
+    }) ++ p.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.ExecSubqueryExpression => s.plan
+    })
+    def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+      val here = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+        case _ => Seq.empty
+      }
+      here ++ deepKids(p).flatMap(unpartitionedWindows)
+    }
+    // sweep: which harness queries PLAN an unpartitioned window at all
+    // (pre-execution physical plan — cheap, no jobs)
+    val dirS = "/root/testdata/sf0.001"
+    val flagged = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      unpartitionedWindows(
+        SparkEntry.queries(name)(spark, dirS).queryExecution.sparkPlan).nonEmpty
+    }
+    info(s"queries planning an unpartitioned window: ${flagged.mkString(", ")}")
+    assert(flagged.nonEmpty, "sweep found no unpartitioned windows — " +
+      "if they were all eliminated, retire this test")
+    // contract: a global window's input stays bounded (candidate lists
+    // <= cands, offset tables <= partition count) — measured by the
+    // window's OWN numOutputRows (window functions preserve cardinality)
+    // at two corpus sizes a decade apart
+    def windowInputs(name: String, dir: String): Seq[Long] = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect() // finalize the adaptive plan and populate metrics
+      unpartitionedWindows(df.queryExecution.executedPlan).map { w =>
+        // the window's own node may not expose numOutputRows; take the
+        // nearest self-or-descendant that does (cardinality-preserving
+        // chain: window input == that node's output)
+        def firstMetric(p: SparkPlan): Option[Long] =
+          p.metrics.get("numOutputRows").map(_.value)
+            .orElse(deepKids(p).view.flatMap(firstMetric).headOption)
+        firstMetric(w).getOrElse(
+          fail(s"$name: no numOutputRows under the unpartitioned window"))
+      }
+    }
+    for (name <- flagged) {
+      val small = windowInputs(name, dirS)
+      val big = windowInputs(name, "/root/testdata/sf0.01")
+      assert(small.nonEmpty && big.nonEmpty,
+        s"$name: WindowExec lost between plan and execution?")
+      assert(big.forall(_ <= 4096),
+        s"$name: unpartitioned window saw ${big.max} rows at sf0.01 — not bounded")
+      // 10x corpus must not mean 10x window input: allow 4x slack for
+      // partition-count / tie effects, nothing near linear growth
+      assert(big.max <= math.max(512L, 4L * math.max(1L, small.max)),
+        s"$name: window input grew ${small.max} -> ${big.max} across a 10x corpus")
+    }
+    NorthStar.releaseCaches(spark, dirS)
+    NorthStar.releaseCaches(spark, "/root/testdata/sf0.01")
+  }
 }
