@@ -201,7 +201,22 @@ object ScaleDryRun {
     materialize(spark, s"$synthDir/embeddings.parquet")(
       synthesizeEmbeddings(spark, srcDir, factor))
 
-    val quadratic = Seq("s04_knn_join", "s06_ann_knn_join")
+    // Quadratic-by-design ops measured to their cliff and then excluded
+    // at factor >= 100 — the honest finding, with the sub-quadratic
+    // substitute named: s04/s06 touch all vector pairs (the bucketed
+    // s10 carries clustered corpora — clustered mode); d03's EXACT
+    // prefix-filter join is adversarially defeated by this corpus's
+    // FIXED 30-word vocabulary (every prefix token's df ~ n/30, so
+    // candidates ~ Σ df² grow quadratically — a measured 100x attempt
+    // wrote > 86 GiB of shuffle before exhausting tmpfs). d04's MinHash
+    // banding is the sub-quadratic substitute at that corpus shape, and
+    // ITS recall-vs-d03 parity is law-tested at 1x/10x where d03 is
+    // feasible.
+    // (d13's verdict pipeline embeds the same exact pair join — at
+    // factor >= 100 it runs below in its production form instead: the
+    // LSH pair stage, recall-parity-tested where both are feasible)
+    val quadratic = Seq("s04_knn_join", "s06_ann_knn_join",
+      "d03_jaccard_pairs", "d13_dedup_verdict")
     val ops = Seq("d03_jaccard_pairs", "d04_minhash_lsh",
       "d14_incremental_neardup", "d13_dedup_verdict", "d15_span_dedup",
       "s04_knn_join", "s06_ann_knn_join", "s08_pq_adc_topk",
@@ -209,8 +224,9 @@ object ScaleDryRun {
       "m05_image_phash", "s09_hybrid_rrf")
       .filterNot(op => factor >= 100 && quadratic.contains(op))
     if (factor >= 100)
-      println(s"-- factor ${factor}: skipping all-pairs ${quadratic.mkString("/")} " +
-        "(quadratic by design; the bucketed join carries this scale — see clustered mode)")
+      println(s"-- factor ${factor}: skipping ${quadratic.mkString("/")} " +
+        "(quadratic by design at this corpus shape; substitutes: s10 bucketed " +
+        "join [clustered mode], d04 MinHash-LSH banding)")
 
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
@@ -219,6 +235,15 @@ object ScaleDryRun {
       for (op <- ops) {
         val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
         println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+      }
+      if (factor >= 100) {
+        // the verdict pipeline in its at-scale form: LSH pair stage
+        val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+        val (n2, t2, sb2) = meter.measure(
+          graft.pipeline.CorpusPipeline.run(docsDf, lshPairs = true)
+            .corpus.count())
+        println(f"| $label | d13 pipeline (LSH pair stage) | $n2 | $t2%.1f " +
+          f"| ${fmtBytes(sb2)} |")
       }
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val nDocs = docs.count()

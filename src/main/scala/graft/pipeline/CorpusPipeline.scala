@@ -41,9 +41,20 @@ object CorpusPipeline {
    * @param evalSource  the source treated as the held-out eval suite for
    *                    decontamination (t12's contract)
    * @param jaccard     near-dup threshold on 3-gram shingle Jaccard
+   * @param lshPairs    near-dup pair stage: false = exact prefix-filter
+   *                    join (guaranteed recall; the d13 oracle shape);
+   *                    true = MinHash-LSH banded candidates + exact
+   *                    verify (sub-quadratic candidate volume — the
+   *                    stage a 100 TB corpus, or any corpus whose
+   *                    vocabulary is small relative to its size, MUST
+   *                    run: the exact join's prefix filter cannot prune
+   *                    when every prefix token is hot. Recall parity of
+   *                    the two stages is law-tested at scales where
+   *                    both are feasible — verified pairs are EQUAL at
+   *                    1x and 10x, SCALE.md).
    */
   def run(docs: DataFrame, evalSource: String = "src0",
-          jaccard: Double = 0.8): Result = {
+          jaccard: Double = 0.8, lshPairs: Boolean = false): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStats]
     // each stage's input IS the previous stage's output, so count each
     // frame ONCE and thread the count forward — re-counting `in` would
@@ -77,7 +88,10 @@ object CorpusPipeline {
     // 3. near-dup dedup — pairs → components → longest-text survivor
     val nearDup = {
       val hs = Dedup.shingleHashTable(exact, "doc_id", "text", 3).persist()
-      val pairs = Dedup.jaccardPairsExact(hs, jaccard)
+      val pairs =
+        if (lshPairs) Dedup.minhashLshPairs(hs, jaccard, k = 128, bands = 32,
+          estFloor = jaccard - 0.2)
+        else Dedup.jaccardPairsExact(hs, jaccard)
       val comps = Dedup.connectedComponents(
         pairs.select(col("doc_a"), col("doc_b")))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))

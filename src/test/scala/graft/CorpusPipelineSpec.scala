@@ -59,6 +59,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"), s"expected partition pruning:\n$scan")
   }
 
+  test("LSH pair-stage mode produces the SAME corpus as the exact pair " +
+       "stage (recall parity at feasible scale)") {
+    val viaLsh = CorpusPipeline.run(docs, lshPairs = true)
+    val a = result.corpus.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toSet
+    val b = viaLsh.corpus.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toSet
+    assert(a == b, s"survivor/split divergence: ${(a diff b) ++ (b diff a)}")
+  }
+
   test("split assignment is content-stable: re-running yields identical splits") {
     val a = result.corpus.select(col("doc_id"), col("split"))
       .as[(Long, String)].collect().toMap

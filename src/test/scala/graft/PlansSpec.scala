@@ -354,6 +354,15 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 bucketed k-NN join plans no cartesian/BNLJ: cells are the " +
+       "join key end to end") {
+    val df = SparkEntry.queries("s10_ann_bucketed")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"bucketed cascade must stay an equi-join pipeline:\n$plan")
+    NorthStar.releaseCaches(spark, "/root/testdata/sf0.001")
+  }
+
   test("ANN cascades are SQL-callable as registered views and match the " +
        "Scala compositions") {
     val dir = "/root/testdata/sf0.001"
