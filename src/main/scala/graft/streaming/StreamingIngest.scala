@@ -160,17 +160,30 @@ object StreamingIngest {
    * sig); per-batch cost is O(|index|·|batch|) popcounts +
    * O(|batch|·cands) exact dots.
    */
+  /**
+   * `nCells = Some(c)` switches the index probe from the brute
+   * batch × index scan to coarse-cell bucketed candidates (the s10
+   * machinery, operators/AnnJoin): only index rows co-resident with a
+   * batch row in one of its `probes` nearest cells are hamming-ranked.
+   * Near-dup pairs (cos ≥ threshold) are nearly parallel, so they
+   * co-bucket with probability → 1 at any cell count — this is the
+   * form that keeps the gate sub-linear in INDEX size per batch as the
+   * store grows toward 100 TB. Brute (None) remains the default for
+   * small stores.
+   */
   def startVectorDedupIngest(vectors: DataFrame, storePath: String,
                              checkpointDir: String,
                              simThreshold: Double = 0.95,
                              dim: Int = 64, nBits: Int = 512,
-                             cands: Int = 32): StreamingQuery =
+                             cands: Int = 32,
+                             nCells: Option[Int] = None,
+                             probes: Int = 2): StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         vectorDedupBatch(batch, storePath, batchId, simThreshold, dim,
-          nBits, cands)
+          nBits, cands, nCells, probes)
       }
       .start()
 
@@ -179,7 +192,9 @@ object StreamingIngest {
   private[graft] def vectorDedupBatch(batch: DataFrame, storePath: String,
                                       batchId: Long, simThreshold: Double,
                                       dim: Int, nBits: Int,
-                                      cands: Int): Unit = {
+                                      cands: Int,
+                                      nCells: Option[Int] = None,
+                                      probes: Int = 2): Unit = {
     import graft.functions.{VectorFunctions => VF}
     val spark = batch.sparkSession
     val b = batch
@@ -211,10 +226,33 @@ object StreamingIngest {
         // and the whole batch is dropped instead of replaced
         val store = spark.read.parquet(storePath)
           .filter(col("_batch_id") =!= batchId)
-        val hams = store.select(col("vec_id").as("idx_id"), col("sig").as("idx_sig"))
-          .crossJoin(broadcast(b.select(col("vec_id"), col("sig"))))
-          .select(col("vec_id"), col("idx_id"),
-            VF.hammingSig(col("sig"), col("idx_sig")).as("ham"))
+        val hams = nCells match {
+          case Some(nc) =>
+            // bucketed probe: batch rows meet only co-resident index
+            // rows (cell equi-join — shuffles the candidate set, never
+            // the whole index against every batch row)
+            import graft.operators.AnnJoin
+            val bCells = AnnJoin.cellAssignments(
+                b.select(col("vec_id"), col("v").as("embedding")),
+                "vec_id", "embedding", dim, nc, probes)
+              .select(col("id").as("vec_id"), col("cell"))
+            val iCells = AnnJoin.cellAssignments(
+                store.select(col("vec_id"), col("embedding")),
+                "vec_id", "embedding", dim, nc, probes)
+              .select(col("id").as("idx_id"), col("cell"))
+            bCells.join(iCells, Seq("cell"))
+              .select(col("vec_id"), col("idx_id")).distinct()
+              .join(broadcast(b.select(col("vec_id"), col("sig"))), Seq("vec_id"))
+              .join(store.select(col("vec_id").as("idx_id"),
+                col("sig").as("idx_sig")), Seq("idx_id"))
+              .select(col("vec_id"), col("idx_id"),
+                VF.hammingSig(col("sig"), col("idx_sig")).as("ham"))
+          case None =>
+            store.select(col("vec_id").as("idx_id"), col("sig").as("idx_sig"))
+              .crossJoin(broadcast(b.select(col("vec_id"), col("sig"))))
+              .select(col("vec_id"), col("idx_id"),
+                VF.hammingSig(col("sig"), col("idx_sig")).as("ham"))
+        }
         val cand = graft.operators.Relational.topKPerKey(hams, Seq("vec_id"),
           Seq(col("ham").asc, col("idx_id").asc), cands)
         val idxVec = store.select(col("vec_id").as("idx_id"),

@@ -112,4 +112,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.refresh(Seq(11L -> vec(11)).toDF("vec_id", "embedding"),
       "vec_id", "embedding", 64, idx) == 0L)
   }
+
+  test("bucketed gate probe (nCells) makes the same keep/drop decisions " +
+       "as the brute probe") {
+    val root = Files.createTempDirectory("graft_annidx_bkt").toString
+    def vec(seed: Int, noise: Double = 0.0): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val base = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(seed + 1000)
+      val v = base.map(x => x + noise * rn.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 20-vector index; batch = near-dups of 3 indexed vectors + 3 novels
+    val corpus = (1 to 20).map(i => i.toLong -> vec(i)).toDF("vec_id", "embedding")
+    val batch = (Seq(101L -> vec(3, 0.01), 102L -> vec(7, 0.01),
+      103L -> vec(15, 0.01)) ++
+      Seq(201L -> vec(201), 202L -> vec(202), 203L -> vec(203)))
+      .toDF("vec_id", "embedding")
+    def run(idx: String, nCells: Option[Int]): Set[Long] = {
+      AnnIndex.build(corpus, "vec_id", "embedding", 64, idx)
+      StreamingIngest.vectorDedupBatch(batch, idx, 5L, 0.95, 64, 512, 32,
+        nCells, probes = 2)
+      AnnIndex.load(spark, idx).select(col("vec_id")).as[Long].collect().toSet
+    }
+    val brute = run(s"$root/brute", None)
+    val bucketed = run(s"$root/bucketed", Some(8))
+    assert(bucketed == brute, s"probe-mode divergence: brute=$brute bucketed=$bucketed")
+    assert(brute == ((1L to 20L).toSet ++ Set(201L, 202L, 203L)),
+      "near-dups of indexed vectors must drop, novels must land")
+  }
 }
