@@ -517,6 +517,64 @@ object Queries {
           graft.functions.Hashing.kmvEstimate(col("kmv"), k).as("est_distinct"))
     }),
 
+    // KMV sketch SET OPERATIONS (Beyer et al., SIGMOD'07): union and
+    // intersection cardinality of two groups from their k-long sketches
+    // ALONE — the mergeable-summary algebra that answers "how many users
+    // do event types A and B share?" at 100 TB without re-touching raw
+    // data: per-type sketches are computed once (map-side combined,
+    // k-long state), pairs are |types|² sketch-array expressions. The
+    // merged sketch is the bottom-k of the union of the two sketch SETS
+    // (unsigned order, the sketch's own order); ρ = merged elements
+    // present in BOTH input sketches; est_inter = (ρ/m)·est_union.
+    // Unsaturated sketches degrade to exact set algebra by construction.
+    // Exact twins computed alongside, same surface as a01/a04.
+    "a05_sketch_setops" -> ((s, dir) => {
+      val k = 64
+      val hv = graft.functions.Hashing.fnvChecksum(
+        col("user_id").cast(StringType).cast(BinaryType))
+      val sk = eventsTable(s, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.Hashing.kmvSketch(hv, k).as("kmv"))
+      def unsignedCmp(l: Column, r: Column): Column =
+        when(l === r, 0).otherwise(
+          when((l < 0) === (r < 0), when(l < r, -1).otherwise(1))
+            .otherwise(when(l < 0, 1).otherwise(-1)))
+      val pairs = sk.select(col("event_type").as("type_a"), col("kmv").as("ka"))
+        .join(sk.select(col("event_type").as("type_b"), col("kmv").as("kb")),
+          col("type_a") < col("type_b"))
+        .withColumn("merged",
+          slice(array_sort(array_union(col("ka"), col("kb")), unsignedCmp _), 1, k))
+        .withColumn("m_used", size(col("merged")))
+        .withColumn("rho", size(filter(col("merged"),
+          x => array_contains(col("ka"), x) && array_contains(col("kb"), x))))
+        .withColumn("est_union",
+          graft.functions.Hashing.kmvEstimate(col("merged"), k))
+        .withColumn("est_intersection",
+          (col("rho").cast(DoubleType) / col("m_used").cast(DoubleType))
+            * col("est_union"))
+      // exact twins from one distinct (user, type) pass
+      val ut = eventsTable(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val n1 = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val nBoth = ut.select(col("user_id"), col("event_type").as("type_a"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+          Seq("user_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      pairs
+        .join(n1.select(col("event_type").as("type_a"), col("n").as("na")),
+          Seq("type_a"))
+        .join(n1.select(col("event_type").as("type_b"), col("n").as("nb")),
+          Seq("type_b"))
+        .join(nBoth, Seq("type_a", "type_b"), "left")
+        .select(col("type_a"), col("type_b"),
+          (col("na") + col("nb")
+            - coalesce(col("n_inter_exact"), lit(0L))).as("n_union_exact"),
+          coalesce(col("n_inter_exact"), lit(0L)).as("n_inter_exact"),
+          col("est_union"), col("est_intersection"))
+    }),
+
     // window-function surface: ntile quartiles + first/last/nth over the
     // full partition frame (all one WindowExec pass per spec: one shuffle
     // on o_custkey, one within-partition sort shared by both frames)
@@ -1741,6 +1799,61 @@ object Queries {
                                    CASE WHEN kth.kh < 0 THEN 1.0 ELSE 0.0 END)
                  END AS est_distinct
           FROM ex JOIN st USING (event_type) LEFT JOIN kth USING (event_type)""",
+    // KMV set-op replay: per-type bottom-64 sketches in unsigned order,
+    // per-pair merged bottom-64 of the sketch-set union, ρ via
+    // membership in BOTH input sketches, the identical double algebra
+    "a05_sketch_setops" ->
+      s"""WITH hv AS (SELECT DISTINCT event_type,
+                        ${NorthStar.signedSql(NorthStar.fnvSql("CAST(user_id AS VARCHAR)"))} AS h
+                      FROM events),
+            bk AS (SELECT event_type, h FROM
+                     (SELECT event_type, h,
+                        row_number() OVER (PARTITION BY event_type
+                                           ORDER BY (h < 0), h) AS rn
+                      FROM hv) WHERE rn <= 64),
+            tp AS (SELECT DISTINCT event_type FROM events),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+                   FROM tp a JOIN tp b ON a.event_type < b.event_type),
+            uh AS (SELECT pr.ta, pr.tb, bk.h
+                   FROM pr JOIN bk ON bk.event_type IN (pr.ta, pr.tb)
+                   GROUP BY 1, 2, 3),
+            ur AS (SELECT ta, tb, h,
+                     row_number() OVER (PARTITION BY ta, tb
+                                        ORDER BY (h < 0), h) AS rn
+                   FROM uh),
+            mg AS (SELECT ta, tb, h, rn FROM ur WHERE rn <= 64),
+            ms AS (SELECT ta, tb, count(*) AS m,
+                     max(CASE WHEN rn = 64 THEN h END) AS kth
+                   FROM mg GROUP BY 1, 2),
+            rh AS (SELECT mg.ta, mg.tb, count(*) AS r
+                   FROM mg
+                   JOIN bk ba ON ba.event_type = mg.ta AND ba.h = mg.h
+                   JOIN bk bb ON bb.event_type = mg.tb AND bb.h = mg.h
+                   GROUP BY 1, 2),
+            est AS (SELECT ms.ta, ms.tb, ms.m,
+                      COALESCE(rh.r, 0) AS r,
+                      CASE WHEN ms.m < 64 THEN CAST(ms.m AS DOUBLE)
+                           ELSE 63.0 / (CAST(ms.kth AS DOUBLE) / 18446744073709551616.0 +
+                                        CASE WHEN ms.kth < 0 THEN 1.0 ELSE 0.0 END)
+                      END AS est_union
+                    FROM ms LEFT JOIN rh ON rh.ta = ms.ta AND rh.tb = ms.tb),
+            ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            n1 AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+            nb AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                     count(*) AS n_inter_exact
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                      AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+          SELECT est.ta AS type_a, est.tb AS type_b,
+                 na.n + nbb.n - COALESCE(nb.n_inter_exact, 0) AS n_union_exact,
+                 COALESCE(nb.n_inter_exact, 0) AS n_inter_exact,
+                 est.est_union,
+                 (CAST(est.r AS DOUBLE) / CAST(est.m AS DOUBLE)) * est.est_union
+                   AS est_intersection
+          FROM est
+          JOIN n1 na ON na.event_type = est.ta
+          JOIN n1 nbb ON nbb.event_type = est.tb
+          LEFT JOIN nb ON nb.ta = est.ta AND nb.tb = est.tb""",
     // HLL replay: same FNV hash, low-6-bit register index, lowest-set-bit
     // rho via the identical unrolled CASE, raw harmonic-mean estimate
     "a04_hll_sketch" -> {

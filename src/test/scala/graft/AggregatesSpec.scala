@@ -70,6 +70,23 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(est - 1.0 / 3.0) < 0.12, s"est=$est")
   }
 
+  test("a05 KMV set ops: union/intersection estimates within sketch error " +
+       "bounds of the exact twins on every type pair") {
+    val rows = SparkEntry.queries("a05_sketch_setops")(
+        spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (ta, tb, exU, exI, estU, estI) =>
+      // KMV k=64: σ ≈ 1/√(k−2) ≈ 0.127 relative on the union; 3σ bound
+      assert(math.abs(estU - exU) / exU <= 0.38,
+        s"($ta,$tb) union est $estU vs exact $exU")
+      // intersection error is ADDITIVE in union scale (ρ/k is a
+      // binomial proportion over the merged sketch)
+      assert(math.abs(estI - exI) <= 0.4 * exU,
+        s"($ta,$tb) inter est $estI vs exact $exI (union $exU)")
+    }
+  }
+
   test("connectedComponents: chains collapse transitively, min id wins") {
     // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L), (21L, 22L))
