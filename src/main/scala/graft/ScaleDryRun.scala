@@ -260,8 +260,12 @@ object ScaleDryRun {
   }
 
   /** The s10 bucketed-ANN clustered study: candidate growth, recall vs
-    * exact, wall vs the all-pairs sketch cascade. */
-  private def clusteredMode(spark: SparkSession, workDir: String): Unit = {
+    * exact, wall vs the all-pairs sketch cascade. `factor >= 100` adds
+    * the 100× point (204,800 vectors) to the candidate-growth curve —
+    * the scale where the all-pairs cascade (s06: 21 G pair-hammings)
+    * stops being runnable on one box at all. */
+  private def clusteredMode(spark: SparkSession, workDir: String,
+                            factor: Int): Unit = {
     import graft.functions.{VectorFunctions => VF}
     import graft.operators.AnnJoin
     // probes=3: at scaled nCells a tight cluster near a 3-way Voronoi
@@ -273,7 +277,8 @@ object ScaleDryRun {
     // 1x/10x/30x of sf0.1's 2,000-vector scale; nCells ~ n/64 keeps the
     // expected cell population constant — the knob a production corpus
     // turns as it grows
-    val sizes = Seq(2048L, 20480L, 61440L)
+    val sizes = Seq(2048L, 20480L, 61440L) ++
+      (if (factor >= 100) Seq(204800L) else Nil)
     println("| n (clustered) | nCells | candidates | pair space | fraction " +
       "| cand/n | s10 wall s | s10 shuffle |")
     println("|---|---|---|---|---|---|---|---|")
@@ -354,7 +359,7 @@ object ScaleDryRun {
     spark.sparkContext.setLogLevel("WARN")
 
     mode match {
-      case "clustered" => clusteredMode(spark, workDir)
+      case "clustered" => clusteredMode(spark, workDir, factor)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
