@@ -1609,6 +1609,27 @@ object NorthStar {
         dim = 64, nCells = nC, probes = probes, cands = cands, k = k)
     }),
 
+    // two-corpus bucketed k-NN RETRIEVAL — the batch-RAG / hard-negative
+    // shape: every query-side vector (vec_id % 10 == 0, ~10%) gets its
+    // top-3 index-side neighbors. Unlike s07 (small arrival batch
+    // broadcast against the index), BOTH sides here can be large:
+    // coarse cells bucket each side independently and only co-resident
+    // pairs are hamming-ranked — candidates track |queries|·cellSize,
+    // not |queries|·|index|. Oracle replays cells → candidates →
+    // hamming → rerank via the shared cascade body (query orientation
+    // only). See operators/AnnJoin.bucketedKnnJoinAgainst.
+    "s11_ann_retrieval" -> ((s, dir) => {
+      val nBits = 512; val nC = 16; val probes = 2; val cands = 96; val k = 3
+      val sig = sigTable(s, dir, nBits, 8).select(col("vec_id"), col("sig"))
+      val isQ = col("vec_id") % 10 === 0
+      val e = emb(s, dir)
+      graft.operators.AnnJoin.bucketedKnnJoinAgainst(
+        e.filter(isQ), e.filter(!isQ),
+        sig.filter(isQ), sig.filter(!isQ),
+        "vec_id", "embedding", dim = 64, nCells = nC, probes = probes,
+        cands = cands, k = k)
+    }),
+
     // per-document n-gram novelty — the corpus-level duplication signal
     // (RefinedWeb/Gopher-style): for every document, the fraction of its
     // DISTINCT 3-gram shingles that occur in any other document
@@ -2874,6 +2895,27 @@ object NorthStar {
        candp AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
                  FROM cells a JOIN cells b
                    ON a.cell = b.cell AND a.vec_id <> b.vec_id),""")
+    },
+    // the bucketed cascade split across two corpora: query side
+    // vec_id % 10 = 0, index side the rest; cells computed identically,
+    // candidates = co-resident cross pairs, query orientation only
+    "s11_ann_retrieval" -> {
+      val nC = 16; val probes = 2
+      sketchCascadeSql(
+        "candp cp JOIN sw a ON a.vec_id = cp.qa JOIN sw b ON b.vec_id = cp.qb",
+        cands = 96,
+        extraCtes = s"""cdq AS (SELECT vec_id, ${centroidDotsSql("v", 64, nC)} AS dots
+                   FROM e),
+       cdl AS (SELECT vec_id, u AS cell, dots[u + 1] AS d
+               FROM cdq CROSS JOIN range(0, $nC) r(u)),
+       crk AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d DESC, cell) AS rn
+               FROM cdl),
+       cells AS (SELECT vec_id, cell FROM crk WHERE rn <= $probes),
+       candp AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+                 FROM cells a JOIN cells b ON a.cell = b.cell
+                 WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0),""")
     }
   )
 }

@@ -126,4 +126,53 @@ object AnnJoin {
       Seq(col("score").desc, col("neighbor_id").asc), k)
       .select(col("vec_id"), col("neighbor_id"), col("score"))
   }
+
+  /**
+   * Two-corpus bucketed k-NN retrieval: for every row of `queries`, the
+   * top-`k` cosine neighbors among `index` — the batch-retrieval shape
+   * (RAG context mining, hard-negative mining, corpus alignment). The
+   * incremental probe (s07) broadcasts a SMALL arrival batch against
+   * the whole index; this is the form for when BOTH sides are large:
+   * cells bucket each side independently (same deterministic
+   * centroids), only co-resident (query, index) pairs are
+   * hamming-ranked, and candidates track |queries|·cellSize instead of
+   * |queries|·|index|. Output: (vec_id, neighbor_id, score), query
+   * orientation only. Sides must not share ids' SEMANTICS — neighbor
+   * ids are index ids. `sigQ`/`sigI` carry (vec_id, sig) per side
+   * (pass precomputed/artifact tables — see AnnIndex).
+   */
+  def bucketedKnnJoinAgainst(queries: DataFrame, index: DataFrame,
+                             sigQ: DataFrame, sigI: DataFrame,
+                             idCol: String, vecCol: String, dim: Int,
+                             nCells: Int, probes: Int,
+                             cands: Int, k: Int): DataFrame = {
+    def vecs(df: DataFrame) =
+      df.select(col(idCol).as("vec_id"), VF.toDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", sqrt(VF.normSq(col("v"))))
+    val qCells = cellAssignments(queries, idCol, vecCol, dim, nCells, probes)
+      .select(col("id").as("vec_id"), col("cell"))
+    val iCells = cellAssignments(index, idCol, vecCol, dim, nCells, probes)
+      .select(col("id").as("neighbor_id"), col("cell"))
+    val cand0 = qCells.join(iCells, Seq("cell"))
+      .select(col("vec_id"), col("neighbor_id")).distinct()
+    val hams = cand0
+      .join(sigQ.select(col("vec_id"), col("sig").as("sig_q")), Seq("vec_id"))
+      .join(sigI.select(col("vec_id").as("neighbor_id"),
+        col("sig").as("sig_i")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        VF.hammingSig(col("sig_q"), col("sig_i")).as("ham"))
+    val cand = Relational.topKPerKey(hams, Seq("vec_id"),
+      Seq(col("ham").asc, col("neighbor_id").asc), cands)
+    val rerank = cand
+      .join(vecs(queries).select(col("vec_id"), col("v").as("v_q"),
+        col("nrm").as("nrm_q")), Seq("vec_id"))
+      .join(vecs(index).select(col("vec_id").as("neighbor_id"),
+        col("v").as("v_n"), col("nrm").as("nrm_n")), Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (VF.dot(col("v_q"), col("v_n")) / (col("nrm_q") * col("nrm_n")))
+          .as("score"))
+    Relational.topKPerKey(rerank, Seq("vec_id"),
+      Seq(col("score").desc, col("neighbor_id").asc), k)
+      .select(col("vec_id"), col("neighbor_id"), col("score"))
+  }
 }

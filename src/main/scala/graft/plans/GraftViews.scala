@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
  * | `graft_ann_knn`            | all-pairs sketch cascade (s06)  | (vec_id, neighbor_id, score), top-3/query |
  * | `graft_ann_knn_bucketed`   | coarse-cell bucketed cascade (s10) | same, sub-quadratic on clustered corpora |
  * | `graft_ann_incremental`    | arrivals-probe-index (s07)      | same, arrivals only |
+ * | `graft_ann_retrieval`      | two-corpus bucketed retrieval (s11) | same, query side only |
  *
  * The views are lazy plans, not materializations: each `SELECT`
  * executes the cascade against the CURRENT corpus/index state, and the
@@ -39,6 +40,8 @@ object GraftViews {
       .createOrReplaceTempView("graft_ann_knn")
     graft.SparkEntry.queries("s07_ann_incremental")(spark, dir)
       .createOrReplaceTempView("graft_ann_incremental")
+    graft.SparkEntry.queries("s11_ann_retrieval")(spark, dir)
+      .createOrReplaceTempView("graft_ann_retrieval")
     val sig = graft.NorthStar.sigTable(spark, dir, 512, 8)
       .select(col("vec_id"), col("sig"))
     graft.operators.AnnJoin.bucketedKnnJoin(

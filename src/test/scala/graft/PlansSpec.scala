@@ -368,7 +368,7 @@ class PlansSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     graft.plans.GraftViews.registerAnn(spark, dir)
     for (view <- Seq("graft_ann_knn", "graft_ann_knn_bucketed",
-                     "graft_ann_incremental")) {
+                     "graft_ann_incremental", "graft_ann_retrieval")) {
       val n = spark.sql(s"SELECT count(*) FROM $view").as[Long].head()
       assert(n > 0, s"$view returned no rows")
     }

@@ -337,6 +337,30 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     info(f"s10 recall vs brute-force top-3: $recall%.4f (${exact.size} truths)")
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
+
+    // s11 retrieval shape on the SAME clustered corpus: 10% of rows are
+    // the query side, the rest the index; recall vs brute-force
+    // queries-x-index top-3 at the same bucketed-candidate pruning
+    val qIds = ds.keys.filter(_ % 10 == 0).toSet
+    val exactQI = qIds.flatMap { q =>
+      ds.keys.filter(m => !qIds(m)).map(m => (m, cos(ds(q), ds(m))))
+        .toSeq.sortBy { case (m, s) => (-s, m) }.take(3)
+        .map { case (m, _) => (q, m) }
+    }
+    val qDf = df.filter(col("vec_id") % 10 === 0)
+    val iDf = df.filter(col("vec_id") % 10 =!= 0)
+    val gotQI = graft.operators.AnnJoin
+      .bucketedKnnJoinAgainst(qDf, iDf,
+        sig.join(qDf.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+        sig.join(iDf.select(col("vec_id")), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", dim, nCells, probes, cands = 96, k = 3)
+      .select(col("vec_id"), col("neighbor_id")).as[(Long, Long)].collect()
+    assert(gotQI.forall(p => qIds(p._1)), "retrieval emitted a non-query id")
+    assert(gotQI.forall(p => !qIds(p._2)), "retrieval matched a query-side id")
+    val recallQI = (exactQI & gotQI.toSet).size.toDouble / exactQI.size
+    info(f"s11 recall vs brute-force queries-x-index top-3: $recallQI%.4f " +
+      s"(${exactQI.size} truths)")
+    assert(recallQI >= 0.95, f"s11 recall $recallQI%.4f below 0.95")
   }
 
   test("law: s07 incremental probe recall >= 0.95 vs the brute-force " +
