@@ -306,6 +306,25 @@ object ScaleDryRun {
         f"| $t%.1f | ${fmtBytes(sb)} |")
       sig.unpersist()
     }
+    // retrieval shape (s11) at the LARGEST corpus: 10% query side vs
+    // 90% index side — the batch-RAG probe a training pipeline runs
+    {
+      val nL = sizes.last; val dirL = dirs.last
+      val embL = spark.read.parquet(s"$dirL/embeddings.parquet")
+      val sigL = embL.select(col("vec_id"),
+        VF.bitSignature(col("embedding"), dim, 512).as("sig")).persist()
+      sigL.count()
+      val isQ = col("vec_id") % 10 === 0
+      val (rRows, rT, rSb) = meter.measure(
+        AnnJoin.bucketedKnnJoinAgainst(
+          embL.filter(isQ), embL.filter(!isQ),
+          sigL.filter(isQ), sigL.filter(!isQ),
+          "vec_id", "embedding", dim, (nL / 64).toInt, probes,
+          cands = 96, k = 3).count())
+      println(f"s11 retrieval at n=$nL (10%% queries vs 90%% index): " +
+        f"$rRows rows, $rT%.1f s, ${fmtBytes(rSb)} shuffle")
+      sigL.unpersist()
+    }
     // head-to-head at 10x: all-pairs sketch cascade (s06 shape) vs
     // bucketed, same corpus, plus recall vs the exact join (s04 shape)
     val dir10 = dirs(1); val n10 = sizes(1)

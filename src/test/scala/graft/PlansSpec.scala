@@ -354,12 +354,14 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
-  test("s10 bucketed k-NN join plans no cartesian/BNLJ: cells are the " +
+  test("s10/s11 bucketed cascades plan no cartesian/BNLJ: cells are the " +
        "join key end to end") {
-    val df = SparkEntry.queries("s10_ann_bucketed")(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
-      s"bucketed cascade must stay an equi-join pipeline:\n$plan")
+    for (q <- Seq("s10_ann_bucketed", "s11_ann_retrieval")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+        s"$q must stay an equi-join pipeline:\n$plan")
+    }
     NorthStar.releaseCaches(spark, "/root/testdata/sf0.001")
   }
 
