@@ -78,7 +78,16 @@ object AnnIndex {
       build(emb, idCol, vecCol, dim, path, nBits)
       return load(spark, path).count()
     }
-    val have = load(spark, path).select(col("vec_id"))
+    val existing = load(spark, path)
+    // a width mismatch would silently mix signature families and break
+    // every downstream hamming — fail fast on the first stored row
+    existing.select(size(col("sig")).as("w")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == nBits / 64,
+          s"index at $path holds ${r.getInt(0) * 64}-bit signatures; " +
+            s"refresh called with nBits=$nBits")
+      }
+    val have = existing.select(col("vec_id"))
     val missing = sigRows(emb, idCol, vecCol, dim, nBits, batchId = -1L)
       .join(have, Seq("vec_id"), "left_anti")
       .persist()

@@ -84,6 +84,36 @@ class AnnIndexSpec extends AnyFunSuite {
       path = s"$root/idx") == 0L, "idempotent refresh")
   }
 
+  test("refresh rejects a signature-width mismatch instead of mixing families") {
+    val root = Files.createTempDirectory("graft_annidx_w").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    AnnIndex.build(emb, "vec_id", "embedding", dim = 64, path = s"$root/idx",
+      nBits = 512)
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.refresh(emb, "vec_id", "embedding", dim = 64,
+        path = s"$root/idx", nBits = 256)
+    }
+    assert(ex.getMessage.contains("512-bit"))
+  }
+
+  test("cellAssignments: every vector gets exactly `probes` cells, all in " +
+       "range, deterministically") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = graft.operators.AnnJoin
+      .cellAssignments(emb, "vec_id", "embedding", 64, nCells = 16, probes = 3)
+      .as[(Long, Int)].collect()
+    val n = emb.count()
+    assert(cells.length == n * 3)
+    assert(cells.forall { case (_, c) => c >= 0 && c < 16 })
+    cells.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._2).distinct.length == 3, s"vec $id cells not distinct")
+    }
+    val again = graft.operators.AnnJoin
+      .cellAssignments(emb, "vec_id", "embedding", 64, nCells = 16, probes = 3)
+      .as[(Long, Int)].collect()
+    assert(cells.sorted.sameElements(again.sorted), "non-deterministic cells")
+  }
+
   test("streaming gate bootstraps from a bulk-built artifact: index " +
        "near-dups drop, gate survivors land in the index") {
     val root = Files.createTempDirectory("graft_annidx_gate").toString
