@@ -82,11 +82,19 @@ object NorthStar {
   // touch), so s06/s07/s10 probe the on-disk index with no in-session
   // signature computation — the cross-session production shape.
   private[graft] def sigTable(s: SparkSession, dir: String,
-                              nBits: Int, blocks: Int): DataFrame =
-    sigMemo.getOrElseUpdate((s, dir, nBits, blocks), {
-      val base = s.conf.getOption("spark.graft.annIndexDir") match {
+                              nBits: Int, blocks: Int): DataFrame = {
+    // the conf is part of the cache identity: setting/unsetting
+    // annIndexDir mid-session must re-resolve, not serve the stale path
+    val idxRoot = s.conf.getOption("spark.graft.annIndexDir")
+    sigMemo.getOrElseUpdate((s, dir + "#" + idxRoot.getOrElse(""), nBits, blocks), {
+      val base = idxRoot match {
         case Some(root) =>
-          val path = s"$root/sig_b$nBits"
+          // per-corpus path component: two corpora in one session must
+          // not share one artifact (vec_ids overlap across corpora)
+          val corpusTag = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            .take(12)
+          val path = s"$root/sig_b${nBits}_$corpusTag"
           if (!graft.operators.AnnIndex.exists(s, path))
             graft.operators.AnnIndex.build(emb(s, dir), "vec_id", "embedding",
               dim = 64, path = path, nBits = nBits)
@@ -99,6 +107,7 @@ object NorthStar {
       base.withColumn("blk", pmod(col("vec_id"), lit(blocks)).cast("int"))
         .persist()
     })
+  }
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, dir),
       graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.8))
@@ -114,7 +123,8 @@ object NorthStar {
     pairsMemo.remove((s, dir)).foreach(_.unpersist())
     lshPairsMemo.remove((s, dir)).foreach(_.unpersist())
     sketchMemo.remove((s, dir)).foreach(_.unpersist())
-    sigMemo.keys.filter(k => k._1 == s && k._2 == dir)
+    // sig keys carry "dir#<annIndexDir>" (conf is part of cache identity)
+    sigMemo.keys.filter(k => k._1 == s && k._2.startsWith(dir + "#"))
       .foreach(k => sigMemo.remove(k).foreach(_.unpersist()))
   }
 

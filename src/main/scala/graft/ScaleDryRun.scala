@@ -347,13 +347,17 @@ object ScaleDryRun {
     println(f"| s10 bucketed (nCells=$nCells10) | $bRows | $bT%.1f | ${fmtBytes(bSb)} |")
     println(f"| s06 all-pairs sketch | $aRows | $aT%.1f | ${fmtBytes(aSb)} |")
     println(f"| s04 exact | $eRows | $eT%.1f | ${fmtBytes(eSb)} |")
+    // persist both result sets: intersect + counts would otherwise
+    // re-execute the quadratic exact join (the study's costliest stage)
+    // twice more for no output change
     val exact = SparkEntry.queries("s04_knn_join")(spark, dir10)
-      .select(col("vec_id"), col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id")).persist()
     val bucketed = AnnJoin.bucketedKnnJoin(emb10, sig10, "vec_id", "embedding",
       dim, nCells10, probes, cands = 96, k = 3)
-      .select(col("vec_id"), col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id")).persist()
     val hit = exact.intersect(bucketed).count()
     val truths = exact.count()
+    exact.unpersist(); bucketed.unpersist()
     println(f"s10 recall vs exact top-3 at n=$n10: ${hit.toDouble / truths}%.4f " +
       s"($hit of $truths)")
     sig10.unpersist()

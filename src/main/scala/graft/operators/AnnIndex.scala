@@ -41,12 +41,17 @@ import graft.functions.{VectorFunctions => VF}
  */
 object AnnIndex {
 
-  /** Signature rows for `emb` in artifact layout (unwritten). */
+  /** Signature rows for `emb` in artifact layout (unwritten). The
+    * signature is computed on the RAW vector column BEFORE the float
+    * storage cast — the same input the in-session sigTable path hashes —
+    * so a double-typed corpus yields identical signatures (and identical
+    * cascade candidates) with and without the artifact. */
   private def sigRows(emb: DataFrame, idCol: String, vecCol: String,
                       dim: Int, nBits: Int, batchId: Long): DataFrame =
     emb.select(col(idCol).cast("long").as("vec_id"),
+        VF.bitSignature(col(vecCol), dim, nBits).as("sig"),
         transform(col(vecCol), x => x.cast("float")).as("embedding"))
-      .withColumn("sig", VF.bitSignature(col("embedding"), dim, nBits))
+      .select(col("vec_id"), col("embedding"), col("sig"))
       .withColumn("_batch_id", lit(batchId))
 
   def exists(spark: SparkSession, path: String): Boolean =
@@ -54,11 +59,21 @@ object AnnIndex {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
-  /** Bulk-build the artifact from an embeddings table (overwrites). */
+  /** Bulk-build the artifact from an embeddings table (overwrites).
+    * Refuses an empty input: a zero-row partitioned write leaves a
+    * schemaless directory that makes every later load throw
+    * UNABLE_TO_INFER_SCHEMA while exists() reports true — the wedged
+    * state the streaming gate also guards against. */
   def build(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-            path: String, nBits: Int = 512): Unit =
-    sigRows(emb, idCol, vecCol, dim, nBits, batchId = -1L)
-      .write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+            path: String, nBits: Int = 512): Unit = {
+    val rows = sigRows(emb, idCol, vecCol, dim, nBits, batchId = -1L).persist()
+    try {
+      require(rows.limit(1).count() > 0,
+        s"refusing to build an EMPTY index at $path (a schemaless " +
+          "partitioned dir would wedge every later load)")
+      rows.write.mode("overwrite").partitionBy("_batch_id").parquet(path)
+    } finally rows.unpersist()
+  }
 
   /** Load the artifact (all provenance partitions — bulk + gate rows). */
   def load(spark: SparkSession, path: String): DataFrame =

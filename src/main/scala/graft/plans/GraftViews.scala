@@ -42,12 +42,21 @@ object GraftViews {
       .createOrReplaceTempView("graft_ann_incremental")
     graft.SparkEntry.queries("s11_ann_retrieval")(spark, dir)
       .createOrReplaceTempView("graft_ann_retrieval")
-    val sig = graft.NorthStar.sigTable(spark, dir, 512, 8)
-      .select(col("vec_id"), col("sig"))
-    graft.operators.AnnJoin.bucketedKnnJoin(
-        spark.read.parquet(s"$dir/embeddings.parquet"), sig,
-        "vec_id", "embedding", dim = 64, nCells = nCells, probes = probes,
-        cands = 96, k = 3)
-      .createOrReplaceTempView("graft_ann_knn_bucketed")
+    // at default parameters the bucketed view IS the s10 harness entry —
+    // route through it so a cascade retune cannot silently diverge the
+    // view from the entry; the inline build exists only for non-default
+    // cell geometry
+    val bucketed =
+      if (nCells == 16 && probes == 2)
+        graft.SparkEntry.queries("s10_ann_bucketed")(spark, dir)
+      else {
+        val sig = graft.NorthStar.sigTable(spark, dir, 512, 8)
+          .select(col("vec_id"), col("sig"))
+        graft.operators.AnnJoin.bucketedKnnJoin(
+          spark.read.parquet(s"$dir/embeddings.parquet"), sig,
+          "vec_id", "embedding", dim = 64, nCells = nCells, probes = probes,
+          cands = 96, k = 3)
+      }
+    bucketed.createOrReplaceTempView("graft_ann_knn_bucketed")
   }
 }

@@ -166,10 +166,15 @@ object StreamingIngest {
    * machinery, operators/AnnJoin): only index rows co-resident with a
    * batch row in one of its `probes` nearest cells are hamming-ranked.
    * Near-dup pairs (cos ≥ threshold) are nearly parallel, so they
-   * co-bucket with probability → 1 at any cell count — this is the
-   * form that keeps the gate sub-linear in INDEX size per batch as the
-   * store grows toward 100 TB. Brute (None) remains the default for
-   * small stores.
+   * co-bucket with probability → 1 at any cell count. What this buys
+   * per batch: the PAIR-RANKING work (hamming + candidate shuffle)
+   * drops from |batch|·|index| to the co-resident candidate count.
+   * What it does NOT yet buy: index-side cell assignment is still one
+   * codegen'd projection over the store scan each batch (cells are
+   * deterministic, so the production extension is to persist them at
+   * append time keyed by nCells and skip the recompute — the scan
+   * itself is column-pruned and linear either way). Brute (None)
+   * remains the default for small stores.
    */
   def startVectorDedupIngest(vectors: DataFrame, storePath: String,
                              checkpointDir: String,
