@@ -168,13 +168,13 @@ object StreamingIngest {
    * Near-dup pairs (cos ≥ threshold) are nearly parallel, so they
    * co-bucket with probability → 1 at any cell count. What this buys
    * per batch: the PAIR-RANKING work (hamming + candidate shuffle)
-   * drops from |batch|·|index| to the co-resident candidate count.
-   * What it does NOT yet buy: index-side cell assignment is still one
-   * codegen'd projection over the store scan each batch (cells are
-   * deterministic, so the production extension is to persist them at
-   * append time keyed by nCells and skip the recompute — the scan
-   * itself is column-pruned and linear either way). Brute (None)
-   * remains the default for small stores.
+   * drops from |batch|·|index| to the co-resident candidate count, and
+   * index-side cell assignments are PERSISTED in an append-only
+   * sidecar (`<storePath>_cells_n<c>`, maintained at survivor-write
+   * time), so each batch reads narrow (vec_id, cell) rows and computes
+   * cells only for rows the sidecar does not cover yet (self-healing:
+   * coverage gaps are recomputed and appended on the next batch).
+   * Brute (None) remains the default for small stores.
    */
   def startVectorDedupIngest(vectors: DataFrame, storePath: String,
                              checkpointDir: String,
@@ -235,16 +235,40 @@ object StreamingIngest {
           case Some(nc) =>
             // bucketed probe: batch rows meet only co-resident index
             // rows (cell equi-join — shuffles the candidate set, never
-            // the whole index against every batch row)
+            // the whole index against every batch row). Index-side
+            // cells come from the SIDECAR (appended at survivor-write
+            // time, below) — per-batch index work is a narrow
+            // (vec_id, cell) scan plus cell computation only for rows
+            // the sidecar does not cover yet (a brute-era store's first
+            // bucketed batch, or rows landed outside the gate). Phantom
+            // sidecar rows (replaced replays) are dropped by the inner
+            // sig join; duplicate sidecar rows collapse in the
+            // candidate distinct.
             import graft.operators.AnnJoin
             val bCells = AnnJoin.cellAssignments(
                 b.select(col("vec_id"), col("v").as("embedding")),
                 "vec_id", "embedding", dim, nc, probes)
               .select(col("id").as("vec_id"), col("cell"))
-            val iCells = AnnJoin.cellAssignments(
-                store.select(col("vec_id"), col("embedding")),
+            val cellsPath = s"${storePath}_cells_n$nc"
+            val sidecar =
+              if (new org.apache.hadoop.fs.Path(cellsPath)
+                    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+                    .exists(new org.apache.hadoop.fs.Path(cellsPath)))
+                Some(spark.read.parquet(cellsPath))
+              else None
+            val uncovered = sidecar match {
+              case Some(sc) =>
+                store.join(sc.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              case None => store
+            }
+            val computed = AnnJoin.cellAssignments(
+                uncovered.select(col("vec_id"), col("embedding")),
                 "vec_id", "embedding", dim, nc, probes)
-              .select(col("id").as("idx_id"), col("cell"))
+              .select(col("id").as("vec_id"), col("cell"))
+            val iCells = sidecar
+              .map(_.select(col("vec_id"), col("cell")).unionByName(computed))
+              .getOrElse(computed)
+              .select(col("vec_id").as("idx_id"), col("cell"))
             bCells.join(iCells, Seq("cell"))
               .select(col("vec_id"), col("idx_id")).distinct()
               .join(broadcast(b.select(col("vec_id"), col("sig"))), Seq("vec_id"))
@@ -297,6 +321,42 @@ object StreamingIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(storePath)
+    // sidecar maintenance for the bucketed probe: append the cells of
+    // (a) this batch's survivors and (b) any store rows the sidecar
+    // does not cover yet (converges a brute-era store after one
+    // bucketed batch). Append-only and self-healing: a crash between
+    // the store write and this append only means those rows' cells are
+    // recomputed on later batches; replayed batches may append
+    // duplicate rows, which collapse in the probe's candidate distinct.
+    nCells.foreach { nc =>
+      import graft.operators.AnnJoin
+      val cellsPath = s"${storePath}_cells_n$nc"
+      def cellsOf(df: DataFrame) = AnnJoin.cellAssignments(
+          df, "vec_id", "embedding", dim, nc, probes)
+        .select(col("id").as("vec_id"), col("cell"))
+      val survCells = cellsOf(survivors.select(col("vec_id"), col("embedding")))
+      val fs = new org.apache.hadoop.fs.Path(cellsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sidecarExists = fs.exists(new org.apache.hadoop.fs.Path(cellsPath))
+      val gap =
+        if (!storeExists) survCells.limit(0)
+        else {
+          val idx = spark.read.parquet(storePath)
+            .filter(col("_batch_id") =!= batchId)
+          val uncovered =
+            if (sidecarExists)
+              idx.join(spark.read.parquet(cellsPath).select(col("vec_id")),
+                Seq("vec_id"), "left_anti")
+            else idx
+          cellsOf(uncovered.select(col("vec_id"), col("embedding")))
+        }
+      val toAppend = survCells.unionByName(gap).persist()
+      try {
+        // zero-row guard: an empty parquet dir would wedge later reads
+        if (toAppend.limit(1).count() > 0)
+          toAppend.write.mode("append").parquet(cellsPath)
+      } finally toAppend.unpersist()
+    }
     } finally b.unpersist()
   }
 

@@ -160,16 +160,28 @@ class AnnIndexSpec extends AnyFunSuite {
       103L -> vec(15, 0.01)) ++
       Seq(201L -> vec(201), 202L -> vec(202), 203L -> vec(203)))
       .toDF("vec_id", "embedding")
+    // batch 2: a near-dup of a batch-1 SURVIVOR (201) and one more novel
+    val batch2 = Seq(301L -> vec(201, 0.01), 302L -> vec(302))
+      .toDF("vec_id", "embedding")
     def run(idx: String, nCells: Option[Int]): Set[Long] = {
       AnnIndex.build(corpus, "vec_id", "embedding", 64, idx)
       StreamingIngest.vectorDedupBatch(batch, idx, 5L, 0.95, 64, 512, 32,
+        nCells, probes = 2)
+      StreamingIngest.vectorDedupBatch(batch2, idx, 6L, 0.95, 64, 512, 32,
         nCells, probes = 2)
       AnnIndex.load(spark, idx).select(col("vec_id")).as[Long].collect().toSet
     }
     val brute = run(s"$root/brute", None)
     val bucketed = run(s"$root/bucketed", Some(8))
     assert(bucketed == brute, s"probe-mode divergence: brute=$brute bucketed=$bucketed")
-    assert(brute == ((1L to 20L).toSet ++ Set(201L, 202L, 203L)),
+    assert(brute == ((1L to 20L).toSet ++ Set(201L, 202L, 203L, 302L)),
       "near-dups of indexed vectors must drop, novels must land")
+    // the bucketed mode's cell sidecar exists and covers the store
+    val sidecar = spark.read.parquet(s"$root/bucketed_cells_n8")
+    val storeIds = AnnIndex.load(spark, s"$root/bucketed")
+      .select(col("vec_id")).as[Long].collect().toSet
+    val coveredIds = sidecar.select(col("vec_id")).as[Long].collect().toSet
+    assert(storeIds.subsetOf(coveredIds),
+      s"sidecar missing cells for ${storeIds diff coveredIds}")
   }
 }
