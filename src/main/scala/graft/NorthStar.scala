@@ -1619,6 +1619,35 @@ object NorthStar {
         dim = 64, nCells = nC, probes = probes, cands = cands, k = k)
     }),
 
+    // SEMANTIC decontamination — the embedding-level twin of t12's
+    // exact n-gram check: a training vector is contaminated if its
+    // max cosine against the held-out eval set (label 0) reaches the
+    // threshold, catching paraphrases and near-translations that
+    // n-gram overlap misses. Runs as the bucketed two-corpus cascade
+    // (train side probes the eval side; candidates track
+    // |train|·cellSize, not |train|·|eval|) with k=1 and a final
+    // threshold filter — at 100 TB the eval side is small and its
+    // cells/signatures come straight off the AnnIndex artifact.
+    "e11_semantic_decontam" -> ((s, dir) => {
+      val nBits = 512; val nC = 16; val probes = 2; val cands = 32
+      val threshold = 0.35 // this corpus is isotropic; real corpora ~0.9
+      val sig = sigTable(s, dir, nBits, 8).select(col("vec_id"), col("sig"))
+      val e = emb(s, dir)
+      val labels = e.select(col("vec_id"), col("label"))
+      val isEval = col("label") === 0
+      val train = e.join(labels.filter(!isEval).select("vec_id"), Seq("vec_id"), "left_semi")
+      val eval_ = e.join(labels.filter(isEval).select("vec_id"), Seq("vec_id"), "left_semi")
+      graft.operators.AnnJoin.bucketedKnnJoinAgainst(
+          train, eval_,
+          sig.join(train.select("vec_id"), Seq("vec_id"), "left_semi"),
+          sig.join(eval_.select("vec_id"), Seq("vec_id"), "left_semi"),
+          "vec_id", "embedding", dim = 64, nCells = nC, probes = probes,
+          cands = cands, k = 1)
+        .filter(col("score") >= threshold)
+        .select(col("vec_id"), col("neighbor_id").as("eval_id"),
+          col("score").as("max_eval_sim"))
+    }),
+
     // two-corpus bucketed k-NN RETRIEVAL — the batch-RAG / hard-negative
     // shape: every query-side vector (vec_id % 10 == 0, ~10%) gets its
     // top-3 index-side neighbors. Unlike s07 (small arrival batch
@@ -2926,6 +2955,31 @@ object NorthStar {
        candp AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
                  FROM cells a JOIN cells b ON a.cell = b.cell
                  WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0),""")
+    },
+    // the retrieval cascade with label-split sides (train probes eval),
+    // k=1, wrapped by the contamination threshold filter
+    "e11_semantic_decontam" -> {
+      val nC = 16; val probes = 2
+      val cascade = sketchCascadeSql(
+        "candp cp JOIN sw a ON a.vec_id = cp.qa JOIN sw b ON b.vec_id = cp.qb",
+        cands = 32, k = 1,
+        extraCtes = s"""lb AS (SELECT vec_id, label FROM embeddings),
+       cdq AS (SELECT vec_id, ${centroidDotsSql("v", 64, nC)} AS dots
+                   FROM e),
+       cdl AS (SELECT vec_id, u AS cell, dots[u + 1] AS d
+               FROM cdq CROSS JOIN range(0, $nC) r(u)),
+       crk AS (SELECT vec_id, cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d DESC, cell) AS rn
+               FROM cdl),
+       cells AS (SELECT vec_id, cell FROM crk WHERE rn <= $probes),
+       candp AS (SELECT DISTINCT a.vec_id AS qa, b.vec_id AS qb
+                 FROM cells a JOIN cells b ON a.cell = b.cell
+                 JOIN lb la ON la.vec_id = a.vec_id
+                 JOIN lb bb ON bb.vec_id = b.vec_id
+                 WHERE la.label <> 0 AND bb.label = 0),""")
+      s"""SELECT vec_id, neighbor_id AS eval_id, score AS max_eval_sim
+          FROM ($cascade) WHERE score >= 0.35"""
     }
   )
 }

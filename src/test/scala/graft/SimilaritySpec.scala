@@ -363,6 +363,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recallQI >= 0.95, f"s11 recall $recallQI%.4f below 0.95")
   }
 
+  test("e11 semantic decontamination is SOUND: every flag is a real " +
+       "above-threshold train-vs-eval cosine, correctly labeled") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"), col("label"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getInt(2)))
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val flags = SparkEntry.queries("e11_semantic_decontam")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(flags.nonEmpty, "expected contaminated rows on this corpus")
+    flags.foreach { case (vid, eid, score) =>
+      assert(e(vid)._2 != 0, s"flagged vec $vid is itself an eval vector")
+      assert(e(eid)._2 == 0, s"matched 'eval' vector $eid is not label 0")
+      val truth = cos(e(vid)._1, e(eid)._1)
+      assert(math.abs(truth - score) < 1e-9, s"score $score vs true cosine $truth")
+      assert(score >= 0.35, s"below-threshold flag $score")
+    }
+    // no duplicate flags: k=1 emits at most one row per train vector
+    assert(flags.map(_._1).distinct.length == flags.length)
+    NorthStar.releaseCaches(spark, dir)
+  }
+
   test("law: s07 incremental probe recall >= 0.95 vs the brute-force " +
        "arrival-vs-index top-3, and probes emit ONLY arrivals") {
     val dir = "/root/testdata/sf0.001"
