@@ -1112,6 +1112,41 @@ object NorthStar {
         scored, Seq("doc_id"), Seq(col("tfidf").desc, col("term").asc), 3)
     }),
 
+    // model-based quality filtering — linear classifier INFERENCE over
+    // t21's hashed bag-of-words features (the fastText-style quality
+    // gate every pretraining corpus passes through). Weights are a
+    // deterministic function of the feature bucket (a second FNV draw
+    // mapped to the rational grid [-1024, 1023]/1024), so the whole
+    // scorer — features, weights, dot product — is engine-replayable
+    // with integer arithmetic and ONE final division. The bucketed dot
+    // Σ_b v_b·w_b collapses algebraically to Σ_tokens sign(t)·w(bucket(t)),
+    // so the plan is a single map-side-combined groupBy(doc_id) over a
+    // codegen'd per-token projection: no feature-vector materialization,
+    // no weight-table join (weights broadcast as expressions), one
+    // shuffle keyed by doc_id. `keep` thresholds the raw score —
+    // sigmoid is monotone, so the 0-threshold on the logit IS the
+    // 0.5-threshold on the probability without a libm exp in the hash
+    // gate. Empty docs score 0 and are dropped, not lost.
+    "t27_quality_classifier" -> ((s, dir) => {
+      val dim = 32L
+      val h = Hashing.fnvChecksum(col("term").cast(BinaryType))
+      val sign = shiftrightunsigned(h, 5).bitwiseAND(lit(1L)) * 2L - 1L
+      val bucket = pmod(h, lit(dim))
+      val w = pmod(shiftrightunsigned(
+        Hashing.fnvChecksum(bucket.cast(StringType).cast(BinaryType)), 7),
+        lit(2048L)) - 1024L
+      val st = docs(s, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(sign * w).as("num"))
+      docs(s, dir).select(col("doc_id")).join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("num").cast(DoubleType)
+            / (col("n_tokens") * 1024L).cast(DoubleType), lit(0.0)).as("score"))
+        .withColumn("keep", col("score") > 0.0)
+    }),
+
     // systematic probability-proportional-to-size sampling by token
     // mass — the weighted complement of t10's per-stratum fraction: one
     // selection per crossing of a W/k boundary in cumulative-weight
@@ -1669,6 +1704,72 @@ object NorthStar {
         cands = cands, k = k)
     }),
 
+    // in-batch negative mining — the contrastive-training manifest
+    // (DPR / SimCLR shape): examples are hash-shuffled into fixed-size
+    // batches and every co-batched cross-label pair becomes a negative,
+    // scored by cosine so downstream can weight by hardness. Negatives
+    // come free from batching — no sampling join against the corpus —
+    // and the md5 shuffle key makes batch composition unbiased,
+    // deterministic, and skew-immune (same key algebra as t24's epoch
+    // shuffle). Cost: one range-partition for the serial id, one
+    // equi-join on batch_id whose per-key fan-out is exactly B rows, so
+    // total work is O(n·B) — linear in the corpus for fixed batch size,
+    // never a corpus self-join. Output: one row per (anchor, negative)
+    // ordered pair inside each batch.
+    "s12_inbatch_negatives" -> ((s, dir) => {
+      val B = 32L
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val key = conv(substring(md5(concat(col("vec_id").cast("string"),
+        lit(":batch0"))), 1, 8), 16, 10).cast(LongType)
+      val pos = graft.operators.Relational.withSerialIdDistributed(
+        e.withColumn("shuffle_key", key),
+        Seq(col("shuffle_key"), col("vec_id")), "pos")
+      // integer div (not IEEE / + truncate — exact at any corpus size);
+      // localCheckpoint materializes the batch assignment ONCE so the
+      // self-join's two branches don't each redo the range-partition
+      // sort — the in-session stand-in for writing the batched table
+      val batched = pos.select(expr(s"(pos - 1) div $B").as("batch_id"),
+        col("vec_id"), col("label"), col("v")).localCheckpoint()
+      val a = batched.select(col("batch_id"), col("vec_id").as("anchor_id"),
+        col("label").as("la"), col("v").as("va"))
+      val b = batched.select(col("batch_id"), col("vec_id").as("neg_id"),
+        col("label").as("lb"), col("v").as("vb"))
+      a.join(b, Seq("batch_id"))
+        .filter(col("anchor_id") < col("neg_id") && col("la") =!= col("lb"))
+        .select(col("batch_id"), col("anchor_id"), col("neg_id"),
+          VF.cosine(col("va"), col("vb")).as("score"))
+    }),
+
+    // Matryoshka (prefix-dimension) retrieval cascade (Kusupati et al.
+    // NeurIPS'22): rank by the cosine of the FIRST 32 of 64 dimensions —
+    // a 2× cheaper scan reading half of each vector — keep the top 192
+    // candidates, then rerank those exactly at full width. Both stages
+    // plan as TakeOrderedAndProject (per-partition top-C, driver merge —
+    // no global sort), and candidates carry their full vector so the
+    // rerank never rejoins the corpus. This is the MRL serving pattern:
+    // at 100 TB the prefix scan is the only corpus-wide pass and its
+    // bytes-touched drop with the prefix ratio; recall vs the full-width
+    // scan is law-tested against s01. The harness corpus is ISOTROPIC
+    // (no MRL training concentrates variance into early dims), so the
+    // half-width prefix is the honest setting here — production MRL
+    // embeddings front-load information and take dPre ≪ dim.
+    "s13_matryoshka_topk" -> ((s, dir) => {
+      val dPre = 32; val cands = 192; val k = 10
+      val e = emb(s, dir).select(col("vec_id"),
+        VF.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).head().getSeq[Double](1)
+      val qPre = lit(q.take(dPre).toArray)
+      val qFull = lit(q.toArray)
+      val coarse = e
+        .select(col("vec_id"), col("v"),
+          VF.cosine(slice(col("v"), 1, dPre), qPre).as("cscore"))
+        .orderBy(col("cscore").desc, col("vec_id")).limit(cands)
+      coarse
+        .select(col("vec_id"), VF.cosine(col("v"), qFull).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(k)
+    }),
+
     // per-document n-gram novelty — the corpus-level duplication signal
     // (RefinedWeb/Gopher-style): for every document, the fraction of its
     // DISTINCT 3-gram shingles that occur in any other document
@@ -2035,6 +2136,29 @@ object NorthStar {
                 array_to_string(list(CAST(v AS VARCHAR) ORDER BY bucket), ',')
                   AS features
          FROM dense GROUP BY 1"""
+    },
+    // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
+    // draw over the bucket string for the weight; all-integer until the
+    // one score division, so the replay is exact
+    "t27_quality_classifier" -> {
+      val hu = fnvSql("term")
+      val wb = fnvSql(s"CAST(CAST(($hu) % 32 AS BIGINT) AS VARCHAR)")
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         tw AS (SELECT doc_id,
+                  (CAST((($hu) // CAST(32 AS HUGEINT)) % 2 AS BIGINT) * 2 - 1)
+                  * (CAST((($wb) // CAST(128 AS HUGEINT)) % 2048 AS BIGINT)
+                     - 1024) AS sw
+                FROM tk),
+         st AS (SELECT doc_id, count(*) AS n_tokens,
+                  CAST(SUM(sw) AS BIGINT) AS num
+                FROM tw GROUP BY 1)
+         SELECT d.doc_id,
+                COALESCE(st.n_tokens, 0) AS n_tokens,
+                COALESCE(CAST(st.num AS DOUBLE)
+                  / CAST(st.n_tokens * 1024 AS DOUBLE), 0.0) AS score,
+                COALESCE(CAST(st.num AS DOUBLE)
+                  / CAST(st.n_tokens * 1024 AS DOUBLE), 0.0) > 0.0 AS keep
+         FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id"""
     },
     "t20_pack_sequences" ->
       s"""WITH toks AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS ntk
@@ -2980,6 +3104,41 @@ object NorthStar {
                  WHERE la.label <> 0 AND bb.label = 0),""")
       s"""SELECT vec_id, neighbor_id AS eval_id, score AS max_eval_sim
           FROM ($cascade) WHERE score >= 0.35"""
-    }
+    },
+    // batch assignment replayed from the md5 shuffle key (t24's algebra:
+    // 1-based serial position over (key, vec_id) order, div batch size),
+    // then the bounded per-batch cross-label self-join with the pinned
+    // cosine fold
+    "s12_inbatch_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            k AS (SELECT vec_id, label, v,
+                    ${md5HexIntSql("CAST(vec_id AS VARCHAR) || ':batch0'")}
+                      AS shuffle_key
+                  FROM e),
+            p AS (SELECT vec_id, label, v,
+                    (row_number() OVER (ORDER BY shuffle_key, vec_id) - 1) // 32
+                      AS batch_id
+                  FROM k)
+          SELECT a.batch_id, a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                 ${cosineSql("a.v", "b.v")} AS score
+          FROM p a JOIN p b
+            ON a.batch_id = b.batch_id AND a.vec_id < b.vec_id
+           AND a.label <> b.label""",
+    // both cascade stages replayed: prefix-32 coarse top-192 (list_slice),
+    // exact full-width rerank top-10 — same fold, same tie order
+    "s13_matryoshka_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            coarse AS (SELECT e.vec_id, e.v,
+                     ${cosineSql("list_slice(e.v, 1, 32)",
+                                 "list_slice(q.qv, 1, 32)")} AS cscore
+                   FROM e, q
+                   ORDER BY cscore DESC, e.vec_id LIMIT 192)
+          SELECT c.vec_id, ${cosineSql("c.v", "q.qv")} AS score
+          FROM coarse c, q
+          ORDER BY score DESC, c.vec_id LIMIT 10"""
   )
 }

@@ -1242,6 +1242,33 @@ object Queries {
         cume_dist().over(w).as("cd"))
     }),
 
+    // corpus snapshot DIFF — the data-versioning primitive (what changed
+    // between yesterday's corpus build and today's): two deterministic
+    // versions of the documents table (A drops every doc_id ≡ 3 mod 11,
+    // B drops ≡ 5 mod 13 and patches ≡ 0 mod 17) are compared by content
+    // HASH, not content — md5 is taken inside each side's projection so
+    // the full-outer shuffle moves (doc_id, 32-hex) rows, never text.
+    // That is the 100 TB contract: diffing two corpus snapshots costs
+    // two scans plus one id-keyed join of fixed-width digests. Statuses:
+    // added (absent in A), removed (absent in B), changed (both present,
+    // hash differs), unchanged.
+    "q60_corpus_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val va = d.filter(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), md5(col("text")).as("old_hash"))
+      val vb = d.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 17 === 0, upper(col("text")))
+            .otherwise(col("text"))).as("new_hash"))
+      va.join(vb, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("old_hash").isNull, "added")
+            .when(col("new_hash").isNull, "removed")
+            .when(col("old_hash") =!= col("new_hash"), "changed")
+            .otherwise("unchanged").as("status"),
+          col("old_hash"), col("new_hash"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1256,6 +1283,20 @@ object Queries {
 
   val parityOracles: Map[String, String] = Map(
     "q01_fullscan" -> "SELECT * FROM region",
+    "q60_corpus_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS old_hash
+                    FROM documents WHERE doc_id % 11 <> 3),
+         b AS (SELECT doc_id,
+                 md5(CASE WHEN doc_id % 17 = 0 THEN upper(text)
+                          ELSE text END) AS new_hash
+               FROM documents WHERE doc_id % 13 <> 5)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.old_hash <> b.new_hash THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                a.old_hash, b.new_hash
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
     "j03_merge_upsert" ->
       """WITH src AS (
            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

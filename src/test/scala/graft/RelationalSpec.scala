@@ -335,6 +335,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.bloomPrefilterJoin(fact, dim, "k").count() == 0)
   }
 
+  test("q60 corpus diff: all four statuses surface with the right hash " +
+       "null-pattern") {
+    // ids chosen to hit every status under the version predicates:
+    // 0 %17=0 → patched in B → changed; 1 → unchanged;
+    // 3 %11=3 → absent from A → added; 5 %13=5 → absent from B → removed
+    val dir = Files.createTempDirectory("graft_q60").toString
+    Seq((0L, "alpha beta", "en", "s0", 10L), (1L, "gamma", "en", "s0", 5L),
+        (3L, "delta", "en", "s1", 5L), (5L, "epsilon", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.all("q60_corpus_diff")(spark, dir)
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3.isDefined, r._4.isDefined))).toMap
+    assert(out == Map(
+      0L -> (("changed", true, true)),
+      1L -> (("unchanged", true, true)),
+      3L -> (("added", false, true)),
+      5L -> (("removed", true, false))))
+  }
+
   test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
     val keys = Gen.listOfN(30, Gen.choose(0, 5))
     val prop = Prop.forAll(keys, keys) { (l, r) =>

@@ -286,6 +286,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.95, f"recall $recall%.4f below 0.95")
   }
 
+  test("law: s13 matryoshka cascade recall >= 0.9 vs s01's full-width " +
+       "top-10 (measured on the harness corpus)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("s01_cosine_topk")(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val got = SparkEntry.queries("s13_matryoshka_topk")(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"s13 recall vs full-width s01 top-10: $recall%.4f")
+    assert(recall >= 0.9, f"recall $recall%.4f below 0.9")
+  }
+
+  test("law: s12 in-batch negatives — bounded batches, single batch per " +
+       "vector, cross-label only, scores exactly the pinned cosine fold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("s12_inbatch_negatives")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    // pair manifest is duplicate-free and anchor < negative
+    assert(out.length == out.map(r => (r._1, r._2, r._3)).distinct.length)
+    assert(out.forall(r => r._2 < r._3))
+    // each vector lives in exactly ONE batch, and batches hold <= 32
+    val membership = out.flatMap(r => Seq((r._2, r._1), (r._3, r._1))).distinct
+    val perVec = membership.groupBy(_._1).values.map(_.length)
+    assert(perVec.forall(_ == 1), "a vector appeared in two batches")
+    val perBatch = membership.groupBy(_._2).values.map(_.length)
+    assert(perBatch.forall(_ <= 32))
+    // negatives must cross labels, and every score is the left-to-right
+    // cosine fold recomputed driver-side — bit-exact
+    val meta = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.zip(b).foreach { case (x, y) => dot += x * y }
+      a.foreach(x => na += x * x); b.foreach(y => nb += y * y)
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    out.foreach { case (_, aId, bId, score) =>
+      val (la, va) = meta(aId); val (lb, vb) = meta(bId)
+      assert(la != lb, s"same-label pair ($aId, $bId)")
+      assert(score == cos(va, vb), s"score drift on ($aId, $bId)")
+    }
+    // the manifest is COMPLETE: per batch, every cross-label ordered
+    // pair of co-batched vectors is present
+    val byBatch = membership.groupBy(_._2)
+    val expected = byBatch.map { case (_, ms) =>
+      val ids = ms.map(_._1)
+      ids.combinations(2).count(p =>
+        meta(p.min)._1 != meta(p.max)._1)
+    }.sum
+    assert(out.length == expected)
+  }
+
   test("law: s10 bucketed k-NN join on a CLUSTERED corpus: recall >= 0.95 " +
        "vs brute-force top-3 at candidate fraction << 1") {
     // 64 tight gaussian clusters of 32 members (the realistic embedding

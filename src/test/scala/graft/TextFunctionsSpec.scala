@@ -71,6 +71,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("ttr") == 1.0) // all tokens distinct
   }
 
+  test("t27 quality classifier: hand-computed scores, empty-doc zero, " +
+       "duplication invariance") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_t27").toString
+    Seq(
+      (0L, "merge window merge", "en", "s0", 18L),
+      (1L, "", "en", "s0", 0L),
+      (2L, "   ", "en", "s0", 3L),
+      (3L, "fast join", "en", "s1", 9L),
+      (4L, "fast join fast join", "en", "s1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.queries("t27_quality_classifier")(spark, dir)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // reference arithmetic recomputed from the public FNV-1a definition
+    def scoreOf(terms: Seq[String]): Double = {
+      val num = terms.map { t =>
+        val h = graft.functions.Fnv.hashBytes(t.getBytes("UTF-8"))
+        val sign = ((h >>> 5) & 1L) * 2L - 1L
+        val bucket = java.lang.Math.floorMod(h, 32L)
+        val w = ((graft.functions.Fnv.hashBytes(
+          bucket.toString.getBytes("UTF-8")) >>> 7) % 2048L) - 1024L
+        sign * w
+      }.sum
+      num.toDouble / (terms.length * 1024L).toDouble
+    }
+    assert(out(0L) ==
+      ((3L, scoreOf(Seq("merge", "window", "merge")),
+        scoreOf(Seq("merge", "window", "merge")) > 0.0)))
+    // empty and whitespace-only docs surface with zero score, not lost
+    assert(out(1L) == ((0L, 0.0, false)))
+    assert(out(2L) == ((0L, 0.0, false)))
+    // the score is a token-frequency average: doubling the text is a
+    // no-op (num and n both double)
+    assert(out(3L)._2 == out(4L)._2)
+    assert(out.size == 5)
+  }
+
   test("redactPii: emails and phones redacted, clean text untouched, all occurrences") {
     val out = Seq(
       "mail a.b+c@sub.example.org now",
