@@ -1683,6 +1683,45 @@ object NorthStar {
           col("score").as("max_eval_sim"))
     }),
 
+    // embedding-space DRIFT monitoring — the health check run when a
+    // corpus is re-embedded (model upgrade, data refresh): per label,
+    // compare the centroid of snapshot A (even vec_ids stand in for
+    // yesterday's embeddings) against snapshot B (odd ids), reporting
+    // member counts and the centroid cosine. Composes e04's machinery:
+    // per-(label, side, dim) means via the vec_id-ordered pinned fold
+    // (bit-identical across engines — the deterministic-reduction
+    // contract), assembled into per-side centroid arrays ordered by
+    // dim, one tiny label-keyed join. Result cardinality is |labels|
+    // regardless of corpus size; every shuffle key contains the label,
+    // so the plan is two map-side-combinable aggregations + a broadcast-
+    // scale join — the natural 100 TB monitoring layout.
+    "e12_embedding_drift" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val means = e
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_a"),
+          col("vec_id"), posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("is_a"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+              x => x.getField("val")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("label"), col("is_a"), col("dim"), col("n"),
+          (col("s") / col("n")).as("m"))
+      val centroids = means.groupBy(col("label"), col("is_a"))
+        .agg(max(col("n")).as("n"),
+          transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+            x => x.getField("m")).as("c"))
+      val a = centroids.filter(col("is_a"))
+        .select(col("label"), col("n").as("n_a"), col("c").as("ca"))
+      val b = centroids.filter(!col("is_a"))
+        .select(col("label"), col("n").as("n_b"), col("c").as("cb"))
+      a.join(b, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          VF.cosine(col("ca"), col("cb")).as("centroid_cos"))
+    }),
+
     // two-corpus bucketed k-NN RETRIEVAL — the batch-RAG / hard-negative
     // shape: every query-side vector (vec_id % 10 == 0, ~10%) gets its
     // top-3 index-side neighbors. Unlike s07 (small arrival batch
@@ -3125,6 +3164,27 @@ object NorthStar {
           FROM p a JOIN p b
             ON a.batch_id = b.batch_id AND a.vec_id < b.vec_id
            AND a.label <> b.label""",
+    // e04's per-cell pinned-fold mean replayed per (label, side, dim),
+    // centroids assembled in dim order, cosine with the pinned fold
+    "e12_embedding_drift" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            pe AS (SELECT label, vec_id % 2 = 0 AS is_a, vec_id,
+                     CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                     unnest(v) AS val
+                   FROM e),
+            g AS (SELECT label, is_a, dim, COUNT(*) AS n,
+                    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                                (p, q) -> p + q) AS s
+                  FROM pe GROUP BY 1, 2, 3),
+            m AS (SELECT label, is_a, dim, n, s / n AS m FROM g),
+            c AS (SELECT label, is_a, max(n) AS n,
+                    list(m ORDER BY dim) AS c
+                  FROM m GROUP BY 1, 2)
+          SELECT a.label, a.n AS n_a, b.n AS n_b,
+                 ${cosineSql("a.c", "b.c")} AS centroid_cos
+          FROM c a JOIN c b ON a.label = b.label
+          WHERE a.is_a AND NOT b.is_a""",
     // both cascade stages replayed: prefix-32 coarse top-192 (list_slice),
     // exact full-width rerank top-10 — same fold, same tie order
     "s13_matryoshka_topk" ->

@@ -132,6 +132,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("e12 embedding drift: counts split the corpus, cosine matches a " +
+       "driver-side centroid recompute, self-drift is exactly 1") {
+    val got = q("e12_embedding_drift")
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val byLabel = vecs.groupBy(_._2)
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (label, members) =>
+      val (_, nA, nB, cos) = got(label)
+      val (as, bs) = members.partition(_._1 % 2 == 0)
+      assert(nA == as.length && nB == bs.length)
+      def centroid(xs: Seq[(Long, Int, Seq[Double])]): Array[Double] = {
+        val dim = xs.head._3.length
+        val c = Array.fill(dim)(0.0)
+        // vec_id-ordered fold per dimension — the operator's pinned order
+        xs.sortBy(_._1).foreach(x => (0 until dim).foreach(d => c(d) += x._3(d)))
+        c.map(_ / xs.length)
+      }
+      val (ca, cb) = (centroid(as), centroid(bs))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (ca.indices).foreach { d =>
+        dot += ca(d) * cb(d); na += ca(d) * ca(d); nb += cb(d) * cb(d)
+      }
+      assert(cos == dot / (math.sqrt(na) * math.sqrt(nb)),
+        s"label $label centroid cosine drifted from the pinned recompute")
+      assert(cos >= -1.0 && cos <= 1.0)
+    }
+  }
+
   test("e05 PQ codes: 8 digits in [0,16) matching brute-force argmin sub-centroids") {
     val got = q("e05_pq_code").as[(Long, String)].collect().toMap
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

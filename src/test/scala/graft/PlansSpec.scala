@@ -365,6 +365,36 @@ class PlansSpec extends AnyFunSuite {
     NorthStar.releaseCaches(spark, "/root/testdata/sf0.001")
   }
 
+  test("round-7 plan shapes: s12 equi-join only, s13 two TakeOrdered " +
+       "stages, q60 shuffles digests not text") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(n: String) =
+      SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+    // s12: the per-batch pair join is an equi-join on batch_id — never a
+    // cartesian/BNLJ — and the predicate pair lives in the join condition
+    val s12 = plan("s12_inbatch_negatives")
+    assert(!s12.contains("CartesianProduct") && !s12.contains("NestedLoop"),
+      s"s12 must join on batch_id:\n$s12")
+    // s13: both cascade stages are per-partition top-C + driver merge;
+    // the corpus is never globally sorted
+    val s13 = plan("s13_matryoshka_topk")
+    assert(s13.split("\n").count(_.contains("TakeOrderedAndProject")) == 2,
+      s"s13 expects coarse+rerank TakeOrdered stages:\n$s13")
+    assert(!s13.contains("Exchange"), s"s13 must not shuffle the corpus:\n$s13")
+    // q60: md5 is computed below the join, so the full-outer exchange
+    // carries (doc_id, digest) — the text column must not reach the join
+    val q60 = SparkEntry.queries("q60_corpus_diff")(spark, dir)
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose children aren't visible to collect
+    val joins = q60.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "q60 should plan a shuffled full-outer join")
+    assert(joins.forall(_.output.forall(a => a.name != "text")),
+      "q60's join must move digests, not document text")
+  }
+
   test("ANN cascades are SQL-callable as registered views and match the " +
        "Scala compositions") {
     val dir = "/root/testdata/sf0.001"

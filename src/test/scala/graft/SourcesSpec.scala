@@ -57,4 +57,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 1)
     assert(df.collect().head.getString(0).contains("\"name\":\"Houston\""))
   }
+
+  test("ORC round-trip: schema, values, and predicate pushdown survive " +
+       "the columnar format swap") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.write.mode("overwrite").orc(s"$dir/documents.orc")
+    val back = spark.read.orc(s"$dir/documents.orc")
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    val a = src.orderBy(col("doc_id")).collect()
+    val b = back.orderBy(col("doc_id")).collect()
+    assert(a.sameElements(b))
+    // filters reach the ORC scan just as they do on parquet
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
+      s"expected pushed filter in:\n$plan")
+  }
 }
