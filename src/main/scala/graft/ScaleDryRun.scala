@@ -383,8 +383,35 @@ object ScaleDryRun {
 
     mode match {
       case "clustered" => clusteredMode(spark, workDir, factor)
+      case "r7" => round7Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
+  }
+
+  /** Round-7 tier scale posture: the five new ops at 1x vs factor-x,
+    * wall + shuffle bytes + output rows. Expected shapes — s12 O(n·B)
+    * pair manifest (rows grow ~linearly, per-batch fan-out constant),
+    * s13 a bounded-candidate two-stage scan (10 rows out at any n),
+    * t27 one doc-keyed aggregation, q60 a digest-only full-outer join,
+    * e12 |labels| rows from label-keyed aggregations. None touch a
+    * pair space. */
+  private def round7Mode(spark: SparkSession, srcDir: String, factor: Int,
+                         workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    materialize(spark, s"$synthDir/embeddings.parquet")(
+      synthesizeEmbeddings(spark, srcDir, factor))
+    val ops = Seq("s12_inbatch_negatives", "s13_matryoshka_topk",
+      "t27_quality_classifier", "q60_corpus_diff", "e12_embedding_drift")
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
+         op <- ops) {
+      val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
+      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+    }
   }
 }
