@@ -58,6 +58,102 @@ object StreamingIngest {
       .start()
 
   /**
+   * Streaming corpus CDC — the streaming twin of batch q60's snapshot
+   * diff: arrivals carry (doc_id, text) (text NULL = tombstone), each
+   * micro-batch is compared against the corpus state accumulated so far
+   * and emits change EVENTS (added / changed / removed; unchanged
+   * arrivals emit nothing) into an append-only, batch-partitioned
+   * store. The store IS the state: the current corpus is the latest
+   * event per doc_id with removals filtered ([[snapshotState]]), so
+   * there is no second state store to keep consistent. Exactly-once
+   * shape: events are derived against state EXCLUDING the batch's own
+   * partition and written with dynamic partition overwrite, so a
+   * replayed batch recomputes identical events and replaces itself
+   * (replays are always of the LATEST batch — checkpoint commits are
+   * sequential). All joins move (doc_id, 32-hex digest) rows — q60's 100 TB
+   * contract; text never reaches a shuffle. Long-lived stores compact
+   * like the agg-maintenance view: fold old partitions into one
+   * snapshot partition with the same latest-event-wins reduction.
+   */
+  def startSnapshotDiff(docs: DataFrame, storePath: String,
+                        checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        snapshotDiffBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** The per-batch diff-and-append behind [[startSnapshotDiff]], exposed
+    * for direct unit testing (incl. true replays). */
+  private[graft] def snapshotDiffBatch(batch: DataFrame, storePath: String,
+                                       batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // one version per doc per batch: content beats tombstone, ties
+    // break to the max digest — deterministic under any partitioning
+    val arrivals = batch
+      .select(col("doc_id"),
+        when(col("text").isNotNull, md5(col("text"))).as("digest"))
+      .groupBy(col("doc_id")).agg(max(col("digest")).as("digest"))
+      .persist()
+    try {
+      if (arrivals.count() == 0) return
+      val storeExists = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(storePath))
+      val state =
+        if (!storeExists)
+          arrivals.select(col("doc_id"), col("digest").as("old_digest")).limit(0)
+        else
+          // exclude the batch's own partition: on a true replay the
+          // store already holds this batch's events, and reading them
+          // back would turn every re-arrival into "unchanged"
+          stateAsOf(spark.read.parquet(storePath)
+            .filter(col("_batch_id") =!= batchId))
+            .select(col("doc_id"), col("digest").as("old_digest"))
+      val events = arrivals.join(state, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("digest"),
+          when(col("digest").isNull && col("old_digest").isNotNull,
+            "removed")
+            .when(col("digest").isNotNull && col("old_digest").isNull,
+              "added")
+            .when(col("digest") =!= col("old_digest"), "changed")
+            .as("status"))
+        .filter(col("status").isNotNull)
+      // an empty write on a fresh path would leave a schemaless dir that
+      // wedges every later read — same contract as the vector gate
+      if (events.count() == 0) return
+      events.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(storePath)
+    } finally arrivals.unpersist()
+  }
+
+  /** Latest event per doc_id (highest _batch_id wins; docs are unique
+    * within a batch by construction), removals filtered — the current
+    * corpus digest table. */
+  private def stateAsOf(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("_batch_id").desc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("status") =!= "removed")
+      .select(col("doc_id"), col("digest"))
+  }
+
+  /** The corpus as of the last drained batch: (doc_id, digest). */
+  def snapshotState(spark: SparkSession, storePath: String): DataFrame =
+    stateAsOf(spark.read.parquet(storePath))
+
+  /** All change events in batch order: (doc_id, digest, status, _batch_id). */
+  def snapshotEvents(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(col("doc_id"), col("digest"), col("status"), col("_batch_id"))
+
+  /**
    * Streaming incremental materialized-view maintenance — the streaming
    * twin of batch j04: each micro-batch reduces to per-key PARTIAL
    * aggregates (count + exact DECIMAL sum — the ⊕-mergeable form) and

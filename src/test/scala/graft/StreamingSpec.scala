@@ -47,6 +47,85 @@ class StreamingSpec extends AnyFunSuite {
     assert(after.select(countDistinct(col("time_of_record"))).collect().head.getLong(0) == 2)
   }
 
+  test("snapshot-diff CDC gate: add/change/remove/re-add events, state " +
+       "tracks them, unchanged arrivals emit nothing, true replay is a no-op") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_cdc").toString + "/store"
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    def events(): Seq[(Long, String, Long)] =
+      StreamingIngest.snapshotEvents(spark, store)
+        .select(col("doc_id"), col("status"), col("_batch_id"))
+        .as[(Long, String, Long)].collect().toSeq.sorted
+    def state(): Map[Long, String] =
+      StreamingIngest.snapshotState(spark, store)
+        .as[(Long, String)].collect().toMap
+
+    // batch 0: two fresh docs -> both added
+    StreamingIngest.snapshotDiffBatch(df(1L -> "alpha", 2L -> "beta"), store, 0L)
+    assert(events() == Seq((1L, "added", 0L), (2L, "added", 0L)))
+    assert(state().keySet == Set(1L, 2L))
+
+    // batch 1: doc 1 unchanged (no event), doc 2 edited, doc 3 new
+    StreamingIngest.snapshotDiffBatch(
+      df(1L -> "alpha", 2L -> "beta2", 3L -> "gamma"), store, 1L)
+    assert(events().filter(_._3 == 1L) ==
+      Seq((2L, "changed", 1L), (3L, "added", 1L)))
+    assert(state().keySet == Set(1L, 2L, 3L))
+
+    // TRUE replay of batch 1 (store write committed, checkpoint commit
+    // lost, engine re-runs the SAME batch — always the LATEST batch,
+    // since checkpoint commits are sequential): events recompute
+    // identically against state-minus-own-partition and replace their
+    // own partition — the store is unchanged
+    val before = events()
+    StreamingIngest.snapshotDiffBatch(
+      df(1L -> "alpha", 2L -> "beta2", 3L -> "gamma"), store, 1L)
+    assert(events() == before)
+    assert(state().keySet == Set(1L, 2L, 3L))
+
+    // batch 2: tombstone doc 1; tombstone for an unknown doc is a no-op
+    StreamingIngest.snapshotDiffBatch(
+      Seq[(Long, String)]((1L, null), (99L, null)).toDF("doc_id", "text"),
+      store, 2L)
+    assert(events().filter(_._3 == 2L) == Seq((1L, "removed", 2L)))
+    assert(state().keySet == Set(2L, 3L))
+
+    // batch 3: doc 1 re-added after removal -> "added" again; an
+    // unchanged re-arrival of doc 3 stays silent
+    StreamingIngest.snapshotDiffBatch(df(1L -> "alpha3", 3L -> "gamma"),
+      store, 3L)
+    assert(events().filter(_._3 == 3L) == Seq((1L, "added", 3L)))
+    assert(state().keySet == Set(1L, 2L, 3L))
+
+    // empty batch writes nothing and breaks nothing
+    StreamingIngest.snapshotDiffBatch(df(), store, 4L)
+    assert(events().map(_._3).max == 3L)
+  }
+
+  test("snapshot-diff gate end to end: AvailableNow drain over a memory " +
+       "stream lands the same events as the per-batch path") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cdc_e2e").toString
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((7L, "seven"), (8L, "eight"))
+    val q = StreamingIngest.startSnapshotDiff(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    q.awaitTermination()
+    assert(StreamingIngest.snapshotEvents(spark, store)
+      .select(col("status")).as[String].collect().toSeq == Seq("added", "added"))
+    // second drain: one edit
+    mem.addData((8L, "eight-v2"))
+    val q2 = StreamingIngest.startSnapshotDiff(
+      mem.toDF().toDF("doc_id", "text"), store, ckpt)
+    q2.awaitTermination()
+    assert(StreamingIngest.snapshotEvents(spark, store)
+      .filter(col("status") === "changed")
+      .select(col("doc_id")).as[Long].collect().toSeq == Seq(8L))
+    assert(StreamingIngest.snapshotState(spark, store).count() == 2)
+  }
+
   test("incremental agg maintenance: view tracks the full recompute across batches and replays") {
     val root = Files.createTempDirectory("graft_aggmaint").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
