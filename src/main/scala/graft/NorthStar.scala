@@ -1147,6 +1147,40 @@ object NorthStar {
         .withColumn("keep", col("score") > 0.0)
     }),
 
+    // corpus DATASHEET — the per-source release report every corpus
+    // ships with (datasheets-for-datasets shape): document and token
+    // counts, exact duplicate ratio (distinct fingerprints vs docs),
+    // dominant language and its share. Pure composition of the tier's
+    // primitives (t01 token count, d01 fingerprint, t03's lang column)
+    // reduced to |sources| rows: two source-keyed aggregations + a
+    // per-source mode window over the tiny (source, lang) count table +
+    // one broadcast-scale join — nothing in the plan scales with corpus
+    // size except the two map-side-combined scans.
+    "t28_corpus_datasheet" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("source"), col("lang"),
+        TF.tokenCount(col("text")).cast(LongType).as("ntk"),
+        TF.fingerprint(col("text")).as("fp"))
+      val agg = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntk")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct"))
+      val lc = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+      val top = lc.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("lang").as("top_lang"),
+          col("c").as("top_lang_docs"))
+      agg.join(top, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType)
+            / col("n_docs").cast(DoubleType)).as("dup_ratio"),
+          col("top_lang"),
+          (col("top_lang_docs").cast(DoubleType)
+            / col("n_docs").cast(DoubleType)).as("top_lang_share"))
+    }),
+
     // systematic probability-proportional-to-size sampling by token
     // mass — the weighted complement of t10's per-stratum fraction: one
     // selection per crossing of a W/k boundary in cumulative-weight
@@ -2176,6 +2210,29 @@ object NorthStar {
                   AS features
          FROM dense GROUP BY 1"""
     },
+    // t01's token count + d01's fingerprint + a per-source mode window;
+    // integer counts until the two share divisions
+    "t28_corpus_datasheet" ->
+      s"""WITH base AS (SELECT source, lang,
+                 CAST(len($sqlToks) AS BIGINT) AS ntk,
+                 md5(array_to_string($sqlToks, ' ')) AS fp
+               FROM documents),
+         a AS (SELECT source, count(*) AS n_docs,
+                 CAST(SUM(ntk) AS BIGINT) AS n_tokens,
+                 count(DISTINCT fp) AS n_distinct
+               FROM base GROUP BY 1),
+         lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2),
+         top AS (SELECT source, lang AS top_lang, c AS top_lang_docs,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang) AS rn
+                 FROM lc)
+         SELECT a.source, a.n_docs, a.n_tokens,
+                CAST(1.0 AS DOUBLE) - CAST(n_distinct AS DOUBLE)
+                  / CAST(a.n_docs AS DOUBLE) AS dup_ratio,
+                t.top_lang,
+                CAST(t.top_lang_docs AS DOUBLE)
+                  / CAST(a.n_docs AS DOUBLE) AS top_lang_share
+         FROM a JOIN top t ON a.source = t.source AND t.rn = 1""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact

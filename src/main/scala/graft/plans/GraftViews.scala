@@ -59,4 +59,26 @@ object GraftViews {
       }
     bucketed.createOrReplaceTempView("graft_ann_knn_bucketed")
   }
+
+  /**
+   * Round-7 training-pipeline views — same contract as [[registerAnn]]:
+   * lazy plans over the corpus dir, parameters fixed at registration.
+   *
+   * | view | composition | shape |
+   * |---|---|---|
+   * | `graft_inbatch_negatives` | hash-batched cross-label pairs (s12) | (batch_id, anchor_id, neg_id, score) |
+   * | `graft_matryoshka_topk`   | prefix-dim cascade (s13)             | (vec_id, score), top-10 |
+   * | `graft_quality_scores`    | hashed linear classifier (t27)       | (doc_id, n_tokens, score, keep) |
+   * | `graft_corpus_diff`       | snapshot digest diff (q60)           | (doc_id, status, old_hash, new_hash) |
+   */
+  def registerPipeline(spark: SparkSession, dir: String): Unit = {
+    graft.SparkEntry.queries("s12_inbatch_negatives")(spark, dir)
+      .createOrReplaceTempView("graft_inbatch_negatives")
+    graft.SparkEntry.queries("s13_matryoshka_topk")(spark, dir)
+      .createOrReplaceTempView("graft_matryoshka_topk")
+    graft.SparkEntry.queries("t27_quality_classifier")(spark, dir)
+      .createOrReplaceTempView("graft_quality_scores")
+    graft.SparkEntry.queries("q60_corpus_diff")(spark, dir)
+      .createOrReplaceTempView("graft_corpus_diff")
+  }
 }

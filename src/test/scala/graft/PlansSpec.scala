@@ -420,6 +420,29 @@ class PlansSpec extends AnyFunSuite {
     NorthStar.releaseCaches(spark, dir)
   }
 
+  test("round-7 pipeline views are SQL-callable and match the Scala " +
+       "compositions") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.GraftViews.registerPipeline(spark, dir)
+    for (view <- Seq("graft_inbatch_negatives", "graft_matryoshka_topk",
+                     "graft_quality_scores", "graft_corpus_diff")) {
+      assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
+        s"$view returned no rows")
+    }
+    val viaSql = spark.sql(
+      "SELECT batch_id, anchor_id, neg_id FROM graft_inbatch_negatives")
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = SparkEntry.queries("s12_inbatch_negatives")(spark, dir)
+      .select(col("batch_id"), col("anchor_id"), col("neg_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSql == direct)
+    // views compose downstream: keep-rate per status-free SQL consumer
+    val keepRate = spark.sql(
+      """SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) FROM graft_quality_scores""").as[Double].head()
+    assert(keepRate >= 0.0 && keepRate <= 1.0)
+  }
+
   test("bounded-window contract: every unpartitioned WindowExec in the " +
        "harness queries feeds on a bounded input that does NOT scale " +
        "with the corpus") {

@@ -110,6 +110,25 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("t28 corpus datasheet: hand-computed per-source counts, dup ratio, " +
+       "dominant language") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_t28").toString
+    Seq(
+      (0L, "a b", "en", "s0", 3L),
+      (1L, "a b", "en", "s0", 3L),    // exact dup of doc 0
+      (2L, "c", "fr", "s0", 1L),
+      (3L, "d e f", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = NorthStar.queries("t28_corpus_datasheet")(spark, dir)
+      .as[(String, Long, Long, Double, String, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("s0") == (("s0", 3L, 5L, 1.0 - 2.0 / 3.0, "en", 2.0 / 3.0)))
+    assert(out("s1") == (("s1", 1L, 3L, 0.0, "en", 1.0)))
+    assert(out.size == 2)
+  }
+
   test("redactPii: emails and phones redacted, clean text untouched, all occurrences") {
     val out = Seq(
       "mail a.b+c@sub.example.org now",
