@@ -551,6 +551,21 @@ object NorthStar {
             .otherwise("kept").as("verdict"))
     }),
 
+    // the RELEASE manifest — what actually ships: d13's rule-based
+    // verdict pipeline composed with t27's model-based quality gate
+    // (the two filters every production corpus passes: deterministic
+    // rules + a learned classifier). A pure doc_id-keyed composition of
+    // two already-verified queries — the oracle embeds THE SAME two
+    // oracle bodies as subqueries, so the composed replay cannot drift
+    // from its stages; the join reuses d13's memoized pair machinery.
+    "d16_corpus_release" -> ((s, dir) => {
+      val verdict = queries("d13_dedup_verdict")(s, dir)
+      val gate = queries("t27_quality_classifier")(s, dir)
+      verdict.filter(col("verdict") === "kept").select(col("doc_id"))
+        .join(gate.filter(col("keep"))
+          .select(col("doc_id"), col("score")), Seq("doc_id"))
+    }),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -2101,7 +2116,9 @@ object NorthStar {
        SELECT vec_id, neighbor_id, score FROM fin WHERE rn <= $k"""
   }
 
-  val oracles: Map[String, String] = Map(
+  /** All oracle SQL except the compositions that quote other entries —
+    * see [[oracles]], which closes over this map. */
+  private val oraclesBase: Map[String, String] = Map(
     // Replays the whole two-level sketch flat: per-source distinct token
     // set (min-of-mins collapses the doc level), FNV base hash, the
     // MinHashMix finalizer per component j, signed min per (source, j),
@@ -3258,4 +3275,16 @@ object NorthStar {
           FROM coarse c, q
           ORDER BY score DESC, c.vec_id LIMIT 10"""
   )
+
+  /** [[oraclesBase]] plus the compositions that embed other entries as
+    * subqueries — quoting the SAME strings the embedded queries are
+    * checked against, so the composed replay cannot drift from its
+    * stages. */
+  val oracles: Map[String, String] = oraclesBase +
+    // the release manifest: d13's verdict subquery × t27's gate subquery
+    ("d16_corpus_release" ->
+      s"""SELECT v.doc_id, q.score
+          FROM (${oraclesBase("d13_dedup_verdict")}) v
+          JOIN (${oraclesBase("t27_quality_classifier")}) q USING (doc_id)
+          WHERE v.verdict = 'kept' AND q.keep""")
 }

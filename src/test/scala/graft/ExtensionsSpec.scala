@@ -163,6 +163,21 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("d16 release manifest: exactly the kept-verdict docs that pass the " +
+       "model gate, scores carried through unchanged") {
+    val released = q("d16_corpus_release")
+      .as[(Long, Double)].collect().toMap
+    val kept = q("d13_dedup_verdict")
+      .filter(col("verdict") === "kept")
+      .select(col("doc_id")).as[Long].collect().toSet
+    val gate = q("t27_quality_classifier")
+      .filter(col("keep")).select(col("doc_id"), col("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(released.keySet == (kept & gate.keySet))
+    released.foreach { case (id, s) => assert(s == gate(id)) }
+    assert(released.nonEmpty)
+  }
+
   test("e05 PQ codes: 8 digits in [0,16) matching brute-force argmin sub-centroids") {
     val got = q("e05_pq_code").as[(Long, String)].collect().toMap
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
