@@ -1792,6 +1792,24 @@ object NorthStar {
         cands = cands, k = k)
     }),
 
+    // FACETED retrieval — filtered vector search, per-facet: the query's
+    // top-3 neighbors WITHIN every label (the "top results per category /
+    // per source / per language" serving shape, and the constrained-ANN
+    // primitive behind attribute-filtered vector search). One codegen'd
+    // cosine projection over the scan, then the custom TopKPerKey
+    // operator: per-partition bounded heaps keyed by label — O(n log k)
+    // with memory O(|labels|·k), no window sort, no global sort; the
+    // one exchange moves only rows that survived a partition-local heap.
+    "s14_faceted_topk" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).head().getSeq[Double](2)
+      val scored = e.select(col("label"), col("vec_id"),
+        VF.cosine(col("v"), lit(q.toArray)).as("score"))
+      graft.operators.Relational.topKPerKey(
+        scored, Seq("label"), Seq(col("score").desc, col("vec_id").asc), 3)
+    }),
+
     // in-batch negative mining — the contrastive-training manifest
     // (DPR / SimCLR shape): examples are hash-shuffled into fixed-size
     // batches and every co-batched cross-label pair becomes a negative,
@@ -3218,6 +3236,20 @@ object NorthStar {
       s"""SELECT vec_id, neighbor_id AS eval_id, score AS max_eval_sim
           FROM ($cascade) WHERE score >= 0.35"""
     },
+    // per-label rank replay of the faceted heap (row_number is exact
+    // because (score DESC, vec_id) is a total order)
+    "s14_faceted_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+            sc AS (SELECT e.label, e.vec_id,
+                     ${cosineSql("CAST(e.embedding AS DOUBLE[])", "q.qv")}
+                       AS score
+                   FROM embeddings e, q),
+            r AS (SELECT label, vec_id, score,
+                    row_number() OVER (PARTITION BY label
+                                       ORDER BY score DESC, vec_id) AS rn
+                  FROM sc)
+          SELECT label, vec_id, score FROM r WHERE rn <= 3""",
     // batch assignment replayed from the md5 shuffle key (t24's algebra:
     // 1-based serial position over (key, vec_id) order, div batch size),
     // then the bounded per-batch cross-label self-join with the pinned

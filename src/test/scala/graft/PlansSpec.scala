@@ -381,6 +381,11 @@ class PlansSpec extends AnyFunSuite {
     assert(s13.split("\n").count(_.contains("TakeOrderedAndProject")) == 2,
       s"s13 expects coarse+rerank TakeOrdered stages:\n$s13")
     assert(!s13.contains("Exchange"), s"s13 must not shuffle the corpus:\n$s13")
+    // s14: the faceted cut is the custom bounded-heap operator, not a
+    // window over a full partition sort
+    val s14 = plan("s14_faceted_topk")
+    assert(s14.contains("TopKPerKey"), s"s14 should plan TopKPerKey:\n$s14")
+    assert(!s14.contains("Window"), s"s14 must not fall back to a window:\n$s14")
     // q60: md5 is computed below the join, so the full-outer exchange
     // carries (doc_id, digest) — the text column must not reach the join
     val q60 = SparkEntry.queries("q60_corpus_diff")(spark, dir)
