@@ -70,8 +70,14 @@ object GraftViews {
    * | `graft_matryoshka_topk`   | prefix-dim cascade (s13)             | (vec_id, score), top-10 |
    * | `graft_quality_scores`    | hashed linear classifier (t27)       | (doc_id, n_tokens, score, keep) |
    * | `graft_corpus_diff`       | snapshot digest diff (q60)           | (doc_id, status, old_hash, new_hash) |
+   * | `graft_faceted_topk`      | per-label bounded-heap top-k (s14)   | (label, vec_id, score), top-3/label |
+   * | `graft_corpus_release`    | verdict × model gate (d16)           | (doc_id, score) |
    */
   def registerPipeline(spark: SparkSession, dir: String): Unit = {
+    graft.SparkEntry.queries("s14_faceted_topk")(spark, dir)
+      .createOrReplaceTempView("graft_faceted_topk")
+    graft.SparkEntry.queries("d16_corpus_release")(spark, dir)
+      .createOrReplaceTempView("graft_corpus_release")
     graft.SparkEntry.queries("s12_inbatch_negatives")(spark, dir)
       .createOrReplaceTempView("graft_inbatch_negatives")
     graft.SparkEntry.queries("s13_matryoshka_topk")(spark, dir)

@@ -430,7 +430,8 @@ class PlansSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     graft.plans.GraftViews.registerPipeline(spark, dir)
     for (view <- Seq("graft_inbatch_negatives", "graft_matryoshka_topk",
-                     "graft_quality_scores", "graft_corpus_diff")) {
+                     "graft_quality_scores", "graft_corpus_diff",
+                     "graft_faceted_topk", "graft_corpus_release")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
