@@ -1771,6 +1771,60 @@ object NorthStar {
           VF.cosine(col("ca"), col("cb")).as("centroid_cos"))
     }),
 
+    // embedding OUTLIER detection — the garbage-embedding filter every
+    // ingest runs (corrupt decode, wrong-model vectors, mislabeled
+    // rows): per label, each vector's L2 distance to its label centroid
+    // is z-scored against the label cohort; |z| beyond 2 flags the
+    // vector. Three label-keyed aggregations (centroid via the e04/e12
+    // pinned fold, then pinned mean and second moment of the distance),
+    // each map-side-combinable with |labels|-scale outputs; the only
+    // corpus-sized rows are the (vec_id, dist, z) result itself. The
+    // pinned vec_id-ordered folds keep every statistic bit-replayable
+    // in the oracle — the deterministic-reduction contract again.
+    "e13_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val means = e
+        .select(col("label"), col("vec_id"),
+          posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+              x => x.getField("val")),
+            lit(0.0), (a, x) => a + x).as("s"))
+        .select(col("label"), col("dim"), (col("s") / col("n")).as("m"))
+      val cent = means.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("c"))
+      val dists = e.join(cent, Seq("label"))
+        .select(col("vec_id"), col("label"),
+          sqrt(aggregate(zip_with(col("v"), col("c"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x))
+            .as("dist"))
+      val mu = dists.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("dist")))),
+              x => x.getField("dist")),
+            lit(0.0), (a, x) => a + x).as("sd"))
+        .select(col("label"), col("n"), (col("sd") / col("n")).as("mu"))
+      val sg = dists.join(mu, Seq("label"))
+        .groupBy(col("label"))
+        .agg(min(col("mu")).as("mu"), min(col("n")).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"),
+              ((col("dist") - col("mu")) * (col("dist") - col("mu")))
+                .as("dd")))),
+              x => x.getField("dd")),
+            lit(0.0), (a, x) => a + x).as("ss"))
+        .select(col("label"), col("mu"), sqrt(col("ss") / col("n")).as("sigma"))
+      dists.join(sg, Seq("label"))
+        .select(col("vec_id"), col("label"), col("dist"),
+          ((col("dist") - col("mu")) / col("sigma")).as("z"))
+        .withColumn("is_outlier", col("z") > 2.0)
+    }),
+
     // two-corpus bucketed k-NN RETRIEVAL — the batch-RAG / hard-negative
     // shape: every query-side vector (vec_id % 10 == 0, ~10%) gets its
     // top-3 index-side neighbors. Unlike s07 (small arrival batch
@@ -3270,6 +3324,39 @@ object NorthStar {
           FROM p a JOIN p b
             ON a.batch_id = b.batch_id AND a.vec_id < b.vec_id
            AND a.label <> b.label""",
+    // centroid, distance mean, and second moment each replayed with the
+    // vec_id-ordered pinned fold; z is two IEEE ops on those statistics
+    "e13_embedding_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            pe AS (SELECT label, vec_id,
+                     CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                     unnest(v) AS val
+                   FROM e),
+            g AS (SELECT label, dim, COUNT(*) AS n,
+                    list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                                (p, q) -> p + q) AS s
+                  FROM pe GROUP BY 1, 2),
+            m AS (SELECT label, dim, s / n AS m FROM g),
+            c AS (SELECT label, list(m ORDER BY dim) AS c FROM m GROUP BY 1),
+            d AS (SELECT e.vec_id, e.label, sqrt(${l2Sql("e.v", "c.c")}) AS dist
+                  FROM e JOIN c ON e.label = c.label),
+            mu AS (SELECT label, COUNT(*) AS n,
+                     list_reduce(list_prepend(0.0, list(dist ORDER BY vec_id)),
+                                 (p, q) -> p + q) AS sd
+                   FROM d GROUP BY 1),
+            mu2 AS (SELECT label, n, sd / n AS mu FROM mu),
+            sg AS (SELECT d.label, min(mu2.mu) AS mu, min(mu2.n) AS n,
+                     list_reduce(list_prepend(0.0,
+                       list((d.dist - mu2.mu) * (d.dist - mu2.mu)
+                            ORDER BY d.vec_id)),
+                       (p, q) -> p + q) AS ss
+                   FROM d JOIN mu2 ON d.label = mu2.label GROUP BY 1),
+            sg2 AS (SELECT label, mu, sqrt(ss / n) AS sigma FROM sg)
+          SELECT d.vec_id, d.label, d.dist,
+                 (d.dist - s.mu) / s.sigma AS z,
+                 (d.dist - s.mu) / s.sigma > 2.0 AS is_outlier
+          FROM d JOIN sg2 s ON d.label = s.label""",
     // e04's per-cell pinned-fold mean replayed per (label, side, dim),
     // centroids assembled in dim order, cosine with the pinned fold
     "e12_embedding_drift" ->

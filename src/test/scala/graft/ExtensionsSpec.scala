@@ -178,6 +178,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(released.nonEmpty)
   }
 
+  test("e13 embedding outliers: z-scores match a driver-side pinned " +
+       "recompute, flags are exactly the z > 2 rows") {
+    val got = q("e13_embedding_outliers")
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+    assert(got.forall(r => r._5 == (r._4 > 2.0)))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    val byLabel = vecs.groupBy(_._2)
+    val zs = got.map(r => r._1 -> r._4).toMap
+    byLabel.foreach { case (_, members) =>
+      val sorted = members.sortBy(_._1)
+      val dim = sorted.head._3.length
+      val c = Array.fill(dim)(0.0)
+      sorted.foreach(m => (0 until dim).foreach(d => c(d) += m._3(d)))
+      val cm = c.map(_ / sorted.length)
+      def dist(v: Seq[Double]): Double = {
+        var acc = 0.0
+        (0 until dim).foreach(d => acc += (v(d) - cm(d)) * (v(d) - cm(d)))
+        math.sqrt(acc)
+      }
+      var sd = 0.0
+      sorted.foreach(m => sd += dist(m._3))
+      val mu = sd / sorted.length
+      var ss = 0.0
+      sorted.foreach(m => ss += (dist(m._3) - mu) * (dist(m._3) - mu))
+      val sigma = math.sqrt(ss / sorted.length)
+      sorted.foreach { m =>
+        assert(zs(m._1) == (dist(m._3) - mu) / sigma,
+          s"z drift for vec ${m._1}")
+      }
+    }
+    // the 2-sigma rule flags a minority tail, never the bulk
+    assert(got.count(_._5) < got.length / 4)
+  }
+
   test("e05 PQ codes: 8 digits in [0,16) matching brute-force argmin sub-centroids") {
     val got = q("e05_pq_code").as[(Long, String)].collect().toMap
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
