@@ -404,7 +404,8 @@ object ScaleDryRun {
     materialize(spark, s"$synthDir/embeddings.parquet")(
       synthesizeEmbeddings(spark, srcDir, factor))
     val ops = Seq("s12_inbatch_negatives", "s13_matryoshka_topk",
-      "t27_quality_classifier", "q60_corpus_diff", "e12_embedding_drift")
+      "s14_faceted_topk", "t27_quality_classifier", "t28_corpus_datasheet",
+      "q60_corpus_diff", "e12_embedding_drift", "e13_embedding_outliers")
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
     println("|---|---|---|---|---|")
