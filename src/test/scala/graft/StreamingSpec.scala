@@ -102,6 +102,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(events().map(_._3).max == 3L)
   }
 
+  test("snapshot-diff CDC gate model check: random batch sequences match " +
+       "an in-memory reference state machine") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (seed <- Seq(11, 47, 90210)) {
+      val rnd = new scala.util.Random(seed)
+      val store = Files.createTempDirectory(s"graft_cdc_model_$seed").toString + "/store"
+      val model = scala.collection.mutable.Map.empty[Long, String]
+      var expectedEvents = Vector.empty[(Long, Long, String)] // (batch, doc, status)
+      for (batchId <- 0L until 6L) {
+        val nOps = rnd.nextInt(9)
+        val ops = Seq.fill(nOps)((rnd.nextInt(10).toLong,
+          if (rnd.nextInt(4) == 0) null
+          else s"w${rnd.nextInt(5)} w${rnd.nextInt(5)}"))
+        // the gate's within-batch collapse: content beats tombstone,
+        // ties to the max digest
+        val collapsed = ops.groupBy(_._1).map { case (id, rows) =>
+          val digests = rows.flatMap(r => Option(r._2)).map(md5hex)
+          id -> (if (digests.isEmpty) None else Some(digests.max))
+        }
+        collapsed.toSeq.sortBy(_._1).foreach { case (id, dOpt) =>
+          (dOpt, model.get(id)) match {
+            case (None, Some(_)) =>
+              expectedEvents :+= ((batchId, id, "removed")); model.remove(id)
+            case (Some(d), None) =>
+              expectedEvents :+= ((batchId, id, "added")); model(id) = d
+            case (Some(d), Some(old)) if d != old =>
+              expectedEvents :+= ((batchId, id, "changed")); model(id) = d
+            case _ => () // unchanged or tombstone-of-absent: no event
+          }
+        }
+        StreamingIngest.snapshotDiffBatch(
+          ops.toDF("doc_id", "text"), store, batchId)
+      }
+      if (expectedEvents.nonEmpty) {
+        val gotEvents = StreamingIngest.snapshotEvents(spark, store)
+          .select(col("_batch_id"), col("doc_id"), col("status"))
+          .as[(Long, Long, String)].collect().toSet
+        assert(gotEvents == expectedEvents.toSet, s"seed $seed event drift")
+        val gotState = StreamingIngest.snapshotState(spark, store)
+          .as[(Long, String)].collect().toMap
+        assert(gotState == model.toMap, s"seed $seed state drift")
+      } else assert(!new java.io.File(store).exists())
+    }
+  }
+
   test("snapshot-diff gate end to end: AvailableNow drain over a memory " +
        "stream lands the same events as the per-batch path") {
     import spark.implicits._
