@@ -864,6 +864,25 @@ object Queries {
       graft.operators.Graph.triangleStats(edges)
     }),
 
+    // degree summary + degree assortativity (Newman PRL'02) over the same
+    // part co-order graph as g05 — the macro-structure diagnostic (hubs
+    // linking to hubs vs hub-and-spoke) run over link/near-dup graphs to
+    // characterize template farms. Operator is
+    // [[graft.operators.Graph.degreeStats]]: with both edge orientations
+    // the degree marginals coincide, so Pearson r is a ratio of two
+    // INTEGER moment expressions (no sqrt, no float mean subtraction) and
+    // the single final division is bit-identical cross-engine. Constant
+    // output width; no per-key quadratic fan-out anywhere.
+    "g06_degree_stats" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Graph.degreeStats(edges)
+    }),
+
     // count-min frequency sketch (depth 4 × width 256) over per-user
     // event counts, next to the exact answer — the bounded-state
     // frequency-estimation twin of a01's KMV cardinality sketch. The
@@ -887,6 +906,64 @@ object Queries {
         .groupBy(col("user_id")).agg(min(col("cell")).as("est_count"))
       ev.join(est, Seq("user_id"))
         .select(col("user_id"), col("n").as("n_exact"), col("est_count"))
+    }),
+
+    // mergeable Bloom filter as a pure relational aggregate — the
+    // membership sketch completing the approximate tier (a01 KMV
+    // cardinality, a02 count-min frequency, a03 quantiles, a04 HLL):
+    // per-priority 256-bit blooms (4 × 64-bit lanes, k=2 probes from
+    // disjoint byte fields of one FNV hash) over a distinct custkey set,
+    // then EVERY customer key probed against every bloom with exact
+    // membership alongside — n_maybe vs n_actual exposes the
+    // false-positive mass (no false negatives by construction). Bit-OR
+    // accumulation is commutative/idempotent, so the sketch is an
+    // order-independent engine-exact function of the input set (unlike
+    // sampling sketches, no fold pinning needed) and map-side combines;
+    // state is 32 bytes per group at ANY cardinality. 256 | 2^64, so the
+    // signed bit algebra equals the unsigned residue in both engines;
+    // bit 63's mask is the signed reinterpretation Long.MinValue.
+    "a06_bloom_filter" -> ((s, dir) => {
+      import graft.functions.Hashing
+      def hu(k: Column): Column =
+        Hashing.fnvChecksum(concat(lit("bloom:"), k.cast(StringType)).cast(BinaryType))
+      // functions.shiftleft only takes a literal shift; the SQL form
+      // accepts a column — call it directly
+      def mask(bit: Column): Column =
+        call_function("shiftleft", lit(1L), bit.cast(IntegerType))
+      val el = t(s, dir, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(col("o_orderpriority").as("grp"), col("o_custkey").as("k"))
+        .distinct()
+      val pos = el.select(col("grp"),
+        explode(array(hu(col("k")).bitwiseAND(lit(255L)),
+          shiftrightunsigned(hu(col("k")), 8).bitwiseAND(lit(255L)))).as("p"))
+      val masks = pos.select(col("grp") +: (0 until 4).map(l =>
+        when(shiftright(col("p"), 6) === l, mask(col("p").bitwiseAND(lit(63L))))
+          .otherwise(lit(0L)).as(s"m$l")): _*)
+      val lanes = masks.groupBy(col("grp")).agg(
+        expr("bit_or(m0)").as("lane0"), expr("bit_or(m1)").as("lane1"),
+        expr("bit_or(m2)").as("lane2"), expr("bit_or(m3)").as("lane3"))
+      def laneOf(p: Column): Column =
+        when(shiftright(p, 6) === 0, col("lane0"))
+          .when(shiftright(p, 6) === 1, col("lane1"))
+          .when(shiftright(p, 6) === 2, col("lane2"))
+          .otherwise(col("lane3"))
+      def bitSet(p: Column): Column =
+        laneOf(p).bitwiseAND(mask(p.bitwiseAND(lit(63L)))) =!= 0
+      val probes = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"),
+          hu(col("c_custkey")).bitwiseAND(lit(255L)).as("p1"),
+          shiftrightunsigned(hu(col("c_custkey")), 8).bitwiseAND(lit(255L)).as("p2"))
+        .crossJoin(broadcast(lanes))
+        .withColumn("maybe", bitSet(col("p1")) && bitSet(col("p2")))
+      val counts = probes.select(col("grp"), col("k"), col("maybe"))
+        .join(el.withColumn("actual", lit(true)), Seq("grp", "k"), "left")
+        .groupBy(col("grp")).agg(
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(when(col("actual"), 1L).otherwise(0L)).as("n_actual"))
+      lanes.join(counts, Seq("grp"))
+        .select(col("grp"), col("lane0"), col("lane1"), col("lane2"),
+          col("lane3"), col("n_maybe"), col("n_actual"))
     }),
 
     // HyperLogLog distinct sketch (Flajolet et al. AofA'07), m = 64
@@ -1269,6 +1346,59 @@ object Queries {
           col("old_hash"), col("new_hash"))
     }),
 
+    // correlated LATERAL subquery with ORDER BY + LIMIT — the "top-N per
+    // outer row" SQL surface (Spark 3.2+'s LATERAL keyword; DuckDB has
+    // the same). The analyzer decorrelates the limit-under-correlation
+    // into a DomainJoin + per-domain window, so the declarative form
+    // plans as one join + one bounded window — NOT a nested loop
+    // re-running the inner query per outer row. The outer side (nation)
+    // is bounded metadata; the inner scan is shared across all outer
+    // rows after decorrelation, which is exactly the 100 TB contract.
+    "q61_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      """)
+    }),
+
+    // higher-order array functions — the nested-collection compute
+    // surface (transform / filter / aggregate-fold / zip_with /
+    // array_distinct / reverse / slice) over per-order quantity arrays.
+    // The collect_list is ordered deterministically by sorting
+    // (linenumber, qty) structs — collect_list order is
+    // partition-dependent, array_sort restores a canonical order — and
+    // every lambda is a codegen'd expression evaluated per element with
+    // NO row explosion: the whole query is one hash aggregate plus a
+    // per-row projection, the reason higher-order functions beat
+    // explode→groupBy rewrites at scale (no shuffle amplification by
+    // array length). Folds are pinned left-to-right in both engines
+    // (Spark `aggregate` ≡ DuckDB `list_reduce`), so double sums are
+    // bit-identical.
+    "q62_higher_order" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+          x => x.getField("l_quantity")).as("qtys"))
+        .select(
+          col("l_orderkey"),
+          size(col("qtys")).as("n_items"),
+          size(filter(col("qtys"), x => x > 25)).as("n_heavy"),
+          aggregate(col("qtys"), lit(0.0), (a, x) => a + x).as("total_qty"),
+          aggregate(
+            zip_with(col("qtys"),
+              sequence(lit(1L), size(col("qtys")).cast(LongType)),
+              (q, i) => q * i.cast(DoubleType)),
+            lit(0.0), (a, x) => a + x).as("pos_weighted"),
+          size(array_distinct(col("qtys"))).as("n_distinct"),
+          array_join(transform(slice(reverse(col("qtys")), 1, 3),
+            x => x.cast(IntegerType).cast(StringType)), ",").as("last3"))),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1283,6 +1413,37 @@ object Queries {
 
   val parityOracles: Map[String, String] = Map(
     "q01_fullscan" -> "SELECT * FROM region",
+    "q61_lateral" ->
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+         FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""",
+    // list_reduce folds left-to-right like Spark's aggregate; the
+    // list_prepend supplies the 0.0 seed. list() with ORDER BY
+    // (l_linenumber, l_quantity) pins the same canonical element order
+    // as the array_sort'd struct collect — linenumber alone is NOT a
+    // total order in this corpus (duplicate (orderkey, linenumber)
+    // pairs exist), so the qty tiebreak is load-bearing.
+    "q62_higher_order" ->
+      """WITH arr AS (
+           SELECT l_orderkey,
+                  list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey,
+                CAST(len(qtys) AS INT) AS n_items,
+                CAST(len(list_filter(qtys, x -> x > 25)) AS INT) AS n_heavy,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE), qtys),
+                            (a, x) -> a + x) AS total_qty,
+                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(qtys) + 1),
+                                   i -> qtys[CAST(i AS INT)] * i)),
+                            (a, x) -> a + x) AS pos_weighted,
+                CAST(len(list_distinct(qtys)) AS INT) AS n_distinct,
+                array_to_string(list_transform(
+                    list_slice(list_reverse(qtys), 1, 3),
+                    x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS last3
+         FROM arr""",
     "q60_corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS old_hash
                     FROM documents WHERE doc_id % 11 <> 3),
@@ -1551,6 +1712,75 @@ object Queries {
          SELECT t AS n_triangles, nw AS n_wedges,
                 3.0 * t / nw AS global_clustering
          FROM tri, wd""",
+    "g06_degree_stats" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_quantity >= 30),
+           e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+                   FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                   GROUP BY x),
+           ed AS (SELECT da.d AS du, db.d AS dv
+                  FROM e JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v),
+           s AS (SELECT CAST(count(*) AS BIGINT) AS m_half,
+                        CAST(sum(du + dv) AS BIGINT) AS sx,
+                        CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx,
+                        CAST(sum(2 * du * dv) AS BIGINT) AS sxy
+                 FROM ed),
+           vs AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                         CAST(max(d) AS BIGINT) AS max_degree
+                  FROM deg)
+         SELECT n_vertices, m_half AS n_edges, max_degree,
+                2.0 * m_half / n_vertices AS avg_degree,
+                CASE WHEN 2 * m_half * sxx - sx * sx = 0 THEN NULL
+                     ELSE CAST(2 * m_half * sxy - sx * sx AS DOUBLE)
+                          / CAST(2 * m_half * sxx - sx * sx AS DOUBLE) END
+                  AS assortativity
+         FROM s, vs""",
+    "a06_bloom_filter" -> {
+      val hu = NorthStar.fnvSql("'bloom:' || CAST(k AS VARCHAR)")
+      // 64-bit lane mask for bit position `b` (0..63): bit 63 is the
+      // signed reinterpretation; power(2, b) is exact for b <= 62
+      def msk(b: String) =
+        s"""CASE WHEN ($b) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(power(2, $b) AS BIGINT) END"""
+      def lane(l: Int) =
+        s"""bit_or(CASE WHEN p // 64 = $l THEN ${msk("p % 64")}
+                        ELSE CAST(0 AS BIGINT) END) AS lane$l"""
+      def pick(p: String) =
+        s"""CASE WHEN ($p) // 64 = 0 THEN lane0
+                 WHEN ($p) // 64 = 1 THEN lane1
+                 WHEN ($p) // 64 = 2 THEN lane2
+                 ELSE lane3 END"""
+      def bitSet(p: String) = s"(${pick(p)} & ${msk(s"($p) % 64")}) <> 0"
+      s"""WITH el AS (SELECT DISTINCT o_orderpriority AS grp, o_custkey AS k
+                      FROM orders WHERE o_custkey % 97 = 0),
+           eh AS (SELECT grp, k, $hu AS hu FROM el),
+           pos AS (SELECT grp,
+                     CAST(unnest([hu % 256, (hu // 256) % 256]) AS BIGINT) AS p
+                   FROM eh),
+           lanes AS (SELECT grp, ${lane(0)}, ${lane(1)}, ${lane(2)}, ${lane(3)}
+                     FROM pos GROUP BY grp),
+           ph AS (SELECT k, $hu AS hu
+                  FROM (SELECT c_custkey AS k FROM customer)),
+           pp AS (SELECT k, CAST(hu % 256 AS BIGINT) AS p1,
+                         CAST((hu // 256) % 256 AS BIGINT) AS p2
+                  FROM ph),
+           pj AS (SELECT l.grp, pp.k,
+                         ${bitSet("pp.p1")} AND ${bitSet("pp.p2")} AS maybe
+                  FROM pp CROSS JOIN lanes l),
+           wa AS (SELECT pj.grp, pj.maybe, el.k IS NOT NULL AS actual
+                  FROM pj LEFT JOIN el ON el.grp = pj.grp AND el.k = pj.k),
+           cnt AS (SELECT grp,
+                     CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_maybe,
+                     CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_actual
+                   FROM wa GROUP BY grp)
+         SELECT l.grp, l.lane0, l.lane1, l.lane2, l.lane3,
+                c.n_maybe, c.n_actual
+         FROM lanes l JOIN cnt c ON c.grp = l.grp"""
+    },
     "q44_scd2_history" ->
       """WITH c AS (
            SELECT user_id, event_type, ts, event_id,

@@ -89,4 +89,53 @@ object Graph {
           lit(3.0) * col("n_triangles") / col("n_wedges"))
           .as("global_clustering"))
   }
+
+  /**
+   * Degree summary + degree assortativity over an undirected simple edge
+   * set `edges(u, v)` (u < v, no self-loops, no duplicates): vertex and
+   * edge counts, max/mean degree, and the Pearson correlation of endpoint
+   * degrees over all directed edge instances (Newman, PRL'02 — positive r
+   * = hubs link to hubs, negative = hub-and-spoke; near 0 on random
+   * graphs).
+   *
+   * Exactness: including BOTH orientations of every edge makes the x and
+   * y degree marginals identical, so Pearson r collapses to
+   * (M·Σxy − S²) / (M·Σx² − S²) with S = Σx — a ratio of two INTEGER
+   * expressions, no sqrt, no mean subtraction in floating point. All
+   * moment sums are 64-bit integer aggregates (map-side combined, one
+   * shuffle of constant width); the single double division at the end is
+   * one correctly-rounded IEEE op, so the statistic is bit-identical
+   * across engines. Degree-regular graphs (zero variance) yield NULL.
+   *
+   * Scale: two scans of the edge set plus two equi-joins against the
+   * degree table keyed by vertex id; every aggregate is a scalar. No
+   * per-key fan-out anywhere, so skew cannot straggle a reducer (the
+   * heaviest vertex contributes d rows, not d²).
+   */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+    val sums = ed.agg(
+      count(lit(1)).as("m_half"),
+      sum(col("du") + col("dv")).as("sx"),
+      sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+      sum(lit(2L) * col("du") * col("dv")).as("sxy"))
+    val vstats = deg.agg(
+      count(lit(1)).as("n_vertices"), max(col("d")).as("max_degree"))
+    val m = lit(2L) * col("m_half")
+    val num = m * col("sxy") - col("sx") * col("sx")
+    val den = m * col("sxx") - col("sx") * col("sx")
+    sums.crossJoin(broadcast(vstats)).select(
+      col("n_vertices"),
+      col("m_half").as("n_edges"),
+      col("max_degree"),
+      when(col("n_vertices") > 0, lit(2.0) * col("m_half") / col("n_vertices"))
+        .as("avg_degree"),
+      when(den =!= 0, num.cast("double") / den.cast("double"))
+        .as("assortativity"))
+  }
 }

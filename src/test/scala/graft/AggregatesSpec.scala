@@ -208,4 +208,37 @@ class AggregatesSpec extends AnyFunSuite {
       .orderBy(col("k")).select(col("id")).as[Int].collect()
     assert(viaWindow.map(_.toLong).toSeq == collected.toSeq)
   }
+
+  test("a06 bloom: lanes equal a driver-side bloom build; no false negatives") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("a06_bloom_filter")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // reference bloom per group from the same element rule, via the same
+    // public FNV+byte-field algebra computed in plain Scala
+    def positions(k: Long): Seq[Int] = {
+      val h = graft.functions.Fnv.hashBytes(s"bloom:$k".getBytes("UTF-8"))
+      Seq((h & 255L).toInt, ((h >>> 8) & 255L).toInt)
+    }
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .as[(String, Long)].collect()
+    val el = orders.filter(_._2 % 97 == 0).distinct.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val custs = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey")).as[Long].collect()
+    rows.foreach { case (grp, l0, l1, l2, l3, nMaybe, nActual) =>
+      val lanes = Array.fill(4)(0L)
+      el(grp).foreach(k => positions(k).foreach(p =>
+        lanes(p >> 6) |= (1L << (p & 63))))
+      assert(Seq(l0, l1, l2, l3) == lanes.toSeq, s"$grp lanes")
+      def maybe(k: Long) = positions(k).forall(p =>
+        (lanes(p >> 6) & (1L << (p & 63))) != 0)
+      val actual = custs.count(el(grp))
+      // no false negatives: every actual member tests positive
+      assert(el(grp).forall(maybe), s"$grp false negative")
+      assert(nActual == actual && nMaybe == custs.count(maybe), s"$grp counts")
+      assert(nMaybe >= nActual, s"$grp maybe < actual")
+    }
+  }
 }

@@ -628,4 +628,87 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ordered.drop(cut.toInt).forall(_._4), s"cluster $cid kept tail")
     }
   }
+
+  test("q61 lateral: equals the window-function top-2-per-nation formulation") {
+    val got = q("q61_lateral")
+      .as[(String, String, Double)].collect().toSet
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val w = Window.partitionBy(col("n_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    val expected = n.join(c, col("n_nationkey") === col("c_nationkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("n_name"), col("c_name"), col("c_acctbal"))
+      .as[(String, String, Double)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q62 higher-order: scalars agree with a driver-side recomputation per order") {
+    val rows = q("q62_higher_order")
+      .as[(Long, Int, Int, Double, Double, Int, String)].collect()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .as[(Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sorted.map(_._2)).toMap
+    assert(rows.length == li.size)
+    rows.foreach { case (ok, nItems, nHeavy, total, posW, nDist, last3) =>
+      val qs = li(ok)
+      assert(nItems == qs.length && nHeavy == qs.count(_ > 25))
+      assert(total == qs.foldLeft(0.0)(_ + _), s"order $ok total")
+      assert(posW == qs.zipWithIndex.map { case (v, i) => v * (i + 1) }
+        .foldLeft(0.0)(_ + _), s"order $ok pos_weighted")
+      assert(nDist == qs.distinct.length)
+      assert(last3 == qs.reverse.take(3).map(_.toInt).mkString(","))
+    }
+  }
+
+  test("g06 degree stats: exact on hand graphs (star, path, triangle, empty)") {
+    import graft.operators.Graph
+    def stats(es: Seq[(Long, Long)]) = {
+      val df =
+        if (es.isEmpty) Seq.empty[(Long, Long)].toDF("u", "v")
+        else es.toDF("u", "v")
+      Graph.degreeStats(df).collect().head
+    }
+    // star K1,3: hub degree 3, leaves 1 — perfectly disassortative
+    val star = stats(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(star.getLong(0) == 4 && star.getLong(1) == 3 && star.getLong(2) == 3)
+    assert(star.getDouble(3) == 1.5 && star.getDouble(4) == -1.0)
+    // path a-b-c: degrees 1,2,1 — also r = -1
+    assert(stats(Seq((1L, 2L), (2L, 3L))).getDouble(4) == -1.0)
+    // triangle: regular graph, zero degree variance -> NULL r
+    val tri = stats(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(tri.getLong(2) == 2 && tri.isNullAt(4))
+    // empty edge set: zero counts, NULL ratios
+    val e = stats(Seq.empty)
+    assert(e.getLong(0) == 0 && e.getLong(1) == 0 && e.isNullAt(3) && e.isNullAt(4))
+  }
+
+  test("law: degreeStats assortativity equals brute-force Pearson r on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(10)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val row = graft.operators.Graph.degreeStats(es.toDF("u", "v")).collect().head
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val pairs = es.flatMap(e =>
+          Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+        val m = pairs.length.toDouble
+        val sx = pairs.map(_._1).sum.toDouble
+        val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+        val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+        val den = m * sxx - sx * sx
+        assert(row.getLong(0) == deg.size && row.getLong(1) == es.length)
+        if (den == 0) assert(row.isNullAt(4), s"trial $trial expected NULL r")
+        else assert(
+          math.abs(row.getDouble(4) - (m * sxy - sx * sx) / den) < 1e-9,
+          s"trial $trial assortativity")
+      }
+    }
+  }
 }
