@@ -768,6 +768,38 @@ object NorthStar {
           (col("rn") > ceil(lit(0.2) * col("n_c"))).as("kept"))
     }),
 
+    // cluster-balanced DIVERSITY sampling — the selection complement of
+    // e09's pruning: pick the m LEAST prototypical vectors of every
+    // cluster (the hard boundary examples active-learning / eval-set
+    // construction wants), exactly m per cluster regardless of cluster
+    // size skew, so the sample is balanced by construction. Same
+    // plan-time-literal centroid scoring as e03/e09 (bit-exact
+    // cross-engine); the per-cluster pick runs through the custom
+    // TopKPerKey bounded heaps — O(n log m) with memory O(clusters · m),
+    // no full partition sort, the selection shape that survives 100 TB
+    // (cluster count grows, per-cluster state stays m rows).
+    "e14_diverse_sample" -> ((s, dir) => {
+      val dim = 64; val nC = 16; val m = 5
+      val cnorms = (0 until nC).map(c =>
+        math.sqrt(VF.centroid(c, dim).map(x => x * x).sum)).toArray
+      val v = VF.toDouble(col("embedding"))
+      val scored = emb(s, dir)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("dots",
+          array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
+        .select(col("vec_id"),
+          array_position(col("dots"), array_max(col("dots"))).cast("int")
+            .as("centroid_id"),
+          array_max(col("dots")).as("best_dot"),
+          sqrt(VF.normSq(col("v"))).as("nrm"))
+        .select(col("vec_id"), col("centroid_id"),
+          (col("best_dot")
+            / (col("nrm") * element_at(lit(cnorms), col("centroid_id"))))
+            .as("proto_cos"))
+      graft.operators.Relational.topKPerKey(scored, Seq("centroid_id"),
+        Seq(col("proto_cos").asc, col("vec_id").asc), m)
+    }),
+
     // Johnson–Lindenstrauss random projection, Achlioptas' database-
     // friendly form (KDD'01): 64-dim embeddings drop to 16 dims through
     // the SAME deterministic ±1 Rademacher plane family the LSH tier
@@ -1194,6 +1226,39 @@ object NorthStar {
           col("top_lang"),
           (col("top_lang_docs").cast(DoubleType)
             / col("n_docs").cast(DoubleType)).as("top_lang_share"))
+    }),
+
+    // Unicode/text normalization — the cleaning pass that runs BEFORE
+    // any dedup or hashing at corpus scale (the same visible text can
+    // arrive NFD-decomposed, control-char-littered, or
+    // whitespace-mangled depending on the producer, and every byte-level
+    // fingerprint downstream would split on those variants). The corpus
+    // is deterministically dirtied (decomposed combining accents on
+    // doc_id≡0 mod 3, BEL control bytes on ≡0 mod 5, doubled spaces on
+    // ≡0 mod 7), then cleaned: NFC canonical composition (the custom
+    // codegen'd [[graft.functions.NfcNormalize]] — Spark has no
+    // built-in; both engines implement UAX #15 so the composition is
+    // engine-exact), control-char strip, single-space collapse, trim.
+    // Pure per-row projection — no shuffle, whole-stage codegen; at
+    // 100 TB this is a map-only pass fused into the ingest scan.
+    "t29_normalize" -> ((s, dir) => {
+      // decomposed "a" + U+0301 COMBINING ACUTE: NFC composes it to U+00E1
+      val d0 = when(col("doc_id") % 3 === 0,
+        regexp_replace(col("text"), "a", "a\u0301")).otherwise(col("text"))
+      val d1 = when(col("doc_id") % 5 === 0,
+        concat(lit("\u0007"), d0, lit("\u0007"))).otherwise(d0)
+      val dirty = when(col("doc_id") % 7 === 0,
+        regexp_replace(d1, " ", "  ")).otherwise(d1)
+      docs(s, dir)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"), col("dirty"),
+          trim(regexp_replace(regexp_replace(
+            Hashing.nfcNormalize(col("dirty")),
+            "[\\x00-\\x1f\\x7f]", ""), " +", " ")).as("clean"))
+        .select(col("doc_id"), col("clean"),
+          length(col("dirty")).as("n_chars_dirty"),
+          length(col("clean")).as("n_chars_clean"),
+          (col("dirty") =!= col("clean")).as("changed"))
     }),
 
     // systematic probability-proportional-to-size sampling by token
@@ -2060,6 +2125,39 @@ object NorthStar {
         .withColumn("is_cut", col("hamming") >= 18)
     }),
 
+    // keyframe selection — the stage after m06's shot-boundary
+    // detection in a video-curation pipeline: each scene is represented
+    // by its FIRST frame (the keyframe a downstream captioner/embedder
+    // actually decodes), with the scene's frame extent alongside. Scene
+    // starts = frame 0 plus every cut frame; extents close at the next
+    // start or the document's frame count. Composes directly over the
+    // m06 query (the cut table is the input contract, so the two stages
+    // cannot drift), adds one doc-keyed window — cut counts per doc are
+    // bounded by frames per doc, so the window partitions stay balanced
+    // at any corpus size.
+    "m07_keyframes" -> ((s, dir) => {
+      val frameChars = 48
+      val cuts = queries("m06_scene_cut")(s, dir)
+      val starts = cuts.filter(col("is_cut"))
+        .select(col("doc_id"), col("frame_idx"))
+        .unionByName(cuts.select(col("doc_id")).distinct()
+          .withColumn("frame_idx", lit(0L)))
+      val totals = docs(s, dir)
+        .filter(length(col("text")) >= 2 * frameChars)
+        .select(col("doc_id"),
+          floor(length(col("text")) / frameChars).cast(LongType)
+            .as("doc_frames"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      starts.join(totals, Seq("doc_id"))
+        .withColumn("scene_id", row_number().over(w))
+        .withColumn("next_start", lead(col("frame_idx"), 1).over(w))
+        .select(col("doc_id"), col("scene_id"),
+          col("frame_idx").as("keyframe_idx"),
+          (coalesce(col("next_start"), col("doc_frames")) - col("frame_idx"))
+            .as("n_frames"))
+    }),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -2322,6 +2420,30 @@ object NorthStar {
                 CAST(t.top_lang_docs AS DOUBLE)
                   / CAST(a.n_docs AS DOUBLE) AS top_lang_share
          FROM a JOIN top t ON a.source = t.source AND t.rn = 1""",
+    // same deterministic dirtying (chr(769) = U+0301, chr(7) = BEL),
+    // DuckDB's nfc_normalize implements the same UAX #15 composition as
+    // the JDK Normalizer behind graft's NfcNormalize; note DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark's is global)
+    "t29_normalize" ->
+      """WITH d0 AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0
+                   THEN replace(text, 'a', 'a' || chr(769)) ELSE text END AS t
+            FROM documents),
+          d1 AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN chr(7) || t || chr(7) ELSE t END AS t
+            FROM d0),
+          d2 AS (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN replace(t, ' ', '  ') ELSE t END AS t
+            FROM d1),
+          c AS (SELECT doc_id, t,
+              trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                '[\x00-\x1f\x7f]', '', 'g'), ' +', ' ', 'g')) AS clean
+            FROM d2)
+         SELECT doc_id, clean,
+                CAST(length(t) AS INT) AS n_chars_dirty,
+                CAST(length(clean) AS INT) AS n_chars_clean,
+                t <> clean AS changed
+         FROM c""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact
@@ -2828,6 +2950,32 @@ object NorthStar {
                   FROM sc)
           SELECT vec_id, centroid_id, proto_cos, rn > ceil(0.2 * n_c) AS kept
           FROM r"""
+    },
+    // e09's scoring replay with the opposite tail: rank ascending and
+    // keep the 5 per cluster (the bounded-heap pick's window twin)
+    "e14_diverse_sample" -> {
+      val cnormList = (0 until 16).map(c =>
+        s"""sqrt(list_reduce(list_transform(${centroidSqlLiteral(c, 64)},
+            y -> y * y), (p, q) -> p + q))""").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            d AS (SELECT vec_id, v, ${centroidDotsSql("v", 64, 16)} AS dots FROM e),
+            a AS (SELECT vec_id,
+                    CAST(list_position(dots, list_aggregate(dots, 'max')) AS INT)
+                      AS centroid_id,
+                    list_aggregate(dots, 'max') AS best_dot,
+                    sqrt(list_reduce(list_transform(v, y -> y * y), (p, q) -> p + q))
+                      AS nrm
+                  FROM d),
+            sc AS (SELECT vec_id, centroid_id,
+                     best_dot / (nrm * list_extract($cnormList, centroid_id))
+                       AS proto_cos
+                   FROM a),
+            r AS (SELECT vec_id, centroid_id, proto_cos,
+                    row_number() OVER (PARTITION BY centroid_id
+                                       ORDER BY proto_cos ASC, vec_id) AS rn
+                  FROM sc)
+          SELECT vec_id, centroid_id, proto_cos
+          FROM r WHERE rn <= 5"""
     },
     // JL replay: the 16 plane dot folds regenerated as literals, same
     // 0.25 power-of-two scale
@@ -3405,5 +3553,24 @@ object NorthStar {
       s"""SELECT v.doc_id, q.score
           FROM (${oraclesBase("d13_dedup_verdict")}) v
           JOIN (${oraclesBase("t27_quality_classifier")}) q USING (doc_id)
-          WHERE v.verdict = 'kept' AND q.keep""")
+          WHERE v.verdict = 'kept' AND q.keep""") +
+    // keyframes: m06's verified cut table as the subquery, then the same
+    // starts-union + window-extent algebra
+    ("m07_keyframes" ->
+      s"""WITH cuts AS (${oraclesBase("m06_scene_cut")}),
+            starts AS (
+              SELECT doc_id, frame_idx FROM cuts WHERE is_cut
+              UNION ALL
+              SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS frame_idx FROM cuts),
+            tot AS (SELECT doc_id,
+                      CAST(floor(length(text) / 48) AS BIGINT) AS doc_frames
+                    FROM documents WHERE length(text) >= 96),
+            r AS (SELECT s.doc_id, s.frame_idx, t.doc_frames,
+                    CAST(row_number() OVER w AS INT) AS scene_id,
+                    lead(s.frame_idx) OVER w AS next_start
+                  FROM starts s JOIN tot t ON t.doc_id = s.doc_id
+                  WINDOW w AS (PARTITION BY s.doc_id ORDER BY s.frame_idx))
+          SELECT doc_id, scene_id, frame_idx AS keyframe_idx,
+                 COALESCE(next_start, doc_frames) - frame_idx AS n_frames
+          FROM r""")
 }

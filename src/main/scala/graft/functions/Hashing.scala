@@ -534,8 +534,46 @@ case class ByteHistogram(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Unicode NFC (canonical composition) normalization of a string column —
+ * the text-cleaning primitive Spark lacks as a built-in (combining
+ * sequences like `a` + U+0301 compose to `á`, so byte-level dedup and
+ * hashing see one canonical form; without it the same visible text
+ * fingerprints differently depending on the producer's encoder).
+ * Backed by `java.text.Normalizer` (the JDK's ICU-derived implementation
+ * of UAX #15 — a stable public spec, which is what makes the result
+ * engine-independent and oracle-checkable against DuckDB's
+ * nfc_normalize). Already-normalized text is detected with the cheap
+ * `isNormalized` quick-check, so the common case allocates nothing new.
+ */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object Hashing {
   import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def nfcNormalize(text: Column): Column = column(NfcNormalize(expression(text)))
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def rollingHash(tokens: Column): Column = column(RollingHash(expression(tokens)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, PpmAHash, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WavDecodeFeatures, WavEncode, WordShingles, ZOrderLong}
+import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, NfcNormalize, PpmAHash, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WavDecodeFeatures, WavEncode, WordShingles, ZOrderLong}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -121,7 +121,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => WavDecodeFeatures(args.head)),
     ("ppm_ahash",
       info("ppm_ahash", "ppm_ahash(data) - parse binary PPM and return its 64-bit average perceptual hash, NULL if malformed"),
-      (args: Seq[Expression]) => PpmAHash(args.head)))
+      (args: Seq[Expression]) => PpmAHash(args.head)),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -711,4 +711,71 @@ class ExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("e14 diverse sample: per-cluster 5 least-prototypical, equals window form") {
+    val got = q("e14_diverse_sample")
+      .as[(Long, Int, Double)].collect()
+    got.groupBy(_._2).foreach { case (cid, cl) =>
+      assert(cl.length <= 5, s"cluster $cid oversize pick")
+    }
+    // window twin: rank ascending (hardest first), keep rn <= 5
+    val scored = q("e09_prototype_prune")
+      .select(col("vec_id"), col("centroid_id"), col("proto_cos"))
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("proto_cos").asc, col("vec_id"))
+    val expected = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .as[(Long, Int, Double)].collect()
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("t29 normalize: output is NFC, control-free, space-collapsed; flags consistent") {
+    val rows = q("t29_normalize")
+      .as[(Long, String, Int, Int, Boolean)].collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach { case (id, clean, nd, nc, changed) =>
+      assert(java.text.Normalizer.isNormalized(
+        clean, java.text.Normalizer.Form.NFC), s"doc $id not NFC")
+      assert(!clean.exists(c => c < ' ' || c == '\u007f'), s"doc $id control char")
+      assert(!clean.contains("  "), s"doc $id double space")
+      assert(clean == clean.trim, s"doc $id untrimmed")
+      assert(clean.length == nc, s"doc $id clean length")
+      if (id % 5 == 0) {
+        // BEL bytes were injected then stripped: dirty is strictly longer
+        assert(changed && nd > nc, s"doc $id BEL not stripped")
+      }
+      if (!changed) assert(nd == nc, s"doc $id unchanged but lengths differ")
+    }
+    // every mod-3 doc containing 'a' was accent-decomposed, so must change
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    rows.filter { case (id, _, _, _, _) => id % 3 == 0 && texts(id).contains("a") }
+      .foreach { case (id, _, _, _, changed) => assert(changed, s"doc $id") }
+  }
+
+  test("m07 keyframes: dense scenes from frame 0, extents tile the frame count") {
+    val got = q("m07_keyframes")
+      .as[(Long, Int, Long, Long)].collect()
+    val frames = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        floor(length(col("text")) / 48).cast("long").as("doc_frames"))
+      .filter(length(col("text")) >= 96)
+      .as[(Long, Long)].collect().toMap
+    val cuts = q("m06_scene_cut").filter(col("is_cut"))
+      .select(col("doc_id"), col("frame_idx"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.map(_._1).toSet == frames.keySet, "one scene table per eligible doc")
+    got.groupBy(_._1).foreach { case (doc, sc) =>
+      val ordered = sc.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1 to sc.length), s"doc $doc scene ids")
+      assert(ordered.head._3 == 0L, s"doc $doc first keyframe")
+      assert(ordered.forall(_._4 > 0), s"doc $doc empty scene")
+      assert(ordered.map(_._4).sum == frames(doc), s"doc $doc extent cover")
+      // non-zero keyframes are exactly m06's cut frames
+      assert(ordered.map(_._3).filter(_ > 0).toSet ==
+        cuts.getOrElse(doc, Set.empty[Long]).filter(_ > 0), s"doc $doc cut set")
+    }
+  }
 }

@@ -104,6 +104,25 @@ class HashingSpec extends AnyFunSuite {
     assert(got == Fnv.hashBytes(bytes))
   }
 
+  test("NfcNormalize: composes decomposed sequences, identity on normalized, null-safe") {
+    val rows = Seq(
+      Some("áb"),         // decomposed a + combining acute → á (U+00E1)
+      Some("plain ascii"),      // already NFC: unchanged
+      Some("á"),           // already composed: unchanged
+      Some("ë́"),    // e + diaeresis + acute → ế-like composed form
+      Some(""),
+      None)
+    val got = rows.toDF("t")
+      .select(Hashing.nfcNormalize(col("t"))).as[Option[String]].collect()
+    rows.zip(got).foreach {
+      case (Some(in), out) =>
+        assert(out.contains(java.text.Normalizer.normalize(
+          in, java.text.Normalizer.Form.NFC)), s"input ${in.toList}")
+      case (None, out) => assert(out.isEmpty)
+    }
+    assert(got(0).get == "áb" && got(0).get.length == 2)
+  }
+
   test("byteHistogram: normalized bins matching a hand computation, summing to 1") {
     val s = "abcdefgh" // ords 97..104 → bins 1..7,0 one hit each
     val hist = Seq(s).toDF("t")

@@ -288,6 +288,18 @@ class PlansSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("nfc_normalize is SQL-registered and agrees with the Column API") {
+    // decomposed a + U+0301 must compose to U+00E1 through both surfaces
+    val viaSql = spark.sql("SELECT nfc_normalize('áb ç') AS t")
+      .collect().head.getString(0)
+    val viaCol = Seq("áb ç").toDF("t")
+      .select(Hashing.nfcNormalize(col("t")).as("t")).collect().head.getString(0)
+    assert(viaSql == viaCol)
+    assert(viaSql == "áb ç" && viaSql.length == 4)
+    assert(spark.sql("SELECT nfc_normalize(cast(NULL AS string)) AS t")
+      .collect().head.isNullAt(0))
+  }
+
   test("saltedJoin result set equals the plain inner join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i => (if (i % 10 == 0) i % 5 else 1, s"f$i")).toDF("k", "fv")
