@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -154,6 +154,24 @@ object NorthStar {
 
   private[graft] def signedSql(e: String): String =
     s"CAST(CASE WHEN ($e) >= $I63 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
+
+  /** The WavEncode sample-generation replay (d → sm → sg WITH-clauses
+    * over `documents`; sg carries unsigned `us` and signed `ss` sample
+    * lists) — shared by the m04 and m08 oracles so the two replays of
+    * the encoder cannot drift. */
+  private def wavSamplesSql: String =
+    """d AS (SELECT doc_id,
+              CAST(64 + doc_id % 193 AS BIGINT) AS n,
+              CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
+              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb
+            FROM documents),
+          sm AS (SELECT doc_id, n, rate,
+              list_transform(range(0, n), i ->
+                (coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0) * 129 + (i % 251)) % 65536) AS us
+            FROM d),
+          sg AS (SELECT doc_id, n, rate, us,
+              list_transform(us, u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ss
+            FROM sm)"""
 
   /** FNV-1a-64 over the bytes of string expr `s` (corpus is ASCII, so
     * per-char ord == byte), as HUGEINT in [0, 2^64). */
@@ -347,6 +365,65 @@ object NorthStar {
       d.filter(col("source") =!= "src0")
         .join(existing, Seq("fingerprint"), "left_anti")
         .select(col("doc_id"), col("source"))
+    }),
+
+    // bloom-gated incremental dedup — d08's cheap path for the nightly
+    // ingest at 100 TB: the existing corpus's fingerprints fold into a
+    // RELATIONAL Bloom filter (sparse (block, lane) rows — 1024 bits
+    // here, a billion-key bloom is just more rows of the same table,
+    // unlike a fixed-column sketch), arrivals probe it via two broadcast
+    // joins keyed on their bit blocks, and ONLY bloom-positive arrivals
+    // pay the exact confirm join against the corpus fingerprint set —
+    // definite-new rows (the vast majority of a healthy ingest) never
+    // shuffle toward the corpus at all. One-sided error by construction:
+    // is_dup ⇒ bloom_maybe (no false negatives); the bloom_maybe ∧
+    // ¬is_dup rows are the measured false-positive mass. All bit algebra
+    // is engine-exact (FNV probe positions, shiftleft masks incl. the
+    // bit-63 signed reinterpretation, bit_or lanes — a06's verified
+    // machinery in sparse form). The corpus has no cross-source exact
+    // dups, so tonight's batch deterministically includes a RE-INGEST
+    // slice (every third src0 doc arriving again under a shifted id) —
+    // the true-positive path the gate exists for.
+    "d17_bloom_gate" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val reingest = base
+        .filter(col("source") === "src0" && col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          lit("re0").as("source"), col("text"))
+      val d = base.unionByName(reingest)
+        .select(col("doc_id"), col("source"),
+          TF.fingerprint(col("text")).as("fp"))
+        .withColumn("hu", Hashing.fnvChecksum(col("fp").cast(BinaryType)))
+      def pos1(h: Column) = h.bitwiseAND(lit(1023L))
+      def pos2(h: Column) = shiftrightunsigned(h, 10).bitwiseAND(lit(1023L))
+      def mask(p: Column) = call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast(IntegerType))
+      val existing = d.filter(col("source") === "src0")
+      val bloom = existing
+        .select(explode(array(pos1(col("hu")), pos2(col("hu")))).as("p"))
+        .select(shiftright(col("p"), 6).as("block"), mask(col("p")).as("m"))
+        .groupBy(col("block")).agg(expr("bit_or(m)").as("lane"))
+      val arr = d.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"), col("fp"),
+          pos1(col("hu")).as("p1"), pos2(col("hu")).as("p2"))
+      val probed = arr
+        .join(broadcast(bloom.select(col("block").as("blk1"), col("lane").as("l1"))),
+          shiftright(col("p1"), 6) === col("blk1"), "left")
+        .join(broadcast(bloom.select(col("block").as("blk2"), col("lane").as("l2"))),
+          shiftright(col("p2"), 6) === col("blk2"), "left")
+        .select(col("doc_id"), col("source"), col("fp"),
+          (coalesce(col("l1").bitwiseAND(mask(col("p1"))) =!= 0, lit(false)) &&
+           coalesce(col("l2").bitwiseAND(mask(col("p2"))) =!= 0, lit(false)))
+            .as("bloom_maybe"))
+      val exFp = existing.select(col("fp")).distinct()
+        .withColumn("hit", lit(true))
+      probed.filter(col("bloom_maybe"))
+        .join(exFp, Seq("fp"), "left")
+        .select(col("doc_id"), col("source"), col("bloom_maybe"),
+          coalesce(col("hit"), lit(false)).as("is_dup"))
+        .unionByName(probed.filter(!col("bloom_maybe"))
+          .select(col("doc_id"), col("source"), col("bloom_maybe"),
+            lit(false).as("is_dup")))
     }),
 
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
@@ -1995,6 +2072,39 @@ object NorthStar {
         .orderBy(col("score").desc, col("vec_id")).limit(k)
     }),
 
+    // late-interaction (MaxSim) reranking — the ColBERT serving shape
+    // (Khattab & Zaharia, SIGIR'20): documents and the query each carry
+    // MULTIPLE token vectors (here the 4 disjoint 16-dim slices of the
+    // 64-dim embedding — the harness stand-in for per-token encoder
+    // output), and the relevance score is Σ over query tokens of the MAX
+    // cosine against any doc token. Production two-stage layout: a
+    // single-vector cosine retrieves a bounded candidate set (the only
+    // corpus-wide pass — TakeOrderedAndProject, no shuffle of vectors),
+    // then the O(tokens²)-per-pair MaxSim runs on candidates only.
+    // Every slice cosine is the same pinned dot fold as s01/s13, the
+    // per-query-token max is a 4-way greatest, and the final sum is a
+    // fixed left-assoc 4-term chain — bit-identical cross-engine. At
+    // 100 TB the candidate stage rides any of the s02/s03/s10 ANN
+    // paths unchanged; MaxSim cost stays k-bounded.
+    "s15_maxsim_rerank" -> ((s, dir) => {
+      val nTok = 4; val sub = 16; val cands = 192; val k = 10
+      val e = emb(s, dir).select(col("vec_id"),
+        VF.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).head().getSeq[Double](1)
+      val coarse = e
+        .select(col("vec_id"), col("v"),
+          VF.cosine(col("v"), lit(q.toArray)).as("cscore"))
+        .orderBy(col("cscore").desc, col("vec_id")).limit(cands)
+      def docSlice(j: Int) = slice(col("v"), j * sub + 1, sub)
+      val maxSims = (0 until nTok).map { i =>
+        val qi = lit(q.slice(i * sub, (i + 1) * sub).toArray)
+        greatest((0 until nTok).map(j => VF.cosine(docSlice(j), qi)): _*)
+      }
+      coarse
+        .select(col("vec_id"), maxSims.reduceLeft(_ + _).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(k)
+    }),
+
     // per-document n-gram novelty — the corpus-level duplication signal
     // (RefinedWeb/Gopher-style): for every document, the fraction of its
     // DISTINCT 3-gram shingles that occur in any other document
@@ -2156,6 +2266,51 @@ object NorthStar {
           col("frame_idx").as("keyframe_idx"),
           (coalesce(col("next_start"), col("doc_frames")) - col("frame_idx"))
             .as("n_frames"))
+    }),
+
+    // energy-threshold audio segmentation — the VAD (voice-activity
+    // detection) shape of an audio-curation pipeline, the m04 decoder's
+    // segmentation stage: each doc's WAV renders a per-32-sample-window
+    // energy profile (the codegen'd [[graft.functions.WavWindowEnergy]]
+    // — exact integer sums of |amplitude|), a window is ACTIVE iff its
+    // energy strictly exceeds the doc's mean window energy — the
+    // threshold compared in PURE INTEGER form (win·nwin > total), so
+    // the gate is bit-free of libm (a 0.9× slack gate was measured
+    // degenerate on this corpus: window energies sit within ±10% of
+    // the mean, so every window passed and every doc was one segment)
+    // — and consecutive active windows merge
+    // into segments via gaps-and-islands (win_idx − row_number). Both
+    // windows are doc-keyed and a doc's window count is bounded (≤ n/W),
+    // so partitions stay balanced at any corpus size; the profile
+    // itself is a per-row projection fused into the scan.
+    "m08_audio_segments" -> ((s, dir) => {
+      val W = 32
+      val M = graft.multimodal.Multimodal
+      val wins = docs(s, dir)
+        .select(col("doc_id"),
+          M.wavWindowEnergy(M.wavEncode(col("doc_id"), col("text")), W)
+            .as("wins"))
+        .filter(size(col("wins")) >= 1)
+      val wr = wins.select(col("doc_id"),
+        size(col("wins")).cast(LongType).as("nwin"),
+        aggregate(col("wins"), lit(0L), (a, x) => a + x).as("total"),
+        posexplode(col("wins")).as(Seq("win_idx", "sum_abs")))
+      val act = wr.filter(col("sum_abs") * col("nwin") > col("total"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+      val seg = act
+        .withColumn("grp", col("win_idx") - row_number().over(byDoc))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("win_idx")).as("start_win"),
+          count(lit(1)).as("n_windows"),
+          sum(col("sum_abs")).as("seg_sum_abs"))
+      seg
+        .withColumn("seg_id", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("start_win"))))
+        .select(col("doc_id"), col("seg_id"),
+          col("start_win").cast(LongType).as("start_win"),
+          col("n_windows"), col("seg_sum_abs"))
     }),
 
     // corpus-similarity map over embedding labels — the data-mixing
@@ -2676,6 +2831,8 @@ object NorthStar {
     "m04_audio_decode" -> {
       def le32(e: String) =
         s"[($e) % 256, (($e) // 256) % 256, (($e) // 65536) % 256, (($e) // 16777216) % 256]"
+      // (the d/sm/sg sample-generation clauses are shared with m08's
+      // replay via wavSamplesSql — one generator, the stages cannot drift)
       def le16(e: String) = s"[($e) % 256, (($e) // 256) % 256]"
       def ascii(s: String) = s.map(_.toLong).mkString("[", ", ", "]")
       val hdr = Seq(
@@ -2683,18 +2840,7 @@ object NorthStar {
         ascii("fmt "), le32("16"), le16("1"), le16("1"),
         le32("rate"), le32("rate * 2"), le16("2"), le16("16"),
         ascii("data"), le32("2 * n")).mkString("(", " || ", ")")
-      s"""WITH d AS (SELECT doc_id,
-              CAST(64 + doc_id % 193 AS BIGINT) AS n,
-              CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS rate,
-              list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)) AS tb
-            FROM documents),
-          sm AS (SELECT doc_id, n, rate,
-              list_transform(range(0, n), i ->
-                (coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0) * 129 + (i % 251)) % 65536) AS us
-            FROM d),
-          sg AS (SELECT doc_id, n, rate, us,
-              list_transform(us, u -> CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS ss
-            FROM sm),
+      s"""WITH $wavSamplesSql,
           b AS (SELECT doc_id, n, rate, ss,
               list_transform(
                 list_concat($hdr,
@@ -2714,6 +2860,39 @@ object NorthStar {
             sqrt(CAST(list_sum(list_transform(ss, s2 -> s2 * s2)) AS DOUBLE) / n) AS rms
           FROM b"""
     },
+    // the same sample generation, windowed into exact 32-sample energy
+    // sums; the integer threshold gate and the gaps-and-islands merge
+    // replayed clause-for-clause
+    "m08_audio_segments" ->
+      s"""WITH $wavSamplesSql,
+          we AS (SELECT doc_id,
+                   list_transform(range(0, n // 32), w ->
+                     CAST(list_sum(list_transform(range(w * 32, (w + 1) * 32),
+                       i -> abs(ss[i + 1]))) AS BIGINT)) AS wins
+                 FROM sg
+                 WHERE n // 32 >= 1),
+          wx AS (SELECT doc_id, CAST(len(wins) AS BIGINT) AS nwin,
+                   CAST(list_sum(wins) AS BIGINT) AS total,
+                   unnest(list_transform(range(0, len(wins)),
+                     j -> {'i': j, 'w': wins[j + 1]})) AS u
+                 FROM we),
+          act AS (SELECT doc_id, CAST(u.i AS INT) AS win_idx, u.w AS sum_abs
+                  FROM wx
+                  WHERE u.w * nwin > total),
+          isl AS (SELECT doc_id, win_idx, sum_abs,
+                    win_idx - CAST(row_number() OVER (
+                      PARTITION BY doc_id ORDER BY win_idx) AS INT) AS grp
+                  FROM act),
+          seg AS (SELECT doc_id, min(win_idx) AS start_win,
+                    CAST(count(*) AS BIGINT) AS n_windows,
+                    CAST(sum(sum_abs) AS BIGINT) AS seg_sum_abs
+                  FROM isl GROUP BY doc_id, grp)
+          SELECT doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY start_win) AS INT) AS seg_id,
+                 CAST(start_win AS BIGINT) AS start_win,
+                 n_windows, seg_sum_abs
+          FROM seg""",
     "d02_dedup_survivors" ->
       s"""SELECT doc_id, lang, source, n_chars FROM (
             SELECT doc_id, lang, source, n_chars,
@@ -3243,6 +3422,41 @@ object NorthStar {
           WHERE n.source <> 'src0'
             AND NOT EXISTS (SELECT 1 FROM f e
                             WHERE e.source = 'src0' AND e.fp = n.fp)""",
+    // the bloom algebra replayed relationally: FNV probe positions from
+    // the md5 fingerprint, sparse (block, lane) bit_or lanes, the same
+    // bit-63 signed-mask case as a06's replay, exact confirm via EXISTS
+    "d17_bloom_gate" -> {
+      def msk(b: String) =
+        s"""CASE WHEN ($b) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                 ELSE CAST(power(2, $b) AS BIGINT) END"""
+      s"""WITH du AS (SELECT doc_id, source, text FROM documents
+                      UNION ALL
+                      SELECT doc_id + 100000, 're0', text FROM documents
+                      WHERE source = 'src0' AND doc_id % 3 = 0),
+          f AS (SELECT doc_id, source,
+                  md5(array_to_string($sqlToks, ' ')) AS fp
+                FROM du),
+          fh AS (SELECT doc_id, source, fp, ${fnvSql("fp")} AS hu FROM f),
+          pos AS (SELECT CAST(unnest([hu % 1024, (hu // 1024) % 1024]) AS BIGINT) AS p
+                  FROM fh WHERE source = 'src0'),
+          bloom AS (SELECT p // 64 AS block, bit_or(${msk("p % 64")}) AS lane
+                    FROM pos GROUP BY p // 64),
+          arr AS (SELECT doc_id, source, fp,
+                    CAST(hu % 1024 AS BIGINT) AS p1,
+                    CAST((hu // 1024) % 1024 AS BIGINT) AS p2
+                  FROM fh WHERE source <> 'src0'),
+          pr AS (SELECT a.doc_id, a.source, a.fp,
+                   coalesce((b1.lane & ${msk("a.p1 % 64")}) <> 0, FALSE)
+                   AND coalesce((b2.lane & ${msk("a.p2 % 64")}) <> 0, FALSE)
+                     AS bloom_maybe
+                 FROM arr a
+                 LEFT JOIN bloom b1 ON b1.block = a.p1 // 64
+                 LEFT JOIN bloom b2 ON b2.block = a.p2 // 64)
+          SELECT doc_id, source, bloom_maybe,
+                 bloom_maybe AND EXISTS (SELECT 1 FROM f e
+                   WHERE e.source = 'src0' AND e.fp = pr.fp) AS is_dup
+          FROM pr"""
+    },
     "e03_centroid_assign" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               d AS (SELECT vec_id, ${centroidDotsSql("v", 64, 16)} AS dots FROM e)
@@ -3540,7 +3754,28 @@ object NorthStar {
                    ORDER BY cscore DESC, e.vec_id LIMIT 192)
           SELECT c.vec_id, ${cosineSql("c.v", "q.qv")} AS score
           FROM coarse c, q
+          ORDER BY score DESC, c.vec_id LIMIT 10""",
+    // the same coarse top-192 as s13's replay shape (full-width cosine),
+    // then the 4×4 slice-cosine MaxSim grid: greatest per query token,
+    // left-assoc 4-term sum — mirrors the Spark expression order exactly
+    "s15_maxsim_rerank" -> {
+      def sl(v: String, i: Int) = s"list_slice($v, ${i * 16 + 1}, ${(i + 1) * 16})"
+      val score = (0 until 4).map { i =>
+        "greatest(" + (0 until 4).map(j =>
+          cosineSql(sl("c.v", j), sl("q.qv", i))).mkString(", ") + ")"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                     FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                  FROM embeddings),
+            coarse AS (SELECT e.vec_id, e.v,
+                     ${cosineSql("e.v", "q.qv")} AS cscore
+                   FROM e, q
+                   ORDER BY cscore DESC, e.vec_id LIMIT 192)
+          SELECT c.vec_id, $score AS score
+          FROM coarse c, q
           ORDER BY score DESC, c.vec_id LIMIT 10"""
+    }
   )
 
   /** [[oraclesBase]] plus the compositions that embed other entries as

@@ -883,6 +883,26 @@ object Queries {
       graft.operators.Graph.degreeStats(edges)
     }),
 
+    // link-prediction features over the same part co-order graph as
+    // g05/g06 — per-EDGE common-neighbor counts and Resource Allocation
+    // scores, the structural-embeddedness signals a web-corpus pipeline
+    // computes on its link/near-dup graphs to separate organic links
+    // from template-farm wiring. Operator is [[graft.operators.Graph
+    // .linkPredict]]: witnesses enumerated through the degree-ordered
+    // wedge orientation (per-key fan-out O(√m) — no hub straggler),
+    // each triangle exploded into its three edge contributions, the
+    // RA double a pinned ascending fold of correctly-rounded 1/d terms
+    // so the score is bit-identical cross-engine.
+    "g07_link_predict" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Graph.linkPredict(edges)
+    }),
+
     // count-min frequency sketch (depth 4 × width 256) over per-user
     // event counts, next to the exact answer — the bounded-state
     // frequency-estimation twin of a01's KMV cardinality sketch. The
@@ -1737,6 +1757,33 @@ object Queries {
                           / CAST(2 * m_half * sxx - sx * sx AS DOUBLE) END
                   AS assortativity
          FROM s, vs""",
+    // naive two-hop replay: common neighbors via the doubled adjacency
+    // list joined on the shared endpoint; the RA fold sorted ascending
+    // from 0.0 exactly as the Spark-side pinned fold
+    "g07_link_predict" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_quantity >= 30),
+           e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           nbr AS (SELECT u AS x, v AS y FROM e
+                   UNION ALL SELECT v AS x, u AS y FROM e),
+           deg AS (SELECT x, CAST(count(*) AS BIGINT) AS d
+                   FROM nbr GROUP BY x),
+           cn AS (SELECT e.u, e.v, n1.y AS w
+                  FROM e
+                  JOIN nbr n1 ON n1.x = e.u
+                  JOIN nbr n2 ON n2.x = e.v AND n2.y = n1.y),
+           ag AS (SELECT c.u, c.v,
+                    CAST(count(*) AS BIGINT) AS n_common,
+                    list_reduce(
+                      list_prepend(0.0, list_sort(list(1.0 / dg.d))),
+                      (p, q) -> p + q) AS ra_score
+                  FROM cn c JOIN deg dg ON dg.x = c.w
+                  GROUP BY c.u, c.v)
+         SELECT e.u, e.v,
+                CAST(coalesce(ag.n_common, 0) AS BIGINT) AS n_common,
+                ag.ra_score
+         FROM e LEFT JOIN ag ON ag.u = e.u AND ag.v = e.v""",
     "a06_bloom_filter" -> {
       val hu = NorthStar.fnvSql("'bloom:' || CAST(k AS VARCHAR)")
       // 64-bit lane mask for bit position `b` (0..63): bit 63 is the

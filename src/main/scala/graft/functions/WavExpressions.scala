@@ -209,3 +209,55 @@ case class WavDecodeFeatures(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): WavDecodeFeatures =
     copy(child = newChild)
 }
+
+/**
+ * Per-window energy profile of a RIFF/WAVE payload: the sum of absolute
+ * PCM16 amplitudes over each FULL `window`-sample window (tail samples
+ * past the last full window are dropped), or NULL if the payload is
+ * malformed. Pure 64-bit integer accumulation — window ≤ 2²² samples of
+ * magnitude ≤ 2¹⁵ cannot overflow a long — so the profile is an exact,
+ * engine-independent function of the payload bytes: the primitive under
+ * m08's energy-threshold segmentation (VAD shape), where all
+ * thresholding happens in integer arithmetic on these sums.
+ */
+case class WavWindowEnergy(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, s"window must be >= 1, got $window")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "wav_window_energy"
+  override def nullable: Boolean = true
+
+  def compute(data: Array[Byte]): GenericArrayData =
+    WavCodec.decode(data) match {
+      case Some(a) =>
+        val nWin = a.samples.length / window
+        val out = new Array[Long](nWin)
+        var w = 0
+        while (w < nWin) {
+          var acc = 0L
+          var i = w * window
+          val end = i + window
+          while (i < end) { acc += math.abs(a.samples(i).toLong); i += 1 }
+          out(w) = acc
+          w += 1
+        }
+        new GenericArrayData(out)
+      case None => null
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wavEnergyExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavWindowEnergy =
+    copy(child = newChild)
+}

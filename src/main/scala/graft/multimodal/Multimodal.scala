@@ -130,6 +130,11 @@ object Multimodal {
   def wavDecode(data: Column): Column =
     column(WavDecodeFeatures(expression(data)))
 
+  /** Per-full-window sum of absolute PCM16 amplitudes (exact longs),
+    * NULL if malformed — the m08 segmentation primitive. */
+  def wavWindowEnergy(data: Column, window: Int): Column =
+    column(graft.functions.WavWindowEnergy(expression(data), window))
+
   /**
    * The audio twin of [[decodePipeline]]: docs → WAV media table →
    * parsed PCM features, all per-row codegen'd expressions (encode,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, NfcNormalize, PpmAHash, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WavDecodeFeatures, WavEncode, WordShingles, ZOrderLong}
+import graft.functions.{BitSignature, ByteHistogram, DotProduct, FnvChecksum, HammingSig, KmvSketchAgg, MinHashAgg, MinHashMergeAgg, MinHashSignature, NfcNormalize, PpmAHash, PpmDecodeFeatures, PpmEncode, RollingHash, ShingleHashSet, SigMatchCount, SimHash64, SortedLongIntersectCount, WavDecodeFeatures, WavEncode, WavWindowEnergy, WordShingles, ZOrderLong}
 
 /**
  * Catalyst extension wiring (SURVEY.md §7.2): registers graft's custom
@@ -124,7 +124,11 @@ object GraftFunctions {
       (args: Seq[Expression]) => PpmAHash(args.head)),
     ("nfc_normalize",
       info("nfc_normalize", "nfc_normalize(text) - Unicode NFC canonical composition (UAX #15)"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      (args: Seq[Expression]) => NfcNormalize(args.head)),
+    ("wav_window_energy",
+      info("wav_window_energy", "wav_window_energy(data, window) - per-full-window sum of |PCM16 amplitude|, NULL if malformed"),
+      (args: Seq[Expression]) => WavWindowEnergy(args(0),
+        args(1).eval(null).asInstanceOf[Int])))
 
   /** Register every function on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -778,4 +778,83 @@ class ExtensionsSpec extends AnyFunSuite {
         cuts.getOrElse(doc, Set.empty[Long]).filter(_ > 0), s"doc $doc cut set")
     }
   }
+
+  test("linkPredict: exact on the triangle-plus-pendant hand graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = graft.operators.Graph.linkPredict(edges)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((1L, 2L)) == ((1L, Some(1.0 / 3))))  // cn = {3}, deg 3
+    assert(got((1L, 3L)) == ((1L, Some(1.0 / 2))))  // cn = {2}, deg 2
+    assert(got((2L, 3L)) == ((1L, Some(1.0 / 2))))  // cn = {1}, deg 2
+    assert(got((3L, 4L)) == ((0L, None)))           // pendant edge
+  }
+
+  test("law: linkPredict equals brute-force common-neighbor/RA on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(10)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.4
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val got = graft.operators.Graph.linkPredict(es.toDF("u", "v"))
+          .as[(Long, Long, Long, Option[Double])].collect()
+        val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+          .withDefaultValue(Set.empty)
+        es.foreach { case (u, v) => adj(u) += v; adj(v) += u }
+        assert(got.length == es.length, s"trial $trial row count")
+        got.foreach { case (u, v, nc, ra) =>
+          val cns = adj(u) intersect adj(v)
+          assert(nc == cns.size, s"trial $trial edge ($u,$v) count")
+          if (cns.isEmpty) assert(ra.isEmpty, s"trial $trial edge ($u,$v) NULL")
+          else {
+            // the operator's pinned ascending fold from 0.0, replicated
+            val expected = cns.toSeq.map(w => 1.0 / adj(w).size)
+              .sorted.foldLeft(0.0)(_ + _)
+            assert(ra.contains(expected), s"trial $trial edge ($u,$v) ra")
+          }
+        }
+      }
+    }
+  }
+
+  test("s15 maxsim: equals a driver-side coarse-then-maxsim recompute, exact") {
+    val got = q("s15_maxsim_rerank").as[(Long, Double)].collect().toSeq
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val qv = vecs.find(_._1 == 0).get._2
+    // DotProduct's left-to-right fold from 0.0, replicated exactly
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val coarse = vecs.map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, c) => (-c, id) }.take(192)
+    def slice(v: Seq[Double], j: Int) = v.slice(j * 16, (j + 1) * 16)
+    val expected = coarse.map { case (id, v, _) =>
+      val score = (0 until 4).map { i =>
+        (0 until 4).map(j => cos(slice(v, j), slice(qv, i))).max
+      }.reduceLeft(_ + _)
+      (id, score)
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10).toSeq
+    assert(got == expected)
+  }
+
+  test("d17 bloom gate: one-sided error, re-ingests all caught, d08 parity") {
+    val got = q("d17_bloom_gate")
+      .as[(Long, String, Boolean, Boolean)].collect()
+    // no false negatives, ever
+    got.foreach { case (id, _, maybe, dup) =>
+      if (dup) assert(maybe, s"doc $id: false negative")
+    }
+    // every re-ingested row is an exact copy of a src0 doc → is_dup
+    val re = got.filter(_._2 == "re0")
+    assert(re.nonEmpty && re.forall(_._4), "re-ingest slice must all be dups")
+    // the genuine arrivals' non-dup set is exactly d08's output
+    val d08 = q("d08_incremental_dedup").as[(Long, String)].collect().map(_._1).toSet
+    val newIds = got.filter(r => r._2 != "re0" && !r._4).map(_._1).toSet
+    assert(newIds == d08)
+  }
 }

@@ -243,4 +243,54 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("ph").isNull).as[(Long, Option[Long])].collect().map(_._1)
     assert(nulls.toSeq == Seq(99L))
   }
+
+  test("WavWindowEnergy: exact per-window |amp| sums, tail dropped, malformed → NULL") {
+    val samples = Array.tabulate(75)(i => ((i * 2731) % 65536 - 32768).toShort)
+    val payload = WavCodec.encode(8000, samples)
+    val got = Seq(Tuple1(payload)).toDF("data")
+      .select(Multimodal.wavWindowEnergy(col("data"), 32).as("w"))
+      .as[Seq[Long]].collect().head
+    // 75 samples / 32 → 2 full windows; the 11-sample tail is dropped
+    assert(got.length == 2)
+    (0 until 2).foreach { w =>
+      val expected = (w * 32 until (w + 1) * 32)
+        .map(i => math.abs(samples(i).toLong)).sum
+      assert(got(w) == expected, s"window $w")
+    }
+    val junk = Seq(Tuple1("RIFFnope".getBytes("US-ASCII"))).toDF("data")
+      .select(Multimodal.wavWindowEnergy(col("data"), 32).as("w"))
+      .as[Option[Seq[Long]]].collect().head
+    assert(junk.isEmpty)
+  }
+
+  test("m08 segmentation equals a driver-side recompute from the codec") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("m08_audio_segments")(spark, dir)
+      .as[(Long, Int, Long, Long, Long)].collect().toSet
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val expected = corpus.flatMap { case (id, text) =>
+      // re-render the payload through the production encoder + parser
+      val payload = Seq((id, text)).toDF("doc_id", "text")
+        .select(Multimodal.wavEncode(col("doc_id"), col("text")))
+        .collect().head.getAs[Array[Byte]](0)
+      val a = WavCodec.decode(payload).get
+      val wins = a.samples.grouped(32).filter(_.length == 32)
+        .map(_.map(s => math.abs(s.toLong)).sum).toArray
+      val total = wins.sum
+      val active = wins.zipWithIndex
+        .filter { case (w, _) => w * wins.length > total }.map(_._2)
+      // gaps-and-islands on active window indices
+      val segs = active.foldLeft(List.empty[List[Int]]) {
+        case (acc, i) if acc.nonEmpty && acc.head.head == i - 1 =>
+          (i :: acc.head) :: acc.tail
+        case (acc, i) => List(i) :: acc
+      }.map(_.reverse).reverse
+      segs.zipWithIndex.map { case (seg, k) =>
+        (id, k + 1, seg.head.toLong, seg.length.toLong,
+          seg.map(wins(_)).sum)
+      }
+    }.toSet
+    assert(got == expected)
+  }
 }
