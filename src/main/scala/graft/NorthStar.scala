@@ -1338,6 +1338,42 @@ object NorthStar {
           (col("dirty") =!= col("clean")).as("changed"))
     }),
 
+    // vocabulary-growth curve (the empirical Heaps'-law points) over
+    // 3-GRAM types (the unigram vocabulary of this corpus saturates in
+    // the first cohort — 31 types — so grams are where growth lives):
+    // the corpus in ten id-range cohorts (ingest order — doc_ids are
+    // dense), per cohort the gram volume and the number of
+    // NEVER-SEEN-BEFORE gram types, both cumulative — the curve a
+    // data-mixing team reads to judge whether more of a source still
+    // buys novelty. The distributed shape: first-occurrence = one min
+    // aggregate per type (map-side combined — no gram ever carries its
+    // postings), cohort volumes one count aggregate, and the cumulative
+    // sums ride a 10-row bounded window (cohort count is a constant,
+    // not a function of corpus size). No fitted exponent on purpose:
+    // pow/log are libm-dependent; the curve POINTS are exact integers.
+    "t30_vocab_growth" -> ((s, dir) => {
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val grams = docs(s, dir)
+        .select(col("doc_id"), explode(TF.shingles(col("text"))).as("gram"))
+        .crossJoin(broadcast(nd))
+        .select(floor(col("doc_id") * 10 / col("n_docs")).cast(IntegerType)
+          .as("decile"), col("gram"))
+      val newTypes = grams.groupBy(col("gram"))
+        .agg(min(col("decile")).as("first_decile"))
+        .groupBy(col("first_decile").as("decile"))
+        .agg(count(lit(1)).as("new_types"))
+      val volume = grams.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_grams"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+      volume.join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("n_grams"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("decile"), col("n_grams"),
+          sum(col("n_grams")).over(w).as("cum_grams"),
+          col("new_types"),
+          sum(col("new_types")).over(w).as("cum_vocab"))
+    }),
+
     // systematic probability-proportional-to-size sampling by token
     // mass — the weighted complement of t10's per-stratum fraction: one
     // selection per crossing of a W/k boundary in cumulative-weight
@@ -2313,6 +2349,30 @@ object NorthStar {
           col("n_windows"), col("seg_sum_abs"))
     }),
 
+    // image near-dup pairs — the multimodal arm of the dedup tier made
+    // an actual PAIR operator (m05 builds the 64-bit aHash table; this
+    // is the d05-shaped byte-banded small-hamming join over it): 8
+    // bands of 8 bits, pigeonhole-complete for hamming ≤ 7, candidates
+    // only where a full band collides — never all-pairs. The same
+    // template-image / mirror-site detection a multimodal curation
+    // pipeline runs nightly; at 100 TB the band join's candidate volume
+    // tracks the actual near-dup mass, not n².
+    "m09_image_neardup" -> ((s, dir) => {
+      val ph = queries("m05_image_phash")(s, dir)
+        .filter(col("phash").isNotNull)
+      val banded = ph.select(col("doc_id"), col("phash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))): _*))
+          .as(Seq("band", "chunk")))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          Hashing.hammingDist(col("a.phash"), col("b.phash")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+    }),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -2599,6 +2659,26 @@ object NorthStar {
                 CAST(length(clean) AS INT) AS n_chars_clean,
                 t <> clean AS changed
          FROM c""",
+    // id-range cohorts, min-decile first occurrence per type, 10-row
+    // cumulative window — decile values are unique so DuckDB's default
+    // RANGE frame equals Spark's
+    "t30_vocab_growth" ->
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+          tok AS (SELECT doc_id, unnest($sqlShingles) AS gram FROM documents),
+          wd AS (SELECT CAST(doc_id * 10 // n AS INT) AS decile, gram
+                 FROM tok, nd),
+          nv AS (SELECT fd AS decile, CAST(count(*) AS BIGINT) AS new_types
+                 FROM (SELECT gram, min(decile) AS fd FROM wd GROUP BY gram)
+                 GROUP BY fd),
+          tc AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM wd GROUP BY decile)
+          SELECT tc.decile, tc.n_grams,
+                 CAST(sum(tc.n_grams) OVER (ORDER BY tc.decile) AS BIGINT)
+                   AS cum_grams,
+                 CAST(coalesce(nv.new_types, 0) AS BIGINT) AS new_types,
+                 CAST(sum(coalesce(nv.new_types, 0)) OVER (ORDER BY tc.decile)
+                   AS BIGINT) AS cum_vocab
+          FROM tc LEFT JOIN nv ON nv.decile = tc.decile""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact
@@ -3791,6 +3871,16 @@ object NorthStar {
           WHERE v.verdict = 'kept' AND q.keep""") +
     // keyframes: m06's verified cut table as the subquery, then the same
     // starts-union + window-extent algebra
+    // image near-dup: m05's verified hash table as the subquery, then
+    // the naive all-pairs hamming filter (bit_count of xor — two's-
+    // complement popcount agrees with Java's Long.bitCount)
+    ("m09_image_neardup" ->
+      s"""WITH ph AS (${oraclesBase("m05_image_phash")})
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+          WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
+            AND bit_count(xor(a.phash, b.phash)) <= 6""") +
     ("m07_keyframes" ->
       s"""WITH cuts AS (${oraclesBase("m06_scene_cut")}),
             starts AS (

@@ -986,6 +986,45 @@ object Queries {
           col("lane3"), col("n_maybe"), col("n_actual"))
     }),
 
+    // AMS/tug-of-war second-moment sketch (Alon–Matias–Szegedy,
+    // STOC'96): F₂ = Σ f_k² — the SELF-JOIN SIZE of the per-user event
+    // counts, the statistic a distributed optimizer wants before
+    // committing to a join order on skewed keys. 16 ±1-signed counters
+    // (sign = parity of the j-th MinHashMix draw over the user's FNV
+    // hash — the AVALANCHED family; raw FNV-1a bit 0 is structured and
+    // was measured near-perfectly cancelling on sequential ids, the
+    // same degeneracy that once hit the LSH hyperplanes), each counter an
+    // order-independent INTEGER sum, so the whole sketch map-side
+    // combines into 16 longs of state at any cardinality. Estimate =
+    // median of 4 means of 4 squared counters (the standard
+    // variance-then-tail reduction); the only floating point is two
+    // final divisions and the sketch/exact ratio. Exact F₂ alongside
+    // exposes the estimation error to the oracle.
+    "a07_ams_sketch" -> ((s, dir) => {
+      val r = 16
+      val ev = eventsTable(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val signed = ev
+        .withColumn("sig", graft.functions.Hashing.fnvMinhashSignature(
+          array(col("user_id").cast(StringType)), r))
+        .select(col("n"),
+          posexplode(transform(sequence(lit(0), lit(r - 1)),
+            j => when(pmod(element_at(col("sig"), j + 1), lit(2L)) === 1,
+              lit(1L)).otherwise(lit(-1L)))).as(Seq("j", "sign")))
+      val counters = signed.groupBy(col("j"))
+        .agg(sum(col("sign") * col("n")).as("c"))
+      val means = counters.groupBy(expr("j div 4").as("g"))
+        .agg((sum(col("c") * col("c")).cast(DoubleType) / 4.0).as("m"))
+      val est = means.agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(((element_at(col("ms"), 2) + element_at(col("ms"), 3)) / 2.0)
+          .as("f2_est"))
+      val exact = ev.agg(count(lit(1)).as("n_users"),
+        sum(col("n") * col("n")).as("f2_exact"))
+      exact.crossJoin(broadcast(est))
+        .select(col("n_users"), col("f2_exact"), col("f2_est"),
+          (col("f2_est") / col("f2_exact").cast(DoubleType)).as("ratio"))
+    }),
+
     // HyperLogLog distinct sketch (Flajolet et al. AofA'07), m = 64
     // registers — the third sketch next to a01's KMV (order statistics)
     // and a02's count-min (frequencies). Register index = the hash's low
@@ -1827,6 +1866,29 @@ object Queries {
          SELECT l.grp, l.lane0, l.lane1, l.lane2, l.lane3,
                 c.n_maybe, c.n_actual
          FROM lanes l JOIN cnt c ON c.grp = l.grp"""
+    },
+    // the tug-of-war counters replayed in HUGEINT mixed-draw parity,
+    // median of means via a sorted 4-list (l[2]+l[3])/2
+    "a07_ams_sketch" -> {
+      val hu = NorthStar.mixSql(
+        NorthStar.fnvSql("CAST(user_id AS VARCHAR)"), "j")
+      s"""WITH ev AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                      FROM events GROUP BY user_id),
+           sg AS (SELECT n, j,
+                    CASE WHEN ($hu) % 2 = 1 THEN 1 ELSE -1 END AS sign
+                  FROM ev CROSS JOIN (SELECT unnest(range(16)) AS j)),
+           ctr AS (SELECT j, CAST(sum(sign * n) AS BIGINT) AS c
+                   FROM sg GROUP BY j),
+           mn AS (SELECT j // 4 AS g, CAST(sum(c * c) AS DOUBLE) / 4.0 AS m
+                  FROM ctr GROUP BY j // 4),
+           ms AS (SELECT list_sort(list(m)) AS l FROM mn),
+           ex AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(n * n) AS BIGINT) AS f2_exact
+                  FROM ev)
+         SELECT ex.n_users, ex.f2_exact,
+                (l[2] + l[3]) / 2.0 AS f2_est,
+                ((l[2] + l[3]) / 2.0) / CAST(ex.f2_exact AS DOUBLE) AS ratio
+         FROM ex, ms"""
     },
     "q44_scd2_history" ->
       """WITH c AS (

@@ -857,4 +857,71 @@ class ExtensionsSpec extends AnyFunSuite {
     val newIds = got.filter(r => r._2 != "re0" && !r._4).map(_._1).toSet
     assert(newIds == d08)
   }
+
+  test("m09 image near-dup equals brute-force hamming <= 6 over m05 hashes") {
+    val got = q("m09_image_neardup").as[(Long, Long, Int)].collect().toSet
+    val hashes = q("m05_image_phash").as[(Long, Option[Long])].collect()
+      .collect { case (id, Some(h)) => (id, h) }
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got == expected)
+  }
+
+  test("a07 AMS sketch: counters, median-of-means, and exact F2 recompute") {
+    val row = q("a07_ams_sketch").collect().head
+    val per = Queries.eventsTable(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .withColumn("sig", graft.functions.Hashing.fnvMinhashSignature(
+        array(col("user_id").cast("string")), 16))
+      .as[(Long, Long, Seq[Long])].collect()
+    val counters = Array.fill(16)(0L)
+    per.foreach { case (_, n, sig) =>
+      (0 until 16).foreach { j =>
+        val sign = if (math.floorMod(sig(j), 2L) == 1L) 1L else -1L
+        counters(j) += sign * n
+      }
+    }
+    // integer square sums per group of 4, one double division each
+    val means = (0 until 4).map { g =>
+      (4 * g until 4 * g + 4).map(j => counters(j) * counters(j)).sum.toDouble / 4.0
+    }.sorted
+    val est = (means(1) + means(2)) / 2.0
+    val exact = per.map { case (_, n, _) => n * n }.sum
+    assert(row.getAs[Long]("n_users") == per.length)
+    assert(row.getAs[Long]("f2_exact") == exact)
+    assert(row.getAs[Double]("f2_est") == est)
+    assert(row.getAs[Double]("ratio") == est / exact.toDouble)
+    // the avalanched sign family keeps the estimate in the AMS band
+    assert(row.getAs[Double]("ratio") > 0.2 && row.getAs[Double]("ratio") < 5.0)
+  }
+
+  test("t30 vocab growth: exact recompute, cumulative consistency, novelty decays") {
+    val got = q("t30_vocab_growth")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect()
+    val n = corpus.length
+    val byDec = corpus.map { case (id, gs) => ((id * 10 / n).toInt, gs) }
+    val firstSeen = scala.collection.mutable.Map[String, Int]()
+    byDec.foreach { case (d, gs) =>
+      gs.foreach(g => firstSeen.update(g, math.min(d, firstSeen.getOrElse(g, 10))))
+    }
+    val vol = byDec.groupBy(_._1).view.mapValues(_.map(_._2.size.toLong).sum).toMap
+    val nv = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(_._1).toSeq == (0 until 10))
+    var cumG = 0L; var cumV = 0L
+    got.foreach { case (d, ng, cg, nt, cv) =>
+      assert(ng == vol(d), s"decile $d volume")
+      assert(nt == nv.getOrElse(d, 0L), s"decile $d new types")
+      cumG += ng; cumV += nt
+      assert(cg == cumG && cv == cumV, s"decile $d cumulative")
+    }
+    assert(cumV == firstSeen.size)
+    // Heaps decay: later halves mint fewer types than the first cohort
+    assert(got.last._4 < got.head._4)
+  }
 }
