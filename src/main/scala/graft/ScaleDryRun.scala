@@ -384,6 +384,7 @@ object ScaleDryRun {
     mode match {
       case "clustered" => clusteredMode(spark, workDir, factor)
       case "r7" => round7Mode(spark, srcDir, factor, workDir)
+      case "wave4" => wave4Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -396,6 +397,31 @@ object ScaleDryRun {
     * t27 one doc-keyed aggregation, q60 a digest-only full-outer join,
     * e12 |labels| rows from label-keyed aggregations. None touch a
     * pair space. */
+  /** Round-7 late-wave ops over the synthesized corpus (documents +
+    * embeddings shaped). g07/a07 are excluded: their inputs (lineitem
+    * co-order graph, events) are not synthesized by this harness —
+    * g07's scale posture is the g05-audited wedge bound, a07's state
+    * is 16 longs at any cardinality by construction. */
+  private def wave4Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    materialize(spark, s"$synthDir/embeddings.parquet")(
+      synthesizeEmbeddings(spark, srcDir, factor))
+    val ops = Seq("t29_normalize", "t30_vocab_growth", "m07_keyframes",
+      "m08_audio_segments", "m09_image_neardup", "d17_bloom_gate",
+      "e14_diverse_sample", "s15_maxsim_rerank")
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
+         op <- ops) {
+      val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
+      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+    }
+  }
+
   private def round7Mode(spark: SparkSession, srcDir: String, factor: Int,
                          workDir: String): Unit = {
     val synthDir = s"$workDir/${factor}x"

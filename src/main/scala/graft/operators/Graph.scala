@@ -165,6 +165,13 @@ object Graph {
    * with no common neighbors report n_common = 0 and NULL ra_score.
    * Same [0, 2^32) vertex-id precondition as [[triangleStats]], enforced
    * the same way.
+   *
+   * The edge, degree, and oriented tables are localCheckpointed: they
+   * feed 3–6 plan branches each, and without materialization every
+   * branch re-derives the caller's whole edge pipeline (measured: 72
+   * source scans in one plan on the harness's co-order graph — the
+   * shape that re-reads a 100 TB fact table dozens of times). Three
+   * bounded materializations replace all of it.
    */
   def linkPredict(edges: DataFrame): DataFrame = {
     def checkedId(c: Column): Column = {
@@ -174,8 +181,10 @@ object Graph {
           id.cast("string"))).cast("long"), lit(0L))
     }
     val e = edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v"))
+      .localCheckpoint()
     val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val keyed = e
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
@@ -186,6 +195,7 @@ object Graph {
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
       greatest(col("ku"), col("kv")).as("kdst"))
+      .localCheckpoint()
     // wedge (wu, wv) centered at w; the left-semi keeps the wedge row —
     // and with it the center — exactly when the closing edge exists
     val tri = oriented.as("e1").join(oriented.as("e2"),

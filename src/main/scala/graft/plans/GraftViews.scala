@@ -87,4 +87,38 @@ object GraftViews {
     graft.SparkEntry.queries("q60_corpus_diff")(spark, dir)
       .createOrReplaceTempView("graft_corpus_diff")
   }
+
+  /**
+   * Round-7 curation-wave views — the multimodal/ingest additions,
+   * same contract as [[registerPipeline]].
+   *
+   * | view | composition | shape |
+   * |---|---|---|
+   * | `graft_ingest_gate`    | bloom-gated incremental dedup (d17) | (doc_id, source, bloom_maybe, is_dup) |
+   * | `graft_maxsim_topk`    | late-interaction rerank (s15)       | (vec_id, score), top-10 |
+   * | `graft_keyframes`      | scene keyframe selection (m07)      | (doc_id, scene_id, keyframe_idx, n_frames) |
+   * | `graft_audio_segments` | energy-threshold VAD (m08)          | (doc_id, seg_id, start_win, n_windows, seg_sum_abs) |
+   * | `graft_image_neardup`  | banded aHash pair join (m09)        | (doc_a, doc_b, hamming) |
+   * | `graft_vocab_growth`   | Heaps-curve cohort points (t30)     | (decile, n_grams, cum_grams, new_types, cum_vocab) |
+   * | `graft_diverse_sample` | per-cluster boundary picks (e14)    | (vec_id, centroid_id, proto_cos) |
+   * | `graft_link_features`  | per-edge CN + RA scores (g07)       | (u, v, n_common, ra_score) |
+   */
+  def registerCuration(spark: SparkSession, dir: String): Unit = {
+    graft.SparkEntry.queries("d17_bloom_gate")(spark, dir)
+      .createOrReplaceTempView("graft_ingest_gate")
+    graft.SparkEntry.queries("s15_maxsim_rerank")(spark, dir)
+      .createOrReplaceTempView("graft_maxsim_topk")
+    graft.SparkEntry.queries("m07_keyframes")(spark, dir)
+      .createOrReplaceTempView("graft_keyframes")
+    graft.SparkEntry.queries("m08_audio_segments")(spark, dir)
+      .createOrReplaceTempView("graft_audio_segments")
+    graft.SparkEntry.queries("m09_image_neardup")(spark, dir)
+      .createOrReplaceTempView("graft_image_neardup")
+    graft.SparkEntry.queries("t30_vocab_growth")(spark, dir)
+      .createOrReplaceTempView("graft_vocab_growth")
+    graft.SparkEntry.queries("e14_diverse_sample")(spark, dir)
+      .createOrReplaceTempView("graft_diverse_sample")
+    graft.SparkEntry.queries("g07_link_predict")(spark, dir)
+      .createOrReplaceTempView("graft_link_features")
+  }
 }

@@ -461,6 +461,31 @@ class PlansSpec extends AnyFunSuite {
     assert(keepRate >= 0.0 && keepRate <= 1.0)
   }
 
+  test("curation-wave views are SQL-callable and match the Scala compositions") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.GraftViews.registerCuration(spark, dir)
+    for (view <- Seq("graft_ingest_gate", "graft_maxsim_topk",
+                     "graft_keyframes", "graft_audio_segments",
+                     "graft_vocab_growth", "graft_diverse_sample",
+                     "graft_link_features")) {
+      assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
+        s"$view returned no rows")
+    }
+    val viaSql = spark.sql(
+      "SELECT doc_id, bloom_maybe, is_dup FROM graft_ingest_gate")
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    val direct = SparkEntry.queries("d17_bloom_gate")(spark, dir)
+      .select(col("doc_id"), col("bloom_maybe"), col("is_dup"))
+      .as[(Long, Boolean, Boolean)].collect().toSet
+    assert(viaSql == direct)
+    // views compose downstream: the gate's false-positive mass in SQL
+    val fp = spark.sql(
+      """SELECT count(*) FROM graft_ingest_gate
+         WHERE bloom_maybe AND NOT is_dup""").as[Long].head()
+    assert(fp >= 0)
+    NorthStar.releaseCaches(spark, dir)
+  }
+
   test("bounded-window contract: every unpartitioned WindowExec in the " +
        "harness queries feeds on a bounded input that does NOT scale " +
        "with the corpus") {
