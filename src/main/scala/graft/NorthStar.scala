@@ -2141,6 +2141,35 @@ object NorthStar {
         .orderBy(col("score").desc, col("vec_id")).limit(k)
     }),
 
+    // retrieval-quality evaluation AS A QUERY — the recall@10 report a
+    // team reads before flipping an index flag in production: every
+    // approximate ANN tier (LSH buckets, IVF probes, PQ-ADC codes,
+    // Matryoshka prefix cascade) scored against the exact scan (s01) on
+    // the same query, in one relational plan. Each method's top-10 is a
+    // 10-row subplan (the k-bounded outputs of the verified tiers), so
+    // the whole evaluation is KB-scale after the scans — at 100 TB the
+    // per-method costs are the tiers' own documented costs, and the
+    // report stays |methods| rows. The recall law lives in the test
+    // suite; THIS query is the operational artifact (method, k, hits,
+    // recall) with its own cross-engine oracle.
+    "s16_retrieval_eval" -> ((s, dir) => {
+      val exact = queries("s01_cosine_topk")(s, dir).select(col("vec_id"))
+      val methods = Seq(
+        "lsh" -> "s02_cosine_topk_lsh", "ivf" -> "s03_cosine_topk_ivf",
+        "pq" -> "s08_pq_adc_topk", "mrl" -> "s13_matryoshka_topk")
+      val labeled = methods.map { case (label, q) =>
+        queries(q)(s, dir).select(lit(label).as("method"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      labeled
+        .join(exact.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("method"), col("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("k").cast(DoubleType))
+            .as("recall"))
+    }),
+
     // per-document n-gram novelty — the corpus-level duplication signal
     // (RefinedWeb/Gopher-style): for every document, the fraction of its
     // DISTINCT 3-gram shingles that occur in any other document
@@ -2351,26 +2380,48 @@ object NorthStar {
 
     // image near-dup pairs — the multimodal arm of the dedup tier made
     // an actual PAIR operator (m05 builds the 64-bit aHash table; this
-    // is the d05-shaped byte-banded small-hamming join over it): 8
-    // bands of 8 bits, pigeonhole-complete for hamming ≤ 7, candidates
-    // only where a full band collides — never all-pairs. The same
-    // template-image / mirror-site detection a multimodal curation
-    // pipeline runs nightly; at 100 TB the band join's candidate volume
-    // tracks the actual near-dup mass, not n².
+    // is a BAND-PAIR small-hamming join over it). Two measured design
+    // decisions against this family's skew: (1) perceptual hashes of
+    // templated media are low-entropy, so a single 8-bit band is a hot
+    // key (3,553 hashes on one chunk at a 10× corpus → 98M candidate
+    // pairs, quadratic); hamming ≤ 6 over 8 bands forces AT LEAST TWO
+    // bands to match (pigeonhole: ≤ 6 errors cannot touch 7 bands), so
+    // candidates join on an ORDERED BAND PAIR — a 16-bit joint chunk
+    // (28 keys/hash) that collapses the hottest group to 350 and the
+    // candidate volume 12× (7.9M). (2) The join runs in distinct
+    // hash-VALUE space with doc expansion after the hamming filter;
+    // identical-hash documents (the exact-dup mass) pair through one
+    // equi-join that never touches a band.
     "m09_image_neardup" -> ((s, dir) => {
       val ph = queries("m05_image_phash")(s, dir)
         .filter(col("phash").isNotNull)
-      val banded = ph.select(col("doc_id"), col("phash"),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("phash"), b * 8).bitwiseAND(lit(0xffL))): _*))
-          .as(Seq("band", "chunk")))
-      banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      val hv = ph.select(col("phash")).distinct()
+      val bandPairs = for { b1 <- 0 until 8; b2 <- b1 + 1 until 8 } yield (b1, b2)
+      val banded = hv.select(col("phash"),
+        posexplode(array(bandPairs.map { case (b1, b2) =>
+          struct(
+            shiftright(col("phash"), b1 * 8).bitwiseAND(lit(0xffL)).as("c1"),
+            shiftright(col("phash"), b2 * 8).bitwiseAND(lit(0xffL)).as("c2"))
+        }: _*)).as(Seq("bp", "cc")))
+        .select(col("phash"), col("bp"), col("cc.c1").as("c1"), col("cc.c2").as("c2"))
+      val valuePairs = banded.as("a").join(banded.as("b"),
+          col("a.bp") === col("b.bp") && col("a.c1") === col("b.c1") &&
+          col("a.c2") === col("b.c2") && col("a.phash") < col("b.phash"))
+        .select(col("a.phash").as("ha"), col("b.phash").as("hb"),
           Hashing.hammingDist(col("a.phash"), col("b.phash")).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
+      val crossValue = valuePairs
+        .join(ph.select(col("doc_id").as("ida"), col("phash").as("ha")), Seq("ha"))
+        .join(ph.select(col("doc_id").as("idb"), col("phash").as("hb")), Seq("hb"))
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+      val sameValue = ph.as("x").join(ph.as("y"),
+          col("x.phash") === col("y.phash") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          lit(0).as("hamming"))
+      crossValue.unionByName(sameValue)
     }),
 
     // corpus-similarity map over embedding labels — the data-mixing
@@ -3863,6 +3914,26 @@ object NorthStar {
     * checked against, so the composed replay cannot drift from its
     * stages. */
   val oracles: Map[String, String] = oraclesBase +
+    // the recall report composes the four verified approximate-tier
+    // bodies plus the exact body — quoting the SAME strings each tier is
+    // checked against, so the evaluation cannot drift from its subjects
+    ("s16_retrieval_eval" -> {
+      val methods = Seq(
+        "lsh" -> "s02_cosine_topk_lsh", "ivf" -> "s03_cosine_topk_ivf",
+        "pq" -> "s08_pq_adc_topk", "mrl" -> "s13_matryoshka_topk")
+      val union = methods.map { case (label, q) =>
+        s"SELECT '$label' AS method, vec_id FROM (${oraclesBase(q)})"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (SELECT vec_id FROM (${oraclesBase("s01_cosine_topk")})),
+            m AS ($union)
+          SELECT m.method, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+                 CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+          FROM m LEFT JOIN ex ON ex.vec_id = m.vec_id
+          GROUP BY m.method"""
+    }) +
     // the release manifest: d13's verdict subquery × t27's gate subquery
     ("d16_corpus_release" ->
       s"""SELECT v.doc_id, q.score

@@ -903,6 +903,25 @@ object Queries {
       graft.operators.Graph.linkPredict(edges)
     }),
 
+    // k-core extraction (k = 12, chosen where the harness graph peels
+    // non-trivially: 7 rounds, 2000 → 1735 vertices) over the same part
+    // co-order graph — the dense-community extractor that isolates
+    // template farms / citation cliques from the peripheral tail before
+    // quality propagation. Operator is [[graft.operators.Graph.kCore]]:
+    // iterative edge peeling with per-round localCheckpoints and an
+    // ENFORCED fixpoint; the oracle replays a fixed 16-round peel chain
+    // (peeling is idempotent at the fixpoint, so 16 ≥ 7 rounds is
+    // exact).
+    "g08_kcore" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Graph.kCore(edges, k = 12)
+    }),
+
     // count-min frequency sketch (depth 4 × width 256) over per-user
     // event counts, next to the exact answer — the bounded-state
     // frequency-estimation twin of a01's KMV cardinality sketch. The
@@ -1823,6 +1842,34 @@ object Queries {
                 CAST(coalesce(ag.n_common, 0) AS BIGINT) AS n_common,
                 ag.ra_score
          FROM e LEFT JOIN ag ON ag.u = e.u AND ag.v = e.v""",
+    // fixed 16-round peel chain: each round keeps edges whose both
+    // endpoints have degree >= 12 in the previous round's subgraph;
+    // idempotent once converged (round 7 on this graph), so the fixed
+    // depth replays the Spark fixpoint exactly. Every round is
+    // MATERIALIZED — each g_i is referenced three times by round i+1,
+    // and inlining would expand g0 exponentially (3^16 source scans
+    // blew DuckDB's file-handle budget before the keyword was added)
+    "g08_kcore" -> {
+      def peel(i: Int) =
+        s"""d$i AS MATERIALIZED (
+              SELECT x, count(*) AS c
+              FROM (SELECT u AS x FROM g${i - 1}
+                    UNION ALL SELECT v AS x FROM g${i - 1})
+              GROUP BY x),
+            g$i AS MATERIALIZED (
+              SELECT e.u, e.v FROM g${i - 1} e
+              JOIN d$i ka ON ka.x = e.u AND ka.c >= 12
+              JOIN d$i kb ON kb.x = e.v AND kb.c >= 12)"""
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem WHERE l_quantity >= 30),
+           g0 AS MATERIALIZED (
+             SELECT DISTINCT a.p AS u, b.p AS v
+             FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           ${(1 to 16).map(peel).mkString(",\n")}
+         SELECT x AS vertex, CAST(count(*) AS BIGINT) AS core_degree
+         FROM (SELECT u AS x FROM g16 UNION ALL SELECT v AS x FROM g16)
+         GROUP BY x"""
+    },
     "a06_bloom_filter" -> {
       val hu = NorthStar.fnvSql("'bloom:' || CAST(k AS VARCHAR)")
       // 64-bit lane mask for bit position `b` (0..63): bit 63 is the

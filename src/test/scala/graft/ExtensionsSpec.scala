@@ -924,4 +924,60 @@ class ExtensionsSpec extends AnyFunSuite {
     // Heaps decay: later halves mint fewer types than the first cohort
     assert(got.last._4 < got.head._4)
   }
+
+  test("s16 retrieval eval: hits recompute from the method and exact top-10s") {
+    val got = q("s16_retrieval_eval")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val exact = q("s01_cosine_topk").select(col("vec_id")).as[Long].collect().toSet
+    val methods = Map(
+      "lsh" -> "s02_cosine_topk_lsh", "ivf" -> "s03_cosine_topk_ivf",
+      "pq" -> "s08_pq_adc_topk", "mrl" -> "s13_matryoshka_topk")
+    assert(got.keySet == methods.keySet)
+    methods.foreach { case (label, name) =>
+      val ids = q(name).select(col("vec_id")).as[Long].collect()
+      val (_, k, hits, recall) = got(label)
+      assert(k == ids.length, s"$label k")
+      assert(hits == ids.count(exact), s"$label hits")
+      assert(recall == hits.toDouble / k.toDouble, s"$label recall")
+    }
+    // the reranking tiers must be perfect on their own contract
+    assert(got("pq")._4 == 1.0 && got("mrl")._4 >= 0.9)
+  }
+
+  test("kCore: exact on the clique-plus-pendant hand graph") {
+    // K4 on 1..4 (every degree 3) with a pendant chain 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = graft.operators.Graph.kCore(edges, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the clique degree peels everything
+    assert(graft.operators.Graph.kCore(edges, 4).count() == 0)
+  }
+
+  test("law: kCore equals brute-force iterative peeling on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(10)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val k = 2 + rnd.nextInt(3)
+        val got = graft.operators.Graph.kCore(es.toDF("u", "v"), k)
+          .as[(Long, Long)].collect().toMap
+        var cur = es.toSet
+        var done = false
+        while (!done) {
+          val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          val nxt = cur.filter { case (u, v) => deg(u) >= k && deg(v) >= k }
+          done = nxt == cur; cur = nxt
+        }
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        assert(got == deg, s"trial $trial k=$k")
+      }
+    }
+  }
 }
