@@ -155,6 +155,48 @@ object NorthStar {
   private[graft] def signedSql(e: String): String =
     s"CAST(CASE WHEN ($e) >= $I63 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
 
+  /** Per-frame aHash replay (fr → … → ph → lg WITH-clauses over
+    * `documents`; lg carries each frame's `phash` and the previous
+    * frame's as `prev`) — shared by the m06 and m10 oracles so the two
+    * replays of the frame-hash pipeline cannot drift. */
+  private def frameHashSql: String =
+    """fr AS (SELECT doc_id,
+              CAST(8 + doc_id % 9 AS INT) AS w,
+              CAST(8 + doc_id % 7 AS INT) AS h,
+              unnest(range(0, CAST(floor(length(text) / 48) AS BIGINT))) AS frame_idx,
+              text
+            FROM documents WHERE length(text) >= 96),
+          d AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(
+                string_split(substring(text, CAST(frame_idx * 48 + 1 AS INT), 48), ''),
+                c -> CAST(ord(c) AS BIGINT)) AS tb
+            FROM fr),
+          p AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(range(0, w * h * 3),
+                i -> coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0)) AS px
+            FROM d),
+          l AS (SELECT doc_id, w, h, frame_idx,
+              list_transform(range(0, w * h), k ->
+                (px[3 * k + 1] + px[3 * k + 2] + px[3 * k + 3]) // 3) AS lum
+            FROM p),
+          sm AS (SELECT doc_id, frame_idx,
+              list_transform(range(0, 64), k ->
+                lum[((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1]) AS smp
+            FROM l),
+          ag AS (SELECT doc_id, frame_idx, smp, list_sum(smp) AS s FROM sm),
+          ph AS (SELECT doc_id, frame_idx,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(0, 64), k ->
+                  CASE WHEN smp[k + 1] * 64 >= s THEN
+                    CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                         ELSE CAST(power(2, k) AS BIGINT) END
+                  ELSE CAST(0 AS BIGINT) END)),
+                (a, x) -> a + x) AS phash
+            FROM ag),
+          lg AS (SELECT doc_id, frame_idx, phash,
+              lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+            FROM ph)"""
+
   /** The WavEncode sample-generation replay (d → sm → sg WITH-clauses
     * over `documents`; sg carries unsigned `us` and signed `ss` sample
     * lists) — shared by the m04 and m08 oracles so the two replays of
@@ -2424,6 +2466,42 @@ object NorthStar {
       crossValue.unionByName(sameValue)
     }),
 
+    // video near-dup — the whole multimodal chain composed into one
+    // fingerprint operator: frames → perceptual hashes (m05/m06's
+    // expressions) → scene keyframes (m07's cut rule) → per-video
+    // scene-hash SET → MinHash(128) + 32×4 LSH banding + exact
+    // set-Jaccard verify, REUSING Dedup.minhashLshPairs verbatim (the
+    // video fingerprint is just a shingle set whose "shingles" are
+    // scene hashes — the d03/d04 machinery applies unchanged, recall
+    // regime included: P(candidate | J ≥ 0.8) ≈ 1 at 32×4). This is
+    // the mirror-site / re-encode detection a video curation pipeline
+    // runs nightly; everything upstream of the pair join is per-row,
+    // and the pair join inherits d04's banded near-linear candidates.
+    "m10_video_neardup" -> ((s, dir) => {
+      val frameChars = 48
+      val M = graft.multimodal.Multimodal
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val frames = docs(s, dir)
+        .filter(length(col("text")) >= 2 * frameChars)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L),
+            (floor(length(col("text")) / frameChars) - 1).cast("long")))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          M.ppmAHash(M.ppmEncode(col("doc_id"),
+            expr(s"substring(text, CAST(frame_idx * $frameChars + 1 AS INT), $frameChars)")))
+            .as("phash"))
+      val kf = frames
+        .withColumn("prev", lag(col("phash"), 1).over(byDoc))
+        .filter(col("prev").isNull ||
+          bit_count(col("phash").bitwiseXOR(col("prev"))) >= 18)
+      val hs = kf.groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("phash"))).as("hs"))
+      graft.operators.Dedup.minhashLshPairs(hs, 0.8, k = 128,
+        bands = 32, estFloor = 0.6)
+    }),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -2913,46 +2991,33 @@ object NorthStar {
     // still keyed by doc_id), then the consecutive-frame hamming via a
     // lag window — bit_count is TINYINT in DuckDB, cast to match Spark
     "m06_scene_cut" ->
-      s"""WITH fr AS (SELECT doc_id,
-              CAST(8 + doc_id % 9 AS INT) AS w,
-              CAST(8 + doc_id % 7 AS INT) AS h,
-              unnest(range(0, CAST(floor(length(text) / 48) AS BIGINT))) AS frame_idx,
-              text
-            FROM documents WHERE length(text) >= 96),
-          d AS (SELECT doc_id, w, h, frame_idx,
-              list_transform(
-                string_split(substring(text, CAST(frame_idx * 48 + 1 AS INT), 48), ''),
-                c -> CAST(ord(c) AS BIGINT)) AS tb
-            FROM fr),
-          p AS (SELECT doc_id, w, h, frame_idx,
-              list_transform(range(0, w * h * 3),
-                i -> coalesce(tb[(i % greatest(len(tb), 1)) + 1], 0)) AS px
-            FROM d),
-          l AS (SELECT doc_id, w, h, frame_idx,
-              list_transform(range(0, w * h), k ->
-                (px[3 * k + 1] + px[3 * k + 2] + px[3 * k + 3]) // 3) AS lum
-            FROM p),
-          sm AS (SELECT doc_id, frame_idx,
-              list_transform(range(0, 64), k ->
-                lum[((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1]) AS smp
-            FROM l),
-          ag AS (SELECT doc_id, frame_idx, smp, list_sum(smp) AS s FROM sm),
-          ph AS (SELECT doc_id, frame_idx,
-              list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(range(0, 64), k ->
-                  CASE WHEN smp[k + 1] * 64 >= s THEN
-                    CASE WHEN k = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-                         ELSE CAST(power(2, k) AS BIGINT) END
-                  ELSE CAST(0 AS BIGINT) END)),
-                (a, x) -> a + x) AS phash
-            FROM ag),
-          lg AS (SELECT doc_id, frame_idx, phash,
-              lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
-            FROM ph)
+      s"""WITH $frameHashSql
           SELECT doc_id, frame_idx,
                  CAST(bit_count(xor(phash, prev)) AS INT) AS hamming,
                  CAST(bit_count(xor(phash, prev)) AS INT) >= 18 AS is_cut
           FROM lg WHERE prev IS NOT NULL""",
+    // video fingerprint = the SET of scene keyframe hashes; exact set
+    // Jaccard over the doubled hash stream — the ground truth the
+    // Spark-side MinHash-LSH path must reproduce (d04's recall regime:
+    // threshold 0.8 at 32×4 banding, P(candidate) ≈ 1)
+    "m10_video_neardup" ->
+      s"""WITH $frameHashSql,
+          kf AS (SELECT doc_id, phash FROM lg
+                 WHERE prev IS NULL
+                    OR CAST(bit_count(xor(phash, prev)) AS INT) >= 18),
+          hs AS (SELECT DISTINCT doc_id, phash FROM kf),
+          sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+          pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+                   FROM hs a JOIN hs b
+                     ON a.phash = b.phash AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+          SELECT doc_a, doc_b,
+                 CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+          FROM pair
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8""",
     // replays the WAV round trip at the BYTE level: regenerate the
     // deterministic PCM samples, rebuild the exact 44-byte RIFF header +
     // little-endian sample bytes (so the checksum pins the encoder's

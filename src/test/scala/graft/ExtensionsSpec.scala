@@ -925,6 +925,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("m10 video near-dup equals brute-force scene-set Jaccard >= 0.8") {
+    val got = q("m10_video_neardup")
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    // scene-hash sets from the verified m06/m07 building blocks
+    val frames = q("m06_scene_cut")
+      .select(col("doc_id"), col("frame_idx"), col("is_cut"))
+      .as[(Long, Long, Boolean)].collect()
+    val cuts = frames.filter(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // recompute each doc's keyframe hashes through the production codec
+    val M = graft.multimodal.Multimodal
+    val hashes = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 96)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), (floor(length(col("text")) / 48) - 1).cast("long")))
+          .as("frame_idx"),
+        col("text"))
+      .select(col("doc_id"), col("frame_idx"),
+        M.ppmAHash(M.ppmEncode(col("doc_id"),
+          expr("substring(text, CAST(frame_idx * 48 + 1 AS INT), 48)"))).as("ph"))
+      .as[(Long, Long, Long)].collect()
+    val sets = hashes.groupBy(_._1).map { case (doc, fs) =>
+      val keep = Set(0L) ++ cuts.getOrElse(doc, Set.empty)
+      doc -> fs.filter(f => keep(f._2)).map(_._3).toSet
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa intersect sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.8
+    } yield (a, b)).toSet
+    assert(got == expected)
+    // sf0.001 has no qualifying video pair (the law above is vacuous
+    // there); the positive case must exist at the oracle-gate SF
+    assert(SparkEntry.queries("m10_video_neardup")(
+      spark, "/root/testdata/sf0.01").count() >= 1)
+  }
+
   test("s16 retrieval eval: hits recompute from the method and exact top-10s") {
     val got = q("s16_retrieval_eval")
       .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
