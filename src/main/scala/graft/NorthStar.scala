@@ -919,6 +919,65 @@ object NorthStar {
         Seq(col("proto_cos").asc, col("vec_id").asc), m)
     }),
 
+    // quantization-error report — s16's embedding sibling, the "which
+    // quantizer can I afford" table a team reads before committing an
+    // index format: per-label mean squared reconstruction error of all
+    // three quantizers (e02's int8 scalar, e05's 8×16 product
+    // quantizer, e06's sign bits with the optimal per-vector scale
+    // α = mean|x|), in one pass over the corpus. Every per-vector error
+    // is a pinned left-to-right fold (the e13 discipline); scales are
+    // STAGED columns so lambda capture can't re-evaluate the producer;
+    // per-label means fold vec_id-sorted error lists — bit-identical
+    // cross-engine, |labels| output rows at any corpus size.
+    "e15_quant_error" -> ((s, dir) => {
+      val m = 8; val dsub = 8; val ksub = 16; val dim = 64
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val staged = e
+        .select(col("vec_id"), col("label"), col("v"),
+          aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x)))
+            .as("max_abs"))
+        .select(col("vec_id"), col("label"), col("v"),
+          (lit(127.0) / greatest(col("max_abs"), lit(1e-30))).as("s8"),
+          (greatest(col("max_abs"), lit(1e-30)) / lit(127.0)).as("inv8"),
+          (aggregate(col("v"), lit(0.0), (a, x) => a + abs(x)) / dim)
+            .as("alpha"))
+        .select(col("vec_id"), col("label"), col("v"), col("inv8"), col("alpha"),
+          transform(col("v"),
+            x => floor(x * col("s8") + lit(0.5)).cast("int")).as("q8"))
+      val errs = staged.select(col("vec_id"), col("label"),
+        aggregate(zip_with(col("v"), col("q8"), (x, c) =>
+            (x - c.cast(DoubleType) * col("inv8")) *
+            (x - c.cast(DoubleType) * col("inv8"))),
+          lit(0.0), (a, x) => a + x).as("e_int8"),
+        (0 until m).map { mi =>
+          val sub = slice(col("v"), mi * dsub + 1, dsub)
+          array_min(array((0 until ksub).map { c =>
+            aggregate(zip_with(sub, lit(VF.centroid(1000 + mi * ksub + c, dsub)),
+              (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+          }: _*))
+        }.reduceLeft(_ + _).as("e_pq"),
+        aggregate(transform(col("v"), x =>
+            (x - col("alpha") * when(x >= 0, lit(1.0)).otherwise(lit(-1.0))) *
+            (x - col("alpha") * when(x >= 0, lit(1.0)).otherwise(lit(-1.0)))),
+          lit(0.0), (a, x) => a + x).as("e_bin"))
+      errs.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("e_int8")))),
+              x => x.getField("e_int8")), lit(0.0), (a, x) => a + x).as("s8"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("e_pq")))),
+              x => x.getField("e_pq")), lit(0.0), (a, x) => a + x).as("sp"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("e_bin")))),
+              x => x.getField("e_bin")), lit(0.0), (a, x) => a + x).as("sb"))
+        .select(col("label"), col("n").as("n_vecs"),
+          (col("s8") / col("n")).as("mse_int8"),
+          (col("sp") / col("n")).as("mse_pq"),
+          (col("sb") / col("n")).as("mse_binary"))
+    }),
+
     // Johnson–Lindenstrauss random projection, Achlioptas' database-
     // friendly form (KDD'01): 64-dim embeddings drop to 16 dims through
     // the SAME deterministic ±1 Rademacher plane family the LSH tier
@@ -3351,6 +3410,52 @@ object NorthStar {
                   FROM sc)
           SELECT vec_id, centroid_id, proto_cos
           FROM r WHERE rn <= 5"""
+    },
+    // the three reconstruction algebras replayed term-for-term (same
+    // staged scales, same left-to-right folds), per-label means over
+    // vec_id-ordered error lists
+    "e15_quant_error" -> {
+      val pqErr = (0 until 8).map { mi =>
+        val sub = s"list_slice(v, ${mi * 8 + 1}, ${(mi + 1) * 8})"
+        "least(" + (0 until 16).map(c =>
+          l2Sql(sub, centroidSqlLiteral(1000 + mi * 16 + c, 8))).mkString(", ") + ")"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          a AS (SELECT vec_id, label, v,
+                  list_reduce(list_prepend(0.0, v),
+                    (p, q) -> greatest(p, abs(q))) AS max_abs
+                FROM e),
+          b AS (SELECT vec_id, label, v,
+                  127.0 / greatest(max_abs, 1e-30) AS s8,
+                  greatest(max_abs, 1e-30) / 127.0 AS inv8,
+                  list_reduce(list_prepend(0.0, v), (p, q) -> p + abs(q)) / 64
+                    AS alpha
+                FROM a),
+          c AS (SELECT vec_id, label, v, inv8, alpha,
+                  list_transform(v, x -> CAST(floor(x * s8 + 0.5) AS INT)) AS q8
+                FROM b),
+          d AS (SELECT vec_id, label,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(list_zip(v, q8), p ->
+                      (p[1] - CAST(p[2] AS DOUBLE) * inv8)
+                      * (p[1] - CAST(p[2] AS DOUBLE) * inv8))),
+                    (p, q) -> p + q) AS e_int8,
+                  $pqErr AS e_pq,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(v, x ->
+                      (x - alpha * (CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END))
+                      * (x - alpha * (CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END)))),
+                    (p, q) -> p + q) AS e_bin
+                FROM c)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 list_reduce(list_prepend(0.0, list(e_int8 ORDER BY vec_id)),
+                   (p, q) -> p + q) / count(*) AS mse_int8,
+                 list_reduce(list_prepend(0.0, list(e_pq ORDER BY vec_id)),
+                   (p, q) -> p + q) / count(*) AS mse_pq,
+                 list_reduce(list_prepend(0.0, list(e_bin ORDER BY vec_id)),
+                   (p, q) -> p + q) / count(*) AS mse_binary
+          FROM d GROUP BY label"""
     },
     // JL replay: the 16 plane dot folds regenerated as literals, same
     // 0.25 power-of-two scale

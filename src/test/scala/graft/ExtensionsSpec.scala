@@ -925,6 +925,49 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("e15 quantization errors: exact driver recompute of all three algebras") {
+    val got = q("e15_quant_error")
+      .as[(Int, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Long, Int, Seq[Double])].collect()
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    val perVec = vecs.map { case (id, label, v) =>
+      val maxAbs = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      val s8 = 127.0 / math.max(maxAbs, 1e-30)
+      val inv8 = math.max(maxAbs, 1e-30) / 127.0
+      val alpha = v.foldLeft(0.0)((a, x) => a + math.abs(x)) / 64
+      val q8 = v.map(x => math.floor(x * s8 + 0.5).toInt)
+      val e8 = fold(v.zip(q8).map { case (x, c) =>
+        (x - c.toDouble * inv8) * (x - c.toDouble * inv8) })
+      val epq = (0 until 8).map { mi =>
+        val sub = v.slice(mi * 8, (mi + 1) * 8)
+        (0 until 16).map { c =>
+          val cent = VF.centroid(1000 + mi * 16 + c, 8)
+          fold(sub.zip(cent).map { case (x, y) => (x - y) * (x - y) })
+        }.min
+      }.reduceLeft(_ + _)
+      val ebin = fold(v.map { x =>
+        val d = x - alpha * (if (x >= 0) 1.0 else -1.0); d * d })
+      (id, label, e8, epq, ebin)
+    }
+    perVec.groupBy(_._2).foreach { case (label, vs) =>
+      val sorted = vs.sortBy(_._1)
+      val n = vs.length
+      val (_, gn, m8, mp, mb) = got(label)
+      assert(gn == n, s"label $label n")
+      assert(m8 == fold(sorted.map(_._3)) / n, s"label $label int8")
+      assert(mp == fold(sorted.map(_._4)) / n, s"label $label pq")
+      assert(mb == fold(sorted.map(_._5)) / n, s"label $label binary")
+    }
+    // the report must tell the true story on this corpus:
+    // int8 is near-lossless, PQ pays the isotropy tax, binary sits between
+    got.values.foreach { case (_, _, m8, mp, mb) =>
+      assert(m8 < mb && mb < mp)
+    }
+  }
+
   test("m10 video near-dup equals brute-force scene-set Jaccard >= 0.8") {
     val got = q("m10_video_neardup")
       .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
