@@ -468,6 +468,53 @@ object NorthStar {
             lit(false).as("is_dup")))
     }),
 
+    // normalization-aware dedup — t29's cleaning pass composed INTO the
+    // dedup pipeline, with the measurement that justifies running it.
+    // Setup: the CANONICAL corpus carries composed accents (mod-3 docs,
+    // "\u00e1" — the publisher's bytes); a deterministic RE-CRAWL of
+    // every doc arrives with the same visible text but different bytes
+    // — NFD-decomposed accents (a + U+0301), control-char litter
+    // (mod 5), doubled spaces (mod 7) — ids shifted. Fingerprint-dedup
+    // runs twice, on RAW text and on NORMALIZED text: raw matching
+    // leaks every byte-variant duplicate (decomposed accents and
+    // controls change tokens; only whitespace noise is already
+    // invisible to the tokenizer), while normalized matching must
+    // recover EVERY re-crawl — the per-doc (matched_raw, matched_norm)
+    // table quantifies exactly what a pipeline without the cleaning
+    // pass would leak. Two map-only fingerprint projections + two
+    // broadcast-sized probes; nothing here shuffles text.
+    "d18_normalized_dedup" -> ((s, dir) => {
+      def accent(t: Column, id: Column, rep: String): Column =
+        when(id % 3 === 0, regexp_replace(t, "a", rep)).otherwise(t)
+      def dirty(t: Column, id: Column): Column = {
+        val d1 = when(id % 5 === 0,
+          concat(lit("\u0007"), t, lit("\u0007"))).otherwise(t)
+        when(id % 7 === 0, regexp_replace(d1, " ", "  ")).otherwise(d1)
+      }
+      def normalize(t: Column): Column =
+        trim(regexp_replace(regexp_replace(
+          Hashing.nfcNormalize(t), "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val canonical = base.select(col("doc_id"),
+        accent(col("text"), col("doc_id"), "\u00e1").as("text"))
+      val recrawl = base.select((col("doc_id") + 200000L).as("doc_id"),
+        dirty(accent(col("text"), col("doc_id"), "a\u0301"),
+          col("doc_id")).as("text"))
+      val fpRaw = canonical.select(
+        TF.fingerprint(col("text")).as("fp_raw")).distinct()
+      val fpNorm = canonical.select(
+        TF.fingerprint(normalize(col("text"))).as("fp_norm")).distinct()
+      recrawl
+        .select(col("doc_id"),
+          TF.fingerprint(col("text")).as("fp_raw"),
+          TF.fingerprint(normalize(col("text"))).as("fp_norm"))
+        .join(fpRaw.withColumn("mr", lit(true)), Seq("fp_raw"), "left")
+        .join(fpNorm.withColumn("mn", lit(true)), Seq("fp_norm"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mr"), lit(false)).as("matched_raw"),
+          coalesce(col("mn"), lit(false)).as("matched_norm"))
+    }),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -3757,6 +3804,43 @@ object NorthStar {
                  bloom_maybe AND EXISTS (SELECT 1 FROM f e
                    WHERE e.source = 'src0' AND e.fp = pr.fp) AS is_dup
           FROM pr"""
+    },
+    // canonical corpus with composed accents (chr(225)), re-crawl with
+    // decomposed accents (chr(769)) + BEL litter + doubled spaces; both
+    // fingerprint paths replayed, the normalized one through DuckDB's
+    // nfc_normalize — the same UAX #15 composition as the Spark side
+    "d18_normalized_dedup" -> {
+      def norm(t: String) =
+        s"""trim(regexp_replace(regexp_replace(nfc_normalize($t),
+            '[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"""
+      s"""WITH canon AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', chr(225))
+                   ELSE text END AS text
+            FROM documents),
+          rc0 AS (SELECT doc_id,
+              CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', 'a' || chr(769))
+                   ELSE text END AS t0
+            FROM documents),
+          rc1 AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN chr(7) || t0 || chr(7) ELSE t0 END AS t1
+            FROM rc0),
+          rc AS (SELECT doc_id + 200000 AS doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN replace(t1, ' ', '  ') ELSE t1 END AS text
+            FROM rc1),
+          braw AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
+                   FROM canon),
+          cn AS (SELECT doc_id, ${norm("text")} AS text FROM canon),
+          bnorm AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
+                    FROM cn),
+          rraw AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
+                   FROM rc),
+          rn0 AS (SELECT doc_id, ${norm("text")} AS text FROM rc),
+          rnorm AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
+                    FROM rn0)
+          SELECT r.doc_id,
+                 EXISTS (SELECT 1 FROM braw b WHERE b.fp = r.fp) AS matched_raw,
+                 EXISTS (SELECT 1 FROM bnorm b WHERE b.fp = n.fp) AS matched_norm
+          FROM rraw r JOIN rnorm n USING (doc_id)"""
     },
     "e03_centroid_assign" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

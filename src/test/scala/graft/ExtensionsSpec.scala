@@ -925,6 +925,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("d18 normalized dedup: normalization recovers every re-crawl, raw " +
+       "matching leaks exactly the byte-variant docs") {
+    val got = q("d18_normalized_dedup")
+      .as[(Long, Boolean, Boolean)].collect()
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got.length == texts.size)
+    got.foreach { case (rid, raw, nrm) =>
+      assert(nrm, s"recrawl $rid not recovered by normalized matching")
+      val id = rid - 200000L
+      // raw fingerprints diverge iff the dirtying touched token bytes:
+      // decomposed accents (mod 3, only if 'a' occurs) or BEL litter
+      // (mod 5); doubled spaces are already invisible to the tokenizer
+      val expectRawLeak =
+        (id % 3 == 0 && texts(id).contains("a")) || id % 5 == 0
+      assert(raw == !expectRawLeak, s"recrawl $rid raw-match flag")
+    }
+  }
+
   test("e15 quantization errors: exact driver recompute of all three algebras") {
     val got = q("e15_quant_error")
       .as[(Int, Long, Double, Double, Double)].collect()
