@@ -1477,6 +1477,45 @@ object Queries {
           array_join(transform(slice(reverse(col("qtys")), 1, 3),
             x => x.cast(IntegerType).cast(StringType)), ",").as("last3"))),
 
+    // correlated-subquery min — TPC-H Q2's essential shape (part +
+    // supplier where the cost IS the region-wide minimum for that
+    // part): Catalyst de-correlates the per-part MIN subquery into an
+    // aggregate + self-join, the rewrite every warehouse migration
+    // exercises. Keys land on (ps_partkey = min's partkey AND cost =
+    // min cost); ties (several suppliers at the min) are all kept —
+    // Q2's semantics.
+    "q63_correlated_min" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        WHERE p.p_size >= 40
+          AND l.l_extendedprice = (
+            SELECT min(l2.l_extendedprice) FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)""")
+    }),
+
+    // relational DIVISION — "customers who ordered in EVERY priority
+    // class", the classic ∀-quantified join (Codd's ÷). Two equivalent
+    // formulations exist; the scalable one is counting: group the
+    // distinct (custkey, priority) pairs and keep customers whose
+    // distinct-priority count equals the universe size (a broadcast
+    // one-row subquery) — one shuffle on custkey, no double NOT EXISTS
+    // nested-loop anywhere.
+    "q64_rel_division" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val universe = o.select(col("o_orderpriority")).distinct()
+        .agg(count(lit(1)).as("n_all"))
+      o.select(col("o_custkey"), col("o_orderpriority")).distinct()
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_prio"))
+        .crossJoin(broadcast(universe))
+        .filter(col("n_prio") === col("n_all"))
+        .select(col("o_custkey"), col("n_prio"))
+    }),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1522,6 +1561,21 @@ object Queries {
                     list_slice(list_reverse(qtys), 1, 3),
                     x -> CAST(CAST(x AS INT) AS VARCHAR)), ',') AS last3
          FROM arr""",
+    "q63_correlated_min" ->
+      """SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice
+         FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+         WHERE p.p_size >= 40
+           AND l.l_extendedprice = (
+             SELECT min(l2.l_extendedprice) FROM lineitem l2
+             WHERE l2.l_partkey = p.p_partkey)""",
+    "q64_rel_division" ->
+      """WITH u AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_all
+                    FROM orders),
+           cp AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+         SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_prio
+         FROM cp, u
+         GROUP BY o_custkey, u.n_all
+         HAVING count(*) = u.n_all""",
     "q60_corpus_diff" ->
       """WITH a AS (SELECT doc_id, md5(text) AS old_hash
                     FROM documents WHERE doc_id % 11 <> 3),

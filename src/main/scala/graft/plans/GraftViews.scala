@@ -102,6 +102,10 @@ object GraftViews {
    * | `graft_vocab_growth`   | Heaps-curve cohort points (t30)     | (decile, n_grams, cum_grams, new_types, cum_vocab) |
    * | `graft_diverse_sample` | per-cluster boundary picks (e14)    | (vec_id, centroid_id, proto_cos) |
    * | `graft_link_features`  | per-edge CN + RA scores (g07)       | (u, v, n_common, ra_score) |
+   * | `graft_retrieval_eval` | recall@10 per ANN tier (s16)        | (method, k, n_hits, recall) |
+   * | `graft_quant_report`   | per-label reconstruction MSE (e15)  | (label, n_vecs, mse_int8, mse_pq, mse_binary) |
+   * | `graft_video_neardup`  | scene-set Jaccard pairs (m10)       | (doc_a, doc_b, jaccard) |
+   * | `graft_norm_leak_audit`| raw-vs-normalized dedup flags (d18) | (doc_id, matched_raw, matched_norm) |
    */
   def registerCuration(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.queries("d17_bloom_gate")(spark, dir)
@@ -120,5 +124,13 @@ object GraftViews {
       .createOrReplaceTempView("graft_diverse_sample")
     graft.SparkEntry.queries("g07_link_predict")(spark, dir)
       .createOrReplaceTempView("graft_link_features")
+    graft.SparkEntry.queries("s16_retrieval_eval")(spark, dir)
+      .createOrReplaceTempView("graft_retrieval_eval")
+    graft.SparkEntry.queries("e15_quant_error")(spark, dir)
+      .createOrReplaceTempView("graft_quant_report")
+    graft.SparkEntry.queries("m10_video_neardup")(spark, dir)
+      .createOrReplaceTempView("graft_video_neardup")
+    graft.SparkEntry.queries("d18_normalized_dedup")(spark, dir)
+      .createOrReplaceTempView("graft_norm_leak_audit")
   }
 }

@@ -467,7 +467,8 @@ class PlansSpec extends AnyFunSuite {
     for (view <- Seq("graft_ingest_gate", "graft_maxsim_topk",
                      "graft_keyframes", "graft_audio_segments",
                      "graft_vocab_growth", "graft_diverse_sample",
-                     "graft_link_features")) {
+                     "graft_link_features", "graft_retrieval_eval",
+                     "graft_quant_report", "graft_norm_leak_audit")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
