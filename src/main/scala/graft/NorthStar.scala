@@ -2541,8 +2541,12 @@ object NorthStar {
     // identical-hash documents (the exact-dup mass) pair through one
     // equi-join that never touches a band.
     "m09_image_neardup" -> ((s, dir) => {
+      // the hash table feeds five plan branches (value set, two doc
+      // expansions, the identical-hash join's both sides) — materialize
+      // the 16-byte rows once instead of re-running the decode per branch
       val ph = queries("m05_image_phash")(s, dir)
         .filter(col("phash").isNotNull)
+        .localCheckpoint()
       val hv = ph.select(col("phash")).distinct()
       val bandPairs = for { b1 <- 0 until 8; b2 <- b1 + 1 until 8 } yield (b1, b2)
       val banded = hv.select(col("phash"),
@@ -2557,8 +2561,11 @@ object NorthStar {
           col("a.c2") === col("b.c2") && col("a.phash") < col("b.phash"))
         .select(col("a.phash").as("ha"), col("b.phash").as("hb"),
           Hashing.hammingDist(col("a.phash"), col("b.phash")).as("hamming"))
-        .distinct()
+        // filter BEFORE the dedup shuffle: the hamming gate kills ~all
+        // candidates inside the join's codegen stage, so the distinct
+        // exchanges only true near-dup value pairs, not the candidate set
         .filter(col("hamming") <= 6)
+        .distinct()
       val crossValue = valuePairs
         .join(ph.select(col("doc_id").as("ida"), col("phash").as("ha")), Seq("ha"))
         .join(ph.select(col("doc_id").as("idb"), col("phash").as("hb")), Seq("hb"))

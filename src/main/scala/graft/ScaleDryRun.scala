@@ -410,8 +410,9 @@ object ScaleDryRun {
     materialize(spark, s"$synthDir/embeddings.parquet")(
       synthesizeEmbeddings(spark, srcDir, factor))
     val ops = Seq("t29_normalize", "t30_vocab_growth", "m07_keyframes",
-      "m08_audio_segments", "m09_image_neardup", "d17_bloom_gate",
-      "e14_diverse_sample", "s15_maxsim_rerank")
+      "m08_audio_segments", "m09_image_neardup", "m10_video_neardup",
+      "d17_bloom_gate", "d18_normalized_dedup",
+      "e14_diverse_sample", "e15_quant_error", "s15_maxsim_rerank")
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
     println("|---|---|---|---|---|")

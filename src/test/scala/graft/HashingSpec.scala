@@ -123,6 +123,28 @@ class HashingSpec extends AnyFunSuite {
     assert(got(0).get == "áb" && got(0).get.length == 2)
   }
 
+  test("law: NfcNormalize is idempotent and agrees with the JDK on random " +
+       "combining-mark strings") {
+    val rnd = new scala.util.Random(31)
+    val marks = Seq('\u0301', '\u0308', '\u0327', '\u0300', '\u0303')
+    val bases = "aeiouncAEOU bdf".toSeq
+    val strs = (1 to 200).map { _ =>
+      (0 to rnd.nextInt(12)).map { _ =>
+        val b = bases(rnd.nextInt(bases.length)).toString
+        if (rnd.nextBoolean()) b + marks(rnd.nextInt(marks.length)) else b
+      }.mkString
+    }
+    val once = strs.toDF("t")
+      .select(Hashing.nfcNormalize(col("t"))).as[String].collect().toSeq
+    val twice = once.toDF("t")
+      .select(Hashing.nfcNormalize(col("t"))).as[String].collect().toSeq
+    strs.lazyZip(once).lazyZip(twice).foreach { (in, o, t2) =>
+      assert(o == java.text.Normalizer.normalize(
+        in, java.text.Normalizer.Form.NFC), s"agreement on ${in.toList}")
+      assert(t2 == o, s"not idempotent on ${in.toList}")
+    }
+  }
+
   test("byteHistogram: normalized bins matching a hand computation, summing to 1") {
     val s = "abcdefgh" // ords 97..104 → bins 1..7,0 one hit each
     val hist = Seq(s).toDF("t")
