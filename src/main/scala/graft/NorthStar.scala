@@ -745,8 +745,10 @@ object NorthStar {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           Hashing.hammingDist(col("a.sig"), col("b.sig")).as("hamming"))
-        .distinct()
+        // gate before the dedup shuffle (the m09 lesson): only
+        // qualifying pairs leave the band join's codegen stage
         .filter(col("hamming") <= 6)
+        .distinct()
     }),
 
     // embedding-cosine near-dup pairs. EXACT all-pairs by design: the
