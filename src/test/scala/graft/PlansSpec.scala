@@ -487,6 +487,50 @@ class PlansSpec extends AnyFunSuite {
     NorthStar.releaseCaches(spark, dir)
   }
 
+  test("plan hygiene sweep: no harness query plans a cartesian product, and " +
+       "nested-loop joins appear only against one-row scalar subplans") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def hasScalarAgg(p: SparkPlan): Boolean = (p match {
+      case h: HashAggregateExec => h.groupingExpressions.isEmpty
+      case h: ObjectHashAggregateExec => h.groupingExpressions.isEmpty
+      case h: SortAggregateExec => h.groupingExpressions.isEmpty
+      case _ => false
+    }) || p.children.exists(hasScalarAgg)
+    def nlJoins(p: SparkPlan): Seq[SparkPlan] = {
+      val here = p match {
+        case j: BroadcastNestedLoopJoinExec => Seq(j)
+        case j: CartesianProductExec => Seq(j)
+        case _ => Seq.empty
+      }
+      here ++ p.children.flatMap(nlJoins) ++ p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.ExecSubqueryExpression => s.plan
+      }.flatMap(nlJoins))
+    }
+    // deliberate bounded non-equi/cross joins whose small side the
+    // scalar-aggregate detector cannot prove one-row — each is bounded
+    // by a DOMAIN, not by the corpus, and broadcasts:
+    val boundedByConstruction = Set(
+      "a05_sketch_setops",     // |event types| k-long KMV sketch rows
+      "a06_bloom_filter",      // |priorities| 32-byte bloom lane rows
+      "e06_binary_quantize",   // single query row selected by vec_id = 0
+      "g01_source_sketch",     // |sources| merged MinHash sketch rows
+      "g03_label_centroid_sim",// |labels| centroid rows
+      "s07_ann_incremental")   // ~1% arrival batch broadcast vs index
+    val dirS = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(boundedByConstruction)
+      .flatMap { name =>
+        nlJoins(SparkEntry.queries(name)(spark, dirS).queryExecution.sparkPlan)
+          .filterNot(_.children.exists(hasScalarAgg))
+          .map(j => s"$name: ${j.nodeName}")
+      }
+    assert(offenders.isEmpty,
+      s"nested-loop/cartesian against a non-scalar side:\n${offenders.mkString("\n")}")
+    NorthStar.releaseCaches(spark, dirS)
+  }
+
   test("bounded-window contract: every unpartitioned WindowExec in the " +
        "harness queries feeds on a bounded input that does NOT scale " +
        "with the corpus") {
