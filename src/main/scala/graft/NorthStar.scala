@@ -31,6 +31,46 @@ object NorthStar {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Per-vector prototypicality scoring shared by e09 (prune the MOST
+    * prototypical) and e14 (sample the LEAST): argmax-dot centroid
+    * assignment + cosine to the winning centroid, every centroid value
+    * and norm a plan-time literal with the pinned left-to-right fold —
+    * ONE definition so the two selection tails cannot drift. Columns:
+    * (vec_id, centroid_id, proto_cos). */
+  private def protoCosScored(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val nC = 16
+    val cnorms = (0 until nC).map(c =>
+      math.sqrt(VF.centroid(c, dim).map(x => x * x).sum)).toArray
+    val v = VF.toDouble(col("embedding"))
+    emb(s, dir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("dots",
+        array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
+      .select(col("vec_id"),
+        array_position(col("dots"), array_max(col("dots"))).cast("int")
+          .as("centroid_id"),
+        array_max(col("dots")).as("best_dot"),
+        sqrt(VF.normSq(col("v"))).as("nrm"))
+      .select(col("vec_id"), col("centroid_id"),
+        (col("best_dot")
+          / (col("nrm") * element_at(lit(cnorms), col("centroid_id"))))
+          .as("proto_cos"))
+  }
+
+  /** The t29/d18 cleaning pass — NFC canonical composition, control-char
+    * strip, single-space collapse, trim. ONE definition (plus its SQL
+    * twin [[cleanTextSql]]) so the normalize query and the dedup leak
+    * audit always run the same normalizer. */
+  private def cleanText(t: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      Hashing.nfcNormalize(t), "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+
+  /** SQL twin of [[cleanText]] (DuckDB's nfc_normalize implements the
+    * same UAX #15 composition as the JDK Normalizer). */
+  private def cleanTextSql(t: String): String =
+    s"""trim(regexp_replace(regexp_replace(nfc_normalize($t),
+        '[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"""
+
   /** DuckDB token expression mirroring TextFunctions.tokens. */
   private val sqlToks =
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
@@ -155,20 +195,26 @@ object NorthStar {
   private[graft] def signedSql(e: String): String =
     s"CAST(CASE WHEN ($e) >= $I63 THEN ($e) - $U64 ELSE ($e) END AS BIGINT)"
 
+  /** Frame geometry shared by the video-tier queries (m06 scene cuts,
+    * m07 keyframes, m10 video fingerprints) AND their oracles: one
+    * constant pair, so a retune cannot drift the composed stages. */
+  private val FrameChars = 48
+  private val SceneCutHamming = 18
+
   /** Per-frame aHash replay (fr → … → ph → lg WITH-clauses over
     * `documents`; lg carries each frame's `phash` and the previous
     * frame's as `prev`) — shared by the m06 and m10 oracles so the two
     * replays of the frame-hash pipeline cannot drift. */
   private def frameHashSql: String =
-    """fr AS (SELECT doc_id,
+    s"""fr AS (SELECT doc_id,
               CAST(8 + doc_id % 9 AS INT) AS w,
               CAST(8 + doc_id % 7 AS INT) AS h,
-              unnest(range(0, CAST(floor(length(text) / 48) AS BIGINT))) AS frame_idx,
+              unnest(range(0, CAST(floor(length(text) / $FrameChars) AS BIGINT))) AS frame_idx,
               text
-            FROM documents WHERE length(text) >= 96),
+            FROM documents WHERE length(text) >= ${2 * FrameChars}),
           d AS (SELECT doc_id, w, h, frame_idx,
               list_transform(
-                string_split(substring(text, CAST(frame_idx * 48 + 1 AS INT), 48), ''),
+                string_split(substring(text, CAST(frame_idx * $FrameChars + 1 AS INT), $FrameChars), ''),
                 c -> CAST(ord(c) AS BIGINT)) AS tb
             FROM fr),
           p AS (SELECT doc_id, w, h, frame_idx,
@@ -491,9 +537,7 @@ object NorthStar {
           concat(lit("\u0007"), t, lit("\u0007"))).otherwise(t)
         when(id % 7 === 0, regexp_replace(d1, " ", "  ")).otherwise(d1)
       }
-      def normalize(t: Column): Column =
-        trim(regexp_replace(regexp_replace(
-          Hashing.nfcNormalize(t), "[\\x00-\\x1f\\x7f]", ""), " +", " "))
+
       val base = docs(s, dir).select(col("doc_id"), col("text"))
       val canonical = base.select(col("doc_id"),
         accent(col("text"), col("doc_id"), "\u00e1").as("text"))
@@ -503,11 +547,11 @@ object NorthStar {
       val fpRaw = canonical.select(
         TF.fingerprint(col("text")).as("fp_raw")).distinct()
       val fpNorm = canonical.select(
-        TF.fingerprint(normalize(col("text"))).as("fp_norm")).distinct()
+        TF.fingerprint(cleanText(col("text"))).as("fp_norm")).distinct()
       recrawl
         .select(col("doc_id"),
           TF.fingerprint(col("text")).as("fp_raw"),
-          TF.fingerprint(normalize(col("text"))).as("fp_norm"))
+          TF.fingerprint(cleanText(col("text"))).as("fp_norm"))
         .join(fpRaw.withColumn("mr", lit(true)), Seq("fp_raw"), "left")
         .join(fpNorm.withColumn("mn", lit(true)), Seq("fp_norm"), "left")
         .select(col("doc_id"),
@@ -910,23 +954,7 @@ object NorthStar {
     // literals: same left-to-right fold the SQL twin replays, so the
     // cosine is bit-identical cross-engine.
     "e09_prototype_prune" -> ((s, dir) => {
-      val dim = 64; val nC = 16
-      val cnorms = (0 until nC).map(c =>
-        math.sqrt(VF.centroid(c, dim).map(x => x * x).sum)).toArray
-      val v = VF.toDouble(col("embedding"))
-      val scored = emb(s, dir)
-        .select(col("vec_id"), v.as("v"))
-        .withColumn("dots",
-          array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
-        .select(col("vec_id"),
-          array_position(col("dots"), array_max(col("dots"))).cast("int")
-            .as("centroid_id"),
-          array_max(col("dots")).as("best_dot"),
-          sqrt(VF.normSq(col("v"))).as("nrm"))
-        .select(col("vec_id"), col("centroid_id"),
-          (col("best_dot")
-            / (col("nrm") * element_at(lit(cnorms), col("centroid_id"))))
-            .as("proto_cos"))
+      val scored = protoCosScored(s, dir)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("centroid_id"))
       scored
         .withColumn("rn",
@@ -946,27 +974,9 @@ object NorthStar {
     // TopKPerKey bounded heaps — O(n log m) with memory O(clusters · m),
     // no full partition sort, the selection shape that survives 100 TB
     // (cluster count grows, per-cluster state stays m rows).
-    "e14_diverse_sample" -> ((s, dir) => {
-      val dim = 64; val nC = 16; val m = 5
-      val cnorms = (0 until nC).map(c =>
-        math.sqrt(VF.centroid(c, dim).map(x => x * x).sum)).toArray
-      val v = VF.toDouble(col("embedding"))
-      val scored = emb(s, dir)
-        .select(col("vec_id"), v.as("v"))
-        .withColumn("dots",
-          array((0 until nC).map(c => VF.dot(col("v"), lit(VF.centroid(c, dim)))): _*))
-        .select(col("vec_id"),
-          array_position(col("dots"), array_max(col("dots"))).cast("int")
-            .as("centroid_id"),
-          array_max(col("dots")).as("best_dot"),
-          sqrt(VF.normSq(col("v"))).as("nrm"))
-        .select(col("vec_id"), col("centroid_id"),
-          (col("best_dot")
-            / (col("nrm") * element_at(lit(cnorms), col("centroid_id"))))
-            .as("proto_cos"))
-      graft.operators.Relational.topKPerKey(scored, Seq("centroid_id"),
-        Seq(col("proto_cos").asc, col("vec_id").asc), m)
-    }),
+    "e14_diverse_sample" -> ((s, dir) =>
+      graft.operators.Relational.topKPerKey(protoCosScored(s, dir),
+        Seq("centroid_id"), Seq(col("proto_cos").asc, col("vec_id").asc), 5)),
 
     // quantization-error report — s16's embedding sibling, the "which
     // quantizer can I afford" table a team reads before committing an
@@ -1479,9 +1489,7 @@ object NorthStar {
       docs(s, dir)
         .select(col("doc_id"), dirty.as("dirty"))
         .select(col("doc_id"), col("dirty"),
-          trim(regexp_replace(regexp_replace(
-            Hashing.nfcNormalize(col("dirty")),
-            "[\\x00-\\x1f\\x7f]", ""), " +", " ")).as("clean"))
+          cleanText(col("dirty")).as("clean"))
         .select(col("doc_id"), col("clean"),
           length(col("dirty")).as("n_chars_dirty"),
           length(col("clean")).as("n_chars_clean"),
@@ -1497,7 +1505,10 @@ object NorthStar {
     // data-mixing team reads to judge whether more of a source still
     // buys novelty. The distributed shape: first-occurrence = one min
     // aggregate per type (map-side combined — no gram ever carries its
-    // postings), cohort volumes one count aggregate, and the cumulative
+    // postings), cohort volumes one count aggregate — the gram stream
+    // is deliberately re-derived for each (two map-only scans beat
+    // pinning an exploded table larger than the corpus for a one-shot
+    // query; see PLANS.md) — and the cumulative
     // sums ride a 10-row bounded window (cohort count is a constant,
     // not a function of corpus size). No fitted exponent on purpose:
     // pow/log are libm-dependent; the curve POINTS are exact integers.
@@ -2429,7 +2440,7 @@ object NorthStar {
     // tiny at any corpus scale (the 100 TB shape: billions of docs ×
     // tens of frames, never one giant ordered partition).
     "m06_scene_cut" -> ((s, dir) => {
-      val frameChars = 48
+      val frameChars = FrameChars
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
       docs(s, dir)
@@ -2447,7 +2458,7 @@ object NorthStar {
         .filter(col("prev_phash").isNotNull)
         .select(col("doc_id"), col("frame_idx"),
           bit_count(col("phash").bitwiseXOR(col("prev_phash"))).as("hamming"))
-        .withColumn("is_cut", col("hamming") >= 18)
+        .withColumn("is_cut", col("hamming") >= SceneCutHamming)
     }),
 
     // keyframe selection — the stage after m06's shot-boundary
@@ -2461,7 +2472,7 @@ object NorthStar {
     // bounded by frames per doc, so the window partitions stay balanced
     // at any corpus size.
     "m07_keyframes" -> ((s, dir) => {
-      val frameChars = 48
+      val frameChars = FrameChars
       val cuts = queries("m06_scene_cut")(s, dir)
       val starts = cuts.filter(col("is_cut"))
         .select(col("doc_id"), col("frame_idx"))
@@ -2593,7 +2604,7 @@ object NorthStar {
     // runs nightly; everything upstream of the pair join is per-row,
     // and the pair join inherits d04's banded near-linear candidates.
     "m10_video_neardup" -> ((s, dir) => {
-      val frameChars = 48
+      val frameChars = FrameChars
       val M = graft.multimodal.Multimodal
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
@@ -2610,7 +2621,7 @@ object NorthStar {
       val kf = frames
         .withColumn("prev", lag(col("phash"), 1).over(byDoc))
         .filter(col("prev").isNull ||
-          bit_count(col("phash").bitwiseXOR(col("prev"))) >= 18)
+          bit_count(col("phash").bitwiseXOR(col("prev"))) >= SceneCutHamming)
       val hs = kf.groupBy(col("doc_id"))
         .agg(sort_array(collect_set(col("phash"))).as("hs"))
       graft.operators.Dedup.minhashLshPairs(hs, 0.8, k = 128,
@@ -3109,7 +3120,7 @@ object NorthStar {
       s"""WITH $frameHashSql
           SELECT doc_id, frame_idx,
                  CAST(bit_count(xor(phash, prev)) AS INT) AS hamming,
-                 CAST(bit_count(xor(phash, prev)) AS INT) >= 18 AS is_cut
+                 CAST(bit_count(xor(phash, prev)) AS INT) >= $SceneCutHamming AS is_cut
           FROM lg WHERE prev IS NOT NULL""",
     // video fingerprint = the SET of scene keyframe hashes; exact set
     // Jaccard over the doubled hash stream — the ground truth the
@@ -3119,7 +3130,7 @@ object NorthStar {
       s"""WITH $frameHashSql,
           kf AS (SELECT doc_id, phash FROM lg
                  WHERE prev IS NULL
-                    OR CAST(bit_count(xor(phash, prev)) AS INT) >= 18),
+                    OR CAST(bit_count(xor(phash, prev)) AS INT) >= $SceneCutHamming),
           hs AS (SELECT DISTINCT doc_id, phash FROM kf),
           sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
           pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -3819,9 +3830,6 @@ object NorthStar {
     // fingerprint paths replayed, the normalized one through DuckDB's
     // nfc_normalize — the same UAX #15 composition as the Spark side
     "d18_normalized_dedup" -> {
-      def norm(t: String) =
-        s"""trim(regexp_replace(regexp_replace(nfc_normalize($t),
-            '[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"""
       s"""WITH canon AS (SELECT doc_id,
               CASE WHEN doc_id % 3 = 0 THEN replace(text, 'a', chr(225))
                    ELSE text END AS text
@@ -3838,12 +3846,12 @@ object NorthStar {
             FROM rc1),
           braw AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
                    FROM canon),
-          cn AS (SELECT doc_id, ${norm("text")} AS text FROM canon),
+          cn AS (SELECT doc_id, ${cleanTextSql("text")} AS text FROM canon),
           bnorm AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
                     FROM cn),
           rraw AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
                    FROM rc),
-          rn0 AS (SELECT doc_id, ${norm("text")} AS text FROM rc),
+          rn0 AS (SELECT doc_id, ${cleanTextSql("text")} AS text FROM rc),
           rnorm AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
                     FROM rn0)
           SELECT r.doc_id,
@@ -4222,8 +4230,8 @@ object NorthStar {
               UNION ALL
               SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS frame_idx FROM cuts),
             tot AS (SELECT doc_id,
-                      CAST(floor(length(text) / 48) AS BIGINT) AS doc_frames
-                    FROM documents WHERE length(text) >= 96),
+                      CAST(floor(length(text) / $FrameChars) AS BIGINT) AS doc_frames
+                    FROM documents WHERE length(text) >= ${2 * FrameChars}),
             r AS (SELECT s.doc_id, s.frame_idx, t.doc_frames,
                     CAST(row_number() OVER w AS INT) AS scene_id,
                     lead(s.frame_idx) OVER w AS next_start

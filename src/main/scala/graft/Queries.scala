@@ -1477,16 +1477,15 @@ object Queries {
           array_join(transform(slice(reverse(col("qtys")), 1, 3),
             x => x.cast(IntegerType).cast(StringType)), ",").as("last3"))),
 
-    // correlated-subquery min — TPC-H Q2's essential shape (part +
-    // supplier where the cost IS the region-wide minimum for that
-    // part): Catalyst de-correlates the per-part MIN subquery into an
+    // correlated-subquery min — TPC-H Q2's essential shape (lineitem
+    // rows whose price IS the corpus-wide minimum for their part):
+    // Catalyst de-correlates the per-part MIN subquery into an
     // aggregate + self-join, the rewrite every warehouse migration
-    // exercises. Keys land on (ps_partkey = min's partkey AND cost =
-    // min cost); ties (several suppliers at the min) are all kept —
+    // exercises. Keys land on (partkey = min's partkey AND price =
+    // min price); ties (several suppliers at the min) are all kept —
     // Q2's semantics.
     "q63_correlated_min" -> ((s, dir) => {
       t(s, dir, "part").createOrReplaceTempView("part")
-      t(s, dir, "supplier").createOrReplaceTempView("supplier")
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""
         SELECT p.p_partkey, l.l_suppkey, l.l_extendedprice

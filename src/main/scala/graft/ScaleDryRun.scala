@@ -390,18 +390,13 @@ object ScaleDryRun {
     spark.stop()
   }
 
-  /** Round-7 tier scale posture: the five new ops at 1x vs factor-x,
-    * wall + shuffle bytes + output rows. Expected shapes — s12 O(n·B)
-    * pair manifest (rows grow ~linearly, per-batch fan-out constant),
-    * s13 a bounded-candidate two-stage scan (10 rows out at any n),
-    * t27 one doc-keyed aggregation, q60 a digest-only full-outer join,
-    * e12 |labels| rows from label-keyed aggregations. None touch a
-    * pair space. */
-  /** Round-7 late-wave ops over the synthesized corpus (documents +
-    * embeddings shaped). g07/a07 are excluded: their inputs (lineitem
-    * co-order graph, events) are not synthesized by this harness —
-    * g07's scale posture is the g05-audited wedge bound, a07's state
-    * is 16 longs at any cardinality by construction. */
+  /** Round-7 late-wave ops (eleven documents/embeddings-shaped queries)
+    * over the synthesized corpus. Excluded: g07/g08/a07 (inputs — the
+    * lineitem co-order graph and events — are not synthesized by this
+    * harness; g07/g08 ride the g05-audited wedge/peel bounds, a07's
+    * state is 16 longs at any cardinality by construction) and s16
+    * (its cost is the sum of the four ANN tiers it runs, each already
+    * scale-studied on its own). */
   private def wave4Mode(spark: SparkSession, srcDir: String, factor: Int,
                         workDir: String): Unit = {
     val synthDir = s"$workDir/${factor}x"
@@ -423,6 +418,13 @@ object ScaleDryRun {
     }
   }
 
+  /** Round-7 first-wave scale posture: the eight r7 ops at 1x vs
+    * factor-x, wall + shuffle bytes + output rows. Expected shapes —
+    * s12 O(n·B) pair manifest (rows grow ~linearly, per-batch fan-out
+    * constant), s13 a bounded-candidate two-stage scan (10 rows out at
+    * any n), t27 one doc-keyed aggregation, q60 a digest-only
+    * full-outer join, e12 |labels| rows from label-keyed aggregations.
+    * None touch a pair space. */
   private def round7Mode(spark: SparkSession, srcDir: String, factor: Int,
                          workDir: String): Unit = {
     val synthDir = s"$workDir/${factor}x"

@@ -237,10 +237,13 @@ object Graph {
    * every round localCheckpoints, so lineage stays flat and each round
    * reads the PREVIOUS round's materialized edges, not the whole
    * history. Convergence is detected by edge-count fixpoint (no edge
-   * removed ⇒ all degrees ≥ k ⇒ done) and ENFORCED: `maxIter` rounds
-   * without convergence raises rather than silently returning a
-   * non-core. Work per round is O(current edges); rounds are bounded by
-   * the peel depth (7 on the harness graph at k = 12), never by n.
+   * removed ⇒ all degrees ≥ k ⇒ done); a peel that exhausts `maxIter`
+   * PRODUCTIVE rounds gets one final degree check instead of paying an
+   * extra peel round to prove the fixpoint — all maxIter rounds are
+   * usable, and only a genuinely unfinished peel raises rather than
+   * silently returning a non-core. Work per round is O(current edges);
+   * rounds are bounded by the peel depth (7 on the harness graph at
+   * k = 12), never by n.
    */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -260,6 +263,14 @@ object Graph {
       val n2 = e2.count()
       converged = n2 == n
       e = e2; n = n2; it += 1
+    }
+    if (!converged && n > 0) {
+      // maxIter productive rounds ran; the fixpoint may still have been
+      // reached on the LAST one — prove it with a degree check rather
+      // than a peel (one aggregate, no extra round)
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      converged = deg.filter(col("d") < k).limit(1).count() == 0
     }
     require(converged || n == 0,
       s"kCore: no fixpoint after $maxIter rounds ($n edges left)")

@@ -1054,6 +1054,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(graft.operators.Graph.kCore(edges, 4).count() == 0)
   }
 
+  test("kCore: a peel needing exactly maxIter productive rounds still converges") {
+    // triangle 1-2-3 with a pendant path 3-4-5-6-7: at k = 2 only the
+    // path TIP has degree 1, so exactly one edge peels per round — 4
+    // productive rounds. maxIter = 4 must succeed via the final degree
+    // check (the old edge-count-only detection needed a 5th no-op round
+    // and raised here).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("u", "v")
+    val got = graft.operators.Graph.kCore(edges, 2, maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round short must still raise
+    intercept[IllegalArgumentException] {
+      graft.operators.Graph.kCore(edges, 2, maxIter = 3).count()
+    }
+  }
+
   test("law: kCore equals brute-force iterative peeling on random graphs") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 5) {
