@@ -978,6 +978,47 @@ object NorthStar {
       graft.operators.Relational.topKPerKey(protoCosScored(s, dir),
         Seq("centroid_id"), Seq(col("proto_cos").asc, col("vec_id").asc), 5)),
 
+    // representation-alignment report (the "alignment" half of Wang &
+    // Isola ICML'20's alignment/uniformity diagnostics): per-label mean
+    // pairwise squared distance between embeddings — how tightly a
+    // class clusters. The SCALE trick is the moment identity
+    // Σᵢⱼ‖xᵢ−xⱼ‖² = 2n·Σ‖xᵢ‖² − 2‖Σxᵢ‖²: the naive form enumerates
+    // O(n²) pairs per label (the oracle's formulation is exactly the
+    // moment replay; the brute-force pair law lives in the unit test),
+    // the shipped form is TWO moment aggregations — linear, map-side
+    // combinable, |labels| output rows at any corpus size. Every fold
+    // is vec_id/dim-pinned so the doubles are bit-identical
+    // cross-engine. (The uniformity half needs log/exp — libm territory
+    // — and is deliberately left out of the oracle-checked surface.)
+    "e16_alignment" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("label"),
+        VF.toDouble(col("embedding")).as("v"))
+      val ssq = e
+        .select(col("label"), col("vec_id"), VF.normSq(col("v")).as("nsq"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            transform(array_sort(collect_list(struct(col("vec_id"), col("nsq")))),
+              x => x.getField("nsq")), lit(0.0), (a, x) => a + x).as("ssq"))
+      val s2 = e
+        .select(col("label"), col("vec_id"),
+          posexplode(col("v")).as(Seq("dim", "val")))
+        .groupBy(col("label"), col("dim"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("val")))),
+            x => x.getField("val")), lit(0.0), (a, x) => a + x).as("sd"))
+        .groupBy(col("label"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(
+            struct(col("dim"), (col("sd") * col("sd")).as("sq")))),
+            x => x.getField("sq")), lit(0.0), (a, x) => a + x).as("s2"))
+      ssq.join(s2, Seq("label"))
+        .select(col("label"), col("n").as("n_vecs"),
+          ((lit(2.0) * col("n") * col("ssq") - lit(2.0) * col("s2"))
+            / (col("n") * (col("n") - 1)).cast(DoubleType))
+            .as("mean_pair_sqdist"))
+    }),
+
     // quantization-error report — s16's embedding sibling, the "which
     // quantizer can I afford" table a team reads before committing an
     // index format: per-label mean squared reconstruction error of all
@@ -3478,6 +3519,33 @@ object NorthStar {
           SELECT vec_id, centroid_id, proto_cos
           FROM r WHERE rn <= 5"""
     },
+    // the moment identity replayed term-for-term: vec_id-ordered norm²
+    // fold, per-(label, dim) vec_id-ordered sums, dim-ordered square
+    // fold, the same explicit numerator/denominator association
+    "e16_alignment" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          pv AS (SELECT label, vec_id, ${dotSql("v", "v")} AS nsq FROM e),
+          ssq AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+                    list_reduce(list_prepend(0.0, list(nsq ORDER BY vec_id)),
+                                (p, q) -> p + q) AS ssq
+                  FROM pv GROUP BY label),
+          pe AS (SELECT label, vec_id,
+                   CAST(unnest(range(0, len(v))) AS INT) AS dim,
+                   unnest(v) AS val
+                 FROM e),
+          sd AS (SELECT label, dim,
+                   list_reduce(list_prepend(0.0, list(val ORDER BY vec_id)),
+                               (p, q) -> p + q) AS sd
+                 FROM pe GROUP BY label, dim),
+          s2 AS (SELECT label,
+                   list_reduce(list_prepend(0.0, list(sd * sd ORDER BY dim)),
+                               (p, q) -> p + q) AS s2
+                 FROM sd GROUP BY label)
+          SELECT ssq.label, ssq.n AS n_vecs,
+                 (2.0 * ssq.n * ssq.ssq - 2.0 * s2.s2)
+                   / CAST(ssq.n * (ssq.n - 1) AS DOUBLE) AS mean_pair_sqdist
+          FROM ssq JOIN s2 ON s2.label = ssq.label""",
     // the three reconstruction algebras replayed term-for-term (same
     // staged scales, same left-to-right folds), per-label means over
     // vec_id-ordered error lists

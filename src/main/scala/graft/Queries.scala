@@ -1044,6 +1044,37 @@ object Queries {
           (col("f2_est") / col("f2_exact").cast(DoubleType)).as("ratio"))
     }),
 
+    // exponentially time-decayed activity counters — the recency-
+    // weighted engagement statistic (half-life = 1 day) a ranking
+    // pipeline keeps per user. Engine-exactness is the design point:
+    // the decay base is 2 and ages are INTEGER day differences, so
+    // every weight 2^(-age) = 1.0 / (1 << age) is one correctly-
+    // rounded IEEE division by an exact power of two (no libm exp —
+    // the transcendental the usual e^(-λt) form would leak), ages
+    // clamp at 62 to stay in long-shift range, and the per-user sum
+    // folds a (ts, event_id)-sorted list — bit-identical cross-engine.
+    // Decayed counters are MERGEABLE (re-anchoring multiplies by a
+    // power of two), the property that lets nightly snapshots combine
+    // without replaying history.
+    "a08_decayed_counts" -> ((s, dir) => {
+      val ev = eventsTable(s, dir)
+      val anchor = ev.agg(max(to_date(col("ts"))).as("anchor"))
+      ev.crossJoin(broadcast(anchor))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          least(datediff(col("anchor"), to_date(col("ts"))), lit(62))
+            .as("age"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (lit(1.0) / call_function("shiftleft", lit(1L),
+            col("age").cast(IntegerType))).as("w"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          aggregate(
+            transform(array_sort(collect_list(
+              struct(col("ts"), col("event_id"), col("w")))),
+              x => x.getField("w")),
+            lit(0.0), (a, x) => a + x).as("decayed_count"))
+    }),
+
     // HyperLogLog distinct sketch (Flajolet et al. AofA'07), m = 64
     // registers — the third sketch next to a01's KMV (order statistics)
     // and a02's count-min (frequencies). Register index = the hash's low
@@ -1513,6 +1544,34 @@ object Queries {
         .crossJoin(broadcast(universe))
         .filter(col("n_prio") === col("n_all"))
         .select(col("o_custkey"), col("n_prio"))
+    }),
+
+    // sequential pattern detection — the MATCH_RECOGNIZE shape Spark
+    // lacks as SQL surface, expressed as running state over an ordered
+    // per-user stream: a PURCHASE "converts cleanly" iff the most
+    // recent preceding VIEW is within 30 minutes AND no ERROR landed
+    // between them. Two conditional running-max windows (last view ts,
+    // last error ts) turn the regex-ish "V (not E)* P within t" into
+    // three per-row comparisons — one partition-local sort per user,
+    // no self-join, no explosion; the 100 TB shape is billions of
+    // users × bounded sessions, never one giant ordered partition.
+    "q65_pattern_match" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      eventsTable(s, dir)
+        .withColumn("last_view",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("last_error",
+          max(when(col("event_type") === "error", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_view").isNotNull &&
+          unix_timestamp(col("ts")) - unix_timestamp(col("last_view")) <= 1800 &&
+          (col("last_error").isNull || col("last_error") < col("last_view")))
+        .select(col("user_id"), col("event_id"),
+          col("last_view").as("view_ts"), col("ts").as("purchase_ts"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("last_view")))
+            .as("secs_to_convert"))
     }),
 
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
@@ -2211,6 +2270,41 @@ object Queries {
          FROM (SELECT event_id, user_id, ts,
                       lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
                FROM events)""",
+    // integer day ages against the max event date, the same
+    // 1/(1<<age) exact division, (ts, event_id)-sorted fold
+    "a08_decayed_counts" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+           ag AS (SELECT user_id, ts, event_id,
+                    least(date_diff('day', CAST(ts AS DATE), anchor), 62) AS age
+                  FROM events, mx),
+           w AS (SELECT user_id, ts, event_id,
+                   1.0 / CAST(1 << age AS DOUBLE) AS w
+                 FROM ag)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                list_reduce(list_prepend(0.0, list(w ORDER BY ts, event_id)),
+                            (p, q) -> p + q) AS decayed_count
+         FROM w GROUP BY user_id""",
+    // same two conditional running-max windows; second-truncated epochs
+    // (epoch_us // 1e6) replicate Spark's unix_timestamp floor
+    "q65_pattern_match" ->
+      """WITH st AS (SELECT user_id, event_id, ts, event_type,
+               max(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_view,
+               max(CASE WHEN event_type = 'error' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_error
+             FROM events)
+         SELECT user_id, event_id, last_view AS view_ts, ts AS purchase_ts,
+                CAST(epoch_us(ts) // 1000000
+                     - epoch_us(last_view) // 1000000 AS BIGINT)
+                  AS secs_to_convert
+         FROM st
+         WHERE event_type = 'purchase' AND last_view IS NOT NULL
+           AND epoch_us(ts) // 1000000 - epoch_us(last_view) // 1000000 <= 1800
+           AND (last_error IS NULL OR last_error < last_view)""",
     "q39_setops_all" ->
       """WITH a AS (SELECT o_custkey, o_orderpriority FROM orders),
             h AS (SELECT o_custkey, o_orderpriority FROM orders

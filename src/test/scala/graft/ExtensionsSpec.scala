@@ -925,6 +925,76 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("q65 pattern match: every conversion satisfies the V-(no E)-P-within-30m " +
+       "contract against a driver-side event replay") {
+    val got = q("q65_pattern_match")
+      .select(col("user_id"), col("event_id")).as[(Long, Long)].collect().toSet
+    val events = Queries.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)].collect()
+    val expected = events.groupBy(_._1).valuesIterator.flatMap { evs =>
+      val ordered = evs.sortBy(e => (e._5.getTime, e._2))
+      var lastView: Option[(Long, java.sql.Timestamp)] = None
+      var lastError: Option[java.sql.Timestamp] = None
+      ordered.flatMap { case (u, id, tpe, sec, ts) =>
+        val hit = tpe match {
+          case "purchase" => lastView.collect {
+            case (vsec, vts)
+              if sec - vsec <= 1800 &&
+                 lastError.forall(_.getTime < vts.getTime) => (u, id)
+          }
+          case _ => None
+        }
+        if (tpe == "view") lastView = Some((sec, ts))
+        if (tpe == "error") lastError = Some(ts)
+        hit
+      }
+    }.toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("a08 decayed counts: exact recompute with power-of-two weights") {
+    val got = q("a08_decayed_counts")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val events = Queries.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        to_date(col("ts")).as("d"), col("ts"))
+      .as[(Long, Long, java.sql.Date, java.sql.Timestamp)].collect()
+    val anchor = events.map(_._3.toLocalDate).max
+    events.groupBy(_._1).foreach { case (u, evs) =>
+      val (_, n, dc) = got(u)
+      assert(n == evs.length, s"user $u count")
+      val expected = evs.sortBy(e => (e._4.getTime, e._2)).map { e =>
+        val age = math.min(
+          java.time.temporal.ChronoUnit.DAYS.between(e._3.toLocalDate, anchor), 62L)
+        1.0 / (1L << age)
+      }.foldLeft(0.0)(_ + _)
+      assert(dc == expected, s"user $u decayed count")
+    }
+  }
+
+  test("law: e16 alignment equals brute-force pairwise mean squared distance") {
+    val got = q("e16_alignment")
+      .as[(Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("label"), VF.toDouble(col("embedding")).as("v"))
+      .as[(Int, Seq[Double])].collect()
+    vecs.groupBy(_._1).foreach { case (label, vs) =>
+      val (_, n, msd) = got(label)
+      assert(n == vs.length)
+      val xs = vs.map(_._2)
+      var tot = 0.0; var pairs = 0L
+      for (i <- xs.indices; j <- i + 1 until xs.length) {
+        tot += xs(i).zip(xs(j)).map { case (a, b) => (a - b) * (a - b) }.sum
+        pairs += 1
+      }
+      // the moment identity holds exactly only in exact arithmetic —
+      // floating point puts the two formulations within rounding noise
+      assert(math.abs(msd - tot / pairs) < 1e-9, s"label $label")
+    }
+  }
+
   test("d18 normalized dedup: normalization recovers every re-crawl, raw " +
        "matching leaks exactly the byte-variant docs") {
     val got = q("d18_normalized_dedup")
