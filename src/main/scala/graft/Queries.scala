@@ -912,6 +912,30 @@ object Queries {
     // ENFORCED fixpoint; the oracle replays a fixed 16-round peel chain
     // (peeling is idempotent at the fixpoint, so 16 ≥ 7 rounds is
     // exact).
+    // generic connected components over the part co-order graph (the
+    // quantity cut raised to 46, where the graph fragments into 203
+    // components from a 482-vertex giant down to pairs — richer
+    // macro-structure than the near-connected >= 30 graph). Reuses the
+    // dedup tier's size-adaptive CC operator ([[graft.operators.Dedup
+    // .connectedComponents]]: union-find under the documented driver
+    // threshold, pointer-doubling label propagation above it) and adds
+    // the per-component size — the partition-/community-size profile a
+    // curation pipeline reads before sharding by component.
+    "g09_components" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 46)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("doc_a"), col("b.p").as("doc_b")).distinct()
+      val comp = graft.operators.Dedup.connectedComponents(edges)
+      comp.join(
+          comp.groupBy(col("component")).agg(count(lit(1)).as("component_size")),
+          Seq("component"))
+        .select(col("doc_id").as("vertex"), col("component"),
+          col("component_size"))
+    }),
+
     "g08_kcore" -> ((s, dir) => {
       val inc = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= 30)
@@ -1961,6 +1985,25 @@ object Queries {
     // MATERIALIZED — each g_i is referenced three times by round i+1,
     // and inlining would expand g0 exponentially (3^16 source scans
     // blew DuckDB's file-handle budget before the keyword was added)
+    // the d06 recursive-reach replay over the sparser co-order graph,
+    // plus the component-size join
+    "g09_components" ->
+      """WITH RECURSIVE inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                                FROM lineitem WHERE l_quantity >= 46),
+           e0 AS (SELECT DISTINCT a.p AS doc_a, b.p AS doc_b
+                  FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0
+                     UNION ALL SELECT doc_b, doc_a FROM e0),
+           reach(src, dst) AS (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+           comp AS (SELECT src AS vertex, least(src, min(dst)) AS component
+                    FROM reach GROUP BY src),
+           cs AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
+                  FROM comp GROUP BY component)
+         SELECT vertex, comp.component, component_size
+         FROM comp JOIN cs ON cs.component = comp.component""",
     "g08_kcore" -> {
       def peel(i: Int) =
         s"""d$i AS MATERIALIZED (

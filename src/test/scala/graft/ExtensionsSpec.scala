@@ -925,6 +925,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("law: g09 components equal driver union-find on random graphs, " +
+       "sizes consistent") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 4) {
+      val n = 10 + rnd.nextInt(12)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.12
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val comp = graft.operators.Dedup.connectedComponents(
+          es.toDF("doc_a", "doc_b")).as[(Long, Long)].collect().toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (u, v) =>
+          parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        // same partition: equal component labels iff equal roots, and the
+        // operator's label is the component MIN (== the union-find min root)
+        assert(comp.keySet == expected.keySet, s"trial $trial vertices")
+        comp.foreach { case (v, c) =>
+          assert(c == expected(v), s"trial $trial vertex $v")
+        }
+      }
+    }
+  }
+
   test("q65 pattern match: every conversion satisfies the V-(no E)-P-within-30m " +
        "contract against a driver-side event replay") {
     val got = q("q65_pattern_match")
