@@ -691,6 +691,81 @@ object StreamingIngest {
           timeout == GroupStateTimeout.ProcessingTimeTimeout, idleTimeoutMs))
   }
 
+  /** A typed event for the streaming pattern detector. */
+  case class PatternEvent(user_id: Long, event_id: Long, event_type: String,
+                          ts: java.sql.Timestamp)
+  /** Pattern state: the most recent view/error event times (full
+    * precision — the between-ness comparison needs it). */
+  case class PatternState(view_ts: Option[java.sql.Timestamp],
+                          error_ts: Option[java.sql.Timestamp])
+  /** A clean conversion: view → (no error between) → purchase within
+    * the window. Identical row shape to batch q65's output. */
+  case class Conversion(user_id: Long, event_id: Long,
+                        view_ts: java.sql.Timestamp,
+                        purchase_ts: java.sql.Timestamp,
+                        secs_to_convert: Long)
+
+  /**
+   * The pattern stream's per-group transition (q65's streaming twin):
+   * carry only the LAST view and error timestamps per user — the whole
+   * MATCH_RECOGNIZE-ish "V (¬E)* P within t" pattern needs exactly two
+   * timestamps of state, the reason it streams with O(1) per-key state
+   * while the batch form re-sorts history. Seconds are floor-truncated
+   * exactly as batch q65's unix_timestamp, so the two surfaces emit
+   * identical rows on identical (in-order) input.
+   */
+  private[graft] def patternTransition(windowSecs: Long, useTimeout: Boolean,
+                                       idleTimeoutMs: Long)(
+      uid: Long, batch: Iterator[PatternEvent],
+      state: GroupState[PatternState]): Iterator[Conversion] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Conversion]
+      var cur = state.getOption.getOrElse(PatternState(None, None))
+      def sec(t: java.sql.Timestamp) = Math.floorDiv(t.getTime, 1000L)
+      batch.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "purchase" =>
+            cur.view_ts.foreach { v =>
+              if (sec(e.ts) - sec(v) <= windowSecs &&
+                  cur.error_ts.forall(_.compareTo(v) < 0))
+                out += Conversion(uid, e.event_id, v, e.ts, sec(e.ts) - sec(v))
+            }
+          case "view" => cur = cur.copy(view_ts = Some(e.ts))
+          case "error" => cur = cur.copy(error_ts = Some(e.ts))
+          case _ =>
+        }
+        ()
+      }
+      state.update(cur)
+      if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      out.iterator
+    }
+
+  /**
+   * Streaming sequential-pattern detection — batch q65 maintained
+   * continuously: each clean conversion is emitted exactly once, in
+   * Append mode, the moment its purchase arrives; idle users evict
+   * under ProcessingTimeTimeout. Contract: per-user event order across
+   * micro-batches (the same assumption every per-key state machine in
+   * this file makes; late cross-batch stragglers belong to the
+   * watermarked ingest path).
+   */
+  def conversionStream(events: Dataset[PatternEvent],
+                       windowSecs: Long = 1800L,
+                       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                       idleTimeoutMs: Long = 3600000L): Dataset[Conversion] = {
+    import events.sparkSession.implicits._
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "conversionStream evicts idle keys on a processing-time clock; " +
+      "use ProcessingTimeTimeout (or NoTimeout), not EventTimeTimeout")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, Conversion](
+        OutputMode.Append, timeout)(
+        patternTransition(windowSecs,
+          timeout == GroupStateTimeout.ProcessingTimeTimeout, idleTimeoutMs))
+  }
+
   def runningUserStats(events: Dataset[Event],
                        timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
                        idleTimeoutMs: Long = 3600000L)

@@ -595,4 +595,64 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.runningUserStats(events, GroupStateTimeout.EventTimeTimeout)
     }
   }
+
+  test("conversionStream: error blocks, window expires, re-view re-arms; " +
+       "each conversion exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.{Conversion, PatternEvent}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[PatternEvent]
+    val q = StreamingIngest.conversionStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("conversions")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      PatternEvent(1L, 1L, "view", t("2024-01-01 10:00:00")),
+      PatternEvent(1L, 2L, "purchase", t("2024-01-01 10:10:00")), // clean
+      PatternEvent(2L, 3L, "view", t("2024-01-01 10:00:00")),
+      PatternEvent(2L, 4L, "error", t("2024-01-01 10:05:00")),
+      PatternEvent(2L, 5L, "purchase", t("2024-01-01 10:10:00"))) // blocked
+    q.processAllAvailable()
+    // state survives micro-batch boundaries: the re-view after the error
+    // re-arms user 2; user 3's purchase is outside the 30-minute window
+    mem.addData(
+      PatternEvent(2L, 6L, "view", t("2024-01-01 10:20:00")),
+      PatternEvent(2L, 7L, "purchase", t("2024-01-01 10:25:00")), // clean
+      PatternEvent(3L, 8L, "view", t("2024-01-01 09:00:00")),
+      PatternEvent(3L, 9L, "purchase", t("2024-01-01 10:00:00"))) // too late
+    q.processAllAvailable()
+    val rows = spark.table("conversions").as[Conversion].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      Conversion(1L, 2L, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00"), 600L),
+      Conversion(2L, 7L, t("2024-01-01 10:20:00"), t("2024-01-01 10:25:00"), 300L)))
+  }
+
+  test("conversionStream parity: identical rows to batch q65 on the harness " +
+       "events fed as in-order micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.{Conversion, PatternEvent}
+    val dir = "/root/testdata/sf0.001"
+    val events = Queries.eventsTable(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .as[PatternEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val batches = events.grouped(math.max(1, events.length / 3)).toSeq
+    val mem = MemoryStream[PatternEvent]
+    val q = StreamingIngest.conversionStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("conv_parity")
+      .outputMode(OutputMode.Append()).start()
+    batches.foreach { b => mem.addData(b.toIndexedSeq); q.processAllAvailable() }
+    val streamed = spark.table("conv_parity").as[Conversion].collect()
+      .map(c => (c.user_id, c.event_id, c.view_ts, c.purchase_ts, c.secs_to_convert))
+      .toSet
+    q.stop()
+    val batch = SparkEntry.queries("q65_pattern_match")(spark, dir)
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "parity is vacuous — no conversions at this SF")
+  }
 }
