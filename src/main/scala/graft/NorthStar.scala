@@ -2669,6 +2669,34 @@ object NorthStar {
         bands = 32, estFloor = 0.6)
     }),
 
+    // multimodal release manifest — the m-tier's d16: every doc's media
+    // health (image decodes, audio decodes), near-dup verdict (min-id
+    // survivor over the m09 pair table — a doc is dropped iff a
+    // smaller-id hamming-≤6 twin exists), and scene count, composed
+    // from the VERIFIED m04/m05/m07/m09 queries so the manifest cannot
+    // drift from its stages. kept = healthy ∧ not-a-dup — the media
+    // corpus that ships to the captioner. Joins are all doc-keyed;
+    // every stage's scale posture is its own documented one.
+    "m11_media_manifest" -> ((s, dir) => {
+      val img = queries("m05_image_phash")(s, dir)
+        .select(col("doc_id"), col("phash").isNotNull.as("image_ok"))
+      val aud = queries("m04_audio_decode")(s, dir)
+        .select(col("doc_id"), col("sample_rate").isNotNull.as("audio_ok"))
+      val dups = queries("m09_image_neardup")(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("d", lit(true))
+      val scenes = queries("m07_keyframes")(s, dir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
+      img.join(aud, Seq("doc_id"))
+        .join(dups, Seq("doc_id"), "left")
+        .join(scenes, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("image_ok"), col("audio_ok"),
+          coalesce(col("d"), lit(false)).as("image_dup"),
+          coalesce(col("n_scenes"), lit(0L)).as("n_scenes"),
+          (col("image_ok") && col("audio_ok") &&
+            !coalesce(col("d"), lit(false))).as("kept"))
+    }),
+
     // corpus-similarity map over embedding labels — the data-mixing
     // diagnostic: per-label mean vectors (e04's bit-reproducible sorted
     // folds per (label, dim)) and pairwise cosine between the handful of
@@ -4291,6 +4319,37 @@ object NorthStar {
           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
           WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
             AND bit_count(xor(a.phash, b.phash)) <= 6""") +
+    // the manifest composes the verified m04/m05/m06 bodies: health
+    // flags from the decode subqueries, the dup verdict as a naive
+    // smaller-id hamming EXISTS over the hash table, scene counts as
+    // 1 + cuts per eligible doc (m07's row count per doc)
+    ("m11_media_manifest" ->
+      s"""WITH ph AS (${oraclesBase("m05_image_phash")}),
+            aud AS (SELECT doc_id, sample_rate
+                    FROM (${oraclesBase("m04_audio_decode")})),
+            cuts AS (${oraclesBase("m06_scene_cut")}),
+            sc AS (SELECT c.doc_id,
+                     CAST(1 + sum(CASE WHEN c.is_cut THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_scenes
+                   FROM cuts c GROUP BY c.doc_id)
+          SELECT p.doc_id,
+                 p.phash IS NOT NULL AS image_ok,
+                 a.sample_rate IS NOT NULL AS audio_ok,
+                 EXISTS (SELECT 1 FROM ph x
+                         WHERE x.doc_id < p.doc_id AND x.phash IS NOT NULL
+                           AND p.phash IS NOT NULL
+                           AND bit_count(xor(x.phash, p.phash)) <= 6)
+                   AS image_dup,
+                 coalesce(sc.n_scenes, 0) AS n_scenes,
+                 (p.phash IS NOT NULL AND a.sample_rate IS NOT NULL
+                  AND NOT EXISTS (SELECT 1 FROM ph x
+                        WHERE x.doc_id < p.doc_id AND x.phash IS NOT NULL
+                          AND p.phash IS NOT NULL
+                          AND bit_count(xor(x.phash, p.phash)) <= 6))
+                   AS kept
+          FROM ph p
+          JOIN aud a ON a.doc_id = p.doc_id
+          LEFT JOIN sc ON sc.doc_id = p.doc_id""") +
     ("m07_keyframes" ->
       s"""WITH cuts AS (${oraclesBase("m06_scene_cut")}),
             starts AS (

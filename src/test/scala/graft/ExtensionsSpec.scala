@@ -925,6 +925,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.last._4 < got.head._4)
   }
 
+  test("m11 media manifest: flags recompute from the m04/m05/m07/m09 stages") {
+    val got = q("m11_media_manifest")
+      .as[(Long, Boolean, Boolean, Boolean, Long, Boolean)].collect()
+    val dupIds = q("m09_image_neardup")
+      .select(col("doc_b")).as[Long].collect().toSet
+    val scenes = q("m07_keyframes").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
+    val imgOk = q("m05_image_phash")
+      .select(col("doc_id"), col("phash").isNotNull).as[(Long, Boolean)]
+      .collect().toMap
+    assert(got.length == imgOk.size)
+    got.foreach { case (id, iok, aok, dup, ns, kept) =>
+      assert(iok == imgOk(id), s"doc $id image_ok")
+      assert(aok, s"doc $id audio_ok (all rendered WAVs decode)")
+      assert(dup == dupIds(id), s"doc $id dup flag")
+      assert(ns == scenes.getOrElse(id, 0L), s"doc $id scene count")
+      assert(kept == (iok && aok && !dup), s"doc $id verdict")
+    }
+    // sf0.001 has no image-dup pair; the drop path must fire at the
+    // oracle-gate SF
+    assert(SparkEntry.queries("m11_media_manifest")(
+      spark, "/root/testdata/sf0.01").filter(!col("kept")).count() >= 1)
+  }
+
   test("law: g09 components equal driver union-find on random graphs, " +
        "sizes consistent") {
     val rnd = new scala.util.Random(41)
