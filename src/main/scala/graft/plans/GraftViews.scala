@@ -106,6 +106,9 @@ object GraftViews {
    * | `graft_quant_report`   | per-label reconstruction MSE (e15)  | (label, n_vecs, mse_int8, mse_pq, mse_binary) |
    * | `graft_video_neardup`  | scene-set Jaccard pairs (m10)       | (doc_a, doc_b, jaccard) |
    * | `graft_norm_leak_audit`| raw-vs-normalized dedup flags (d18) | (doc_id, matched_raw, matched_norm) |
+   * | `graft_media_manifest` | media health × dup × scenes (m11)   | (doc_id, image_ok, audio_ok, image_dup, n_scenes, kept) |
+   * | `graft_user_decay`     | time-decayed activity (a08)         | (user_id, n_events, decayed_count) |
+   * | `graft_conversions`    | clean V→P sequences (q65)           | (user_id, event_id, view_ts, purchase_ts, secs_to_convert) |
    */
   def registerCuration(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.queries("d17_bloom_gate")(spark, dir)
@@ -132,5 +135,11 @@ object GraftViews {
       .createOrReplaceTempView("graft_video_neardup")
     graft.SparkEntry.queries("d18_normalized_dedup")(spark, dir)
       .createOrReplaceTempView("graft_norm_leak_audit")
+    graft.SparkEntry.queries("m11_media_manifest")(spark, dir)
+      .createOrReplaceTempView("graft_media_manifest")
+    graft.SparkEntry.queries("a08_decayed_counts")(spark, dir)
+      .createOrReplaceTempView("graft_user_decay")
+    graft.SparkEntry.queries("q65_pattern_match")(spark, dir)
+      .createOrReplaceTempView("graft_conversions")
   }
 }

@@ -468,7 +468,9 @@ class PlansSpec extends AnyFunSuite {
                      "graft_keyframes", "graft_audio_segments",
                      "graft_vocab_growth", "graft_diverse_sample",
                      "graft_link_features", "graft_retrieval_eval",
-                     "graft_quant_report", "graft_norm_leak_audit")) {
+                     "graft_quant_report", "graft_norm_leak_audit",
+                     "graft_media_manifest", "graft_user_decay",
+                     "graft_conversions")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
