@@ -629,6 +629,55 @@ class StreamingSpec extends AnyFunSuite {
       Conversion(2L, 7L, t("2024-01-01 10:20:00"), t("2024-01-01 10:25:00"), 300L)))
   }
 
+  test("conversionStream model check: random event sequences under random " +
+       "batch boundaries match a reference state machine") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingIngest.{Conversion, PatternEvent, PatternState}
+    val types = Array("view", "error", "purchase", "click")
+    for (seed <- Seq(5, 61, 777)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 60).map { i =>
+        PatternEvent(1L, i.toLong, types(rnd.nextInt(types.length)),
+          new java.sql.Timestamp(1700000000000L + i * rnd.nextInt(400000).toLong))
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      // reference machine over the FULL ordered sequence
+      var view: Option[java.sql.Timestamp] = None
+      var error: Option[java.sql.Timestamp] = None
+      val expected = events.flatMap { e =>
+        val hit = e.event_type match {
+          case "purchase" => view.collect {
+            case v if e.ts.getTime / 1000 - v.getTime / 1000 <= 1800 &&
+                      error.forall(_.compareTo(v) < 0) =>
+              (e.event_id, e.ts.getTime / 1000 - v.getTime / 1000)
+          }
+          case _ => None
+        }
+        if (e.event_type == "view") view = Some(e.ts)
+        if (e.event_type == "error") error = Some(e.ts)
+        hit
+      }.toSet
+      // operator: same events through RANDOM batch boundaries
+      var state = Optional.empty[PatternState]()
+      val got = scala.collection.mutable.Set.empty[(Long, Long)]
+      var rest = events
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(7)
+        val (batch, tail) = rest.splitAt(take)
+        val gs = TestGroupState.create[PatternState](
+          state, GroupStateTimeout.NoTimeout,
+          1000L, Optional.empty[Long](), hasTimedOut = false)
+        StreamingIngest.patternTransition(1800L, useTimeout = false, 0L)(
+          1L, batch.iterator, gs).foreach { c: Conversion =>
+          got += ((c.event_id, c.secs_to_convert))
+        }
+        state = if (gs.exists) Optional.of(gs.get) else Optional.empty()
+        rest = tail
+      }
+      assert(got.toSet == expected, s"seed $seed conversion drift")
+    }
+  }
+
   test("conversionStream parity: identical rows to batch q65 on the harness " +
        "events fed as in-order micro-batches") {
     import spark.implicits._
