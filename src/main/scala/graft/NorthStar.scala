@@ -4331,25 +4331,23 @@ object NorthStar {
             sc AS (SELECT c.doc_id,
                      CAST(1 + sum(CASE WHEN c.is_cut THEN 1 ELSE 0 END)
                        AS BIGINT) AS n_scenes
-                   FROM cuts c GROUP BY c.doc_id)
-          SELECT p.doc_id,
-                 p.phash IS NOT NULL AS image_ok,
-                 a.sample_rate IS NOT NULL AS audio_ok,
-                 EXISTS (SELECT 1 FROM ph x
-                         WHERE x.doc_id < p.doc_id AND x.phash IS NOT NULL
-                           AND p.phash IS NOT NULL
-                           AND bit_count(xor(x.phash, p.phash)) <= 6)
-                   AS image_dup,
-                 coalesce(sc.n_scenes, 0) AS n_scenes,
-                 (p.phash IS NOT NULL AND a.sample_rate IS NOT NULL
-                  AND NOT EXISTS (SELECT 1 FROM ph x
-                        WHERE x.doc_id < p.doc_id AND x.phash IS NOT NULL
-                          AND p.phash IS NOT NULL
-                          AND bit_count(xor(x.phash, p.phash)) <= 6))
-                   AS kept
-          FROM ph p
-          JOIN aud a ON a.doc_id = p.doc_id
-          LEFT JOIN sc ON sc.doc_id = p.doc_id""") +
+                   FROM cuts c GROUP BY c.doc_id),
+            dup AS (SELECT DISTINCT p.doc_id FROM ph p
+                    JOIN ph x ON x.doc_id < p.doc_id
+                    WHERE x.phash IS NOT NULL AND p.phash IS NOT NULL
+                      AND bit_count(xor(x.phash, p.phash)) <= 6),
+            fl AS (SELECT p.doc_id,
+                     p.phash IS NOT NULL AS image_ok,
+                     a.sample_rate IS NOT NULL AS audio_ok,
+                     EXISTS (SELECT 1 FROM dup d
+                             WHERE d.doc_id = p.doc_id) AS image_dup,
+                     coalesce(sc.n_scenes, 0) AS n_scenes
+                   FROM ph p
+                   JOIN aud a ON a.doc_id = p.doc_id
+                   LEFT JOIN sc ON sc.doc_id = p.doc_id)
+          SELECT doc_id, image_ok, audio_ok, image_dup, n_scenes,
+                 (image_ok AND audio_ok AND NOT image_dup) AS kept
+          FROM fl""") +
     ("m07_keyframes" ->
       s"""WITH cuts AS (${oraclesBase("m06_scene_cut")}),
             starts AS (

@@ -737,8 +737,14 @@ object StreamingIngest {
         }
         ()
       }
-      state.update(cur)
-      if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      // a key with nothing to remember (no view/error ever seen) must
+      // not occupy the state store: clicks-only users would otherwise
+      // accumulate an empty state row each, O(all-users) state for a
+      // detector that only needs users with pattern-relevant history
+      if (cur != PatternState(None, None) || state.exists) {
+        state.update(cur)
+        if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      }
       out.iterator
     }
 

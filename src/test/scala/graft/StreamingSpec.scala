@@ -629,6 +629,21 @@ class StreamingSpec extends AnyFunSuite {
       Conversion(2L, 7L, t("2024-01-01 10:20:00"), t("2024-01-01 10:25:00"), 300L)))
   }
 
+  test("patternTransition keeps clicks-only keys OUT of the state store") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingIngest.{PatternEvent, PatternState}
+    val gs = TestGroupState.create[PatternState](
+      Optional.empty(), GroupStateTimeout.NoTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamingIngest.patternTransition(1800L, useTimeout = false, 0L)(
+      9L, Iterator(PatternEvent(9L, 1L, "click", new java.sql.Timestamp(0L)),
+        PatternEvent(9L, 2L, "signup", new java.sql.Timestamp(1000L))), gs)
+    assert(out.isEmpty)
+    assert(!gs.exists && !gs.isUpdated,
+      "no view/error history => no state-store row for this key")
+  }
+
   test("conversionStream model check: random event sequences under random " +
        "batch boundaries match a reference state machine") {
     import org.apache.spark.api.java.Optional
