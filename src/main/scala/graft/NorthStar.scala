@@ -559,6 +559,31 @@ object NorthStar {
           coalesce(col("mn"), lit(false)).as("matched_norm"))
     }),
 
+    // per-SOURCE duplication profile: exact-dup verdicts (d01/d02
+    // semantics — md5 token fingerprint, min-doc_id survivor) rolled up
+    // by crawl source — "which domains are template farms", the
+    // diagnostic that decides per-domain recrawl and cap policy before
+    // any doc is dropped. n_dup_docs counts docs in any multi-copy
+    // group; n_removed counts the non-survivors (what global dedup
+    // would actually delete). Scale: text collapses to its 16-byte
+    // fingerprint in the first projection, so both shuffles (group by
+    // fingerprint, then by source) move fixed-width rows; the verdict
+    // join is fingerprint-keyed and co-partitioned with the group agg.
+    "d19_dup_by_source" -> ((s, dir) => {
+      val fp = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.fingerprint(col("text")).as("fingerprint"))
+      val grp = fp.groupBy(col("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      fp.join(grp, Seq("fingerprint"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_removed"))
+        .withColumn("removal_rate",
+          col("n_removed").cast(DoubleType) / col("n_docs").cast(DoubleType))
+    }),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -1574,6 +1599,39 @@ object NorthStar {
           sum(col("n_grams")).over(w).as("cum_grams"),
           col("new_types"),
           sum(col("new_types")).over(w).as("cum_vocab"))
+    }),
+
+    // per-source token-budget capping (domain balancing): no single
+    // source may contribute more than 3% of the corpus's tokens — the
+    // C4/RefinedWeb-style representation cap that stops one crawl domain
+    // from dominating the training mix. Within a source, docs fill the
+    // budget in (n_tokens DESC, doc_id) priority order via a per-source
+    // cumulative sum; a doc is kept iff its inclusive cumsum fits the
+    // cap. Output is the per-source audit row (docs/tokens before vs
+    // after) a mix designer reads. Scale: the window is PARTITIONED by
+    // source — per-domain sequential scan, parallel across domains; a
+    // pathological mega-domain would swap in the distributed prefix sum
+    // (Relational.withRunningTotal, t18's machinery) keyed within that
+    // domain. One shuffle by source, one scalar broadcast for the
+    // corpus total; no per-row state leaves the source partitioning.
+    "t31_source_caps" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"), col("source"),
+        TF.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      val total = toks.agg(sum(col("n_tokens")).as("corpus_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_tokens").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      toks.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .crossJoin(broadcast(total))
+        .withColumn("kept",
+          col("cum_tokens") <= floor(col("corpus_tokens") * 0.03).cast(LongType))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
     }),
 
     // systematic probability-proportional-to-size sampling by token
@@ -3003,6 +3061,29 @@ object NorthStar {
                  CAST(sum(coalesce(nv.new_types, 0)) OVER (ORDER BY tc.decile)
                    AS BIGINT) AS cum_vocab
           FROM tc LEFT JOIN nv ON nv.decile = tc.decile""",
+    // same window shape (PARTITION BY source, n_tokens DESC, doc_id) and
+    // the same inclusive-cumsum-fits-cap rule; all-integer comparisons
+    "t31_source_caps" ->
+      s"""WITH toks AS (SELECT doc_id, source,
+                          CAST(len($sqlToks) AS BIGINT) AS n_tokens
+                        FROM documents),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens
+                  FROM toks),
+          cum AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY n_tokens DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+                  FROM toks),
+          k AS (SELECT c.*,
+                  c.cum_tokens <= CAST(floor(t.corpus_tokens * 0.03) AS BIGINT)
+                    AS kept
+                FROM cum c CROSS JOIN tot t)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+                 CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS tokens_kept
+          FROM k GROUP BY source""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact
@@ -3955,6 +4036,22 @@ object NorthStar {
                  EXISTS (SELECT 1 FROM bnorm b WHERE b.fp = n.fp) AS matched_norm
           FROM rraw r JOIN rnorm n USING (doc_id)"""
     },
+    // d01's md5 token fingerprint + min-doc_id survivor rule, rolled up
+    // by source; the one double division at the end is fixed-shape
+    "d19_dup_by_source" ->
+      s"""WITH fp AS (SELECT doc_id, source,
+                        md5(array_to_string($sqlToks, ' ')) AS f
+                      FROM documents),
+           g AS (SELECT f, min(doc_id) AS keep_id, count(*) AS n
+                 FROM fp GROUP BY f)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_docs,
+                CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) AS removal_rate
+         FROM fp JOIN g USING (f) GROUP BY source""",
     "e03_centroid_assign" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               d AS (SELECT vec_id, ${centroidDotsSql("v", 64, 16)} AS dots FROM e)

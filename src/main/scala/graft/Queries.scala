@@ -936,6 +936,49 @@ object Queries {
           col("component_size"))
     }),
 
+    // modularity scoring of an ATTRIBUTE partition (p_brand) over the
+    // part co-order graph — "does this metadata label actually explain
+    // the graph's clustering?", the check a curation pipeline runs on a
+    // link/near-dup graph before sharding by domain/language/brand.
+    // Operator is [[graft.operators.Graph.modularity]]: per-community
+    // Newman contributions e_c/m − (d_c/2m)² from integer moments with
+    // one fixed-shape double expression at the end (bit-identical
+    // cross-engine); global Q = sum(q_contrib). Brands slice the
+    // co-order graph near-uniformly, so Q ≈ 0 here — the negative
+    // control a pipeline needs to REJECT a label as a sharding key.
+    "g10_modularity" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val labels = t(s, dir, "part")
+        .select(col("p_partkey").as("vertex"), col("p_brand").as("community"))
+      graft.operators.Graph.modularity(edges, labels)
+    }),
+
+    // community DETECTION (vs g10's scoring of a given partition):
+    // synchronous label propagation for a fixed 4 rounds over the
+    // fragmented co-order graph — the cheap, deterministic community
+    // pass a curation pipeline runs on link/near-dup graphs when
+    // connected components are too coarse (one giant blob) and
+    // modularity maximization too expensive. Operator is
+    // [[graft.operators.Graph.labelPropagation]]: per-round one
+    // edge⋈label join + one map-side-combined vote count + one
+    // argmax-as-aggregate (max(struct(c, -lab)) — no window, no sort);
+    // the fixed round count makes it an exactly SQL-replayable pure
+    // function (sync LPA has no convergence guarantee to iterate to).
+    "g11_lpa_labels" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 46)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val edges = inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      graft.operators.Graph.labelPropagation(edges, rounds = 4)
+    }),
+
     "g08_kcore" -> ((s, dir) => {
       val inc = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= 30)
@@ -2004,6 +2047,67 @@ object Queries {
                   FROM comp GROUP BY component)
          SELECT vertex, comp.component, component_size
          FROM comp JOIN cs ON cs.component = comp.component""",
+
+    // per-community modularity decomposition: integer moments, then the
+    // same fixed-shape double expression as the operator (div + mul
+    // only, no pow) so q_contrib matches bit-for-bit
+    "g10_modularity" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                      FROM lineitem WHERE l_quantity >= 30),
+           e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                 FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+           deg AS (SELECT x AS vertex, CAST(count(*) AS BIGINT) AS d
+                   FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+                   GROUP BY x),
+           lab AS (SELECT p_partkey AS vertex, p_brand AS community FROM part),
+           comm AS (SELECT community, CAST(count(*) AS BIGINT) AS n_vertices,
+                           CAST(sum(d) AS BIGINT) AS degree_sum
+                    FROM deg JOIN lab USING (vertex) GROUP BY community),
+           intra AS (SELECT lu.community AS community,
+                            CAST(count(*) AS BIGINT) AS intra_edges
+                     FROM e JOIN lab lu ON lu.vertex = e.u
+                            JOIN lab lv ON lv.vertex = e.v
+                     WHERE lu.community = lv.community
+                     GROUP BY lu.community)
+         SELECT comm.community, n_vertices, degree_sum,
+                COALESCE(intra_edges, CAST(0 AS BIGINT)) AS intra_edges,
+                CAST(COALESCE(intra_edges, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                  - (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                    * (CAST(degree_sum AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                  AS q_contrib
+         FROM comm LEFT JOIN intra ON intra.community = comm.community
+         CROSS JOIN m""",
+
+    // 4-round sync-LPA replay: each round is one vote count + one
+    // row_number argmax (count DESC, label ASC), MATERIALIZED so round
+    // i+1 reads a table, not an exponentially inlined subtree
+    "g11_lpa_labels" -> {
+      def round(i: Int) =
+        s"""n$i AS MATERIALIZED (
+              SELECT ed.src AS vertex, l.lab, count(*) AS c
+              FROM ed JOIN l${i - 1} l ON l.vertex = ed.dst
+              GROUP BY 1, 2),
+            l$i AS MATERIALIZED (
+              SELECT vertex, lab FROM (
+                SELECT vertex, lab, row_number() OVER (
+                  PARTITION BY vertex ORDER BY c DESC, lab) AS rn
+                FROM n$i) WHERE rn = 1)"""
+      s"""WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem WHERE l_quantity >= 46),
+           e0 AS MATERIALIZED (
+             SELECT DISTINCT a.p AS u, b.p AS v
+             FROM inc a JOIN inc b ON a.o = b.o AND a.p < b.p),
+           ed AS MATERIALIZED (
+             SELECT u AS src, v AS dst FROM e0
+             UNION ALL SELECT v, u FROM e0),
+           l0 AS (SELECT DISTINCT src AS vertex, src AS lab FROM ed),
+           ${(1 to 4).map(round).mkString(",\n")},
+           cs AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+                  FROM l4 GROUP BY lab)
+         SELECT vertex, l4.lab AS community, community_size
+         FROM l4 JOIN cs USING (lab)"""
+    },
     "g08_kcore" -> {
       def peel(i: Int) =
         s"""d$i AS MATERIALIZED (

@@ -278,4 +278,111 @@ object Graph {
       .groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
       .select(col("x").as("vertex"), col("core_degree"))
   }
+
+  /**
+   * Per-community Newman modularity decomposition (Newman & Girvan,
+   * PRE'04) of a GIVEN vertex partition over an undirected simple edge
+   * set `edges(u, v)` (u < v, no self-loops, no duplicates):
+   * for each community c, `q_contrib = e_c/m − (d_c/2m)²` where e_c =
+   * intra-community edges, d_c = summed degree, m = total edges. Global
+   * modularity Q is the sum of `q_contrib` — positive Q means the
+   * partition is assortative (links concentrate inside communities),
+   * ~0 means the labels are structure-blind. This is the "score a
+   * candidate grouping" primitive a curation pipeline runs to check
+   * whether an attribute (domain, brand, language) actually explains a
+   * link/near-dup graph's clustering before sharding by it.
+   *
+   * `labels(vertex, community)` must cover every vertex incident to an
+   * edge (inner joins drop unlabeled vertices from the vertex/degree
+   * sums but their edges still count in m — a silent skew; keep the
+   * labeling total). Communities with no intra edges get intra_edges=0
+   * rather than dropping out. Empty edge sets yield an empty frame.
+   *
+   * Exactness: all moments (n_vertices, degree_sum, intra_edges, m) are
+   * 64-bit integer aggregates; the final double expression uses only
+   * division and multiplication in a fixed shape (no pow, no float
+   * accumulation), so `q_contrib` is bit-identical cross-engine.
+   *
+   * Scale: one degree aggregation, two vertex-keyed equi-joins against
+   * the labels table (both sides partitioned by vertex id — co-located
+   * after the first shuffle), one community-keyed aggregation, and a
+   * scalar-broadcast crossJoin for m. Everything is linear in |E|; no
+   * per-community fan-out, so community count and skew never change the
+   * shuffle shape.
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val lab = labels.select(col("vertex"), col("community"))
+    val m = e.agg(count(lit(1)).as("m"))
+    val deg = e.select(col("u").as("vertex"))
+      .unionAll(e.select(col("v").as("vertex")))
+      .groupBy(col("vertex")).agg(count(lit(1)).as("d"))
+    val comm = deg.join(lab, Seq("vertex"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("degree_sum"))
+    val intra = e
+      .join(lab.select(col("vertex").as("u"), col("community").as("cu")), Seq("u"))
+      .join(lab.select(col("vertex").as("v"), col("community").as("cv")), Seq("v"))
+      .filter(col("cu") === col("cv"))
+      .select(col("cu").as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("intra_edges"))
+    val dm = col("m").cast("double")
+    val half = col("degree_sum").cast("double") / (lit(2.0) * dm)
+    comm.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        (coalesce(col("intra_edges"), lit(0L)).cast("double") / dm
+          - half * half).as("q_contrib"))
+  }
+
+  /**
+   * Synchronous label propagation (Raghavan et al., PRE'07) for a FIXED
+   * number of rounds over an undirected simple edge set `edges(u, v)`
+   * (u < v, no self-loops, no duplicates): every vertex starts as its
+   * own label; each round it adopts the most frequent label among its
+   * neighbors, ties broken to the SMALLEST label. Fixing the round count
+   * (instead of iterating to convergence, which sync LPA does not
+   * guarantee — bipartite-ish regions oscillate) makes the operator a
+   * deterministic pure function of the input: exactly replayable by an
+   * R-step SQL chain, cost-bounded a priori, and stable across runs —
+   * the properties a production curation pass needs from its community
+   * labels. Output: (vertex, community, community_size).
+   *
+   * Scale, per round: one equi-join of the oriented edge table against
+   * the label table (both partitioned by vertex id), one (vertex, label)
+   * count with map-side combine, and one per-vertex argmax as a single
+   * `max(struct(count, -label))` aggregate — no window, no sort, no
+   * per-vertex fan-out beyond its degree. The oriented edge table is
+   * checkpointed once and reused every round; label tables are
+   * checkpointed per round so the plan stays R joins deep, not
+   * exponential. Vertex ids must be non-negative longs (the negated-
+   * label argmax trick), which the callers' id spaces satisfy.
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("u"), col("v"))
+    val orient = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint()
+    var labels = orient.select(col("src").as("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = orient
+        .join(labels.select(col("vertex").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+      // argmax by (count DESC, label ASC) as one aggregate: lexicographic
+      // max of (c, -lab) — valid because labels are non-negative
+      labels = votes
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("vertex"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+      .join(labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size")),
+        Seq("lab"))
+      .select(col("vertex"), col("lab").as("community"), col("community_size"))
+  }
 }

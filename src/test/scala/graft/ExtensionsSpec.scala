@@ -712,6 +712,111 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("modularity: hand graph decomposition; one-community partition scores exactly 0") {
+    // two triangles joined by a bridge; labels = the two triangles.
+    // m = 7, each side: 3 intra edges, degree sum 7 (2+2+3)
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "b"))
+    val rows = graft.operators.Graph.modularity(
+        es.toDF("u", "v"), labels.toDF("vertex", "community"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("a", "b")) {
+      val r = rows(c)
+      assert(r.getLong(1) == 3 && r.getLong(2) == 7 && r.getLong(3) == 3, s"moments $c")
+      assert(math.abs(r.getDouble(4) - (3.0 / 7 - 0.25)) < 1e-15, s"q_contrib $c")
+    }
+    // degenerate partition: everything in one community -> e_c = m,
+    // d_c = 2m -> q = m/m - 1² = 0 EXACTLY (both divisions are exact)
+    val one = graft.operators.Graph.modularity(
+        es.toDF("u", "v"),
+        labels.map { case (v, _) => (v, "all") }.toDF("vertex", "community"))
+      .collect()
+    assert(one.length == 1 && one.head.getDouble(4) == 0.0, "one-community Q")
+  }
+
+  test("law: modularity equals brute force on random graphs with random labels") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(10)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.35
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val lab = (0 until n).map(v => (v.toLong, s"c${rnd.nextInt(3)}"))
+        val labOf = lab.toMap
+        val got = graft.operators.Graph.modularity(
+            es.toDF("u", "v"), lab.toDF("vertex", "community"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        val m = es.length.toDouble
+        val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val verts = deg.keySet
+        val byComm = verts.groupBy(labOf)
+        assert(got.keySet == byComm.keySet, s"trial $trial community set")
+        for ((c, vs) <- byComm) {
+          val dsum = vs.toSeq.map(deg).sum
+          val intra = es.count(e => labOf(e._1) == c && labOf(e._2) == c).toLong
+          val (gn, gd, gi, gq) = got(c)
+          assert(gn == vs.size && gd == dsum && gi == intra, s"trial $trial moments $c")
+          val want = intra / m - (dsum / (2 * m)) * (dsum / (2 * m))
+          assert(math.abs(gq - want) < 1e-12, s"trial $trial q_contrib $c")
+        }
+      }
+    }
+  }
+
+  test("labelPropagation: two triangles + bridge settle into their triangles; law vs simulator") {
+    def simulate(es: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+      val nbrs = (es ++ es.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      var lab = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to rounds) {
+        lab = nbrs.map { case (v, ns) =>
+          val counts = ns.map(lab).groupBy(identity).view.mapValues(_.size)
+          // max count, ties to smallest label
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      lab
+    }
+    val hand = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val got = graft.operators.Graph.labelPropagation(hand.toDF("u", "v"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    val byComm = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byComm == Map(1L -> Set(1L, 2L, 3L), 3L -> Set(4L, 5L, 6L)), s"hand graph: $byComm")
+    got.foreach { case (_, c, sz) => assert(sz == byComm(c).size.toLong, "community_size") }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 6 + rnd.nextInt(10)
+      val es = (for {
+        u <- 0 until n; v <- u + 1 until n if rnd.nextDouble() < 0.3
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val rounds = 1 + rnd.nextInt(4)
+        val want = simulate(es, rounds)
+        val lpa = graft.operators.Graph.labelPropagation(es.toDF("u", "v"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(lpa == want, s"trial $trial rounds=$rounds")
+      }
+    }
+  }
+
+  test("t31 source caps: kept tokens respect the 3% budget; under-cap sources keep everything") {
+    val out = q("t31_source_caps").collect()
+    val corpus = out.map(_.getLong(3)).sum
+    val cap = (corpus * 0.03).toLong
+    out.foreach { r =>
+      val (src, nd, nk, tt, tk) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tk <= cap, s"$src kept $tk > cap $cap")
+      assert(nk <= nd && tk <= tt, s"$src kept more than it has")
+      if (tt <= cap) assert(tk == tt && nk == nd, s"$src under cap must keep all")
+      else assert(tk < tt, s"$src over cap must drop something")
+    }
+  }
+
   test("e14 diverse sample: per-cluster 5 least-prototypical, equals window form") {
     val got = q("e14_diverse_sample")
       .as[(Long, Int, Double)].collect()
