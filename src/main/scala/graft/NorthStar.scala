@@ -584,6 +584,21 @@ object NorthStar {
           col("n_removed").cast(DoubleType) / col("n_docs").cast(DoubleType))
     }),
 
+    // dedup THRESHOLD TUNING: the pair-similarity spectrum — exact
+    // Jaccard pairs down to 0.6 (d03's PPJoin machinery on the shared
+    // shingle-hash table, with the weaker prefix filter the lower
+    // threshold implies), binned by similarity decile. The histogram is
+    // what decides where to SET the near-dup threshold: a bimodal
+    // spectrum (organic tail vs template spike) gives a clean cut, a
+    // flat one warns that any threshold is arbitrary. decile 10 = exact
+    // duplicates (J = 1.0). The jaccard double is the same
+    // inter/(na+nb−inter) division both engines compute, so the decile
+    // floor is cross-engine exact.
+    "d20_sim_histogram" -> ((s, dir) =>
+      graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.6)
+        .select(floor(col("jaccard") * 10).cast(IntegerType).as("sim_decile"))
+        .groupBy(col("sim_decile")).agg(count(lit(1)).as("n_pairs"))),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -4052,6 +4067,12 @@ object NorthStar {
                 CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS removal_rate
          FROM fp JOIN g USING (f) GROUP BY source""",
+    // the d03 oracle at threshold 0.6, binned by similarity decile;
+    // floor(j*10) on the identical jaccard double is cross-engine exact
+    "d20_sim_histogram" ->
+      s"""SELECT CAST(floor(jaccard * 10) AS INT) AS sim_decile,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM (${jaccardOracle(0.6)}) GROUP BY 1""",
     "e03_centroid_assign" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               d AS (SELECT vec_id, ${centroidDotsSql("v", 64, 16)} AS dots FROM e)

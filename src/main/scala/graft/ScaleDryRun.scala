@@ -385,6 +385,7 @@ object ScaleDryRun {
       case "clustered" => clusteredMode(spark, workDir, factor)
       case "r7" => round7Mode(spark, srcDir, factor, workDir)
       case "wave4" => wave4Mode(spark, srcDir, factor, workDir)
+      case "wave5" => wave5Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -408,6 +409,31 @@ object ScaleDryRun {
       "m08_audio_segments", "m09_image_neardup", "m10_video_neardup",
       "d17_bloom_gate", "d18_normalized_dedup",
       "e14_diverse_sample", "e15_quant_error", "s15_maxsim_rerank")
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
+         op <- ops) {
+      val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
+      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+    }
+  }
+
+  /** Community-wave scale posture: the docs-shaped ops of the
+    * modularity/LPA/caps round at 1x vs factor-x. t31 is one shuffle by
+    * source + a source-partitioned window (parallel across sources);
+    * d19 is two fixed-width-row aggregations (text collapses to its
+    * md5 in the first projection). Excluded: g10/g11 (input is the
+    * lineitem co-order graph, not synthesized here; g10 is three
+    * linear equi-joins + two aggregations over the g05-audited edge
+    * set, g11 is R=4 bounded rounds of join+count+argmax over the
+    * same edges — no pair-space anywhere). */
+  private def wave5Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    val ops = Seq("t31_source_caps", "d19_dup_by_source")
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
     println("|---|---|---|---|---|")

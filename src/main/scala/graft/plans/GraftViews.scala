@@ -142,4 +142,26 @@ object GraftViews {
     graft.SparkEntry.queries("q65_pattern_match")(spark, dir)
       .createOrReplaceTempView("graft_conversions")
   }
+
+  /**
+   * Community/provenance-wave views — same contract as
+   * [[registerPipeline]].
+   *
+   * | view | composition | shape |
+   * |---|---|---|
+   * | `graft_partition_score` | Newman modularity of a label partition (g10) | (community, n_vertices, degree_sum, intra_edges, q_contrib) |
+   * | `graft_communities`     | 4-round sync label propagation (g11)         | (vertex, community, community_size) |
+   * | `graft_source_caps`     | per-source 3% token-budget audit (t31)       | (source, n_docs, n_kept, tokens_total, tokens_kept) |
+   * | `graft_dup_by_source`   | exact-dup removal rates by source (d19)      | (source, n_docs, n_dup_docs, n_removed, removal_rate) |
+   */
+  def registerCommunity(spark: SparkSession, dir: String): Unit = {
+    graft.SparkEntry.queries("g10_modularity")(spark, dir)
+      .createOrReplaceTempView("graft_partition_score")
+    graft.SparkEntry.queries("g11_lpa_labels")(spark, dir)
+      .createOrReplaceTempView("graft_communities")
+    graft.SparkEntry.queries("t31_source_caps")(spark, dir)
+      .createOrReplaceTempView("graft_source_caps")
+    graft.SparkEntry.queries("d19_dup_by_source")(spark, dir)
+      .createOrReplaceTempView("graft_dup_by_source")
+  }
 }

@@ -518,6 +518,31 @@ object StreamingIngest {
         expr("""user_id = o_user_id
                 AND ots BETWEEN ts - INTERVAL 1 HOUR AND ts"""))
 
+  /**
+   * Stream-stream LEFT OUTER attribution join: every impression
+   * `(its, user_id, imp_id)` emits exactly once — paired with each
+   * same-user click `(cts, c_user_id, click_id)` landing inside the
+   * 30-minute attribution window after it, or with NULL click columns
+   * once the watermark proves no such click can still arrive. The
+   * OUTER row is the semantics the inner join cannot give: "this
+   * impression did NOT convert" is itself the signal (CTR denominators,
+   * negative training examples), and it can only be emitted when the
+   * click-side watermark passes `its + window` — i.e. the null is a
+   * statement about completed event-time, not about what happened to be
+   * in the batch. Same state-boundedness as the inner form: both sides
+   * watermarked + an explicit event-time range, so buffered rows are
+   * dropped (and unmatched ones emitted) as the watermarks advance;
+   * unmatched impressions surface on the trigger AFTER the watermark
+   * passes, not in their arrival batch.
+   */
+  def impressionAttributionJoin(impressions: DataFrame, clicks: DataFrame,
+                                watermark: String = "1 hour"): DataFrame =
+    impressions.withWatermark("its", watermark)
+      .join(clicks.withWatermark("cts", watermark),
+        expr("""user_id = c_user_id
+                AND cts BETWEEN its AND its + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+
   /** A keyed event for the custom-state path. */
   case class Event(user_id: Long, event_type: String, value: Double)
   /** Running per-user state maintained across micro-batches. */

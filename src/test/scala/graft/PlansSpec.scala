@@ -489,6 +489,32 @@ class PlansSpec extends AnyFunSuite {
     NorthStar.releaseCaches(spark, dir)
   }
 
+  test("community-wave views are SQL-callable and match the Scala compositions") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.GraftViews.registerCommunity(spark, dir)
+    for (view <- Seq("graft_partition_score", "graft_communities",
+                     "graft_source_caps", "graft_dup_by_source")) {
+      assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
+        s"$view returned no rows")
+    }
+    val viaSql = spark.sql(
+      "SELECT vertex, community FROM graft_communities")
+      .as[(Long, Long)].collect().toSet
+    val direct = SparkEntry.queries("g11_lpa_labels")(spark, dir)
+      .select(col("vertex"), col("community"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == direct)
+    // views compose downstream: global modularity Q from the per-community
+    // decomposition, and the corpus-wide cap headroom, both in plain SQL
+    val q = spark.sql(
+      "SELECT SUM(q_contrib) FROM graft_partition_score").as[Double].head()
+    assert(q > -1.0 && q < 1.0, s"global modularity out of range: $q")
+    val kept = spark.sql(
+      """SELECT CAST(SUM(tokens_kept) AS DOUBLE) / SUM(tokens_total)
+         FROM graft_source_caps""").as[Double].head()
+    assert(kept > 0.0 && kept <= 1.0)
+  }
+
   test("plan hygiene sweep: no harness query plans a cartesian product, and " +
        "nested-loop joins appear only against one-row scalar subplans") {
     import org.apache.spark.sql.execution.SparkPlan

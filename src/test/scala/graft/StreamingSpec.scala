@@ -528,6 +528,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, 100L)))
   }
 
+  test("left-outer attribution join: converted impressions pair with their click, " +
+       "unconverted ones emit NULL after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clkMem = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = StreamingIngest.impressionAttributionJoin(
+      impMem.toDF().toDF("its", "user_id", "imp_id"),
+      clkMem.toDF().toDF("cts", "c_user_id", "click_id"))
+    val q = joined.writeStream.format("memory").queryName("attr_join")
+      .outputMode(OutputMode.Append()).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    impMem.addData(
+      (t("2024-01-01 10:00:00"), 1L, 500L),  // converts (click at +10 min)
+      (t("2024-01-01 10:00:00"), 2L, 501L))  // never clicks
+    clkMem.addData(
+      (t("2024-01-01 10:10:00"), 1L, 900L),  // inside the 30-min window
+      (t("2024-01-01 11:30:00"), 2L, 901L))  // user 2, but far past the window
+    q.processAllAvailable()
+    // push BOTH watermarks past 10:30 (wm = max event time - 1h), then run
+    // another trigger: outer rows emit on the trigger AFTER the advance
+    impMem.addData((t("2024-01-01 13:00:00"), 9L, 999L))
+    clkMem.addData((t("2024-01-01 13:00:00"), 9L, 998L))
+    q.processAllAvailable()
+    impMem.addData((t("2024-01-01 13:00:01"), 9L, 997L))
+    q.processAllAvailable()
+    val rows = spark.table("attr_join")
+      .select(col("imp_id"), col("click_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    q.stop()
+    assert(rows(500L) == Some(900L), s"converted impression: $rows")
+    assert(rows.get(501L) == Some(None),
+      s"unconverted impression must emit exactly one NULL row: $rows")
+  }
+
   test("session transition: gap break closes a session, timeout evicts the open one") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
