@@ -1641,6 +1641,17 @@ object Queries {
             .as("secs_to_convert"))
     }),
 
+    // key-skew diagnostics for a prospective join/shuffle key — the
+    // measurement that decides j01's salt factor (and whether to salt at
+    // all) before the join ever runs. Operator is
+    // [[graft.operators.Relational.skewProfile]]: per-key counts, then
+    // one scalar roll-up of exact integer moments — no global window, no
+    // sort; every ratio is a fixed-shape double expression so the
+    // profile is bit-identical cross-engine. Key here is l_suppkey, the
+    // key j01 salts.
+    "q66_skew_profile" -> ((s, dir) =>
+      graft.operators.Relational.skewProfile(t(s, dir, "lineitem"), "l_suppkey")),
+
     // op 21 — catalog query (no SQL oracle: engine-specific surface)
     "q20_catalog" -> ((s, dir) => {
       for (n <- Seq("region", "nation", "customer", "supplier", "part",
@@ -1655,6 +1666,27 @@ object Queries {
 
   val parityOracles: Map[String, String] = Map(
     "q01_fullscan" -> "SELECT * FROM region",
+    // same integer moments (n, Σc, Σc², max) then the same fixed-shape
+    // double expressions — one correctly-rounded sqrt, bit-identical
+    "q66_skew_profile" ->
+      """WITH c AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS cnt
+                    FROM lineitem GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(max(cnt) AS BIGINT) AS max_cnt,
+                CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cnt,
+                sqrt((CAST(sum(cnt * cnt) AS DOUBLE)
+                      - CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE))
+                     / CAST(count(*) AS DOUBLE))
+                  / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS cv,
+                CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                  AS top1_share,
+                CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                  / CAST(sum(cnt) AS DOUBLE) AS skew_ratio,
+                CAST(ceil(CAST(max(cnt) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+                  / CAST(sum(cnt) AS DOUBLE)) AS INT) AS recommended_salt
+         FROM c""",
     "q61_lateral" ->
       """SELECT n.n_name, t.c_name, t.c_acctbal
          FROM nation n,

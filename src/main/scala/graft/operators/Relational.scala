@@ -102,6 +102,51 @@ object Relational {
   }
 
   /**
+   * Key-skew diagnostics for a prospective shuffle/join key: one row of
+   * distribution statistics over the per-key row counts — the
+   * measurement that DECIDES [[saltedJoin]]'s `factor` (and whether
+   * salting is needed at all) instead of guessing it. `skew_ratio` =
+   * max/mean key count is exactly the fan-out a perfectly balanced
+   * salting must absorb, surfaced directly as `recommended_salt` =
+   * ⌈skew_ratio⌉ (1 = uniform, no salting); `top1_share` says whether
+   * one key dominates the whole table; `cv` (coefficient of variation)
+   * separates a single hot key from broad unevenness.
+   *
+   * Exactness + scale: two aggregations, nothing else — a per-key count
+   * (one shuffle, map-side combined) and a scalar roll-up of integer
+   * moments (n, Σc, Σc², max). No global window, no sort, no order
+   * sensitivity: every double is a fixed-shape expression of exact
+   * integer sums (÷, ×, one correctly-rounded sqrt), so the profile is
+   * bit-identical cross-engine and the plan is flat regardless of key
+   * cardinality. Σc² fits a long while Σ(c)·max(c) < 2^63 — beyond that
+   * the counts themselves are the story. Empty input yields one row of
+   * zeros/NULL ratios rather than no rows.
+   */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val nk = count(lit(1)).cast("long")
+    val nr = sum(col("cnt")).cast("long")
+    val mx = max(col("cnt")).cast("long")
+    val sq = sum(col("cnt") * col("cnt")).cast("long")
+    counts.agg(nk.as("n_keys"), nr.as("n_rows"), mx.as("max_cnt"), sq.as("_sq"))
+      .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+        (col("n_rows").cast("double") / col("n_keys").cast("double"))
+          .as("avg_cnt"),
+        (sqrt((col("_sq").cast("double")
+            - col("n_rows").cast("double") * col("n_rows").cast("double")
+              / col("n_keys").cast("double"))
+          / col("n_keys").cast("double"))
+          / (col("n_rows").cast("double") / col("n_keys").cast("double")))
+          .as("cv"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top1_share"),
+        (col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).as("skew_ratio"),
+        ceil(col("max_cnt").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).cast("int").as("recommended_salt"))
+  }
+
+  /**
    * Skew-resistant equi-join (the manual fallback when AQE's skew-join
    * split can't apply, e.g. broadcast-ineligible dims with one hot key):
    * the fact side gets a deterministic salt in [0, factor) hashed from

@@ -355,6 +355,20 @@ class RelationalSpec extends AnyFunSuite {
       5L -> (("removed", true, false))))
   }
 
+  test("skewProfile: hand distribution exact; uniform keys -> cv 0, salt 1") {
+    val skewed = Seq("a", "a", "a", "a", "b", "b", "c", "d").toDF("k")
+    val r = graft.operators.Relational.skewProfile(skewed, "k").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 8 && r.getLong(2) == 4)
+    assert(r.getDouble(3) == 2.0, "avg_cnt")
+    // counts (4,2,1,1): var = (16+4+1+1 - 64/4)/4 = 1.5
+    assert(math.abs(r.getDouble(4) - math.sqrt(1.5) / 2.0) < 1e-15, "cv")
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 2.0, "top1/skew_ratio")
+    assert(r.getInt(7) == 2, "recommended_salt")
+    val uniform = Seq("a", "a", "b", "b", "c", "c").toDF("k")
+    val u = graft.operators.Relational.skewProfile(uniform, "k").collect().head
+    assert(u.getDouble(4) == 0.0 && u.getDouble(6) == 1.0 && u.getInt(7) == 1)
+  }
+
   test("law: inner equi-join cardinality = Σ_k count_left(k)·count_right(k)") {
     val keys = Gen.listOfN(30, Gen.choose(0, 5))
     val prop = Prop.forAll(keys, keys) { (l, r) =>
