@@ -1196,6 +1196,37 @@ object NorthStar {
       VF.cosineTopK(emb(s, dir), "embedding", "vec_id", q, 10)
     }),
 
+    // FILTERED vector search (the production RAG shape: "top-k among
+    // MY tenant/language/label only") both ways it is actually built:
+    // PREFILTER pushes the predicate into the scan and ranks the
+    // filtered subset exactly — always k results, always correct;
+    // POSTFILTER ranks globally first (top-50 here, the shape an
+    // unfiltered index hands back), then applies the predicate — and
+    // returns only the survivors, the recall hazard every vector-store
+    // doc warns about when the filter is selective. Since the global
+    // list and the subset share one score order, the postfilter hits
+    // are a PREFIX of the prefilter ranking (law-tested), so
+    // |postfilter| / k read off this output IS the postfilter recall.
+    // The 50-row global list broadcasts to pick up labels; no shuffle
+    // of the corpus beyond the two TakeOrderedAndProject scans.
+    "s17_filtered_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding")).as("qv"), col("label")).head()
+      val q = q0.getSeq[Double](0)
+      val lbl = q0.getInt(1)
+      val pre = VF.cosineTopK(
+          e.filter(col("label") === lbl), "embedding", "vec_id", q, 10)
+        .select(lit("prefilter").as("method"), col("vec_id"), col("score"))
+      val post50 = VF.cosineTopK(e, "embedding", "vec_id", q, 50)
+      val post = e.select(col("vec_id"), col("label"))
+        .join(broadcast(post50), Seq("vec_id"))
+        .filter(col("label") === lbl)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(lit("postfilter").as("method"), col("vec_id"), col("score"))
+      pre.unionByName(post)
+    }),
+
     // LSH-bucketed ANN (scale path; deterministic hyperplanes, multiprobe)
     "s02_cosine_topk_lsh" -> ((s, dir) => {
       val q = emb(s, dir).filter(col("vec_id") === 0)
@@ -3795,6 +3826,26 @@ object NorthStar {
           SELECT e.vec_id, ${cosineSql("e.v", "q.qv")} AS score
           FROM e, q
           ORDER BY score DESC, e.vec_id LIMIT 10""",
+    // prefilter = exact top-10 of the label subset; postfilter = label
+    // survivors of the global top-50, re-cut to 10 — same cosine, same
+    // (score DESC, vec_id) tie order as s01
+    "s17_filtered_topk" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+                     FROM embeddings WHERE vec_id = 0),
+               e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            pre AS (SELECT 'prefilter' AS method, e.vec_id,
+                           ${cosineSql("e.v", "q.qv")} AS score
+                    FROM e, q WHERE e.label = q.ql
+                    ORDER BY score DESC, e.vec_id LIMIT 10),
+            g50 AS (SELECT e.vec_id, e.label,
+                           ${cosineSql("e.v", "q.qv")} AS score
+                    FROM e, q
+                    ORDER BY score DESC, e.vec_id LIMIT 50),
+            post AS (SELECT 'postfilter' AS method, p.vec_id, p.score
+                     FROM g50 p, q WHERE p.label = q.ql
+                     ORDER BY score DESC, p.vec_id LIMIT 10)
+          SELECT * FROM pre UNION ALL SELECT * FROM post""",
     // PQ-ADC replayed in SQL: sub-centroids are the 16 lowest-vec_id
     // vectors gathered into one ordered list; per subspace, dists/qdots
     // are list_transform over that list with e05's exact fold shapes,

@@ -803,6 +803,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("s17 filtered search: postfilter hits are a PREFIX of the prefilter ranking") {
+    val rows = q("s17_filtered_topk").collect()
+    def ranked(m: String) = rows.filter(_.getString(0) == m)
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(p => (-p._2, p._1)).toSeq
+    val pre = ranked("prefilter")
+    val post = ranked("postfilter")
+    assert(pre.length == 10, "prefilter always fills k")
+    assert(post.nonEmpty, "the query vector itself always survives the filter")
+    assert(post.length <= 10)
+    // global list and label subset share one score order, so the label
+    // survivors of the global top-50 are the label subset's best m
+    assert(pre.take(post.length) == post, s"not a prefix:\n$pre\n$post")
+  }
+
   test("t31 source caps: kept tokens respect the 3% budget; under-cap sources keep everything") {
     val out = q("t31_source_caps").collect()
     val corpus = out.map(_.getLong(3)).sum
