@@ -104,6 +104,10 @@ object NorthStar {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val lshPairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // d20's threshold-0.6 pair table (strictly larger than the 0.8 set —
+  // must ride the same lifecycle, not stack a fresh persist per call)
+  private val histPairsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sketchMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sigMemo =
@@ -155,6 +159,9 @@ object NorthStar {
     lshPairsMemo.getOrElseUpdate((s, dir),
       graft.operators.Dedup.minhashLshPairs(hsTable(s, dir), 0.8,
         k = 128, bands = 32, estFloor = 0.6))
+  private def histPairs(s: SparkSession, dir: String): DataFrame =
+    histPairsMemo.getOrElseUpdate((s, dir),
+      graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.6))
 
   /** Release the memoized dedup-tier caches for (session, dir) — the
     * lifecycle handle for long-lived sessions (harness runs simply exit). */
@@ -162,6 +169,7 @@ object NorthStar {
     hsMemo.remove((s, dir)).foreach(_.unpersist())
     pairsMemo.remove((s, dir)).foreach(_.unpersist())
     lshPairsMemo.remove((s, dir)).foreach(_.unpersist())
+    histPairsMemo.remove((s, dir)).foreach(_.unpersist())
     sketchMemo.remove((s, dir)).foreach(_.unpersist())
     // sig keys carry "dir#<annIndexDir>" (conf is part of cache identity)
     sigMemo.keys.filter(k => k._1 == s && k._2.startsWith(dir + "#"))
@@ -595,7 +603,7 @@ object NorthStar {
     // inter/(na+nb−inter) division both engines compute, so the decile
     // floor is cross-engine exact.
     "d20_sim_histogram" -> ((s, dir) =>
-      graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.6)
+      histPairs(s, dir)
         .select(floor(col("jaccard") * 10).cast(IntegerType).as("sim_decile"))
         .groupBy(col("sim_decile")).agg(count(lit(1)).as("n_pairs"))),
 

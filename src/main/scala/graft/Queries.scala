@@ -53,6 +53,22 @@ object Queries {
     }
   }
 
+  /**
+   * Undirected simple part co-order graph: parts sharing an order, both
+   * line quantities >= `minQty`; one (u < v) row per pair, no dups. The
+   * single-sourced edge set every g-tier query binds to (g05 audits its
+   * wedge bounds; the oracles re-derive it per query by necessity).
+   */
+  private[graft] def coOrderEdges(s: SparkSession, dir: String,
+                                  minQty: Int): DataFrame = {
+    val inc = t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= minQty)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    inc.as("a").join(inc.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+  }
+
   // ---------------------------------------------------------------- parity
 
   val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -855,12 +871,7 @@ object Queries {
     // join — a different (skew-unsafe) plan computing the same census,
     // exactly the ground-truth/scale-path split of d03/d04 and s04/s06.
     "g05_triangles" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 30)
       graft.operators.Graph.triangleStats(edges)
     }),
 
@@ -874,12 +885,7 @@ object Queries {
     // the single final division is bit-identical cross-engine. Constant
     // output width; no per-key quadratic fan-out anywhere.
     "g06_degree_stats" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 30)
       graft.operators.Graph.degreeStats(edges)
     }),
 
@@ -894,12 +900,7 @@ object Queries {
     // RA double a pinned ascending fold of correctly-rounded 1/d terms
     // so the score is bit-identical cross-engine.
     "g07_link_predict" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 30)
       graft.operators.Graph.linkPredict(edges)
     }),
 
@@ -922,12 +923,8 @@ object Queries {
     // the per-component size — the partition-/community-size profile a
     // curation pipeline reads before sharding by component.
     "g09_components" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 46)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("doc_a"), col("b.p").as("doc_b")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 46)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"))
       val comp = graft.operators.Dedup.connectedComponents(edges)
       comp.join(
           comp.groupBy(col("component")).agg(count(lit(1)).as("component_size")),
@@ -947,12 +944,7 @@ object Queries {
     // co-order graph near-uniformly, so Q ≈ 0 here — the negative
     // control a pipeline needs to REJECT a label as a sharding key.
     "g10_modularity" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 30)
       val labels = t(s, dir, "part")
         .select(col("p_partkey").as("vertex"), col("p_brand").as("community"))
       graft.operators.Graph.modularity(edges, labels)
@@ -970,22 +962,12 @@ object Queries {
     // the fixed round count makes it an exactly SQL-replayable pure
     // function (sync LPA has no convergence guarantee to iterate to).
     "g11_lpa_labels" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 46)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 46)
       graft.operators.Graph.labelPropagation(edges, rounds = 4)
     }),
 
     "g08_kcore" -> ((s, dir) => {
-      val inc = t(s, dir, "lineitem")
-        .filter(col("l_quantity") >= 30)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val edges = inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val edges = coOrderEdges(s, dir, minQty = 30)
       graft.operators.Graph.kCore(edges, k = 12)
     }),
 
@@ -1675,9 +1657,10 @@ object Queries {
                 CAST(sum(cnt) AS BIGINT) AS n_rows,
                 CAST(max(cnt) AS BIGINT) AS max_cnt,
                 CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cnt,
-                sqrt((CAST(sum(cnt * cnt) AS DOUBLE)
-                      - CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)
-                        / CAST(count(*) AS DOUBLE))
+                sqrt(greatest(CAST(0 AS DOUBLE),
+                       CAST(sum(cnt * cnt) AS DOUBLE)
+                       - CAST(sum(cnt) AS DOUBLE) * CAST(sum(cnt) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE))
                      / CAST(count(*) AS DOUBLE))
                   / (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS cv,
                 CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)

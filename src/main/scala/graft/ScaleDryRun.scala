@@ -231,7 +231,7 @@ object ScaleDryRun {
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
     println("|---|---|---|---|---|")
-    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir))) {
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir))) {
       for (op <- ops) {
         val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
         println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
@@ -405,14 +405,24 @@ object ScaleDryRun {
       synthesizeDocs(spark, srcDir, factor))
     materialize(spark, s"$synthDir/embeddings.parquet")(
       synthesizeEmbeddings(spark, srcDir, factor))
-    val ops = Seq("t29_normalize", "t30_vocab_growth", "m07_keyframes",
-      "m08_audio_segments", "m09_image_neardup", "m10_video_neardup",
-      "d17_bloom_gate", "d18_normalized_dedup",
-      "e14_diverse_sample", "e15_quant_error", "s15_maxsim_rerank")
+    measureOps(spark, srcDir, synthDir, factor,
+      Seq("t29_normalize", "t30_vocab_growth", "m07_keyframes",
+        "m08_audio_segments", "m09_image_neardup", "m10_video_neardup",
+        "d17_bloom_gate", "d18_normalized_dedup",
+        "e14_diverse_sample", "e15_quant_error", "s15_maxsim_rerank"))
+  }
+
+  /** Shared 1x-vs-factor-x measurement loop for the wave modes: each op
+    * runs on the source corpus then the synthesized one, reporting
+    * output rows, wall seconds, and shuffle-write bytes (the
+    * steal-immune signal). */
+  private def measureOps(spark: SparkSession, srcDir: String,
+                         synthDir: String, factor: Int,
+                         ops: Seq[String]): Unit = {
     val meter = new ShuffleMeter(spark)
     println("| corpus | operator | output rows | wall s | shuffle write |")
     println("|---|---|---|---|---|")
-    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir));
          op <- ops) {
       val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
       println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
@@ -433,15 +443,8 @@ object ScaleDryRun {
     val synthDir = s"$workDir/${factor}x"
     materialize(spark, s"$synthDir/documents.parquet")(
       synthesizeDocs(spark, srcDir, factor))
-    val ops = Seq("t31_source_caps", "d19_dup_by_source")
-    val meter = new ShuffleMeter(spark)
-    println("| corpus | operator | output rows | wall s | shuffle write |")
-    println("|---|---|---|---|---|")
-    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
-         op <- ops) {
-      val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
-      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
-    }
+    measureOps(spark, srcDir, synthDir, factor,
+      Seq("t31_source_caps", "d19_dup_by_source"))
   }
 
   /** Round-7 first-wave scale posture: the eight r7 ops at 1x vs
@@ -458,16 +461,9 @@ object ScaleDryRun {
       synthesizeDocs(spark, srcDir, factor))
     materialize(spark, s"$synthDir/embeddings.parquet")(
       synthesizeEmbeddings(spark, srcDir, factor))
-    val ops = Seq("s12_inbatch_negatives", "s13_matryoshka_topk",
-      "s14_faceted_topk", "t27_quality_classifier", "t28_corpus_datasheet",
-      "q60_corpus_diff", "e12_embedding_drift", "e13_embedding_outliers")
-    val meter = new ShuffleMeter(spark)
-    println("| corpus | operator | output rows | wall s | shuffle write |")
-    println("|---|---|---|---|---|")
-    for ((label, dir) <- Seq(("sf0.1 (1x)", srcDir), (s"${factor}x", synthDir));
-         op <- ops) {
-      val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
-      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
-    }
+    measureOps(spark, srcDir, synthDir, factor,
+      Seq("s12_inbatch_negatives", "s13_matryoshka_topk",
+        "s14_faceted_topk", "t27_quality_classifier", "t28_corpus_datasheet",
+        "q60_corpus_diff", "e12_embedding_drift", "e13_embedding_outliers"))
   }
 }

@@ -132,7 +132,10 @@ object Relational {
       .select(col("n_keys"), col("n_rows"), col("max_cnt"),
         (col("n_rows").cast("double") / col("n_keys").cast("double"))
           .as("avg_cnt"),
-        (sqrt((col("_sq").cast("double")
+        // the FP variance can round a hair below 0 on near-uniform keys
+        // once (Σc)² exceeds 2^53 — clamp BEFORE the sqrt (Spark would
+        // yield NaN, other engines error), identically in the oracle
+        (sqrt(greatest(lit(0.0), col("_sq").cast("double")
             - col("n_rows").cast("double") * col("n_rows").cast("double")
               / col("n_keys").cast("double"))
           / col("n_keys").cast("double"))

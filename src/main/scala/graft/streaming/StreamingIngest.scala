@@ -520,10 +520,14 @@ object StreamingIngest {
 
   /**
    * Stream-stream LEFT OUTER attribution join: every impression
-   * `(its, user_id, imp_id)` emits exactly once — paired with each
+   * `(its, user_id, imp_id)` is guaranteed to appear — one row per
    * same-user click `(cts, c_user_id, click_id)` landing inside the
-   * 30-minute attribution window after it, or with NULL click columns
-   * once the watermark proves no such click can still arrive. The
+   * 30-minute attribution window after it (standard left-outer
+   * fan-out: two qualifying clicks → two rows), or exactly one row
+   * with NULL click columns once the watermark proves no click can
+   * still arrive. Consumers counting unconverted impressions filter
+   * on `click_id IS NULL`; CTR denominators take `count(distinct
+   * imp_id)`, not raw row counts. The
    * OUTER row is the semantics the inner join cannot give: "this
    * impression did NOT convert" is itself the signal (CTR denominators,
    * negative training examples), and it can only be emitted when the

@@ -542,10 +542,13 @@ class StreamingSpec extends AnyFunSuite {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     impMem.addData(
       (t("2024-01-01 10:00:00"), 1L, 500L),  // converts (click at +10 min)
-      (t("2024-01-01 10:00:00"), 2L, 501L))  // never clicks
+      (t("2024-01-01 10:00:00"), 2L, 501L),  // never clicks
+      (t("2024-01-01 10:00:00"), 3L, 502L))  // clicks TWICE in-window
     clkMem.addData(
       (t("2024-01-01 10:10:00"), 1L, 900L),  // inside the 30-min window
-      (t("2024-01-01 11:30:00"), 2L, 901L))  // user 2, but far past the window
+      (t("2024-01-01 11:30:00"), 2L, 901L),  // user 2, but far past the window
+      (t("2024-01-01 10:05:00"), 3L, 902L),
+      (t("2024-01-01 10:20:00"), 3L, 903L))
     q.processAllAvailable()
     // push BOTH watermarks past 10:30 (wm = max event time - 1h), then run
     // another trigger: outer rows emit on the trigger AFTER the advance
@@ -556,11 +559,13 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     val rows = spark.table("attr_join")
       .select(col("imp_id"), col("click_id")).as[(Long, Option[Long])]
-      .collect().toMap
+      .collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     q.stop()
-    assert(rows(500L) == Some(900L), s"converted impression: $rows")
-    assert(rows.get(501L) == Some(None),
+    assert(rows(500L) == Seq(Some(900L)), s"converted impression: $rows")
+    assert(rows(501L) == Seq(None),
       s"unconverted impression must emit exactly one NULL row: $rows")
+    assert(rows(502L).toSet == Set(Some(902L), Some(903L)),
+      s"two in-window clicks must fan out to two rows, no NULL row: $rows")
   }
 
   test("session transition: gap break closes a session, timeout evicts the open one") {
