@@ -1688,6 +1688,38 @@ object NorthStar {
           sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
     }),
 
+    // per-source lexical diversity — the corpus-health panel a mix
+    // designer reads next to t28's datasheet: token volume, exact type
+    // count, type-token ratio, and the Simpson index (the probability
+    // two tokens drawn without replacement are the SAME type — the
+    // collision mass a templated/boilerplate source shows long before
+    // eye-balling samples does). Deliberately log-free: Shannon entropy
+    // would need libm `ln` whose last-bit behavior differs across
+    // engines, while Simpson is Σc(c−1)/(N(N−1)) — integer moments and
+    // ONE IEEE divide, so the hash-checked contract replays exactly.
+    // Shape: explode → (source, term) counts (map-side combined) → one
+    // per-source fold; text itself never shuffles, state is vocabulary-
+    // sized per source, and both exchanges are keyed by source/term —
+    // the same two-shuffle skeleton as t11 at any corpus scale. The
+    // integer moments are exact here and ANSI-checked, not silently
+    // wrapping; a source beyond ~3e9 tokens (where N·(N−1) leaves the
+    // long range) swaps the two products to decimal(38,0) — same
+    // contract, wider lanes.
+    "t32_lexical_diversity" -> ((s, dir) => {
+      val c = docs(s, dir)
+        .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      c.groupBy(col("source")).agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * (col("c") - 1)).as("coll"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
+          (col("coll").cast(DoubleType) /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast(DoubleType))
+            .as("simpson"))
+    }),
+
     // systematic probability-proportional-to-size sampling by token
     // mass — the weighted complement of t10's per-stratum fraction: one
     // selection per crossing of a W/k boundary in cumulative-weight
@@ -2706,43 +2738,34 @@ object NorthStar {
     // hash-VALUE space with doc expansion after the hamming filter;
     // identical-hash documents (the exact-dup mass) pair through one
     // equi-join that never touches a band.
-    "m09_image_neardup" -> ((s, dir) => {
-      // the hash table feeds five plan branches (value set, two doc
-      // expansions, the identical-hash join's both sides) — materialize
-      // the 16-byte rows once instead of re-running the decode per branch
-      val ph = queries("m05_image_phash")(s, dir)
-        .filter(col("phash").isNotNull)
-        .localCheckpoint()
-      val hv = ph.select(col("phash")).distinct()
-      val bandPairs = for { b1 <- 0 until 8; b2 <- b1 + 1 until 8 } yield (b1, b2)
-      val banded = hv.select(col("phash"),
-        posexplode(array(bandPairs.map { case (b1, b2) =>
-          struct(
-            shiftright(col("phash"), b1 * 8).bitwiseAND(lit(0xffL)).as("c1"),
-            shiftright(col("phash"), b2 * 8).bitwiseAND(lit(0xffL)).as("c2"))
-        }: _*)).as(Seq("bp", "cc")))
-        .select(col("phash"), col("bp"), col("cc.c1").as("c1"), col("cc.c2").as("c2"))
-      val valuePairs = banded.as("a").join(banded.as("b"),
-          col("a.bp") === col("b.bp") && col("a.c1") === col("b.c1") &&
-          col("a.c2") === col("b.c2") && col("a.phash") < col("b.phash"))
-        .select(col("a.phash").as("ha"), col("b.phash").as("hb"),
-          Hashing.hammingDist(col("a.phash"), col("b.phash")).as("hamming"))
-        // filter BEFORE the dedup shuffle: the hamming gate kills ~all
-        // candidates inside the join's codegen stage, so the distinct
-        // exchanges only true near-dup value pairs, not the candidate set
-        .filter(col("hamming") <= 6)
-        .distinct()
-      val crossValue = valuePairs
-        .join(ph.select(col("doc_id").as("ida"), col("phash").as("ha")), Seq("ha"))
-        .join(ph.select(col("doc_id").as("idb"), col("phash").as("hb")), Seq("hb"))
-        .select(least(col("ida"), col("idb")).as("doc_a"),
-          greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
-      val sameValue = ph.as("x").join(ph.as("y"),
-          col("x.phash") === col("y.phash") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          lit(0).as("hamming"))
-      crossValue.unionByName(sameValue)
+    "m09_image_neardup" -> ((s, dir) =>
+      graft.operators.Dedup.bandedHammingPairs(
+        queries("m05_image_phash")(s, dir), "doc_id", "phash", maxHamming = 6)),
+
+    // audio near-dup pairs — the audio arm of the multimodal dedup
+    // triple (m09 images, m10 video, this): each doc's WAV renders a
+    // 63-bit ENERGY-DELTA-SIGN fingerprint (bit b = |s[b+1]| > |s[b]|
+    // over the first 64 samples — the Haitsma–Kalker/Philips audio
+    // fingerprint shape on the amplitude envelope), and the pair search
+    // is the SAME band-pair small-hamming engine m09 uses
+    // ([[graft.operators.Dedup.bandedHammingPairs]] — one engine, two
+    // modalities, the blocking analysis carries over unchanged). The
+    // fingerprint is a per-row codegen'd projection (WavWindowEnergy at
+    // window 1 = |amplitude| per sample, then the flat 63-term integer
+    // sum [[graft.multimodal.Multimodal.audioFingerprint]]) — no shuffle
+    // before the pair join, and the delta-SIGN quantization makes it
+    // invariant to uniform gain, the transform a re-encoded copy
+    // actually applies. Every encoded doc has ≥ 64 samples by the
+    // generator's contract, so the fold never reads out of range.
+    "m12_audio_neardup" -> ((s, dir) => {
+      val M = graft.multimodal.Multimodal
+      val fp = docs(s, dir)
+        .select(col("doc_id"),
+          M.wavWindowEnergy(M.wavEncode(col("doc_id"), col("text")), 1)
+            .as("amps"))
+        .select(col("doc_id"), M.audioFingerprint(col("amps")).as("afp"))
+      graft.operators.Dedup.bandedHammingPairs(
+        fp, "doc_id", "afp", maxHamming = 6)
     }),
 
     // video near-dup — the whole multimodal chain composed into one
@@ -3138,6 +3161,21 @@ object NorthStar {
                  CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
                    AS tokens_kept
           FROM k GROUP BY source""",
+    // same integer moments, and the two divides written as the same
+    // single-op double expressions (cast-then-divide; the denominator
+    // product stays integer until the cast)
+    "t32_lexical_diversity" ->
+      s"""WITH tk AS (SELECT source, unnest($sqlToks) AS term FROM documents),
+            c AS (SELECT source, term, count(*) AS c FROM tk GROUP BY 1, 2),
+            st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_types,
+                     CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+                   FROM c GROUP BY 1)
+          SELECT source, n_tokens, n_types,
+                 CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+                 CAST(coll AS DOUBLE)
+                   / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson
+          FROM st""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact
@@ -4496,6 +4534,24 @@ object NorthStar {
           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
           WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
             AND bit_count(xor(a.phash, b.phash)) <= 6""") +
+    // audio near-dup: the shared WAV sample generator (m04/m08's
+    // clauses), the 63-bit delta-sign fold in exact integer list
+    // arithmetic (power(2, b) exact for b <= 62 — bit 63 is never set),
+    // then the naive all-pairs hamming filter
+    ("m12_audio_neardup" ->
+      s"""WITH $wavSamplesSql,
+            fp AS (SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(0, 63), b ->
+                         CASE WHEN abs(ss[b + 2]) > abs(ss[b + 1])
+                              THEN CAST(power(2, b) AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END)),
+                       (a, x) -> a + x) AS afp
+                   FROM sg)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.afp, b.afp)) <= 6""") +
     // the manifest composes the verified m04/m05/m06 bodies: health
     // flags from the decode subqueries, the dup verdict as a naive
     // smaller-id hamming EXISTS over the hash table, scene counts as

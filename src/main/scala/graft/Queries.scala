@@ -966,6 +966,34 @@ object Queries {
       graft.operators.Graph.labelPropagation(edges, rounds = 4)
     }),
 
+    // personalized PageRank (random walk with restart onto a SEED set)
+    // over g02's supplier↔part bipartite graph — the seed-expansion
+    // relevance pass a curation pipeline runs to grow a small trusted
+    // set (here: nation-0 suppliers) into a ranked neighborhood, the
+    // graph-side twin of e11's semantic decontamination. Same integer
+    // fixed-point arithmetic as g02 (ranks in 1e-12 units, div/mod
+    // only — exactly SQL-replayable, no float drift across 3 rounds);
+    // the ONE structural difference is where restart mass lands: on the
+    // seeds instead of everywhere, so rank decays geometrically with
+    // distance from the seed set and untouched nodes stay at exactly 0
+    // (the `rank > 0` cut is exact, not a float threshold). Seeds are a
+    // broadcast node list; each round is one edge⋈rank join + one
+    // map-side-combined sum keyed by node — g02's scale posture
+    // unchanged.
+    "g12_ppr" -> ((s, dir) => {
+      val off = 10000000L
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
+        .distinct()
+      val both = edges.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+      val seeds = t(s, dir, "supplier")
+        .filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey").as("node"))
+      graft.operators.Graph.personalizedPageRank(both, seeds, iters = 3)
+        .filter(col("rank") > 0)
+    }),
+
     "g08_kcore" -> ((s, dir) => {
       val edges = coOrderEdges(s, dir, minQty = 30)
       graft.operators.Graph.kCore(edges, k = 12)
@@ -2122,6 +2150,35 @@ object Queries {
                   FROM l4 GROUP BY lab)
          SELECT vertex, l4.lab AS community, community_size
          FROM l4 JOIN cs USING (lab)"""
+    },
+    // g02's unrolled integer rounds with restart mass confined to the
+    // seed flag; the rank > 0 cut is exact integer arithmetic
+    "g12_ppr" -> {
+      def round(prev: String, out: String) =
+        s"""c$out AS (SELECT e.dst AS node, SUM($prev.rank // d.deg) AS in_sum
+                      FROM e JOIN $prev ON e.src = $prev.node
+                      JOIN deg d ON e.src = d.src GROUP BY 1),
+            $out AS (SELECT ns.node,
+                       (CASE WHEN ns.seed THEN 150000000000 ELSE 0 END)
+                         + (85 * COALESCE(c$out.in_sum, 0)) // 100 AS rank
+                     FROM ns LEFT JOIN c$out USING (node))"""
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p
+                      FROM lineitem),
+         e AS (SELECT s AS src, p AS dst FROM e0
+               UNION ALL SELECT p AS src, s AS dst FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         n AS (SELECT DISTINCT src AS node FROM e),
+         sd AS (SELECT s_suppkey AS node FROM supplier WHERE s_nationkey = 0),
+         ns AS (SELECT n.node, sd.node IS NOT NULL AS seed
+                FROM n LEFT JOIN sd USING (node)),
+         r0 AS (SELECT node,
+                  CASE WHEN seed THEN CAST(1000000000000 AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS rank
+                FROM ns),
+         ${round("r0", "r1")},
+         ${round("r1", "r2")},
+         ${round("r2", "r3")}
+         SELECT node, CAST(rank AS BIGINT) AS rank FROM r3 WHERE rank > 0"""
     },
     "g08_kcore" -> {
       def peel(i: Int) =

@@ -136,6 +136,26 @@ object Multimodal {
     column(graft.functions.WavWindowEnergy(expression(data), window))
 
   /**
+   * 63-bit energy-delta-sign audio fingerprint over a per-sample
+   * |amplitude| array (`wavWindowEnergy(_, 1)`): bit b (0..62) is set
+   * iff |s[b+1]| > |s[b]| over the first 64 samples — the
+   * Haitsma–Kalker (Philips robust hash, 2002) fingerprint shape on the
+   * amplitude envelope. Delta-SIGN quantization makes it invariant to
+   * uniform gain; bit 63 is never set, so the value is non-negative and
+   * a SQL replay needs no signed-bit special case. The 63 shift
+   * constants are Scala-side literals — one flat integer projection,
+   * whole-stage-codegen'd, no higher-order functions. Callers must
+   * guarantee ≥ 64 amplitude entries (the wav generator's n ≥ 64
+   * contract); shorter arrays yield NULL comparisons that read as 0
+   * bits.
+   */
+  def audioFingerprint(amps: Column): Column =
+    (0 to 62).map { b =>
+      when(element_at(amps, b + 2) > element_at(amps, b + 1), lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
    * The audio twin of [[decodePipeline]]: docs → WAV media table →
    * parsed PCM features, all per-row codegen'd expressions (encode,
    * RIFF chunk-walk parse, integer-accumulator features — no shuffle).

@@ -537,4 +537,61 @@ object Dedup {
         (max(col("pos")) + lit(k.toLong) - min(col("pos"))).as("span_tokens"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("span_tokens"))
   }
+
+  /**
+   * Small-hamming pair search over 64-bit fingerprints (≤ `maxHamming`
+   * differing bits) — the shared pair engine behind m09 image near-dup
+   * (perceptual aHashes) and m12 audio near-dup (energy-delta-sign
+   * fingerprints). Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+   *
+   * Blocking is by ORDERED BAND PAIR: perceptual hashes of templated
+   * media are low-entropy, so a single 8-bit band is a hot key; hamming
+   * ≤ 6 leaves AT LEAST TWO of the 8 byte-bands untouched (pigeonhole:
+   * 6 errors cannot reach 7 bands), so candidates join on a 16-bit joint
+   * chunk (28 keys/hash) — the measured 12× candidate collapse vs
+   * single-band blocking on a 10× corpus (see m09). The join runs in
+   * distinct hash-VALUE space with doc expansion after the hamming
+   * filter; identical-hash rows (the exact-dup mass) pair through one
+   * equi-join that never touches a band. The hamming gate runs INSIDE
+   * the join's codegen stage, so the dedup `distinct` exchanges only
+   * true near-dup value pairs, never the candidate set.
+   */
+  def bandedHammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                         maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 6,
+      s"band-pair blocking is exact only for hamming <= 6, got $maxHamming")
+    // the hash table feeds five plan branches (value set, two doc
+    // expansions, the identical-hash join's both sides) — materialize
+    // the 16-byte rows once instead of re-running the upstream per branch
+    val ph = hashes
+      .select(col(idCol).as("_id"), col(hashCol).as("_h"))
+      .filter(col("_h").isNotNull)
+      .localCheckpoint()
+    val hv = ph.select(col("_h")).distinct()
+    val bandPairs = for { b1 <- 0 until 8; b2 <- b1 + 1 until 8 } yield (b1, b2)
+    val banded = hv.select(col("_h"),
+      posexplode(array(bandPairs.map { case (b1, b2) =>
+        struct(
+          shiftright(col("_h"), b1 * 8).bitwiseAND(lit(0xffL)).as("c1"),
+          shiftright(col("_h"), b2 * 8).bitwiseAND(lit(0xffL)).as("c2"))
+      }: _*)).as(Seq("bp", "cc")))
+      .select(col("_h"), col("bp"), col("cc.c1").as("c1"), col("cc.c2").as("c2"))
+    val valuePairs = banded.as("a").join(banded.as("b"),
+        col("a.bp") === col("b.bp") && col("a.c1") === col("b.c1") &&
+        col("a.c2") === col("b.c2") && col("a._h") < col("b._h"))
+      .select(col("a._h").as("ha"), col("b._h").as("hb"),
+        Hashing.hammingDist(col("a._h"), col("b._h")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val crossValue = valuePairs
+      .join(ph.select(col("_id").as("ida"), col("_h").as("ha")), Seq("ha"))
+      .join(ph.select(col("_id").as("idb"), col("_h").as("hb")), Seq("hb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val sameValue = ph.as("x").join(ph.as("y"),
+        col("x._h") === col("y._h") && col("x._id") < col("y._id"))
+      .select(col("x._id").as("doc_a"), col("y._id").as("doc_b"),
+        lit(0).as("hamming"))
+    crossValue.unionByName(sameValue)
+  }
 }

@@ -803,6 +803,78 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank: integer law vs simulator; zero outside the seed neighborhood") {
+    def simulate(es: Seq[(Long, Long)], seeds: Set[Long], iters: Int,
+                 scale: Long): Map[Long, Long] = {
+      val nodes = es.map(_._1).toSet
+      val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank = nodes.map(n => n -> (if (seeds(n)) scale else 0L)).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((s2, d) <- es) in(d) += rank(s2) / deg(s2)
+        rank = nodes.map(n => n ->
+          ((if (seeds(n)) scale * 15 / 100 else 0L) + 85 * in(n) / 100)).toMap
+      }
+      rank
+    }
+    // hand graph: undirected chain 1-2-3-4 plus isolated pair 8-9; seed 1
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+    val both = chain ++ chain.map(_.swap)
+    val got = graft.operators.Graph.personalizedPageRank(
+      both.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == simulate(both, Set(1L), 3, 1000000000000L), "hand chain")
+    // the walk reaches the whole seed component by iter 3 (hop ≤ 3), the
+    // 1-hop neighbor far outranks the 3-hop tail (strict per-hop
+    // monotonicity needs the converged limit — finite iterations
+    // oscillate on bipartite chains), and the disconnected component
+    // stays at EXACTLY zero (integer rank, no float floor)
+    assert(Seq(2L, 3L, 4L).forall(got(_) > 0L), s"reach: $got")
+    assert(got(2L) > got(4L), s"1-hop vs 3-hop: $got")
+    assert(got(8L) == 0L && got(9L) == 0L, "disconnected stays exactly 0")
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 5) {
+      val n = 5 + rnd.nextInt(8)
+      val es = (for {
+        u <- 0 until n; v <- 0 until n
+        if u != v && rnd.nextDouble() < 0.3
+      } yield (u.toLong, v.toLong)).toSeq
+      if (es.nonEmpty) {
+        val srcs = es.map(_._1).distinct
+        val seeds = rnd.shuffle(srcs).take(1 + rnd.nextInt(2)).toSet
+        val iters = 1 + rnd.nextInt(3)
+        val want = simulate(es, seeds, iters, 1000000000000L)
+        val ppr = graft.operators.Graph.personalizedPageRank(
+          es.toDF("src", "dst"), seeds.toSeq.toDF("node"), iters)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(ppr == want, s"trial $trial seeds=$seeds iters=$iters")
+      }
+    }
+  }
+
+  test("bandedHammingPairs: exact vs brute force on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => i.toLong -> rnd.nextLong())
+    // planted: 0..6 bit flips of random base hashes (flip collisions can
+    // only LOWER the distance — brute force below is the ground truth),
+    // including flips=0 exact-dup copies that exercise the same-value arm
+    val planted = (0 until 12).map { i =>
+      var h = base(rnd.nextInt(base.size))._2
+      (0 until rnd.nextInt(7)).foreach(_ => h ^= 1L << rnd.nextInt(64))
+      (100L + i) -> h
+    }
+    val all = base ++ planted
+    val got = graft.operators.Dedup.bandedHammingPairs(
+      all.toDF("doc_id", "afp"), "doc_id", "afp", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(want.nonEmpty, "degenerate trial: no qualifying pairs planted")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("s17 filtered search: postfilter hits are a PREFIX of the prefilter ranking") {
     val rows = q("s17_filtered_topk").collect()
     def ranked(m: String) = rows.filter(_.getString(0) == m)

@@ -293,4 +293,29 @@ class MultimodalSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("audioFingerprint: delta-sign law vs direct recompute; text-determined, id-independent") {
+    // ids 5 and 198 differ mod 193 (different sample COUNTS n) but share
+    // text — the fingerprint reads only the first 64 samples, which are a
+    // pure function of text, so re-publication under a new id (and a new
+    // duration) still collides
+    val fps = Seq((5L, "the quick brown fox"), (198L, "the quick brown fox"),
+        (7L, "a different document entirely"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        Multimodal.wavWindowEnergy(
+          Multimodal.wavEncode(col("doc_id"), col("text")), 1).as("amps"))
+      .select(col("doc_id"), Multimodal.audioFingerprint(col("amps")).as("afp"),
+        col("amps"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    for ((id, (fp, amps)) <- fps) {
+      var want = 0L
+      for (b <- 0 to 62) if (amps(b + 1) > amps(b)) want |= 1L << b
+      assert(fp == want, s"doc $id: direct recompute")
+      assert(fp >= 0L, "bit 63 never set")
+    }
+    assert(fps(5L)._1 == fps(198L)._1, "same text, different ids/durations")
+    assert(fps(5L)._1 != fps(7L)._1, "different text separates")
+  }
 }
