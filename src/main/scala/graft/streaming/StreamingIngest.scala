@@ -818,4 +818,104 @@ object StreamingIngest {
       .mapGroupsWithState[UserStats, UserStats](timeout)(
         statsTransition(useTimeout, idleTimeoutMs))
   }
+
+  case class RateEvent(event_type: String, ts: java.sql.Timestamp)
+  /** EWMA control-chart state for one key: the currently-open minute and
+    * its running count, plus the chart statistics over CLOSED minutes. */
+  case class RateState(minute: Long, count: Long, mean: Double,
+                       varEwma: Double, nMinutes: Long)
+  case class RateAnomaly(event_type: String, minute_start: java.sql.Timestamp,
+                         count: Long, mean_before: Double, z: Double)
+
+  /**
+   * Per-key minute-count state machine behind [[rateAnomalyStream]] —
+   * an EWMA control chart (Roberts 1959, Technometrics) on per-minute
+   * event counts. A minute CLOSES when a later-minute event arrives for
+   * the key; closing minute m with count c scores z = (c − mean)/σ
+   * against the statistics BEFORE the update (the control-chart
+   * contract: a spike must not dilute the baseline it is judged
+   * against), emits an anomaly iff the chart has warmed up (≥
+   * `warmupMinutes` closed minutes), σ > 0, and |z| ≥ `zThreshold`,
+   * then folds c in: mean' = mean + α(c − mean),
+   * var' = (1−α)·var + α·(c − mean)². Empty minutes between events are
+   * closed as count 0 — a rate monitor must see DROPS, not only spikes
+   * — but a gap beyond `maxGapMinutes` resets the chart instead of
+   * iterating an unbounded backfill (a key idle for a year must not
+   * replay 525k synthetic minutes inside one micro-batch). Events for
+   * already-closed minutes are dropped (late stragglers belong to the
+   * watermarked ingest path); in-batch disorder is absorbed by one
+   * sort. State is 5 scalars per key at ANY rate.
+   */
+  private[graft] def rateTransition(alpha: Double, zThreshold: Double,
+                                    warmupMinutes: Int, maxGapMinutes: Int,
+                                    useTimeout: Boolean, idleTimeoutMs: Long)(
+      key: String, batch: Iterator[RateEvent],
+      state: GroupState[RateState]): Iterator[RateAnomaly] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+      var cur = state.getOption.orNull
+      def closeMinute(st: RateState): RateState = {
+        val sd = math.sqrt(st.varEwma)
+        val dev = st.count - st.mean
+        if (st.nMinutes >= warmupMinutes && sd > 0 &&
+            math.abs(dev / sd) >= zThreshold)
+          out += RateAnomaly(key,
+            new java.sql.Timestamp(st.minute * 60000L),
+            st.count, st.mean, dev / sd)
+        RateState(st.minute, 0L, st.mean + alpha * dev,
+          (1 - alpha) * st.varEwma + alpha * dev * dev, st.nMinutes + 1)
+      }
+      batch.toArray.sortBy(_.ts.getTime).foreach { e =>
+        val m = Math.floorDiv(e.ts.getTime, 60000L)
+        if (cur == null) cur = RateState(m, 1L, 0.0, 0.0, 0L)
+        else if (m == cur.minute) cur = cur.copy(count = cur.count + 1)
+        else if (m > cur.minute) {
+          if (m - cur.minute > maxGapMinutes) {
+            // chart reset: the baseline is stale after a long silence
+            cur = RateState(m, 1L, 0.0, 0.0, 0L)
+          } else {
+            cur = closeMinute(cur)
+            while (cur.minute < m - 1)
+              cur = closeMinute(cur.copy(minute = cur.minute + 1, count = 0L))
+            cur = cur.copy(minute = m, count = 1L)
+          }
+        } // m < cur.minute: late event for a closed minute — dropped
+      }
+      if (cur != null) {
+        state.update(cur)
+        if (useTimeout) state.setTimeoutDuration(idleTimeoutMs)
+      }
+      out.iterator
+    }
+
+  /**
+   * Streaming rate-anomaly detection — the pipeline-health tripwire a
+   * 100 TB ingest runs beside every source: per event_type, per-minute
+   * arrival counts scored against an EWMA control chart, spikes AND
+   * silent drops surfacing as Append-mode rows the moment the next
+   * event closes the minute. Exactly-once per (key, minute) by
+   * construction: a minute closes once, and closing is the only
+   * emission point. Keys here are event types (bounded state); a
+   * production deployment keys by (source, event_type) — the state
+   * stays 5 scalars per key either way. Contract: per-key event-time
+   * order across micro-batches (this file's standing state-machine
+   * assumption); late in-batch disorder is sorted away.
+   */
+  def rateAnomalyStream(events: Dataset[RateEvent], alpha: Double = 0.3,
+                        zThreshold: Double = 3.0, warmupMinutes: Int = 5,
+                        maxGapMinutes: Int = 1440,
+                        timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout,
+                        idleTimeoutMs: Long = 3600000L): Dataset[RateAnomaly] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1], got $alpha")
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "rateAnomalyStream evicts idle keys on a processing-time clock; " +
+      "use ProcessingTimeTimeout (or NoTimeout), not EventTimeTimeout")
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateState, RateAnomaly](
+        OutputMode.Append, timeout)(
+        rateTransition(alpha, zThreshold, warmupMinutes, maxGapMinutes,
+          timeout == GroupStateTimeout.ProcessingTimeTimeout, idleTimeoutMs))
+  }
 }

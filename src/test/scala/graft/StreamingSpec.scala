@@ -759,4 +759,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.nonEmpty, "parity is vacuous — no conversions at this SF")
   }
+
+  test("rateAnomalyStream: spike and drop each emitted exactly once; law vs segment model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.{RateAnomaly, RateEvent}
+    val (alpha, thr, warmup, maxGap) = (0.3, 3.0, 5, 1440)
+    // independent model: segment the key's minutes at >maxGap gaps, then
+    // fold the EWMA chart over each segment's CLOSED minutes (first
+    // through last-1, empty minutes as 0) — a different route to the
+    // same contract than the incremental per-event state machine
+    def model(keyTimes: Map[String, Seq[Long]]): Seq[RateAnomaly] =
+      keyTimes.toSeq.flatMap { case (k, times) =>
+        val ms = times.map(Math.floorDiv(_, 60000L)).sorted
+        val counts = ms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val distinct = ms.distinct
+        val segments = distinct.tail.foldLeft(List(List(distinct.head))) {
+          case (acc, m) if m - acc.head.head <= maxGap => (m :: acc.head) :: acc.tail
+          case (acc, m) => List(m) :: acc
+        }.map(_.reverse).reverse
+        segments.flatMap { seg =>
+          var (mean, varE) = (0.0, 0.0); var n = 0L
+          (seg.head until seg.last).flatMap { m =>
+            val c = counts.getOrElse(m, 0L)
+            val sd = math.sqrt(varE); val dev = c - mean
+            val hit = n >= warmup && sd > 0 && math.abs(dev / sd) >= thr
+            val res = if (hit) Some(RateAnomaly(k,
+              new java.sql.Timestamp(m * 60000L), c, mean, dev / sd)) else None
+            mean += alpha * dev; varE = (1 - alpha) * varE + alpha * dev * dev
+            n += 1
+            res
+          }
+        }
+      }
+    def ev(k: String, minute: Int, secs: Int*) =
+      secs.map(s2 => RateEvent(k, new java.sql.Timestamp(minute * 60000L + s2 * 1000L)))
+    val load = // steady 2/min, a 30-event spike at minute 10, then steady
+      (0 to 9).flatMap(m => ev("load", m, 5, 35)) ++
+      ev("load", 10, (0 until 30).map(i => i * 2): _*) ++
+      (11 to 13).flatMap(m => ev("load", m, 5, 35)) ++
+      ev("load", 20, 5, 35) ++ ev("load", 21, 5)
+    val drop = // steady 10/min, then silence — zeros closed by minute 13
+      (0 to 9).flatMap(m => ev("drop", m, (0 until 10).map(i => i * 6): _*)) ++
+      ev("drop", 13, 30)
+    val err = (0 to 12).flatMap(m => ev("err", m, 7)) // steady control
+    val all = load ++ drop ++ err
+    val want = model(all.groupBy(_.event_type).view
+      .mapValues(_.map(_.ts.getTime)).toMap)
+    val mem = MemoryStream[RateEvent]
+    val q = StreamingIngest.rateAnomalyStream(mem.toDS(),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("rate_anomalies")
+      .outputMode(OutputMode.Append()).start()
+    // per-key time order preserved across the splits; boundaries land
+    // mid-minute so open-minute state must survive micro-batch edges
+    val sorted = all.sortBy(_.ts.getTime)
+    Seq(sorted.take(25), sorted.slice(25, 26 + 70), sorted.drop(96))
+      .foreach { chunk => mem.addData(chunk: _*); q.processAllAvailable() }
+    val got = spark.table("rate_anomalies").as[RateAnomaly].collect().toSeq
+    q.stop()
+    assert(got.sortBy(a => (a.event_type, a.minute_start.getTime)) ==
+      want.sortBy(a => (a.event_type, a.minute_start.getTime)),
+      s"got=$got want=$want")
+    assert(got.exists(a => a.event_type == "load" &&
+      a.minute_start.getTime == 10 * 60000L && a.z > 0), "spike caught")
+    assert(got.exists(a => a.event_type == "drop" && a.count == 0L && a.z < 0),
+      "silent drop caught")
+    assert(!got.exists(_.event_type == "err"), "steady control stays quiet")
+  }
+
+  test("rateTransition: > maxGap silence resets the chart, no synthetic backfill") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import StreamingIngest.{RateEvent, RateState}
+    val warmed = RateState(minute = 0L, count = 5L, mean = 10.0,
+      varEwma = 4.0, nMinutes = 100L)
+    val gs = TestGroupState.create[RateState](
+      Optional.of(warmed), GroupStateTimeout.NoTimeout,
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    // minute 2000 is 2000 > 1440 minutes past the open minute: a
+    // backfill would close 1999 synthetic zero-minutes (each a certain
+    // "drop" anomaly against the warmed chart) — the reset instead
+    // emits nothing and restarts the chart cold at the new minute
+    val out = StreamingIngest.rateTransition(0.3, 3.0, 5, 1440,
+      useTimeout = false, 0L)(
+      "load", Iterator(RateEvent("load", new java.sql.Timestamp(2000L * 60000L))), gs)
+    assert(out.isEmpty, "no anomalies across a reset")
+    assert(gs.get == RateState(2000L, 1L, 0.0, 0.0, 0L), "cold restart")
+    val timedOut = TestGroupState.create[RateState](
+      Optional.of(warmed), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.of(500L), hasTimedOut = true)
+    assert(StreamingIngest.rateTransition(0.3, 3.0, 5, 1440,
+      useTimeout = true, 3600000L)("load", Iterator.empty, timedOut).isEmpty)
+    assert(timedOut.isRemoved, "idle key leaves the state store")
+  }
 }
