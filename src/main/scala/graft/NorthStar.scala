@@ -607,6 +607,28 @@ object NorthStar {
         .select(floor(col("jaccard") * 10).cast(IntegerType).as("sim_decile"))
         .groupBy(col("sim_decile")).agg(count(lit(1)).as("n_pairs"))),
 
+    // cross-source leakage matrix — WHICH source pairs share near-dup
+    // content (mirror sites, syndication, benchmark text republished in
+    // a crawl), the provenance table d19's within-source profile can't
+    // see. Reuses the MEMOIZED d04 LSH pair table (zero incremental
+    // pair work in a session that already deduped) + two doc_id-keyed
+    // source lookups; sources are normalized to an unordered pair via
+    // least/greatest so each source pair is ONE row. count/max only —
+    // no order-sensitive float folds — so the hash contract is exact.
+    "d21_cross_source_leakage" -> ((s, dir) => {
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      lshPairs(s, dir)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+    }),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -1718,6 +1740,43 @@ object NorthStar {
           (col("coll").cast(DoubleType) /
             (col("n_tokens") * (col("n_tokens") - 1)).cast(DoubleType))
             .as("simpson"))
+    }),
+
+    // per-source boilerplate/template detection (the RefinedWeb/C4
+    // boilerplate-removal shape): each source's most document-frequent
+    // 3-gram is its TEMPLATE candidate, and the report says how much of
+    // the source carries it — a navigation bar or licence banner shows
+    // up as flag_rate ≈ 1 long before anyone reads samples. Shingles
+    // are DISTINCT per doc (TF.shingles), so df counts documents, not
+    // occurrences. The argmax is ONE window over the (source, gram)
+    // df table — per-source vocabulary-sized partitions, parallel
+    // across sources (t28's top_lang pattern); the flag probe is a
+    // broadcast semi-join of the per-source one-row template list, so
+    // text never shuffles. Ties break lexicographically (df DESC, gram
+    // ASC) — deterministic and replayed verbatim.
+    "t33_boilerplate" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"), col("source"),
+        explode(TF.shingles(col("text"))).as("gram"))
+      val dfreq = sh.groupBy(col("source"), col("gram"))
+        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("df").desc, col("gram"))
+      val top = dfreq.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("source"), col("gram"), col("df"))
+      val flagged = sh
+        .join(broadcast(top.select(col("source"), col("gram"))),
+          Seq("source", "gram"), "left_semi")
+        .select(col("source"), col("doc_id")).distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("n_flagged"))
+      docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(top, Seq("source"))
+        .join(flagged, Seq("source"), "left")
+        .select(col("source"), col("gram").as("template_gram"),
+          col("df").as("template_df"), col("n_docs"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+          (coalesce(col("n_flagged"), lit(0L)).cast(DoubleType) / col("n_docs"))
+            .as("flag_rate"))
     }),
 
     // systematic probability-proportional-to-size sampling by token
@@ -3176,6 +3235,26 @@ object NorthStar {
                  CAST(coll AS DOUBLE)
                    / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) AS simpson
           FROM st""",
+    // same df/argmax/flag algebra; shingles distinct per doc in both
+    // engines, tie order (df DESC, gram ASC) replayed verbatim
+    "t33_boilerplate" ->
+      s"""WITH sh AS (SELECT doc_id, source, unnest($sqlShingles) AS gram
+                      FROM documents),
+            dfq AS (SELECT source, gram, count(*) AS df FROM sh GROUP BY 1, 2),
+            top AS (SELECT source, gram, df FROM (
+                      SELECT *, row_number() OVER (
+                        PARTITION BY source ORDER BY df DESC, gram) AS rn
+                      FROM dfq) WHERE rn = 1),
+            fl AS (SELECT sh.source, count(DISTINCT sh.doc_id) AS n_flagged
+                   FROM sh JOIN top USING (source, gram) GROUP BY 1),
+            nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+          SELECT nd.source, top.gram AS template_gram,
+                 CAST(top.df AS BIGINT) AS template_df,
+                 CAST(nd.n_docs AS BIGINT) AS n_docs,
+                 CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+                 CAST(coalesce(fl.n_flagged, 0) AS DOUBLE) / nd.n_docs
+                   AS flag_rate
+          FROM nd JOIN top USING (source) LEFT JOIN fl USING (source)""",
     // t21's hash algebra (bit-5 sign, mod-32 bucket) + the second FNV
     // draw over the bucket string for the weight; all-integer until the
     // one score division, so the replay is exact
@@ -4552,6 +4631,19 @@ object NorthStar {
                  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
           FROM fp a JOIN fp b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.afp, b.afp)) <= 6""") +
+    // cross-source leakage: d04's verified pair body as the subquery,
+    // the same unordered-pair normalization and count/max fold
+    ("d21_cross_source_leakage" ->
+      s"""WITH p AS (${oraclesBase("d04_minhash_lsh")})
+          SELECT least(sa.source, sb.source) AS source_a,
+                 greatest(sa.source, sb.source) AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 max(p.jaccard) AS max_jaccard
+          FROM p
+          JOIN documents sa ON sa.doc_id = p.doc_a
+          JOIN documents sb ON sb.doc_id = p.doc_b
+          WHERE sa.source <> sb.source
+          GROUP BY 1, 2""") +
     // the manifest composes the verified m04/m05/m06 bodies: health
     // flags from the decode subqueries, the dup verdict as a naive
     // smaller-id hamming EXISTS over the hash table, scene counts as

@@ -335,6 +335,24 @@ object Queries {
       Relational.asofJoin(ev, ord, "user_id", "ts", "o_orderdate")
     }),
 
+    // NEAREST as-of join (q30's directional completion — pandas
+    // merge_asof's third direction, which neither Spark nor most SQL
+    // engines ship natively): each event matches whichever adjacent
+    // order is closer in time, backward on ties. Same single-shuffle
+    // union frame as q30; the backward and forward candidates are two
+    // RANGE-framed window carries sharing ONE partitioning and sort,
+    // and the pick is an integer microsecond-delta compare — see
+    // [[graft.operators.Relational.asofJoinDirected]]. The oracle
+    // replays it as two engine ASOF joins (>= and <=) + the same CASE.
+    "q67_asof_nearest" -> ((s, dir) => {
+      val ev = eventsTable(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Relational.asofJoinDirected(ev, ord, "user_id", "ts", "o_orderdate",
+        direction = "nearest")
+    }),
+
     // point-in-interval join via bucketing: lineitems shipped within
     // [o_orderdate, +30 days) of their order, as a keyed interval join —
     // the equi-join runs on (orderkey, day-bucket) and only containment
@@ -2456,6 +2474,30 @@ object Queries {
          SELECT e.event_id, e.ts, e.user_id, o.o_orderdate, o.o_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.user_id AND e.ts >= o.o_orderdate""",
+    // two engine ASOF joins (backward >=, forward <=) + the same
+    // strict-< integer microsecond-delta CASE, ties to backward
+    "q67_asof_nearest" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderdate,
+                           max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY 1, 2),
+           b AS (SELECT e.event_id, e.ts, e.user_id,
+                        o.o_orderdate AS bd, o.o_orderkey AS bk
+                 FROM events e ASOF LEFT JOIN o
+                   ON e.user_id = o.user_id AND e.ts >= o.o_orderdate),
+           f AS (SELECT e.event_id,
+                        o.o_orderdate AS fd, o.o_orderkey AS fk
+                 FROM events e ASOF LEFT JOIN o
+                   ON e.user_id = o.user_id AND e.ts <= o.o_orderdate)
+         SELECT b.event_id, b.ts, b.user_id,
+                CASE WHEN bd IS NULL THEN fd WHEN fd IS NULL THEN bd
+                     WHEN epoch_us(CAST(fd AS TIMESTAMP)) - epoch_us(b.ts)
+                        < epoch_us(b.ts) - epoch_us(CAST(bd AS TIMESTAMP))
+                     THEN fd ELSE bd END AS o_orderdate,
+                CASE WHEN bd IS NULL THEN fk WHEN fd IS NULL THEN bk
+                     WHEN epoch_us(CAST(fd AS TIMESTAMP)) - epoch_us(b.ts)
+                        < epoch_us(b.ts) - epoch_us(CAST(bd AS TIMESTAMP))
+                     THEN fk ELSE bk END AS o_orderkey
+         FROM b JOIN f USING (event_id)""",
     "q33_window_range" ->
       """SELECT event_id, user_id,
                 count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000

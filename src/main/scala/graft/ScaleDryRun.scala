@@ -386,6 +386,7 @@ object ScaleDryRun {
       case "r7" => round7Mode(spark, srcDir, factor, workDir)
       case "wave4" => wave4Mode(spark, srcDir, factor, workDir)
       case "wave5" => wave5Mode(spark, srcDir, factor, workDir)
+      case "wave6" => wave6Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -445,6 +446,26 @@ object ScaleDryRun {
       synthesizeDocs(spark, srcDir, factor))
     measureOps(spark, srcDir, synthDir, factor,
       Seq("t31_source_caps", "d19_dup_by_source"))
+  }
+
+  /** Diagnostics-wave scale posture: t32 rides t11's two-shuffle
+    * skeleton (explode → (source, term) counts map-side combined →
+    * per-source fold; vocabulary-bounded state) — expect linear wall
+    * and shuffle. m12 is the banded-hamming PAIR op: the number that
+    * matters is how the band-pair candidate volume — visible as the
+    * value-pair join's shuffle bytes — grows as the 63-bit fingerprint
+    * space fills with duplicates; the same-value arm grows with the
+    * exact-dup mass by design (those ARE the audio dups). Excluded:
+    * g12 (input is the lineitem bipartite graph, not synthesized
+    * here; each round is g02's audited shape — one edge⋈rank join +
+    * one map-side-combined sum — and seeds are a broadcast list). */
+  private def wave6Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    measureOps(spark, srcDir, synthDir, factor,
+      Seq("t32_lexical_diversity", "m12_audio_neardup"))
   }
 
   /** Round-7 first-wave scale posture: the eight r7 ops at 1x vs

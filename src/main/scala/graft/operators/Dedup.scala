@@ -576,7 +576,16 @@ object Dedup {
           shiftright(col("_h"), b2 * 8).bitwiseAND(lit(0xffL)).as("c2"))
       }: _*)).as(Seq("bp", "cc")))
       .select(col("_h"), col("bp"), col("cc.c1").as("c1"), col("cc.c2").as("c2"))
-    val valuePairs = banded.as("a").join(banded.as("b"),
+    // the banded table is a 28× posexplode of the value set — Generate
+    // keeps the CHILD's size estimate, so Catalyst undercounts it ~28×
+    // and happily BROADCASTS it at corpus scale (measured: the 100×
+    // wave6 run spent ~370 s building a 14M-row broadcast relation;
+    // hinted shuffle join runs the same corpus in a fraction). Pin the
+    // self-join to shuffle: both sides are the same exploded table, so
+    // the exchange is linear in banded rows and the per-bucket join is
+    // the blocking analysis above
+    val valuePairs = banded.as("a").hint("shuffle_merge")
+      .join(banded.as("b").hint("shuffle_merge"),
         col("a.bp") === col("b.bp") && col("a.c1") === col("b.c1") &&
         col("a.c2") === col("b.c2") && col("a._h") < col("b._h"))
       .select(col("a._h").as("ha"), col("b._h").as("hb"),

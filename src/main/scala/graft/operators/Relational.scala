@@ -330,6 +330,72 @@ object Relational {
   }
 
   /**
+   * Directional as-of join — [[asofJoin]]'s backward semantics plus the
+   * two variants pandas' merge_asof ships and Spark lacks natively:
+   * `forward` (first right row with ts ≥ left ts) and `nearest`
+   * (whichever of the backward/forward matches is closer in time, ties
+   * to backward). Same single-shuffle union shape as [[asofJoin]]: both
+   * sides land in one (key)-partitioned, micro-ordered frame, the
+   * backward match is a running `last` over RANGE (−∞, 0] and the
+   * forward match a `first` over RANGE [0, +∞) — RANGE frames on the
+   * epoch-microsecond key make equal-timestamp rows peers, so ties
+   * match in BOTH directions regardless of union interleave. The two
+   * frames share one partitioning and one sort; `nearest` compares the
+   * two candidates' integer microsecond deltas — no float, exactly
+   * SQL-replayable as two engine ASOF joins + a CASE.
+   *
+   * Contract: [[asofJoin]]'s — unique right (key, ts), no payload name
+   * collisions. Timestamp/date columns compare on epoch micros (UTC
+   * session); numeric ts columns are taken as-is.
+   */
+  def asofJoinDirected(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       direction: String): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    val rightPayload = right.columns.filterNot(_ == key)
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"right payload columns collide with left: $collisions")
+    def micros(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.DateType =>
+          unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+        case _ => col(c).cast("long")
+      }
+    val rv = struct(rightPayload.map(col): _*)
+    val rvType = right.select(rv).schema.head.dataType
+    val lv = struct(left.columns.map(col): _*)
+    val lvType = left.select(lv).schema.head.dataType
+    val l2 = left.select(col(key).as("_k"), micros(left, leftTs).as("_us"),
+      lit(1).as("_side"), lv.as("_lv"), lit(null).cast(rvType).as("_rv"))
+    val r2 = right.select(col(key).as("_k"), micros(right, rightTs).as("_us"),
+      lit(0).as("_side"), lit(null).cast(lvType).as("_lv"), rv.as("_rv"))
+    val rvt = when(col("_side") === 0, struct(col("_us").as("_rus"), col("_rv").as("_p")))
+    val w = Window.partitionBy(col("_k")).orderBy(col("_us"))
+    val back = last(rvt, ignoreNulls = true)
+      .over(w.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(rvt, ignoreNulls = true)
+      .over(w.rangeBetween(Window.currentRow, Window.unboundedFollowing))
+    val chosen = direction match {
+      case "backward" => back
+      case "forward" => fwd
+      case "nearest" =>
+        val b = back; val f = fwd
+        when(b.isNull, f).when(f.isNull, b)
+          .when(f.getField("_rus") - col("_us") < col("_us") - b.getField("_rus"), f)
+          .otherwise(b) // tie -> backward (pandas merge_asof convention)
+    }
+    l2.unionByName(r2)
+      .withColumn("_m", chosen)
+      .filter(col("_side") === 1)
+      .select(
+        left.columns.map(c => col("_lv").getField(c).as(c)) ++
+        rightPayload.map(c => col("_m").getField("_p").getField(c).as(c)): _*)
+  }
+
+  /**
    * Point-in-interval join (`pointTs` ∈ [start, end)) sharing equality
    * `keys`, via fixed-width time bucketing. The declarative form is an
    * inequality theta-join — a nested-loop cartesian per key group in any

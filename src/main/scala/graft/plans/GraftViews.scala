@@ -164,4 +164,23 @@ object GraftViews {
     graft.SparkEntry.queries("d19_dup_by_source")(spark, dir)
       .createOrReplaceTempView("graft_dup_by_source")
   }
+
+  /**
+   * Diagnostics-wave views (seed trust, corpus health, audio dedup) —
+   * same contract as [[registerPipeline]].
+   *
+   * | view | composition | shape |
+   * |---|---|---|
+   * | `graft_seed_relevance`    | personalized PageRank from the seed set (g12) | (node, rank), rank in 1e-12 units |
+   * | `graft_lexical_diversity` | per-source Simpson/TTR panel (t32)            | (source, n_tokens, n_types, ttr, simpson) |
+   * | `graft_audio_neardup`     | banded fingerprint pair join (m12)            | (doc_a, doc_b, hamming) |
+   */
+  def registerDiagnostics(spark: SparkSession, dir: String): Unit = {
+    graft.SparkEntry.queries("g12_ppr")(spark, dir)
+      .createOrReplaceTempView("graft_seed_relevance")
+    graft.SparkEntry.queries("t32_lexical_diversity")(spark, dir)
+      .createOrReplaceTempView("graft_lexical_diversity")
+    graft.SparkEntry.queries("m12_audio_neardup")(spark, dir)
+      .createOrReplaceTempView("graft_audio_neardup")
+  }
 }

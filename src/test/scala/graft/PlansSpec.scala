@@ -515,6 +515,33 @@ class PlansSpec extends AnyFunSuite {
     assert(kept > 0.0 && kept <= 1.0)
   }
 
+  test("diagnostics-wave views are SQL-callable and match the Scala compositions") {
+    val dir = "/root/testdata/sf0.001"
+    graft.plans.GraftViews.registerDiagnostics(spark, dir)
+    for (view <- Seq("graft_lexical_diversity", "graft_audio_neardup")) {
+      assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
+        s"$view returned no rows")
+    }
+    val viaSql = spark.sql(
+      "SELECT source, simpson FROM graft_lexical_diversity")
+      .as[(String, Double)].collect().toSet
+    val direct = SparkEntry.queries("t32_lexical_diversity")(spark, dir)
+      .select(col("source"), col("simpson"))
+      .as[(String, Double)].collect().toSet
+    assert(viaSql == direct)
+    // views compose downstream in plain SQL: the multimodal dup graph's
+    // audio arm joined against the image arm's pair table
+    graft.plans.GraftViews.registerCuration(spark, dir)
+    val both = spark.sql(
+      """SELECT count(*) FROM graft_audio_neardup a
+         JOIN graft_image_neardup i USING (doc_a, doc_b)""").as[Long].head()
+    assert(both >= 0L) // executes; overlap may be empty at this SF
+    // g12 at sf0.001 may have no nation-0 seed suppliers — the view must
+    // still execute (empty is a valid relevance set)
+    assert(spark.sql("SELECT count(*) FROM graft_seed_relevance")
+      .as[Long].head() >= 0L)
+  }
+
   test("plan hygiene sweep: no harness query plans a cartesian product, and " +
        "nested-loop joins appear only against one-row scalar subplans") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -204,6 +204,44 @@ class RelationalSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("law: asofJoinDirected forward/nearest equal brute force; nearest ties to backward") {
+    val leftGen = Gen.listOfN(40, for {
+      k <- Gen.choose(0L, 4L); ts <- Gen.choose(0L, 50L)
+    } yield (k, ts))
+    val rightGen = Gen.listOfN(15, for {
+      k <- Gen.choose(0L, 4L); ts <- Gen.choose(0L, 50L); v <- Gen.choose(0L, 999L)
+    } yield (k, ts, v))
+    val prop = Prop.forAll(leftGen, rightGen) { (l, r0) =>
+      val r = r0.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      val lf = l.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "k", "ts")
+      val rf = r.toDF("k", "rts", "rv")
+      def run(direction: String) =
+        Relational.asofJoinDirected(lf, rf, "k", "ts", "rts", direction)
+          .select(col("lid"), col("rts"), col("rv"))
+          .as[(Long, Option[Long], Option[Long])].collect().toSeq.sortBy(_._1)
+      def brute(pick: (Long, Long) => Option[(Long, Long, Long)]) =
+        l.zipWithIndex.map { case ((k, ts), i) =>
+          val best = pick(k, ts); (i.toLong, best.map(_._2), best.map(_._3))
+        }
+      def back(k: Long, ts: Long) =
+        r.filter(t => t._1 == k && t._2 <= ts).sortBy(_._2).lastOption
+      def fwd(k: Long, ts: Long) =
+        r.filter(t => t._1 == k && t._2 >= ts).sortBy(_._2).headOption
+      def near(k: Long, ts: Long) = (back(k, ts), fwd(k, ts)) match {
+        case (b, None) => b
+        case (None, f) => f
+        case (Some(b), Some(f)) =>
+          if (f._2 - ts < ts - b._2) Some(f) else Some(b) // tie -> backward
+      }
+      run("backward") == brute(back) &&
+        run("forward") == brute(fwd) &&
+        run("nearest") == brute(near)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asofJoin plans one shuffle on the key — no nested-loop join") {
     val lf = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "ts")
     val rf = (1 to 20).map(i => (i.toLong % 5, i.toLong * 2, i.toLong)).toDF("k", "rts", "rv")
