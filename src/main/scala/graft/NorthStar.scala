@@ -413,6 +413,24 @@ object NorthStar {
         / (sqrt(list_reduce(list_transform($a, y -> y * y), (p, q) -> p + q))
          * sqrt(list_reduce(list_transform($b, y -> y * y), (p, q) -> p + q))))"""
 
+  /** The IVF top-10 replay parameterized by probe count — the s03 body
+    * (nProbe = 4) and every tier of the s18 probes-recall curve quote
+    * THIS one template, so the curve cannot drift from its subject. */
+  private def ivfTopkSql(nProbe: Int): String = {
+    val n = 16
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          qd AS (SELECT unnest(range(1, ${n + 1})) AS cid,
+                        unnest(${centroidDotsSql("qv", 64, n)}) AS d FROM q),
+          probes AS (SELECT cid FROM qd ORDER BY d DESC, cid LIMIT $nProbe),
+          assigned AS (SELECT vec_id, v, list_position(dl, list_max(dl)) AS lst
+                       FROM (SELECT vec_id, v, ${centroidDotsSql("v", 64, n)} AS dl FROM e))
+        SELECT a.vec_id, ${cosineSql("a.v", "q.qv")} AS score
+        FROM assigned a, q
+        WHERE a.lst IN (SELECT cid FROM probes)
+        ORDER BY score DESC, a.vec_id LIMIT 10"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // -- deduplication --------------------------------------------------
@@ -1089,6 +1107,31 @@ object NorthStar {
             .as("mean_pair_sqdist"))
     }),
 
+    // IVF cell-balance report — the index-health panel behind s03/s18's
+    // probe knob: per-cell populations of the e03 coarse quantizer with
+    // a load factor normalized so 1.0 = perfectly balanced. Empty cells
+    // and hot cells are what make nProbe lie (a probe into an empty
+    // cell buys nothing; a hot cell makes one probe scan half the
+    // corpus), so this is the table an operator reads NEXT TO the s18
+    // recall curve. The full 1..16 cell spine is joined in so empty
+    // cells surface as explicit zero rows, not absent ones. Composes
+    // the VERIFIED e03 assignment; two fixed-width aggregations, one
+    // 16-row spine join — nothing scales past the cell count.
+    "e17_cell_balance" -> ((s, dir) => {
+      val nC = 16
+      val counts = queries("e03_centroid_assign")(s, dir)
+        .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+      val total = counts.agg(sum(col("n_vecs")).as("n_total"))
+      val spine = s.range(1)
+        .select(explode(sequence(lit(1), lit(nC))).as("centroid_id"))
+      spine.join(counts, Seq("centroid_id"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("centroid_id"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+          (coalesce(col("n_vecs"), lit(0L)).cast(DoubleType) * lit(nC)
+            / col("n_total").cast(DoubleType)).as("load_factor"))
+    }),
+
     // quantization-error report — s16's embedding sibling, the "which
     // quantizer can I afford" table a team reads before committing an
     // index format: per-label mean squared reconstruction error of all
@@ -1263,6 +1306,36 @@ object NorthStar {
         .select(VF.toDouble(col("embedding")))
         .head().getSeq[Double](0)
       VF.cosineTopKLsh(emb(s, dir), "embedding", "vec_id", q, 10, dim = 64, planes = 8)
+    }),
+
+    // the IVF probes→recall TUNING CURVE — the measurement an operator
+    // reads before setting nProbe on a production index (s17's
+    // "measured, not guessed" discipline applied to the one knob every
+    // IVF deployment has to pick): the SAME cosineTopKIvf kernel s03
+    // ships runs at probes ∈ {1,2,4,8}, each tier's top-10 scored
+    // against the exact scan — recall@10 per probe count in one plan.
+    // Each tier scans only its probed cells; the exact list is a
+    // 10-row broadcast. Oracle quotes the SAME ivfTopkSql template per
+    // tier (s16's composition discipline), so the curve cannot drift
+    // from the kernel it tunes.
+    "s18_probe_recall" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 0)
+        .select(VF.toDouble(col("embedding")))
+        .head().getSeq[Double](0)
+      val exact = queries("s01_cosine_topk")(s, dir).select(col("vec_id"))
+      val tiers = Seq(1, 2, 4, 8).map { p =>
+        VF.cosineTopKIvf(emb(s, dir), "embedding", "vec_id", q, 10,
+            dim = 64, nProbe = p)
+          .select(lit(p).as("n_probe"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      tiers
+        .join(broadcast(exact.withColumn("hit", lit(1L))), Seq("vec_id"), "left")
+        .groupBy(col("n_probe"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("n_probe"), col("k"), col("n_hits"),
+          (col("n_hits").cast(DoubleType) / col("k").cast(DoubleType))
+            .as("recall"))
     }),
 
     // IVF-style ANN (coarse quantizer + n-probe — the second standard
@@ -4340,20 +4413,7 @@ object NorthStar {
                  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id
           WHERE bit_count(xor(a.sig, b.sig)) <= 6""",
-    "s03_cosine_topk_ivf" -> {
-      val n = 16; val nProbe = 4
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-            qd AS (SELECT unnest(range(1, ${n + 1})) AS cid,
-                          unnest(${centroidDotsSql("qv", 64, n)}) AS d FROM q),
-            probes AS (SELECT cid FROM qd ORDER BY d DESC, cid LIMIT $nProbe),
-            assigned AS (SELECT vec_id, v, list_position(dl, list_max(dl)) AS lst
-                         FROM (SELECT vec_id, v, ${centroidDotsSql("v", 64, n)} AS dl FROM e))
-          SELECT a.vec_id, ${cosineSql("a.v", "q.qv")} AS score
-          FROM assigned a, q
-          WHERE a.lst IN (SELECT cid FROM probes)
-          ORDER BY score DESC, a.vec_id LIMIT 10"""
-    },
+    "s03_cosine_topk_ivf" -> ivfTopkSql(nProbe = 4),
     "s02_cosine_topk_lsh" -> {
       val probes = (Seq("b.bucket = q.qb") ++
         (0 until 8).map(p => s"b.bucket = xor(q.qb, ${1L << p})")).mkString(" OR ")
@@ -4595,6 +4655,35 @@ object NorthStar {
           FROM m LEFT JOIN ex ON ex.vec_id = m.vec_id
           GROUP BY m.method"""
     }) +
+    // the probes-recall curve: one ivfTopkSql quote per tier, the exact
+    // body from s01 — the same composition discipline as s16
+    ("s18_probe_recall" -> {
+      val union = Seq(1, 2, 4, 8).map { p =>
+        s"SELECT $p AS n_probe, vec_id FROM (${ivfTopkSql(p)})"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ex AS (SELECT vec_id FROM (${oraclesBase("s01_cosine_topk")})),
+            m AS ($union)
+          SELECT m.n_probe, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_hits,
+                 CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+          FROM m LEFT JOIN ex ON ex.vec_id = m.vec_id
+          GROUP BY m.n_probe"""
+    }) +
+    // cell balance: e03's verified assignment body + the explicit
+    // 1..16 spine so empty cells replay as zero rows
+    ("e17_cell_balance" ->
+      s"""WITH a AS (${oraclesBase("e03_centroid_assign")}),
+            c AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+                  FROM a GROUP BY 1),
+            t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total FROM c),
+            sp AS (SELECT CAST(unnest(range(1, 17)) AS INT) AS centroid_id)
+          SELECT sp.centroid_id,
+                 CAST(coalesce(c.n_vecs, 0) AS BIGINT) AS n_vecs,
+                 CAST(coalesce(c.n_vecs, 0) AS DOUBLE) * 16
+                   / CAST(t.n_total AS DOUBLE) AS load_factor
+          FROM sp LEFT JOIN c USING (centroid_id) CROSS JOIN t""") +
     // the release manifest: d13's verdict subquery × t27's gate subquery
     ("d16_corpus_release" ->
       s"""SELECT v.doc_id, q.score
