@@ -69,6 +69,29 @@ object Queries {
       .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
   }
 
+  /** Per-(keys, j) HLL register maxima over `user_id` — m = 64, the
+    * a04 FNV hash / rho family, shared by a04 (corpus-wide) and a09
+    * (per-hour, window-merged) so the two sketches cannot drift. */
+  private def hllRegisters(ev: DataFrame, keys: Seq[String]): DataFrame = {
+    val hv = graft.functions.Hashing.fnvChecksum(
+      col("user_id").cast(StringType).cast(BinaryType))
+    val rho = (6 to 37).foldRight(lit(33): Column)((k, els) =>
+      when(col("h").bitwiseAND(lit(1L << k)) =!= lit(0L), lit(k - 5))
+        .otherwise(els))
+    ev.select(keys.map(col) :+ hv.as("h"): _*)
+      .select(keys.map(col) ++ Seq(
+        col("h").bitwiseAND(lit(63L)).cast("int").as("j"), rho.as("rho")): _*)
+      .groupBy((keys :+ "j").map(col): _*).agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Register table → per-`keys` (n_present, sum 2^−m_j) — the two
+    * inputs of the HLL harmonic estimate; the double sum is EXACT
+    * (power-of-two terms spanning < 52 mantissa bits). */
+  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_present"),
+        sum(pow(lit(2.0), -col("m_j").cast(DoubleType))).as("sum_present"))
+
   // ---------------------------------------------------------------- parity
 
   val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1186,19 +1209,9 @@ object Queries {
     // last-ulp between libm implementations; we emit the zero-register
     // count V so a consumer can apply it.
     "a04_hll_sketch" -> ((s, dir) => {
-      val hv = graft.functions.Hashing.fnvChecksum(
-        col("user_id").cast(StringType).cast(BinaryType))
-      val rho = (6 to 37).foldRight(lit(33): Column)((k, els) =>
-        when(col("h").bitwiseAND(lit(1L << k)) =!= lit(0L), lit(k - 5))
-          .otherwise(els))
-      val regs = eventsTable(s, dir)
-        .select(col("event_type"), hv.as("h"))
-        .select(col("event_type"),
-          col("h").bitwiseAND(lit(63L)).cast("int").as("j"), rho.as("rho"))
-        .groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("m_j"))
-      val est = regs.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_present"),
-          sum(pow(lit(2.0), -col("m_j").cast(DoubleType))).as("sum_present"))
+      val est = hllEstimate(
+          hllRegisters(eventsTable(s, dir), Seq("event_type")),
+          Seq("event_type"))
         .select(col("event_type"),
           (lit(64L) - col("n_present")).as("n_zero_registers"),
           (lit(0.709) * lit(4096.0) /
@@ -1209,6 +1222,44 @@ object Queries {
         .join(est, Seq("event_type"))
         .select(col("event_type"), col("n_exact"),
           col("n_zero_registers"), col("est_hll"))
+    }),
+
+    // sliding-window distinct-user counts from MERGED HLL registers —
+    // the property that makes sketches worth shipping: per-(type, hour)
+    // register maxima are bounded state (64 longs per key however many
+    // events the hour carried), and a 24-hour trailing window is a
+    // REGISTER MERGE (max by (type, window, j)) — the raw events are
+    // never revisited. This is how a 100 TB stream answers "distinct
+    // users in the last day, hourly" without an exact-distinct shuffle
+    // per window; the exact twin alongside is the gate-scale reference
+    // that makes the sketch error VISIBLE (production drops it — that's
+    // the point). Hour-window fan-out is ×24 of the register table, not
+    // of the events; the estimate's double sum is exact (power-of-two
+    // terms, a04's argument), so the whole query hash-replays.
+    "a09_sliding_hll" -> ((s, dir) => {
+      val W = 24
+      val ev = eventsTable(s, dir)
+        .select(col("event_type"), col("user_id"),
+          floor(unix_timestamp(col("ts").cast(TimestampType)) / 3600)
+            .cast(LongType).as("hour"))
+      val bounds = ev.agg(max(col("hour")).as("max_hour"))
+      def windows(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(bounds))
+          .withColumn("win_end", explode(sequence(col("hour"),
+            least(col("hour") + (W - 1), col("max_hour")))))
+      val merged = windows(hllRegisters(ev, Seq("event_type", "hour")))
+        .groupBy(col("event_type"), col("win_end"), col("j"))
+        .agg(max(col("m_j")).as("m_j"))
+      val est = hllEstimate(merged, Seq("event_type", "win_end"))
+        .select(col("event_type"), col("win_end"),
+          (lit(0.709) * lit(4096.0) /
+            (col("sum_present") + (lit(64L) - col("n_present")).cast(DoubleType)))
+            .as("est_hll"))
+      windows(ev)
+        .groupBy(col("event_type"), col("win_end"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(est, Seq("event_type", "win_end"))
+        .select(col("event_type"), col("win_end"), col("n_exact"), col("est_hll"))
     }),
 
     // per-group z-score outlier detection (data-cleaning tier): group
@@ -2711,6 +2762,46 @@ object Queries {
                  CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
                    / (sum_present + CAST(64 - n_present AS DOUBLE)) AS est_hll
           FROM ex JOIN est USING (event_type)"""
+    },
+    // the same hash/rho register algebra keyed by (type, hour), the
+    // 24-hour window as a register merge (max by window), exact twin
+    // from the same window expansion of raw (type, user, hour) rows
+    "a09_sliding_hll" -> {
+      val rhoSql = (6 to 37)
+        .map(k => s"WHEN (h & ${1L << k}) <> 0 THEN ${k - 5}")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH ev AS (SELECT event_type, user_id,
+                        epoch_us(ts) // 3600000000 AS hour
+                      FROM events),
+            mx AS (SELECT max(hour) AS max_hour FROM ev),
+            hv AS (SELECT event_type, hour,
+                     ${NorthStar.signedSql(NorthStar.fnvSql("CAST(user_id AS VARCHAR)"))} AS h
+                   FROM ev),
+            r AS (SELECT event_type, hour, CAST(h & 63 AS INT) AS j,
+                    $rhoSql AS rho
+                  FROM hv),
+            regs AS (SELECT event_type, hour, j, MAX(rho) AS m_j
+                     FROM r GROUP BY 1, 2, 3),
+            wexp AS (SELECT event_type, j, m_j,
+                       unnest(range(hour, least(hour + 24, mx.max_hour + 1)))
+                         AS win_end
+                     FROM regs, mx),
+            wr AS (SELECT event_type, win_end, j, MAX(m_j) AS m_j
+                   FROM wexp GROUP BY 1, 2, 3),
+            est AS (SELECT event_type, win_end, count(*) AS n_present,
+                      SUM(power(CAST(2.0 AS DOUBLE), -m_j)) AS sum_present
+                    FROM wr GROUP BY 1, 2),
+            exw AS (SELECT event_type, user_id,
+                      unnest(range(hour, least(hour + 24, mx.max_hour + 1)))
+                        AS win_end
+                    FROM ev, mx),
+            ex AS (SELECT event_type, win_end, COUNT(DISTINCT user_id) AS n_exact
+                   FROM exw GROUP BY 1, 2)
+          SELECT ex.event_type, CAST(ex.win_end AS BIGINT) AS win_end,
+                 ex.n_exact,
+                 CAST(0.709 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+                   / (sum_present + CAST(64 - n_present AS DOUBLE)) AS est_hll
+          FROM ex JOIN est USING (event_type, win_end)"""
     },
     "q40_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
