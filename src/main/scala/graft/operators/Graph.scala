@@ -411,7 +411,14 @@ object Graph {
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100L, s"scale must be >= 100 for the 85/15 split, got $scale")
-    val both = edges.select(col("src"), col("dst")).localCheckpoint()
+    // the edge table is NOT checkpointed: re-deriving it per round is a
+    // pruned-column scan (cheap, parallel, storage-backed), while eager
+    // executor-memory materialization of a corpus-scale edge list is
+    // exactly the cost a 100 TB run cannot pay (measured: the
+    // checkpoint tripled g12's bench time vs g02's re-scan shape). The
+    // RANK tables — node-sized, and the thing whose lineage deepens
+    // per round — are the ones checkpointed.
+    val both = edges.select(col("src"), col("dst"))
     val outdeg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val nodes = both.select(col("src").as("node")).distinct()
     val sd = seeds.select(col("node")).distinct()

@@ -174,6 +174,11 @@ object GraftViews {
    * | `graft_seed_relevance`    | personalized PageRank from the seed set (g12) | (node, rank), rank in 1e-12 units |
    * | `graft_lexical_diversity` | per-source Simpson/TTR panel (t32)            | (source, n_tokens, n_types, ttr, simpson) |
    * | `graft_audio_neardup`     | banded fingerprint pair join (m12)            | (doc_a, doc_b, hamming) |
+   * | `graft_boilerplate`       | per-source template detection (t33)           | (source, template_gram, template_df, n_docs, n_flagged, flag_rate) |
+   * | `graft_source_leakage`    | cross-source near-dup matrix (d21)            | (source_a, source_b, n_pairs, max_jaccard) |
+   * | `graft_probe_recall`      | IVF nProbe tuning curve (s18)                 | (n_probe, k, n_hits, recall) |
+   * | `graft_cell_balance`      | quantizer load report (e17)                   | (centroid_id, n_vecs, load_factor) |
+   * | `graft_sliding_distinct`  | 24 h HLL register-merge windows (a09)         | (event_type, win_end, n_exact, est_hll) |
    */
   def registerDiagnostics(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.queries("g12_ppr")(spark, dir)
@@ -182,5 +187,15 @@ object GraftViews {
       .createOrReplaceTempView("graft_lexical_diversity")
     graft.SparkEntry.queries("m12_audio_neardup")(spark, dir)
       .createOrReplaceTempView("graft_audio_neardup")
+    graft.SparkEntry.queries("t33_boilerplate")(spark, dir)
+      .createOrReplaceTempView("graft_boilerplate")
+    graft.SparkEntry.queries("d21_cross_source_leakage")(spark, dir)
+      .createOrReplaceTempView("graft_source_leakage")
+    graft.SparkEntry.queries("s18_probe_recall")(spark, dir)
+      .createOrReplaceTempView("graft_probe_recall")
+    graft.SparkEntry.queries("e17_cell_balance")(spark, dir)
+      .createOrReplaceTempView("graft_cell_balance")
+    graft.SparkEntry.queries("a09_sliding_hll")(spark, dir)
+      .createOrReplaceTempView("graft_sliding_distinct")
   }
 }

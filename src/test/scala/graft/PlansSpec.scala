@@ -518,7 +518,9 @@ class PlansSpec extends AnyFunSuite {
   test("diagnostics-wave views are SQL-callable and match the Scala compositions") {
     val dir = "/root/testdata/sf0.001"
     graft.plans.GraftViews.registerDiagnostics(spark, dir)
-    for (view <- Seq("graft_lexical_diversity", "graft_audio_neardup")) {
+    for (view <- Seq("graft_lexical_diversity", "graft_audio_neardup",
+                     "graft_boilerplate", "graft_probe_recall",
+                     "graft_cell_balance", "graft_sliding_distinct")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
