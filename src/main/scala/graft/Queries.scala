@@ -72,7 +72,7 @@ object Queries {
   /** Per-(keys, j) HLL register maxima over `user_id` — m = 64, the
     * a04 FNV hash / rho family, shared by a04 (corpus-wide) and a09
     * (per-hour, window-merged) so the two sketches cannot drift. */
-  private def hllRegisters(ev: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def hllRegisters(ev: DataFrame, keys: Seq[String]): DataFrame = {
     val hv = graft.functions.Hashing.fnvChecksum(
       col("user_id").cast(StringType).cast(BinaryType))
     val rho = (6 to 37).foldRight(lit(33): Column)((k, els) =>
@@ -87,7 +87,7 @@ object Queries {
   /** Register table → per-`keys` (n_present, sum 2^−m_j) — the two
     * inputs of the HLL harmonic estimate; the double sum is EXACT
     * (power-of-two terms spanning < 52 mantissa bits). */
-  private def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame =
     regs.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_present"),
         sum(pow(lit(2.0), -col("m_j").cast(DoubleType))).as("sum_present"))

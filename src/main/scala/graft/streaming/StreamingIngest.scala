@@ -186,6 +186,51 @@ object StreamingIngest {
       .start()
 
   /**
+   * Continuously-maintained distinct-count — the streaming form of
+   * a04/a09's HLL tier: each micro-batch folds to its (key, register)
+   * maxima partials and lands in its own `_batch_id` partition
+   * ([[startAggMaintenance]]'s exactly-once shape). Registers have a
+   * property plain sums lack: the merge ⊕ is element-wise MAX —
+   * idempotent AND commutative — so even a batch written TWICE under
+   * different batch ids (a failure mode the partition trick exists to
+   * prevent for sums) cannot move the merged view. The view
+   * ([[distinctView]]) is a register merge + harmonic estimate at
+   * read; store growth is 64 rows × keys per batch regardless of
+   * event volume, and compaction (fold partitions with the same max)
+   * never changes the result.
+   */
+  def startDistinctMaintenance(events: DataFrame, storePath: String,
+                               checkpointDir: String,
+                               keyCol: String = "event_type",
+                               idCol: String = "user_id"): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.Queries.hllRegisters(
+            batch.withColumnRenamed(idCol, "user_id"), Seq(keyCol))
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(storePath)
+      }
+      .start()
+
+  /** The maintained view behind [[startDistinctMaintenance]]: merged
+    * register maxima → a04's harmonic estimate per key. */
+  def distinctView(spark: SparkSession, storePath: String,
+                   keyCol: String = "event_type"): DataFrame =
+    graft.Queries.hllEstimate(
+        spark.read.parquet(storePath)
+          .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j")),
+        Seq(keyCol))
+      .select(col(keyCol),
+        (lit(0.709) * lit(4096.0) /
+          (col("sum_present") +
+            (lit(64L) - col("n_present")).cast("double"))).as("est_distinct"))
+
+  /**
    * Continuously-maintained top-k — the streaming form of q10's batch
    * top-k: each micro-batch's local top-k is merged with the stored
    * top-k, DEDUPLICATED, and re-reduced. The dedup is what makes a true

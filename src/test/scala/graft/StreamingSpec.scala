@@ -207,6 +207,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(v3 == Map(1L -> (2L, 15.0), 2L -> (2L, 10.0), 3L -> (1L, 1.0)))
   }
 
+  test("distinct maintenance: register merge equals the batch sketch; duplicate partials are absorbed") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_hll").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    def land(name: String, rows: Seq[(String, Long)]): Unit =
+      Files.write(java.nio.file.Paths.get(s"$landing/$name"),
+        rows.map { case (k, u) => s"$k,$u" }.mkString("\n").getBytes("UTF-8"))
+    def drain(): Unit = {
+      val src = spark.readStream.schema("event_type STRING, user_id LONG").csv(landing)
+      StreamingIngest.startDistinctMaintenance(src, store, ckpt).awaitTermination()
+    }
+    // cardinalities above the ~2.5·m small-range cutoff (m = 64): the
+    // raw harmonic estimator is only unbiased there (below it, real
+    // deployments switch to linear counting — a04's documented regime)
+    val b1 = (1L to 400L).map(u => ("view", u)) ++ (1L to 250L).map(u => ("click", u))
+    val b2 = (300L to 900L).map(u => ("view", u)) // overlaps b1: 300..400 shared
+    land("b1.csv", b1); drain()
+    land("b2.csv", b2); drain()
+    val streamed = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the maintained view must equal the one-shot batch sketch over ALL
+    // events — register merge is lossless, not approximately-composable
+    val all = (b1 ++ b2).toDF("event_type", "user_id")
+    val batch = graft.Queries.hllEstimate(
+        graft.Queries.hllRegisters(all, Seq("event_type")), Seq("event_type"))
+      .selectExpr("event_type",
+        "0.709 * 4096.0 / (sum_present + CAST(64 - n_present AS DOUBLE))")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // a batch's partials written AGAIN under a new batch id (the
+    // failure sums cannot tolerate): max-merge absorbs the duplicate
+    graft.Queries.hllRegisters(b2.toDF("event_type", "user_id"), Seq("event_type"))
+      .withColumn("_batch_id", lit(99L))
+      .write.mode("append").partitionBy("_batch_id").parquet(store)
+    val afterDup = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(afterDup == streamed, "duplicate register partials moved the view")
+    // estimates stay inside the m=64 error regime vs exact counts
+    // (~1.04/√64 ≈ 13% standard error; 3σ margin)
+    val exact = Map("view" -> 900.0, "click" -> 250.0)
+    for ((k, est) <- streamed)
+      assert(math.abs(est - exact(k)) / exact(k) < 0.4, s"$k: est=$est")
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
