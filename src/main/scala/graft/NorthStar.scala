@@ -1333,9 +1333,13 @@ object NorthStar {
         .groupBy(col("n_probe"))
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        // recall@10 divides by the EXACT list size (10), not by the
+        // rows the tier returned: a near-empty probed cell that
+        // returns 3 rows, all hits, is recall 0.3 — not a perfect
+        // score (k stays alongside as the fill level). s16 divides by
+        // its own count only because its methods always fill k.
         .select(col("n_probe"), col("k"), col("n_hits"),
-          (col("n_hits").cast(DoubleType) / col("k").cast(DoubleType))
-            .as("recall"))
+          (col("n_hits").cast(DoubleType) / lit(10.0)).as("recall"))
     }),
 
     // IVF-style ANN (coarse quantizer + n-probe — the second standard
@@ -4667,7 +4671,7 @@ object NorthStar {
                  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_hits,
                  CAST(sum(CASE WHEN ex.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                   AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+                   AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall
           FROM m LEFT JOIN ex ON ex.vec_id = m.vec_id
           GROUP BY m.n_probe"""
     }) +

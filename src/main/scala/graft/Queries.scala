@@ -92,6 +92,14 @@ object Queries {
       .agg(count(lit(1)).as("n_present"),
         sum(pow(lit(2.0), -col("m_j").cast(DoubleType))).as("sum_present"))
 
+  /** The m = 64 harmonic estimate α·m² / (Σ2^−m_j + zeros) over an
+    * [[hllEstimate]] row — ONE definition for a04, a09, and the
+    * streaming distinct view, so the constants (and the documented
+    * linear-counting swap below 2.5·m) can only change in one place. */
+  private[graft] def hllHarmonic: Column =
+    lit(0.709) * lit(4096.0) /
+      (col("sum_present") + (lit(64L) - col("n_present")).cast(DoubleType))
+
   // ---------------------------------------------------------------- parity
 
   val parity: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1214,9 +1222,7 @@ object Queries {
           Seq("event_type"))
         .select(col("event_type"),
           (lit(64L) - col("n_present")).as("n_zero_registers"),
-          (lit(0.709) * lit(4096.0) /
-            (col("sum_present") + (lit(64L) - col("n_present")).cast(DoubleType)))
-            .as("est_hll"))
+          hllHarmonic.as("est_hll"))
       eventsTable(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
         .join(est, Seq("event_type"))
@@ -1242,7 +1248,9 @@ object Queries {
         .select(col("event_type"), col("user_id"),
           floor(unix_timestamp(col("ts").cast(TimestampType)) / 3600)
             .cast(LongType).as("hour"))
-      val bounds = ev.agg(max(col("hour")).as("max_hour"))
+      // one row, materialized once — without the checkpoint each of the
+      // two windows() branches re-runs the max(hour) scan of events
+      val bounds = ev.agg(max(col("hour")).as("max_hour")).localCheckpoint()
       def windows(df: org.apache.spark.sql.DataFrame) =
         df.crossJoin(broadcast(bounds))
           .withColumn("win_end", explode(sequence(col("hour"),
@@ -1251,10 +1259,7 @@ object Queries {
         .groupBy(col("event_type"), col("win_end"), col("j"))
         .agg(max(col("m_j")).as("m_j"))
       val est = hllEstimate(merged, Seq("event_type", "win_end"))
-        .select(col("event_type"), col("win_end"),
-          (lit(0.709) * lit(4096.0) /
-            (col("sum_present") + (lit(64L) - col("n_present")).cast(DoubleType)))
-            .as("est_hll"))
+        .select(col("event_type"), col("win_end"), hllHarmonic.as("est_hll"))
       windows(ev)
         .groupBy(col("event_type"), col("win_end"))
         .agg(countDistinct(col("user_id")).as("n_exact"))

@@ -144,14 +144,16 @@ object Multimodal {
    * uniform gain; bit 63 is never set, so the value is non-negative and
    * a SQL replay needs no signed-bit special case. The 63 shift
    * constants are Scala-side literals — one flat integer projection,
-   * whole-stage-codegen'd, no higher-order functions. Callers must
-   * guarantee ≥ 64 amplitude entries (the wav generator's n ≥ 64
-   * contract); shorter arrays yield NULL comparisons that read as 0
-   * bits.
+   * whole-stage-codegen'd, no higher-order functions. Out-of-range
+   * reads go through `try_element_at` (NULL, not an ANSI error), so an
+   * array shorter than 64 entries yields 0 bits past its end — the
+   * same truncation DuckDB's out-of-range list index replays; the
+   * harness generator always supplies ≥ 64 samples.
    */
   def audioFingerprint(amps: Column): Column =
     (0 to 62).map { b =>
-      when(element_at(amps, b + 2) > element_at(amps, b + 1), lit(1L << b))
+      when(try_element_at(amps, lit(b + 2)) > try_element_at(amps, lit(b + 1)),
+          lit(1L << b))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 

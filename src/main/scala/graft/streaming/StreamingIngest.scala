@@ -225,10 +225,7 @@ object StreamingIngest {
         spark.read.parquet(storePath)
           .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j")),
         Seq(keyCol))
-      .select(col(keyCol),
-        (lit(0.709) * lit(4096.0) /
-          (col("sum_present") +
-            (lit(64L) - col("n_present")).cast("double"))).as("est_distinct"))
+      .select(col(keyCol), graft.Queries.hllHarmonic.as("est_distinct"))
 
   /**
    * Continuously-maintained top-k — the streaming form of q10's batch
@@ -886,38 +883,56 @@ object StreamingIngest {
    * closed as count 0 — a rate monitor must see DROPS, not only spikes
    * — but a gap beyond `maxGapMinutes` resets the chart instead of
    * iterating an unbounded backfill (a key idle for a year must not
-   * replay 525k synthetic minutes inside one micro-batch). Events for
-   * already-closed minutes are dropped (late stragglers belong to the
-   * watermarked ingest path); in-batch disorder is absorbed by one
-   * sort. State is 5 scalars per key at ANY rate.
+   * replay 525k synthetic minutes inside one micro-batch). Discard
+   * paths SCORE before discarding: both the idle timeout and the
+   * > maxGap reset first close the open minute and one silence-onset
+   * zero-minute, so a permanently dead source reports its flatline
+   * instead of vanishing with its last partial minute unscored.
+   * Events for already-closed minutes are dropped (late stragglers
+   * belong to the watermarked ingest path); in-batch disorder is
+   * absorbed by one sort. State is 5 scalars per key at ANY rate.
    */
   private[graft] def rateTransition(alpha: Double, zThreshold: Double,
                                     warmupMinutes: Int, maxGapMinutes: Int,
                                     useTimeout: Boolean, idleTimeoutMs: Long)(
       key: String, batch: Iterator[RateEvent],
-      state: GroupState[RateState]): Iterator[RateAnomaly] =
-    if (state.hasTimedOut) { state.remove(); Iterator.empty }
-    else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+      state: GroupState[RateState]): Iterator[RateAnomaly] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RateAnomaly]
+    def closeMinute(st: RateState): RateState = {
+      val sd = math.sqrt(st.varEwma)
+      val dev = st.count - st.mean
+      if (st.nMinutes >= warmupMinutes && sd > 0 &&
+          math.abs(dev / sd) >= zThreshold)
+        out += RateAnomaly(key,
+          new java.sql.Timestamp(st.minute * 60000L),
+          st.count, st.mean, dev / sd)
+      RateState(st.minute, 0L, st.mean + alpha * dev,
+        (1 - alpha) * st.varEwma + alpha * dev * dev, st.nMinutes + 1)
+    }
+    // the open minute + ONE synthetic zero-minute, scored before any
+    // discard: a source that goes permanently silent must REPORT its
+    // flatline (the zero scores against the warmed chart), not vanish
+    // with its last partial minute unscored
+    def closeForDiscard(st: RateState): Unit = {
+      closeMinute(closeMinute(st).copy(count = 0L, minute = st.minute + 1))
+      ()
+    }
+    if (state.hasTimedOut) {
+      state.getOption.foreach(closeForDiscard)
+      state.remove()
+      out.iterator
+    } else {
       var cur = state.getOption.orNull
-      def closeMinute(st: RateState): RateState = {
-        val sd = math.sqrt(st.varEwma)
-        val dev = st.count - st.mean
-        if (st.nMinutes >= warmupMinutes && sd > 0 &&
-            math.abs(dev / sd) >= zThreshold)
-          out += RateAnomaly(key,
-            new java.sql.Timestamp(st.minute * 60000L),
-            st.count, st.mean, dev / sd)
-        RateState(st.minute, 0L, st.mean + alpha * dev,
-          (1 - alpha) * st.varEwma + alpha * dev * dev, st.nMinutes + 1)
-      }
       batch.toArray.sortBy(_.ts.getTime).foreach { e =>
         val m = Math.floorDiv(e.ts.getTime, 60000L)
         if (cur == null) cur = RateState(m, 1L, 0.0, 0.0, 0L)
         else if (m == cur.minute) cur = cur.copy(count = cur.count + 1)
         else if (m > cur.minute) {
           if (m - cur.minute > maxGapMinutes) {
-            // chart reset: the baseline is stale after a long silence
+            // chart reset: the baseline is stale after a long silence —
+            // but the pre-gap open minute and the silence onset are
+            // scored first, then the chart restarts cold
+            closeForDiscard(cur)
             cur = RateState(m, 1L, 0.0, 0.0, 0L)
           } else {
             cur = closeMinute(cur)
@@ -933,6 +948,7 @@ object StreamingIngest {
       }
       out.iterator
     }
+  }
 
   /**
    * Streaming rate-anomaly detection — the pipeline-health tripwire a

@@ -873,29 +873,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_.event_type == "err"), "steady control stays quiet")
   }
 
-  test("rateTransition: > maxGap silence resets the chart, no synthetic backfill") {
+  test("rateTransition: > maxGap silence scores the flatline onset then resets; " +
+       "timeout reports the silence before evicting") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import StreamingIngest.{RateEvent, RateState}
+    // tight chart (sd = 0.5) so the discard-scoring paths visibly fire
     val warmed = RateState(minute = 0L, count = 5L, mean = 10.0,
-      varEwma = 4.0, nMinutes = 100L)
+      varEwma = 0.25, nMinutes = 100L)
     val gs = TestGroupState.create[RateState](
       Optional.of(warmed), GroupStateTimeout.NoTimeout,
       1000L, Optional.empty[Long](), hasTimedOut = false)
     // minute 2000 is 2000 > 1440 minutes past the open minute: a
-    // backfill would close 1999 synthetic zero-minutes (each a certain
-    // "drop" anomaly against the warmed chart) — the reset instead
-    // emits nothing and restarts the chart cold at the new minute
+    // backfill would close 1999 synthetic zero-minutes; instead the
+    // pre-gap open minute and ONE silence-onset zero-minute are scored,
+    // then the chart restarts cold at the new minute
     val out = StreamingIngest.rateTransition(0.3, 3.0, 5, 1440,
       useTimeout = false, 0L)(
       "load", Iterator(RateEvent("load", new java.sql.Timestamp(2000L * 60000L))), gs)
-    assert(out.isEmpty, "no anomalies across a reset")
+      .toSeq
+    assert(out.map(a => (a.minute_start.getTime / 60000L, a.count)) ==
+      Seq((0L, 5L), (1L, 0L)),
+      s"pre-gap minute + silence onset scored, nothing else: $out")
+    assert(out.forall(_.z < 0), "both are drop signals")
     assert(gs.get == RateState(2000L, 1L, 0.0, 0.0, 0L), "cold restart")
+    // a permanently dead source: the idle timeout must REPORT the
+    // flatline (open minute + silence onset), not silently evict
     val timedOut = TestGroupState.create[RateState](
       Optional.of(warmed), GroupStateTimeout.ProcessingTimeTimeout,
       1000L, Optional.of(500L), hasTimedOut = true)
-    assert(StreamingIngest.rateTransition(0.3, 3.0, 5, 1440,
-      useTimeout = true, 3600000L)("load", Iterator.empty, timedOut).isEmpty)
+    val tOut = StreamingIngest.rateTransition(0.3, 3.0, 5, 1440,
+      useTimeout = true, 3600000L)("load", Iterator.empty, timedOut).toSeq
+    assert(tOut.map(a => (a.minute_start.getTime / 60000L, a.count)) ==
+      Seq((0L, 5L), (1L, 0L)), s"timeout scores before evicting: $tOut")
     assert(timedOut.isRemoved, "idle key leaves the state store")
   }
 }
