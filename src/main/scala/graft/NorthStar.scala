@@ -647,6 +647,38 @@ object NorthStar {
         .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
     }),
 
+    // survivor-POLICY audit — dedup keeps one doc per duplicate
+    // cluster, but WHICH one is a policy: min-id (d01/d02's stable
+    // default), longest (d07), or highest model quality (what a
+    // training-data pipeline actually wants — the duplicates differ by
+    // boilerplate and truncation, and keeping the best copy is free).
+    // This table measures what the quality policy buys: per multi-doc
+    // cluster, the argmax-quality survivor vs the min-id survivor and
+    // both scores, with the disagreement flag — the evidence for (or
+    // against) switching policies, measured not guessed. Composes the
+    // VERIFIED d06 components and t27 scores; the quality argmax is
+    // one max(struct) aggregate (no window), joins are doc/cluster-
+    // keyed, everything bounded by cluster count.
+    "d22_survivor_policy" -> ((s, dir) => {
+      val comps = queries("d06_neardup_groups")(s, dir)
+      val scores = queries("t27_quality_classifier")(s, dir)
+        .select(col("doc_id"), col("score"))
+      val labeled = comps.join(scores, Seq("doc_id"))
+      labeled.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("score").as("s"), (-col("doc_id")).as("nid"))).as("mq"),
+          min(col("doc_id")).as("minid_keep_id"))
+        .select(col("component"), col("n_docs"),
+          (-col("mq.nid")).as("qual_keep_id"), col("mq.s").as("qual_score"),
+          col("minid_keep_id"))
+        .join(scores.select(col("doc_id").as("minid_keep_id"),
+          col("score").as("minid_score")), Seq("minid_keep_id"))
+        .select(col("component"), col("n_docs"),
+          col("qual_keep_id"), col("qual_score"),
+          col("minid_keep_id"), col("minid_score"),
+          (col("qual_keep_id") === col("minid_keep_id")).as("policies_agree"))
+    }),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -4737,6 +4769,28 @@ object NorthStar {
           JOIN documents sb ON sb.doc_id = p.doc_b
           WHERE sa.source <> sb.source
           GROUP BY 1, 2""") +
+    // survivor policy: d06's verified component body × t27's verified
+    // score body; the quality argmax replayed as (score DESC, doc_id)
+    // row_number — the same tie order as the max(struct) aggregate
+    ("d22_survivor_policy" ->
+      s"""WITH comp AS (${oraclesBase("d06_neardup_groups")}),
+            sc AS (${oraclesBase("t27_quality_classifier")}),
+            lab AS (SELECT c.doc_id, c.component, s.score
+                    FROM comp c JOIN sc s USING (doc_id)),
+            ag AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+                     min(doc_id) AS minid_keep_id
+                   FROM lab GROUP BY 1),
+            qk AS (SELECT component, doc_id AS qual_keep_id,
+                     score AS qual_score
+                   FROM (SELECT lab.*, row_number() OVER (
+                           PARTITION BY component
+                           ORDER BY score DESC, doc_id) AS rn
+                         FROM lab) WHERE rn = 1)
+          SELECT ag.component, ag.n_docs, qk.qual_keep_id, qk.qual_score,
+                 ag.minid_keep_id, ms.score AS minid_score,
+                 qk.qual_keep_id = ag.minid_keep_id AS policies_agree
+          FROM ag JOIN qk USING (component)
+          JOIN sc ms ON ms.doc_id = ag.minid_keep_id""") +
     // the manifest composes the verified m04/m05/m06 bodies: health
     // flags from the decode subqueries, the dup verdict as a naive
     // smaller-id hamming EXISTS over the hash table, scene counts as
