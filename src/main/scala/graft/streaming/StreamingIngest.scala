@@ -162,7 +162,11 @@ object StreamingIngest {
    * read-modify-write on the store. The maintained view is
    * [[aggView]]'s ⊕-merge of the partials at read; periodic compaction
    * (fold old partitions with the same ⊕) bounds partition count
-   * without changing the result. Write path is append-only and carries
+   * without changing the result — for THIS sum-based store it must run
+   * as write-new-generation-then-switch (a duplicate sum partial
+   * double-counts; contrast [[compactDistinctStore]], whose idempotent
+   * register ⊕ earns the cheaper in-place protocol). Write path is
+   * append-only and carries
    * only (key, n, tot) rows — batch-sized, never corpus-sized.
    */
   def startAggMaintenance(events: DataFrame, storePath: String,
@@ -216,6 +220,43 @@ object StreamingIngest {
           .parquet(storePath)
       }
       .start()
+
+  /**
+   * Compact the register store behind [[startDistinctMaintenance]]:
+   * fold every partial partition into ONE `_batch_id = -1` partition
+   * (a namespace no streaming batch uses) and delete the folded ones —
+   * partition count on a long-lived store drops to 1 without moving
+   * the view. Crash-safe WITHOUT a generation swap precisely because
+   * the register ⊕ is idempotent: a crash between the compacted write
+   * and the old-partition delete leaves duplicates that max-merge
+   * absorbs (the property the spec asserts directly), and re-running
+   * the compaction converges. SUM-based partial stores
+   * ([[startAggMaintenance]]) do NOT get this for free — a duplicate
+   * sum partial double-counts — so their compaction needs a
+   * write-new-generation-then-switch protocol; this helper is
+   * register-only by design.
+   */
+  def compactDistinctStore(spark: SparkSession, storePath: String,
+                           keyCol: String = "event_type"): Unit = {
+    val merged = spark.read.parquet(storePath)
+      .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j"))
+      .withColumn("_batch_id", lit(-1L))
+      // materialize BEFORE writing into the store being read — the
+      // checkpointed rows are the fold of everything currently there
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(storePath)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    new java.io.File(storePath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id=") &&
+        f.getName != "_batch_id=-1")
+      .foreach(deleteRec)
+  }
 
   /** The maintained view behind [[startDistinctMaintenance]]: merged
     * register maxima → a04's harmonic estimate per key. */

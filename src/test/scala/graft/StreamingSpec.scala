@@ -250,6 +250,26 @@ class StreamingSpec extends AnyFunSuite {
     val exact = Map("view" -> 900.0, "click" -> 250.0)
     for ((k, est) <- streamed)
       assert(math.abs(est - exact(k)) / exact(k) < 0.4, s"$k: est=$est")
+    // compaction folds everything (incl. the duplicate partial) into
+    // the single _batch_id=-1 partition without moving the view, and
+    // the stream keeps appending on top of the compacted store
+    StreamingIngest.compactDistinctStore(spark, store)
+    val parts = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id=")).map(_.getName)
+    assert(parts.toSeq == Seq("_batch_id=-1"), s"partitions after compact: ${parts.toSeq}")
+    val afterCompact = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(afterCompact == streamed, "compaction moved the view")
+    val b3 = (850L to 1000L).map(u => ("view", u))
+    land("b3.csv", b3); drain()
+    val v3 = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch3 = graft.Queries.hllEstimate(
+        graft.Queries.hllRegisters((b1 ++ b2 ++ b3).toDF("event_type", "user_id"),
+          Seq("event_type")), Seq("event_type"))
+      .select(col("event_type"), graft.Queries.hllHarmonic.as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(v3 == batch3, "post-compaction ingest diverged from the batch sketch")
   }
 
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
