@@ -1248,13 +1248,14 @@ object Queries {
         .select(col("event_type"), col("user_id"),
           floor(unix_timestamp(col("ts").cast(TimestampType)) / 3600)
             .cast(LongType).as("hour"))
-      // one row, materialized once — without the checkpoint each of the
-      // two windows() branches re-runs the max(hour) scan of events
-      val bounds = ev.agg(max(col("hour")).as("max_hour")).localCheckpoint()
+      // ONE driver-side scalar (the s03/s08 query-vector pattern):
+      // inlining max_hour as a literal runs the bounds scan once and
+      // keeps the window expansion join-free — no one-row broadcast
+      // frame, no nested-loop shape for the plan sweep to reason about
+      val maxHour = ev.agg(max(col("hour"))).head().getLong(0)
       def windows(df: org.apache.spark.sql.DataFrame) =
-        df.crossJoin(broadcast(bounds))
-          .withColumn("win_end", explode(sequence(col("hour"),
-            least(col("hour") + (W - 1), col("max_hour")))))
+        df.withColumn("win_end", explode(sequence(col("hour"),
+          least(col("hour") + (W - 1), lit(maxHour)))))
       val merged = windows(hllRegisters(ev, Seq("event_type", "hour")))
         .groupBy(col("event_type"), col("win_end"), col("j"))
         .agg(max(col("m_j")).as("m_j"))

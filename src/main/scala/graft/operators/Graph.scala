@@ -402,8 +402,11 @@ object Graph {
    *
    * Scale: seeds are a broadcast node list (a trusted set is metadata
    * next to the graph); each round is one edge⋈rank join + one map-side-
-   * combined sum keyed by dst, and per-round localCheckpoints truncate
-   * the lineage so round i never re-derives rounds 1..i−1. Seeds absent
+   * combined sum keyed by dst, with PERIODIC (every-4-rounds)
+   * localCheckpoints bounding the plan tree's doubling while keeping
+   * the edge/degree subtrees shareable as ReusedExchange inside each
+   * segment — per-round checkpoints split rounds into jobs that cannot
+   * share those subtrees (measured 5× slower at 3 rounds). Seeds absent
    * from the node set contribute nothing (documented drop, mirrored by
    * the SQL replay's inner derivation from the edge list).
    */
@@ -425,10 +428,9 @@ object Graph {
       .select(col("node"), lit(true).as("seed"))
     val seeded = nodes.join(broadcast(sd), Seq("node"), "left")
       .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
-      .localCheckpoint()
     var ranks = seeded.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = both
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -438,7 +440,15 @@ object Graph {
         .select(col("node"),
           (when(col("seed"), lit(scale * 15L / 100L)).otherwise(lit(0L)) +
             expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
+      // PERIODIC lineage truncation, not per-round: a checkpoint splits
+      // execution into separate jobs, and separate jobs cannot share
+      // the edge/degree/node subtrees that ONE lazy job deduplicates as
+      // ReusedExchange (measured: per-round checkpoints made the
+      // 3-round harness run 5× slower than g02's identical lazy
+      // shape). Every 4th round bounds the plan tree's doubling while
+      // keeping exchange reuse inside each 4-round segment; small
+      // fixed-iteration runs (like the harness's 3) stay one job.
+      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -842,7 +842,8 @@ class ExtensionsSpec extends AnyFunSuite {
       if (es.nonEmpty) {
         val srcs = es.map(_._1).distinct
         val seeds = rnd.shuffle(srcs).take(1 + rnd.nextInt(2)).toSet
-        val iters = 1 + rnd.nextInt(3)
+        // up to 6 rounds so the every-4-rounds checkpoint path is hit
+        val iters = 1 + rnd.nextInt(6)
         val want = simulate(es, seeds, iters, 1000000000000L)
         val ppr = graft.operators.Graph.personalizedPageRank(
           es.toDF("src", "dst"), seeds.toSeq.toDF("node"), iters)
