@@ -679,6 +679,48 @@ object NorthStar {
           (col("qual_keep_id") === col("minid_keep_id")).as("policies_agree"))
     }),
 
+    // MinHash signature-width tuning curve — s18's discipline applied
+    // to the dedup tier's main knob: how much Jaccard-estimate error
+    // does each signature size buy back? One k=128 signature per doc;
+    // because components are independent per-j mixes, the FIRST k
+    // components ARE the k-wide signature (Matryoshka property, free
+    // truncation — no per-k rebuild), so the four tiers are slices of
+    // one table. Errors are measured on d20's VERIFIED exact pair set
+    // (J ≥ 0.6 — the operating range a threshold lives in); the mean
+    // is a pair-order-pinned fold (e16's pattern) so the double sum is
+    // bit-identical cross-engine. Expected ~1/√k decay is what the
+    // table shows an operator deciding between 32 and 128.
+    "d23_minhash_k_curve" -> ((s, dir) => {
+      val ks = Seq(16, 32, 64, 128)
+      val sig = docs(s, dir).select(col("doc_id"),
+        Hashing.fnvMinhashSignature(TF.shingles(col("text")), 128).as("sig"))
+      val errs = histPairs(s, dir)
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          explode(array(ks.map { k =>
+            struct(lit(k).as("k"),
+              abs(Hashing.sigMatchCount(
+                  slice(col("sa"), 1, k), slice(col("sb"), 1, k))
+                .cast(DoubleType) / k - col("jaccard")).as("err"))
+          }: _*)).as("x"))
+        .select(col("doc_a"), col("doc_b"),
+          col("x.k").as("k"), col("x.err").as("err"))
+      errs.groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(col("err")).as("max_abs_err"),
+          aggregate(
+            transform(array_sort(collect_list(
+              struct(col("doc_a"), col("doc_b"), col("err")))),
+              x => x.getField("err")), lit(0.0), (a, x) => a + x)
+            .as("sum_err"))
+        .select(col("k"), col("n_pairs"),
+          (col("sum_err") / col("n_pairs")).as("mean_abs_err"),
+          col("max_abs_err"))
+    }),
+
     // incremental NEAR-dup dedup (d08's exact-fingerprint sibling): new
     // arrivals (odd doc_ids stand in for tonight's batch) probe the
     // existing corpus's (even ids) LSH band index — new ⋈ index only,
@@ -3717,6 +3759,32 @@ object NorthStar {
          LEFT JOIN cont ON d.doc_id = cont.doc_id"""
     },
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
+    // the k-curve: g01's signature replay keyed by doc over shingle
+    // strings, truncation as a j < k filter, the error mean as a
+    // pair-order-pinned fold (e16's ORDER BY pattern)
+    "d23_minhash_k_curve" ->
+      s"""WITH pr AS (${jaccardOracle(0.6)}),
+            sh AS (SELECT doc_id, unnest($sqlShingles) AS g FROM documents),
+            hh AS (SELECT doc_id, ${fnvSql("g")} AS hu FROM sh),
+            sig AS (SELECT doc_id, j, min(${signedSql(mixSql("hu", "j"))}) AS v
+                    FROM hh CROSS JOIN (SELECT unnest(range(128)) AS j)
+                    GROUP BY 1, 2),
+            jm AS (SELECT p.doc_a, p.doc_b, p.jaccard, sa.j,
+                     (sa.v = sb.v) AS eq
+                   FROM pr p
+                   JOIN sig sa ON sa.doc_id = p.doc_a
+                   JOIN sig sb ON sb.doc_id = p.doc_b AND sb.j = sa.j),
+            ke AS (SELECT kk.k, doc_a, doc_b,
+                     abs(CAST(count(*) FILTER (WHERE eq AND j < kk.k) AS DOUBLE)
+                         / kk.k - jaccard) AS err
+                   FROM jm CROSS JOIN (SELECT unnest([16, 32, 64, 128]) AS k) kk
+                   GROUP BY kk.k, doc_a, doc_b, jaccard)
+          SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(err ORDER BY doc_a, doc_b)), (p, q) -> p + q)
+                   / count(*) AS mean_abs_err,
+                 max(err) AS max_abs_err
+          FROM ke GROUP BY k""",
     // same shingle CTEs as the jaccard oracle, containment denominator
     "d12_containment_pairs" ->
       s"""WITH sh AS (
