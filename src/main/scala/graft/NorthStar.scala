@@ -692,9 +692,20 @@ object NorthStar {
     // table shows an operator deciding between 32 and 128.
     "d23_minhash_k_curve" -> ((s, dir) => {
       val ks = Seq(16, 32, 64, 128)
-      val sig = docs(s, dir).select(col("doc_id"),
-        Hashing.fnvMinhashSignature(TF.shingles(col("text")), 128).as("sig"))
-      val errs = histPairs(s, dir)
+      val pairs = histPairs(s, dir)
+      // signatures only for pair-PARTICIPATING docs (the semi-join cuts
+      // the 128-mix work to the pair set's id universe), computed once
+      // and materialized — the two probe branches shuffle on different
+      // keys, so without the checkpoint each would re-derive every
+      // signature (the sigTable memo's lesson, applied locally)
+      val ids = pairs.select(col("doc_a").as("doc_id"))
+        .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      val sig = docs(s, dir)
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          Hashing.fnvMinhashSignature(TF.shingles(col("text")), 128).as("sig"))
+        .localCheckpoint()
+      val errs = pairs
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
           Seq("doc_a"))
         .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")),

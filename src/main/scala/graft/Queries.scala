@@ -1251,8 +1251,11 @@ object Queries {
       // ONE driver-side scalar (the s03/s08 query-vector pattern):
       // inlining max_hour as a literal runs the bounds scan once and
       // keeps the window expansion join-free — no one-row broadcast
-      // frame, no nested-loop shape for the plan sweep to reason about
-      val maxHour = ev.agg(max(col("hour"))).head().getLong(0)
+      // frame, no nested-loop shape for the plan sweep to reason about.
+      // max() over an empty table is a null row, not an absent one —
+      // any literal keeps the (empty) result correct, so 0 stands in
+      val mh = ev.agg(max(col("hour"))).head()
+      val maxHour = if (mh.isNullAt(0)) 0L else mh.getLong(0)
       def windows(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("win_end", explode(sequence(col("hour"),
           least(col("hour") + (W - 1), lit(maxHour)))))

@@ -109,8 +109,20 @@ class WeatherPipeline(spark: SparkSession, root: String) {
     }
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
+  private def delete(f: java.io.File): Unit = WeatherPipeline.delete(f)
+}
+
+object WeatherPipeline {
+  /** Null-safe recursive delete (File.listFiles returns NULL — not an
+    * empty array — for a non-directory, a vanished path, or an I/O
+    * error; the guard makes concurrent deletion a no-op, not an NPE).
+    * Shared with the streaming store compaction. */
+  private[graft] def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(delete)
+    }
     f.delete()
+    ()
   }
 }

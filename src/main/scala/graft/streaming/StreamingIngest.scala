@@ -235,27 +235,35 @@ object StreamingIngest {
    * sum partial double-counts — so their compaction needs a
    * write-new-generation-then-switch protocol; this helper is
    * register-only by design.
+   *
+   * Concurrency: the partition set is SNAPSHOTTED first, only those
+   * partitions are folded, and only those are deleted — a batch a
+   * concurrent drain commits after the snapshot is neither folded nor
+   * deleted, so it survives for the next compaction. (The maintenance
+   * trigger is AvailableNow — drain-then-compact is the natural
+   * cadence — but the snapshot discipline makes an overlap lose
+   * nothing either way.)
    */
   def compactDistinctStore(spark: SparkSession, storePath: String,
                            keyCol: String = "event_type"): Unit = {
-    val merged = spark.read.parquet(storePath)
+    val root = new java.io.File(storePath)
+    val children = root.listFiles()
+    require(children != null, s"not a readable store directory: $storePath")
+    val snapshot = children
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id="))
+    if (snapshot.isEmpty) return
+    val merged = spark.read.parquet(snapshot.map(_.getPath).toSeq: _*)
       .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j"))
       .withColumn("_batch_id", lit(-1L))
       // materialize BEFORE writing into the store being read — the
-      // checkpointed rows are the fold of everything currently there
+      // checkpointed rows are the fold of the snapshotted partitions
       .localCheckpoint()
     merged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(storePath)
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRec)
-      f.delete(); ()
-    }
-    new java.io.File(storePath).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id=") &&
-        f.getName != "_batch_id=-1")
-      .foreach(deleteRec)
+    snapshot.filter(_.getName != "_batch_id=-1")
+      .foreach(graft.pipeline.WeatherPipeline.delete)
   }
 
   /** The maintained view behind [[startDistinctMaintenance]]: merged

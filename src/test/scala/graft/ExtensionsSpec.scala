@@ -842,8 +842,10 @@ class ExtensionsSpec extends AnyFunSuite {
       if (es.nonEmpty) {
         val srcs = es.map(_._1).distinct
         val seeds = rnd.shuffle(srcs).take(1 + rnd.nextInt(2)).toSet
-        // up to 6 rounds so the every-4-rounds checkpoint path is hit
-        val iters = 1 + rnd.nextInt(6)
+        // the final trial is PINNED to 5 rounds so the every-4-rounds
+        // checkpoint branch (i % 4 == 0 && i < iters, i.e. iters >= 5)
+        // is deterministically exercised, not left to the RNG
+        val iters = if (trial == 5) 5 else 1 + rnd.nextInt(6)
         val want = simulate(es, seeds, iters, 1000000000000L)
         val ppr = graft.operators.Graph.personalizedPageRank(
           es.toDF("src", "dst"), seeds.toSeq.toDF("node"), iters)
