@@ -163,6 +163,21 @@ class PlansSpec extends AnyFunSuite {
     assert("(?<!Broadcast)Exchange".r.findAllIn(d11).size <= 1, s"d11:\n$d11")
   }
 
+  test("q67 nearest as-of: both RANGE carries share ONE exchange and ONE sort") {
+    val dir = "/root/testdata/sf0.001"
+    val q67 = SparkEntry.queries("q67_asof_nearest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the backward and forward candidates are two RANGE-framed carries
+    // evaluated by ONE Window node over one shuffle + one
+    // within-partition sort; the only other exchange is the right
+    // side's (custkey, orderdate) pre-aggregation — query prep, not
+    // as-of machinery — and there is no join anywhere
+    assert("(?<!Broadcast)Exchange".r.findAllIn(q67).size == 2, s"q67:\n$q67")
+    assert(q67.split("\n").count(_.contains("Sort ")) == 1, s"q67:\n$q67")
+    assert(q67.split("\n").count(_.contains("Window")) == 1, s"q67:\n$q67")
+    assert(!q67.contains("Join"), s"q67 must not plan a join:\n$q67")
+  }
+
   test("q53 star join: dimension chain broadcasts, exactly one shuffled join") {
     val plan = SparkEntry.queries("q53_regional_revenue")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
