@@ -3775,7 +3775,10 @@ object NorthStar {
     // pair-order-pinned fold (e16's ORDER BY pattern)
     "d23_minhash_k_curve" ->
       s"""WITH pr AS (${jaccardOracle(0.6)}),
-            sh AS (SELECT doc_id, unnest($sqlShingles) AS g FROM documents),
+            ids AS (SELECT doc_a AS doc_id FROM pr
+                    UNION SELECT doc_b FROM pr),
+            sh AS (SELECT doc_id, unnest($sqlShingles) AS g
+                   FROM documents JOIN ids USING (doc_id)),
             hh AS (SELECT doc_id, ${fnvSql("g")} AS hu FROM sh),
             sig AS (SELECT doc_id, j, min(${signedSql(mixSql("hu", "j"))}) AS v
                     FROM hh CROSS JOIN (SELECT unnest(range(128)) AS j)
