@@ -1542,6 +1542,32 @@ object NorthStar {
     "t05_token_bpe" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_bpe"))),
 
+    // per-source tokenizer FERTILITY — BPE tokens per whitespace word
+    // and chars per BPE token, the standard tokenizer-health panel for
+    // a multi-source corpus (a source whose fertility is far above the
+    // fleet's burns context length and signals poor tokenizer coverage
+    // — the number teams check before committing a vocab). Pure
+    // per-row counts (t01's whitespace tokens, t05's BPE regex) folded
+    // by source: integer sums, two guarded divides, exactly replayed.
+    "t34_token_fertility" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          length(col("text")).cast(LongType).as("nc"),
+          TF.tokenCount(col("text")).cast(LongType).as("nw"),
+          TF.bpeTokenCount(col("text")).cast(LongType).as("nb"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).as("n_words"),
+          sum(col("nb")).as("n_bpe"),
+          sum(col("nc")).as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"), col("n_bpe"),
+          when(col("n_words") > 0,
+            col("n_bpe").cast(DoubleType) / col("n_words").cast(DoubleType))
+            .otherwise(lit(0.0)).as("fertility"),
+          when(col("n_bpe") > 0,
+            col("n_chars").cast(DoubleType) / col("n_bpe").cast(DoubleType))
+            .otherwise(lit(0.0)).as("chars_per_token"))),
+
     "t02_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id") +: TF.qualityColumns(col("text")): _*)),
 
@@ -4195,6 +4221,27 @@ object NorthStar {
       s"""SELECT doc_id, CAST(len(regexp_extract_all(lower(text),
             '${TF.bpePattern}')) AS INT) AS n_bpe
           FROM documents""",
+    // same per-row counts and guarded cast-then-divide sequences
+    "t34_token_fertility" ->
+      s"""WITH c AS (SELECT source,
+                       CAST(length(text) AS BIGINT) AS nc,
+                       CAST(len($sqlToks) AS BIGINT) AS nw,
+                       CAST(len(regexp_extract_all(lower(text),
+                         '${TF.bpePattern}')) AS BIGINT) AS nb
+                     FROM documents),
+            ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nw) AS BIGINT) AS n_words,
+                     CAST(sum(nb) AS BIGINT) AS n_bpe,
+                     CAST(sum(nc) AS BIGINT) AS n_chars
+                   FROM c GROUP BY 1)
+          SELECT source, n_docs, n_words, n_bpe,
+                 CASE WHEN n_words > 0
+                      THEN CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      ELSE 0.0 END AS fertility,
+                 CASE WHEN n_bpe > 0
+                      THEN CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE)
+                      ELSE 0.0 END AS chars_per_token
+          FROM ag""",
     "t02_quality" ->
       s"""SELECT doc_id,
             CAST(length(text) AS INT) AS n_chars_calc,
