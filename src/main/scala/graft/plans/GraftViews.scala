@@ -179,6 +179,9 @@ object GraftViews {
    * | `graft_probe_recall`      | IVF nProbe tuning curve (s18)                 | (n_probe, k, n_hits, recall) |
    * | `graft_cell_balance`      | quantizer load report (e17)                   | (centroid_id, n_vecs, load_factor) |
    * | `graft_sliding_distinct`  | 24 h HLL register-merge windows (a09)         | (event_type, win_end, n_exact, est_hll) |
+   * | `graft_survivor_policy`   | quality vs min-id survivor audit (d22)        | (component, n_docs, qual_keep_id, qual_score, minid_keep_id, minid_score, policies_agree) |
+   * | `graft_minhash_k_curve`   | signature-width error curve (d23)             | (k, n_pairs, mean_abs_err, max_abs_err) |
+   * | `graft_token_fertility`   | per-source tokenizer coverage (t34)           | (source, n_docs, n_words, n_bpe, fertility, chars_per_token) |
    */
   def registerDiagnostics(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.queries("g12_ppr")(spark, dir)
@@ -197,5 +200,11 @@ object GraftViews {
       .createOrReplaceTempView("graft_cell_balance")
     graft.SparkEntry.queries("a09_sliding_hll")(spark, dir)
       .createOrReplaceTempView("graft_sliding_distinct")
+    graft.SparkEntry.queries("d22_survivor_policy")(spark, dir)
+      .createOrReplaceTempView("graft_survivor_policy")
+    graft.SparkEntry.queries("d23_minhash_k_curve")(spark, dir)
+      .createOrReplaceTempView("graft_minhash_k_curve")
+    graft.SparkEntry.queries("t34_token_fertility")(spark, dir)
+      .createOrReplaceTempView("graft_token_fertility")
   }
 }

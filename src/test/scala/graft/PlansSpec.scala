@@ -535,7 +535,9 @@ class PlansSpec extends AnyFunSuite {
     graft.plans.GraftViews.registerDiagnostics(spark, dir)
     for (view <- Seq("graft_lexical_diversity", "graft_audio_neardup",
                      "graft_boilerplate", "graft_probe_recall",
-                     "graft_cell_balance", "graft_sliding_distinct")) {
+                     "graft_cell_balance", "graft_sliding_distinct",
+                     "graft_survivor_policy", "graft_minhash_k_curve",
+                     "graft_token_fertility")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
