@@ -753,6 +753,37 @@ object NorthStar {
     "d15_span_dedup" -> ((s, dir) =>
       graft.operators.Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", 8)),
 
+    // span REMOVAL — the transform d15's detection exists for: emit the
+    // corpus with every duplicated span excised (the ExactSubstr-dedup
+    // output stage — cut the repeated range, keep the document). Tokens
+    // anti-join their own doc's span table on position containment
+    // (doc_id equi key + range residual; spans per doc are bounded, so
+    // the residual scan is per-key-tiny at any corpus size), survivors
+    // reassemble position-ordered. Docs that vanish entirely under
+    // removal — and empty docs — surface as explicit ""/0 rows via the
+    // left join, never silently dropped. Composes the VERIFIED d15
+    // span table, so detection and surgery cannot drift.
+    "d24_span_removal" -> ((s, dir) => {
+      val spans = queries("d15_span_dedup")(s, dir)
+      val toks = docs(s, dir)
+        .select(col("doc_id"), posexplode(TF.tokens(col("text"))).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"), col("tok"))
+      val kept = toks.join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("ct"))
+      docs(s, dir).select(col("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("ct"), lit("")).as("clean_text"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept_tokens"))
+    }),
+
     // duplicate-cluster formation over the near-dup pair graph: connected
     // components via iterative min-label propagation (the post-pair stage
     // of an LLM-data dedup pipeline — keep min doc_id per cluster)
@@ -4898,6 +4929,26 @@ object NorthStar {
           JOIN documents sb ON sb.doc_id = p.doc_b
           WHERE sa.source <> sb.source
           GROUP BY 1, 2""") +
+    // span removal: d15's verified span body, tokens zipped with their
+    // 1-based positions, NOT EXISTS containment, position-ordered
+    // string_agg — the same surgery the Spark anti-join performs
+    ("d24_span_removal" ->
+      s"""WITH spans AS (${oraclesBase("d15_span_dedup")}),
+            tk AS (SELECT doc_id,
+                     unnest(range(1, len(tks) + 1)) AS pos,
+                     unnest(tks) AS tok
+                   FROM (SELECT doc_id, $sqlToks AS tks FROM documents)),
+            kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+                     WHERE NOT EXISTS (
+                       SELECT 1 FROM spans s2
+                       WHERE s2.doc_id = t.doc_id
+                         AND t.pos BETWEEN s2.span_start AND s2.span_end)),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY pos) AS ct
+                    FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(agg.ct, '') AS clean_text,
+                 CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept_tokens
+          FROM documents d LEFT JOIN agg USING (doc_id)""") +
     // survivor policy: d06's verified component body × t27's verified
     // score body; the quality argmax replayed as (score DESC, doc_id)
     // row_number — the same tie order as the max(struct) aggregate

@@ -182,6 +182,7 @@ object GraftViews {
    * | `graft_survivor_policy`   | quality vs min-id survivor audit (d22)        | (component, n_docs, qual_keep_id, qual_score, minid_keep_id, minid_score, policies_agree) |
    * | `graft_minhash_k_curve`   | signature-width error curve (d23)             | (k, n_pairs, mean_abs_err, max_abs_err) |
    * | `graft_token_fertility`   | per-source tokenizer coverage (t34)           | (source, n_docs, n_words, n_bpe, fertility, chars_per_token) |
+   * | `graft_span_removal`      | corpus with duplicate spans excised (d24)     | (doc_id, clean_text, n_kept_tokens) |
    */
   def registerDiagnostics(spark: SparkSession, dir: String): Unit = {
     graft.SparkEntry.queries("g12_ppr")(spark, dir)
@@ -206,5 +207,7 @@ object GraftViews {
       .createOrReplaceTempView("graft_minhash_k_curve")
     graft.SparkEntry.queries("t34_token_fertility")(spark, dir)
       .createOrReplaceTempView("graft_token_fertility")
+    graft.SparkEntry.queries("d24_span_removal")(spark, dir)
+      .createOrReplaceTempView("graft_span_removal")
   }
 }

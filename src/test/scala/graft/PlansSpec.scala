@@ -537,7 +537,7 @@ class PlansSpec extends AnyFunSuite {
                      "graft_boilerplate", "graft_probe_recall",
                      "graft_cell_balance", "graft_sliding_distinct",
                      "graft_survivor_policy", "graft_minhash_k_curve",
-                     "graft_token_fertility")) {
+                     "graft_token_fertility", "graft_span_removal")) {
       assert(spark.sql(s"SELECT count(*) FROM $view").as[Long].head() > 0,
         s"$view returned no rows")
     }
