@@ -61,7 +61,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2}""")
+    // self-identifying provenance (timestamp + host facts): eight rounds of
+    // BENCH_r*.json were unparseable stdout tails, and identical builds
+    // re-measured on different days were indistinguishable from file copies
+    val ts = java.time.Instant.now().toString
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","ts":"$ts","host":"$host"}"""
+    println(json)
+    // the durable artifact: stdout gets truncated by the driver's log tail
+    // (BENCH_r01-r08 all recorded "parsed": null), the file does not
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_local.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }

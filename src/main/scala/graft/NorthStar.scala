@@ -174,6 +174,9 @@ object NorthStar {
     // sig keys carry "dir#<annIndexDir>" (conf is part of cache identity)
     sigMemo.keys.filter(k => k._1 == s && k._2.startsWith(dir + "#"))
       .foreach(k => sigMemo.remove(k).foreach(_.unpersist()))
+    // the relational surface owns its own memos (coOrderEdges, shared
+    // file indexes) — one lifecycle entry point for callers
+    graft.Queries.releaseCaches(s, dir)
   }
 
   private def jaccardOracle(threshold: Double): String =

@@ -24,8 +24,24 @@ import graft.operators.{Relational, WeatherOps}
  */
 object Queries {
 
+  /**
+   * Base-table reads are memoized per (session, dir, table): a fresh
+   * `spark.read.parquet` builds a new InMemoryFileIndex (file listing +
+   * footer schema read) every call, and a 198-query bench pass re-lists
+   * each table dozens of times — pure fixed cost at any scale (on a real
+   * cluster it is an object-store LIST per query). The memo returns the
+   * SAME DataFrame object, so every query shares one file index and one
+   * resolved schema per table. Plans are unchanged (same logical read);
+   * nothing is persisted, so there is no cache lifecycle to manage —
+   * entries are dropped by [[releaseCaches]] anyway so a long-lived
+   * session whose underlying files were rewritten can re-resolve.
+   */
+  private val tableMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.getOrElseUpdate((s, dir, name),
+      s.read.parquet(s"$dir/$name.parquet"))
 
   /** Clamp-to-last-bucket equi-width bucket index — the shared bucket
     * algebra of q51/a03 (a fixed single-op double sequence both engines
@@ -60,13 +76,41 @@ object Queries {
    * wedge bounds; the oracles re-derive it per query by necessity).
    */
   private[graft] def coOrderEdges(s: SparkSession, dir: String,
-                                  minQty: Int): DataFrame = {
-    val inc = t(s, dir, "lineitem")
-      .filter(col("l_quantity") >= minQty)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    inc.as("a").join(inc.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+                                  minQty: Int): DataFrame =
+    coOrderMemo.getOrElseUpdate((s, dir, minQty), {
+      val inc = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= minQty)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      inc.as("a").join(inc.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .persist()
+    })
+
+  /**
+   * The derived edge table is memoized + persisted per (session, dir,
+   * minQty): seven g-tier queries bind the same co-order graph, and
+   * without the memo each re-runs the lineitem self-join with its two
+   * corpus-scale distincts — 12 scan+shuffle rounds at 100 TB where one
+   * materialized table suffices (round-7/8 verdict item #1). Persist is
+   * lazy — the first g query materializes it; the graph operators'
+   * internal localCheckpoints then copy from the cache instead of
+   * re-deriving the join. [[releaseCaches]] is the lifecycle handle
+   * (Bench releases between passes; long-lived sessions call it when the
+   * corpus changes).
+   */
+  private val coOrderMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Release the memoized per-(session, dir) tables owned by this query
+    * surface — the coOrderEdges persists and the shared file-index
+    * entries. Chained from [[NorthStar.releaseCaches]] so callers keep
+    * one lifecycle entry point. */
+  private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
+    coOrderMemo.keys.filter(k => k._1 == s && k._2 == dir)
+      .foreach(k => coOrderMemo.remove(k).foreach(_.unpersist()))
+    tableMemo.keys.filter(k => k._1 == s && k._2 == dir)
+      .foreach(tableMemo.remove)
   }
 
   /** Per-(keys, j) HLL register maxima over `user_id` — m = 64, the

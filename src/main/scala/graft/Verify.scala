@@ -51,6 +51,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // run provenance: timestamp/host/input so a correctness ledger built
+    // from this dump is self-identifying (two rounds re-measuring an
+    // identical build were indistinguishable from file copies without it)
+    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"ts":"${java.time.Instant.now()}","host":"${java.net.InetAddress.getLocalHost.getHostName}","sf_dir":${q(sfDir)},"spark":"${spark.version}","n_queries":${SparkEntry.queries.size}}""")
     spark.stop()
   }
 }
