@@ -63,9 +63,13 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // self-identifying provenance (timestamp + host facts): eight rounds of
     // BENCH_r*.json were unparseable stdout tails, and identical builds
-    // re-measured on different days were indistinguishable from file copies
-    val ts = java.time.Instant.now().toString
-    val host = java.net.InetAddress.getLocalHost.getHostName
+    // re-measured on different days were indistinguishable from file copies.
+    // Both lookups degrade to fallbacks rather than throw — provenance runs
+    // AFTER the timing passes, and an unresolvable hostname must not
+    // discard the measurement it is meant to label
+    val ts = scala.util.Try(java.time.Instant.now().toString).getOrElse("unknown")
+    val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse("unknown")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","ts":"$ts","host":"$host"}"""
     println(json)
     // the durable artifact: stdout gets truncated by the driver's log tail

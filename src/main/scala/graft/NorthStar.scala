@@ -26,10 +26,15 @@ object NorthStar {
   // run on one core; repartition by doc_id to engage the full executor
   // set. This is harness-input plumbing, not operator design: production
   // corpora arrive as many files/splits and need no forced text shuffle.
+  // Base reads go through Queries' shared per-(session, dir, table)
+  // file-index memo — ~90 of the 198 queries bind documents/embeddings,
+  // and without the memo each re-lists the file and re-resolves the
+  // schema (the q-tier's round-9 lesson; released by [[releaseCaches]]).
+  // The repartition is a fresh plan node per call on the shared read.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet").repartition(col("doc_id"))
+    graft.Queries.t(s, dir, "documents").repartition(col("doc_id"))
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    graft.Queries.t(s, dir, "embeddings")
 
   /** Per-vector prototypicality scoring shared by e09 (prune the MOST
     * prototypical) and e14 (sample the LEAST): argmax-dot centroid
@@ -703,11 +708,10 @@ object NorthStar {
       // signature (the sigTable memo's lesson, applied locally)
       val ids = pairs.select(col("doc_a").as("doc_id"))
         .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
-      val sig = docs(s, dir)
+      val sig = graft.Checkpoints.tracked(docs(s, dir)
         .join(ids, Seq("doc_id"), "left_semi")
         .select(col("doc_id"),
-          Hashing.fnvMinhashSignature(TF.shingles(col("text")), 128).as("sig"))
-        .localCheckpoint()
+          Hashing.fnvMinhashSignature(TF.shingles(col("text")), 128).as("sig")))
       val errs = pairs
         .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")),
           Seq("doc_a"))
@@ -1945,22 +1949,27 @@ object NorthStar {
     // per-source fold; text itself never shuffles, state is vocabulary-
     // sized per source, and both exchanges are keyed by source/term —
     // the same two-shuffle skeleton as t11 at any corpus scale. The
-    // integer moments are exact here and ANSI-checked, not silently
-    // wrapping; a source beyond ~3e9 tokens (where N·(N−1) leaves the
-    // long range) swaps the two products to decimal(38,0) — same
-    // contract, wider lanes.
+    // two c·(c−1) / N·(N−1) products run in decimal(38,0) lanes — a
+    // source near ~3e9 tokens would wrap them as longs, and long
+    // arithmetic is only loud about it under ANSI mode, a SESSION
+    // default a consumer can switch off; the decimal lanes make the
+    // moments exact (and overflow impossible below 10^19 tokens)
+    // regardless of session conf. The output doubles are unchanged:
+    // at any double-representable magnitude the decimal→double cast
+    // rounds identically to the long→double cast the oracle replays.
     "t32_lexical_diversity" -> ((s, dir) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val c = docs(s, dir)
         .select(col("source"), explode(TF.tokens(col("text"))).as("term"))
         .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
       c.groupBy(col("source")).agg(
           sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_types"),
-          sum(col("c") * (col("c") - 1)).as("coll"))
+          sum(col("c").cast(d38) * (col("c") - 1)).as("coll"))
         .select(col("source"), col("n_tokens"), col("n_types"),
           (col("n_types").cast(DoubleType) / col("n_tokens")).as("ttr"),
           (col("coll").cast(DoubleType) /
-            (col("n_tokens") * (col("n_tokens") - 1)).cast(DoubleType))
+            (col("n_tokens").cast(d38) * (col("n_tokens") - 1)).cast(DoubleType))
             .as("simpson"))
     }),
 
@@ -2694,8 +2703,9 @@ object NorthStar {
       // localCheckpoint materializes the batch assignment ONCE so the
       // self-join's two branches don't each redo the range-partition
       // sort — the in-session stand-in for writing the batched table
-      val batched = pos.select(expr(s"(pos - 1) div $B").as("batch_id"),
-        col("vec_id"), col("label"), col("v")).localCheckpoint()
+      val batched = graft.Checkpoints.tracked(
+        pos.select(expr(s"(pos - 1) div $B").as("batch_id"),
+          col("vec_id"), col("label"), col("v")))
       val a = batched.select(col("batch_id"), col("vec_id").as("anchor_id"),
         col("label").as("la"), col("v").as("va"))
       val b = batched.select(col("batch_id"), col("vec_id").as("neg_id"),

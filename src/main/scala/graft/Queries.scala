@@ -39,9 +39,20 @@ object Queries {
   private val tableMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop memo entries whose session is stopped — a suite that builds
+    * many short-lived sessions without calling [[releaseCaches]] must
+    * not accumulate DataFrames referencing dead contexts (the entries
+    * are unusable; persisted blocks died with the context). */
+  private def sweepStopped(): Unit = {
+    tableMemo.keys.filter(_._1.sparkContext.isStopped).foreach(tableMemo.remove)
+    coOrderMemo.keys.filter(_._1.sparkContext.isStopped).foreach(coOrderMemo.remove)
+  }
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    sweepStopped()
     tableMemo.getOrElseUpdate((s, dir, name),
       s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Clamp-to-last-bucket equi-width bucket index — the shared bucket
     * algebra of q51/a03 (a fixed single-op double sequence both engines
@@ -76,7 +87,8 @@ object Queries {
    * wedge bounds; the oracles re-derive it per query by necessity).
    */
   private[graft] def coOrderEdges(s: SparkSession, dir: String,
-                                  minQty: Int): DataFrame =
+                                  minQty: Int): DataFrame = {
+    sweepStopped()
     coOrderMemo.getOrElseUpdate((s, dir, minQty), {
       val inc = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= minQty)
@@ -86,6 +98,7 @@ object Queries {
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
         .persist()
     })
+  }
 
   /**
    * The derived edge table is memoized + persisted per (session, dir,
@@ -111,6 +124,10 @@ object Queries {
       .foreach(k => coOrderMemo.remove(k).foreach(_.unpersist()))
     tableMemo.keys.filter(k => k._1 == s && k._2 == dir)
       .foreach(tableMemo.remove)
+    // tracked localCheckpoints (pair engines, graph operators) are
+    // session-scoped — checkpoint blocks carry no corpus identity
+    graft.Checkpoints.release(s)
+    sweepStopped()
   }
 
   /** Per-(keys, j) HLL register maxima over `user_id` — m = 64, the
@@ -942,11 +959,10 @@ object Queries {
         // doubles per round), the classic iterative-dataflow trap. This
         // is executor-local materialization of a bounded node list, not
         // driver state.
-        val next = both
+        val next = graft.Checkpoints.tracked(both
           .join(broadcast(frontier.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node")).distinct()
-          .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti")
-          .localCheckpoint()
+          .join(broadcast(dist.select(col("node"))), Seq("node"), "left_anti"))
         dist = dist.unionByName(next.withColumn("hops", lit(h)))
         frontier = next
       }

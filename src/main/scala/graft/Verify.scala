@@ -53,9 +53,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // run provenance: timestamp/host/input so a correctness ledger built
     // from this dump is self-identifying (two rounds re-measuring an
-    // identical build were indistinguishable from file copies without it)
-    Files.writeString(Paths.get(s"$outDir/run_meta.json"),
-      s"""{"ts":"${java.time.Instant.now()}","host":"${java.net.InetAddress.getLocalHost.getHostName}","sf_dir":${q(sfDir)},"spark":"${spark.version}","n_queries":${SparkEntry.queries.size}}""")
-    spark.stop()
+    // identical build were indistinguishable from file copies without it).
+    // Hostname lookup degrades to a fallback rather than throw — the
+    // correctness dump above is already on disk, and a nonzero exit here
+    // would make the driver misread a good run as failed (and skip stop())
+    val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse("unknown")
+    try Files.writeString(Paths.get(s"$outDir/run_meta.json"),
+      s"""{"ts":"${java.time.Instant.now()}","host":"$host","sf_dir":${q(sfDir)},"spark":"${spark.version}","n_queries":${SparkEntry.queries.size}}""")
+    finally spark.stop()
   }
 }

@@ -343,9 +343,9 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    var labels = graft.Checkpoints.tracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
     var last = checksum(labels)
@@ -360,17 +360,24 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("component"))
-      val propagated = labels.union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint() // feeds both sides of the shortcut self-join
+      // feeds both sides of the shortcut self-join; tracked so the
+      // FINAL round's blocks (which the returned result reads) are
+      // released at releaseCaches — superseded rounds are freed below
+      // as soon as the successor materializes
+      val propagated = graft.Checkpoints.tracked(labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("component")).as("component")))
       // 2. shortcut: component := label(component) — the pointer-doubling
       // step that makes the round count logarithmic in the diameter
       val mapping = propagated.select(col("id").as("cid"), col("component").as("cc"))
-      labels = propagated
+      val prev = labels
+      labels = graft.Checkpoints.tracked(propagated
         .join(mapping, col("component") === col("cid"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("cc"), col("component"))).as("component"))
-        .localCheckpoint()
+          least(col("component"), coalesce(col("cc"), col("component"))).as("component")))
+      // the new labels checkpoint is eager — the previous round's
+      // labels and this round's propagated are no longer read by anyone
+      graft.Checkpoints.free(prev)
+      graft.Checkpoints.free(propagated)
       val cur = checksum(labels)
       converged = cur.compareTo(last) == 0
       last = cur
@@ -562,11 +569,13 @@ object Dedup {
       s"band-pair blocking is exact only for hamming <= 6, got $maxHamming")
     // the hash table feeds five plan branches (value set, two doc
     // expansions, the identical-hash join's both sides) — materialize
-    // the 16-byte rows once instead of re-running the upstream per branch
-    val ph = hashes
+    // the 16-byte rows once instead of re-running the upstream per
+    // branch. The RESULT reads these blocks lazily, so they ride the
+    // tracked-checkpoint lifecycle (released by releaseCaches) rather
+    // than leaking per invocation
+    val ph = graft.Checkpoints.tracked(hashes
       .select(col(idCol).as("_id"), col(hashCol).as("_h"))
-      .filter(col("_h").isNotNull)
-      .localCheckpoint()
+      .filter(col("_h").isNotNull))
     val hv = ph.select(col("_h")).distinct()
     val bandPairs = for { b1 <- 0 until 8; b2 <- b1 + 1 until 8 } yield (b1, b2)
     val banded = hv.select(col("_h"),

@@ -171,7 +171,10 @@ object Graph {
    * branch re-derives the caller's whole edge pipeline (measured: 72
    * source scans in one plan on the harness's co-order graph — the
    * shape that re-reads a 100 TB fact table dozens of times). Three
-   * bounded materializations replace all of it.
+   * bounded materializations replace all of it; the result reads them
+   * lazily, so they ride the tracked-checkpoint lifecycle
+   * ([[graft.Checkpoints]], released with the session's other caches)
+   * instead of leaking per invocation.
    */
   def linkPredict(edges: DataFrame): DataFrame = {
     def checkedId(c: Column): Column = {
@@ -180,22 +183,21 @@ object Graph {
         concat(lit("linkPredict: vertex id out of [0, 2^32): "),
           id.cast("string"))).cast("long"), lit(0L))
     }
-    val e = edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v"))
-      .localCheckpoint()
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+    val e = graft.Checkpoints.tracked(
+      edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v")))
+    val deg = graft.Checkpoints.tracked(
+      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")))
     val keyed = e
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
       .select(col("u"), col("v"),
         (shiftleft(col("du"), 32) + col("u")).as("ku"),
         (shiftleft(col("dv"), 32) + col("v")).as("kv"))
-    val oriented = keyed.select(
+    val oriented = graft.Checkpoints.tracked(keyed.select(
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
-      greatest(col("ku"), col("kv")).as("kdst"))
-      .localCheckpoint()
+      greatest(col("ku"), col("kv")).as("kdst")))
     // wedge (wu, wv) centered at w; the left-semi keeps the wedge row —
     // and with it the center — exactly when the closing edge exists
     val tri = oriented.as("e1").join(oriented.as("e2"),
@@ -247,7 +249,7 @@ object Graph {
    */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
+    var e = graft.Checkpoints.tracked(edges.select(col("u"), col("v")))
     var n = e.count()
     var converged = n == 0
     var it = 0
@@ -255,13 +257,14 @@ object Graph {
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("x"))
-      val e2 = e
+      val e2 = graft.Checkpoints.tracked(e
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+        .select(col("u"), col("v")))
       val n2 = e2.count()
       converged = n2 == n
+      // e2 is materialized — the previous round's edges are superseded
+      graft.Checkpoints.free(e)
       e = e2; n = n2; it += 1
     }
     if (!converged && n > 0) {
@@ -362,24 +365,29 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("u"), col("v"))
-    val orient = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
-    var labels = orient.select(col("src").as("vertex")).distinct()
-      .select(col("vertex"), col("vertex").as("lab"))
-      .localCheckpoint()
+    val orient = graft.Checkpoints.tracked(
+      e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+    var labels = graft.Checkpoints.tracked(
+      orient.select(col("src").as("vertex")).distinct()
+        .select(col("vertex"), col("vertex").as("lab")))
     for (_ <- 1 to rounds) {
       val votes = orient
         .join(labels.select(col("vertex").as("dst"), col("lab")), Seq("dst"))
         .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
       // argmax by (count DESC, label ASC) as one aggregate: lexicographic
       // max of (c, -lab) — valid because labels are non-negative
-      labels = votes
+      val prev = labels
+      labels = graft.Checkpoints.tracked(votes
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("src").as("vertex"), (-col("m.nl")).as("lab"))
-        .localCheckpoint()
+        .select(col("src").as("vertex"), (-col("m.nl")).as("lab")))
+      // the new round materialized — the previous label table is dead
+      graft.Checkpoints.free(prev)
     }
+    // the RESULT references only the final labels; the oriented edge
+    // table served its last join in the loop above
+    graft.Checkpoints.free(orient)
     labels
       .join(labels.groupBy(col("lab")).agg(count(lit(1)).as("community_size")),
         Seq("lab"))
@@ -430,6 +438,7 @@ object Graph {
       .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
     var ranks = seeded.select(col("node"),
       when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    var lastCp: DataFrame = null
     for (i <- 1 to iters) {
       val contrib = both
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -448,7 +457,15 @@ object Graph {
       // shape). Every 4th round bounds the plan tree's doubling while
       // keeping exchange reuse inside each 4-round segment; small
       // fixed-iteration runs (like the harness's 3) stay one job.
-      if (i % 4 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      if (i % 4 == 0 && i < iters) {
+        ranks = graft.Checkpoints.tracked(ranks)
+        // the new segment boundary is materialized — the previous
+        // boundary's blocks (which this segment's lazy rounds read)
+        // are superseded; the final boundary stays tracked because the
+        // returned (lazy) tail rounds still read it
+        if (lastCp != null) graft.Checkpoints.free(lastCp)
+        lastCp = ranks
+      }
     }
     ranks
   }

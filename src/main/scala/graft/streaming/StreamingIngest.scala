@@ -223,18 +223,27 @@ object StreamingIngest {
 
   /**
    * Compact the register store behind [[startDistinctMaintenance]]:
-   * fold every partial partition into ONE `_batch_id = -1` partition
-   * (a namespace no streaming batch uses) and delete the folded ones —
-   * partition count on a long-lived store drops to 1 without moving
-   * the view. Crash-safe WITHOUT a generation swap precisely because
-   * the register ⊕ is idempotent: a crash between the compacted write
-   * and the old-partition delete leaves duplicates that max-merge
-   * absorbs (the property the spec asserts directly), and re-running
-   * the compaction converges. SUM-based partial stores
-   * ([[startAggMaintenance]]) do NOT get this for free — a duplicate
-   * sum partial double-counts — so their compaction needs a
-   * write-new-generation-then-switch protocol; this helper is
-   * register-only by design.
+   * fold every partial partition into ONE fresh GENERATION partition
+   * (`_batch_id = -1, -2, -3, …` — a namespace no streaming batch
+   * uses; each compaction claims the next unused negative id) and
+   * delete the folded partitions — including any PRIOR generation —
+   * only AFTER the new write commits. Partition count on a long-lived
+   * store drops to 1 without moving the view.
+   *
+   * Crash windows, exhaustively: (a) before the write — store
+   * untouched; (b) during the write — only an uncommitted
+   * `_temporary` staging dir exists (readers ignore underscore paths
+   * that carry no `=`), the folded partitions are intact; (c) between
+   * the write commit and the deletes — the new generation AND the
+   * folded partitions coexist, i.e. every register is duplicated, and
+   * the idempotent max-merge ⊕ absorbs duplicates (the property the
+   * spec asserts directly); re-running the compaction converges. No
+   * window ever holds the ONLY copy of a register in a partition
+   * being replaced — the earlier in-place `-1` overwrite did, which
+   * is exactly why this is a generation protocol now. SUM-based
+   * partial stores ([[startAggMaintenance]]) would need the same
+   * protocol for correctness AND cannot tolerate window (c)'s
+   * transient duplicates — this helper stays register-only by design.
    *
    * Concurrency: the partition set is SNAPSHOTTED first, only those
    * partitions are folded, and only those are deleted — a batch a
@@ -243,27 +252,50 @@ object StreamingIngest {
    * trigger is AvailableNow — drain-then-compact is the natural
    * cadence — but the snapshot discipline makes an overlap lose
    * nothing either way.)
+   *
+   * The store walk is Hadoop [[org.apache.hadoop.fs.FileSystem]], not
+   * `java.io.File` — the store path may live on HDFS/S3A in the
+   * deployment this maintains (a `file:` path resolves to the local FS
+   * through the same API).
    */
   def compactDistinctStore(spark: SparkSession, storePath: String,
                            keyCol: String = "event_type"): Unit = {
-    val root = new java.io.File(storePath)
-    val children = root.listFiles()
-    require(children != null, s"not a readable store directory: $storePath")
-    val snapshot = children
-      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id="))
-    if (snapshot.isEmpty) return
-    val merged = spark.read.parquet(snapshot.map(_.getPath).toSeq: _*)
+    val folded = compactDistinctFold(spark, storePath, keyCol)
+    if (folded.nonEmpty) {
+      val fs = folded.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      folded.foreach(p => fs.delete(p, true))
+    }
+  }
+
+  /** The fold-and-write half of [[compactDistinctStore]]: snapshot the
+    * partition set, write its register fold to the next free generation
+    * partition, and return the snapshotted (now redundant) partition
+    * paths WITHOUT deleting them — split out so the crash window
+    * between write-commit and delete is directly unit-testable. */
+  private[graft] def compactDistinctFold(spark: SparkSession, storePath: String,
+                                         keyCol: String = "event_type")
+      : Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"not a readable store directory: $storePath")
+    val snapshot = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch_id="))
+    if (snapshot.isEmpty) return Nil
+    val ids = snapshot.map(_.getPath.getName.stripPrefix("_batch_id=").toLong)
+    // next unused generation id: strictly below every folded partition
+    // AND below 0 (the streaming namespace), so the write NEVER lands in
+    // a partition the fold is reading — pure add, no in-place overwrite
+    val gen = math.min(ids.min, 0L) - 1L
+    spark.read.parquet(snapshot.map(_.getPath.toString).toSeq: _*)
       .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j"))
-      .withColumn("_batch_id", lit(-1L))
-      // materialize BEFORE writing into the store being read — the
-      // checkpointed rows are the fold of the snapshotted partitions
-      .localCheckpoint()
-    merged.write.mode("overwrite")
+      .withColumn("_batch_id", lit(gen))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(storePath)
-    snapshot.filter(_.getName != "_batch_id=-1")
-      .foreach(graft.pipeline.WeatherPipeline.delete)
+    snapshot.map(_.getPath).toSeq
   }
 
   /** The maintained view behind [[startDistinctMaintenance]]: merged

@@ -30,6 +30,16 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** The materialized RDDs under a `localCheckpoint()`ed DataFrame — its
+    * plan is a [[org.apache.spark.sql.execution.LogicalRDD]] over the
+    * checkpointed (persisted, lineage-truncated) internal RDD. Exposed so
+    * graft's checkpoint lifecycle can UNPERSIST those blocks
+    * deterministically instead of waiting on ContextCleaner GC. */
+  def checkpointRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    analyzed(df).collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   /** Register a function on a live session's registry (the session-scoped
     * analogue of SparkSessionExtensions.injectFunction). */
   def registerFunction(

@@ -272,6 +272,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(v3 == batch3, "post-compaction ingest diverged from the batch sketch")
   }
 
+  test("distinct compaction: generation protocol loses nothing on a crash between write and delete") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_hll_crash").toString
+    def writeBatch(id: Long, rows: Seq[(String, Long)]): Unit =
+      graft.Queries.hllRegisters(rows.toDF("event_type", "user_id"), Seq("event_type"))
+        .withColumn("_batch_id", lit(id))
+        .write.mode("append").partitionBy("_batch_id").parquet(store)
+    def view(): Map[String, Double] = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def parts(): Seq[String] = new java.io.File(store).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch_id="))
+      .map(_.getName).toSeq.sorted
+    writeBatch(0L, (1L to 300L).map(u => ("view", u)))
+    writeBatch(1L, (200L to 600L).map(u => ("view", u)) ++
+      (1L to 150L).map(u => ("click", u)))
+    val before = view()
+
+    // CRASH INJECTION: the fold writes the new generation partition and
+    // dies before any delete (compactDistinctFold IS compactDistinctStore
+    // minus the deletes). The key property of the generation protocol:
+    // every pre-crash partition is still on disk — the write touched only
+    // a partition namespace nothing was using.
+    val folded = StreamingIngest.compactDistinctFold(spark, store)
+    assert(folded.map(_.getName).sorted == Seq("_batch_id=0", "_batch_id=1"))
+    assert(parts() == Seq("_batch_id=-1", "_batch_id=0", "_batch_id=1"))
+    // the duplicated registers (generation + originals) max-merge away
+    assert(view() == before, "crash window moved the view")
+
+    // RECOVERY: re-running the compaction converges — the snapshot now
+    // includes the orphaned generation, folds it with the originals into
+    // the NEXT generation, and this time the deletes run
+    StreamingIngest.compactDistinctStore(spark, store)
+    assert(parts() == Seq("_batch_id=-2"), s"after recovery: ${parts()}")
+    assert(view() == before, "recovery compaction moved the view")
+
+    // steady state: compacting an already-compacted store just advances
+    // the generation; ingest keeps appending on top
+    StreamingIngest.compactDistinctStore(spark, store)
+    assert(parts() == Seq("_batch_id=-3"))
+    writeBatch(7L, (550L to 800L).map(u => ("view", u)))
+    val all = (1L to 800L).map(u => ("view", u)) ++ (1L to 150L).map(u => ("click", u))
+    val batchView = graft.Queries.hllEstimate(
+        graft.Queries.hllRegisters(all.toDF("event_type", "user_id"), Seq("event_type")),
+        Seq("event_type"))
+      .select(col("event_type"), graft.Queries.hllHarmonic.as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    StreamingIngest.compactDistinctStore(spark, store)
+    assert(parts() == Seq("_batch_id=-4"))
+    assert(view() == batchView, "post-crash store diverged from the one-shot batch sketch")
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
