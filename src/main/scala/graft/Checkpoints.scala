@@ -34,21 +34,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * dropped, so the lifecycle point is unchanged for callers.
  *
  * Keys are session-only (not (session, dir)): a checkpoint block
- * carries no corpus identity, and every caller releases at
- * corpus-switch or session-end where session scope is exactly right.
+ * carries no corpus identity (operators like [[operators.Graph.kCore]]
+ * call [[tracked]] on an arbitrary edge DataFrame with no corpus path
+ * in sight), so [[release]] is necessarily SESSION-wide — see the
+ * warning at [[NorthStar.releaseCaches]] for the one caller-visible
+ * consequence (a dir-scoped release still frees the other dir's
+ * tracked checkpoints in the same session).
  */
 object Checkpoints {
   private val live = scala.collection.concurrent.TrieMap
     .empty[SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]
 
   /** Eagerly localCheckpoint `df` and register the blocks for release
-    * via [[release]] (entries for stopped sessions are swept on the
-    * way — their blocks died with the context). */
+    * via [[release]]. A stopped session's entry is dropped by its
+    * [[SessionScope]] hook (its blocks died with the context) — the
+    * hot path carries no sweep. */
   def tracked(df: DataFrame): DataFrame = {
-    sweepStopped()
     val cp = df.localCheckpoint()
-    live.getOrElseUpdate(cp.sparkSession,
-      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(cp)
+    val s = cp.sparkSession
+    live.getOrElseUpdate(s, {
+      SessionScope.onStop("checkpoints", s)(() => live.remove(s))
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    }).add(cp)
     cp
   }
 
@@ -61,14 +68,12 @@ object Checkpoints {
 
   /** Release every tracked checkpoint of `s` (no-op for sessions with
     * none). Chained from [[Queries.releaseCaches]]. */
-  def release(s: SparkSession): Unit = {
+  def release(s: SparkSession): Unit =
     live.remove(s).foreach { q =>
       var cp = q.poll()
       while (cp != null) { free(cp); cp = q.poll() }
     }
-    sweepStopped()
-  }
 
-  private def sweepStopped(): Unit =
-    live.keys.filter(_.sparkContext.isStopped).foreach(live.remove)
+  /** Test probe: is `s` currently holding tracked checkpoints? */
+  private[graft] def isTracking(s: SparkSession): Boolean = live.contains(s)
 }

@@ -117,10 +117,24 @@ object NorthStar {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val sigMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
+  /** Drop a stopped session's dedup-tier memo entries (the persisted
+    * blocks died with the context; unpersist would be a no-op). One
+    * [[SessionScope]] hook covers all six memos — registered at the
+    * insertion choke points (hsTable, sigTable, the g01 sketch; the
+    * pair/hist memos only ever hold keys hsTable already hooked). */
+  private def hookSession(s: SparkSession): Unit =
+    SessionScope.onStop("dedup-memos", s) { () =>
+      for (m <- Seq(hsMemo, pairsMemo, lshPairsMemo, histPairsMemo, sketchMemo))
+        m.keys.filter(_._1 == s).foreach(m.remove)
+      sigMemo.keys.filter(_._1 == s).foreach(sigMemo.remove)
+    }
+
   private def hsTable(s: SparkSession, dir: String): DataFrame =
-    hsMemo.getOrElseUpdate((s, dir),
+    hsMemo.getOrElseUpdate((s, dir), {
+      hookSession(s)
       graft.operators.Dedup.shingleHashTable(docs(s, dir), "doc_id", "text", 3)
-        .persist())
+        .persist()
+    })
   // s06's (vec_id, signature, block) sketch table — computed ONCE and
   // persisted: both sides of the coarse self-join read it (without the
   // memo each branch re-derives every signature), and it is exactly the
@@ -136,6 +150,7 @@ object NorthStar {
     // annIndexDir mid-session must re-resolve, not serve the stale path
     val idxRoot = s.conf.getOption("spark.graft.annIndexDir")
     sigMemo.getOrElseUpdate((s, dir + "#" + idxRoot.getOrElse(""), nBits, blocks), {
+      hookSession(s)
       val base = idxRoot match {
         case Some(root) =>
           // per-corpus path component: two corpora in one session must
@@ -169,7 +184,18 @@ object NorthStar {
       graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.6))
 
   /** Release the memoized dedup-tier caches for (session, dir) — the
-    * lifecycle handle for long-lived sessions (harness runs simply exit). */
+    * lifecycle handle for long-lived sessions (harness runs simply exit).
+    *
+    * WARNING — the chained [[graft.Checkpoints]] release is
+    * SESSION-scoped, not dir-scoped: tracked checkpoint blocks carry no
+    * corpus identity (they are minted deep inside operators that never
+    * see a path), so releasing corpus A also frees the checkpoints
+    * backing any still-held result built from corpus B in the SAME
+    * session, and re-executing such a result afterwards throws (its
+    * lineage is truncated). Materialize (collect / write) results from
+    * every corpus you care about before releasing ANY corpus, or use
+    * one session per corpus. The per-table memos above are genuinely
+    * dir-scoped; only the checkpoint registry is wider. */
   def releaseCaches(s: SparkSession, dir: String): Unit = {
     hsMemo.remove((s, dir)).foreach(_.unpersist())
     pairsMemo.remove((s, dir)).foreach(_.unpersist())
@@ -3169,6 +3195,7 @@ object NorthStar {
       // BOTH sides of the pair join (one aggregation, not two) and repeated
       // invocations must not stack fresh persists (releaseCaches frees it)
       val sk = sketchMemo.getOrElseUpdate((s, dir), {
+        hookSession(s)
         val t = docs(s, dir)
           .select(col("source"),
             Hashing.fnvMinhashSignature(TF.tokens(col("text")), 128).as("doc_sig"))

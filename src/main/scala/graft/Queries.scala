@@ -39,20 +39,27 @@ object Queries {
   private val tableMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  /** Drop memo entries whose session is stopped — a suite that builds
-    * many short-lived sessions without calling [[releaseCaches]] must
-    * not accumulate DataFrames referencing dead contexts (the entries
-    * are unusable; persisted blocks died with the context). */
-  private def sweepStopped(): Unit = {
-    tableMemo.keys.filter(_._1.sparkContext.isStopped).foreach(tableMemo.remove)
-    coOrderMemo.keys.filter(_._1.sparkContext.isStopped).foreach(coOrderMemo.remove)
-  }
+  /** Drop a stopped session's memo entries — a suite that builds many
+    * short-lived sessions without calling [[releaseCaches]] must not
+    * accumulate DataFrames referencing dead contexts (the entries are
+    * unusable; persisted blocks died with the context). Registered as a
+    * [[SessionScope]] stop hook on a session's FIRST memo insertion, so
+    * the hot `t()` path carries no per-call sweep. */
+  private def hookSession(s: SparkSession): Unit =
+    SessionScope.onStop("query-memos", s) { () =>
+      tableMemo.keys.filter(_._1 == s).foreach(tableMemo.remove)
+      coOrderMemo.keys.filter(_._1 == s).foreach(coOrderMemo.remove)
+    }
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    sweepStopped()
-    tableMemo.getOrElseUpdate((s, dir, name),
-      s.read.parquet(s"$dir/$name.parquet"))
-  }
+  /** Test probe: memo entries currently held for `s`. */
+  private[graft] def memoCount(s: SparkSession): Int =
+    tableMemo.keys.count(_._1 == s) + coOrderMemo.keys.count(_._1 == s)
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
+    tableMemo.getOrElseUpdate((s, dir, name), {
+      hookSession(s)
+      s.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** Clamp-to-last-bucket equi-width bucket index — the shared bucket
     * algebra of q51/a03 (a fixed single-op double sequence both engines
@@ -88,8 +95,8 @@ object Queries {
    */
   private[graft] def coOrderEdges(s: SparkSession, dir: String,
                                   minQty: Int): DataFrame = {
-    sweepStopped()
     coOrderMemo.getOrElseUpdate((s, dir, minQty), {
+      hookSession(s)
       val inc = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= minQty)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -127,7 +134,6 @@ object Queries {
     // tracked localCheckpoints (pair engines, graph operators) are
     // session-scoped — checkpoint blocks carry no corpus identity
     graft.Checkpoints.release(s)
-    sweepStopped()
   }
 
   /** Per-(keys, j) HLL register maxima over `user_id` — m = 64, the
