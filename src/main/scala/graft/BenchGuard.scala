@@ -1,0 +1,70 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/**
+ * Machine-enforced bench-regression gate (round-10 verdict item #2:
+ * "the budget has been protected by judge discipline, not machinery").
+ *
+ * Diffs a fresh [[Bench]] artifact against the committed
+ * `bench_baseline.json` and exits non-zero when
+ *  - the run total exceeds the budget (130 s — 2× the reference DAG's
+ *    ~65 s wall at sf0.1, BASELINE.md), or
+ *  - any query regressed past `max(2 × baseline, baseline + 0.5 s)` —
+ *    the +0.5 s floor keeps 50 ms queries from flagging on scheduler
+ *    jitter while still catching every regression that could move the
+ *    total, or
+ *  - a baseline query is missing from the run (a silently-dropped
+ *    query would otherwise read as a speedup).
+ *
+ * Usage: `runMain graft.BenchGuard [runJson] [baselineJson]` after a
+ * `runMain graft.Bench` under the BASELINE.md protocol (quiet host,
+ * tmpfs scratch reaped, min-of-2 — the baseline was measured the same
+ * way; comparing a steal-inflated run against it WILL flag, which is
+ * the conservative direction for a budget gate). New queries absent
+ * from the baseline are listed informationally and gated only by the
+ * total. Budget override: SPARK_GRAFT_BENCH_BUDGET (seconds).
+ */
+object BenchGuard {
+
+  /** Violation report lines; empty = gate passes. Pure so the gate's
+    * thresholds are unit-testable without forking a JVM. */
+  def check(runTotal: Double, run: Map[String, Double],
+            base: Map[String, Double], budget: Double): Seq[String] = {
+    val missing = base.keySet.diff(run.keySet).toSeq.sorted
+      .map(q => s"MISSING from run: $q")
+    val regressed = base.toSeq.sortBy(_._1).flatMap { case (q, b) =>
+      run.get(q).filter(r => r > math.max(2.0 * b, b + 0.5))
+        .map(r => f"REGRESSED: $q: $b%.2f s -> $r%.2f s (${r / b}%.1fx)")
+    }
+    val over = if (runTotal > budget)
+      Seq(f"OVER BUDGET: $runTotal%.1f s > $budget%.0f s") else Nil
+    missing ++ regressed ++ over
+  }
+
+  def load(p: String): (Double, Map[String, Double]) = {
+    val node = new ObjectMapper().readTree(java.nio.file.Paths.get(p).toFile)
+    val qs = node.get("queries").properties().asScala
+      .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    (node.get("value").asDouble(), qs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val runPath = args.headOption.getOrElse("target/bench_local.json")
+    val basePath = if (args.length > 1) args(1) else "bench_baseline.json"
+    val budget = sys.env.get("SPARK_GRAFT_BENCH_BUDGET").map(_.toDouble)
+      .getOrElse(130.0)
+    val (runTotal, run) = load(runPath)
+    val (baseTotal, base) = load(basePath)
+    println(f"BenchGuard: run $runTotal%.1f s vs baseline $baseTotal%.1f s " +
+      f"(budget $budget%.0f s), ${run.size} queries")
+    val added = run.keySet.diff(base.keySet).toSeq.sorted
+    if (added.nonEmpty)
+      println(s"  new queries (gated by total only): ${added.mkString(", ")}")
+    val violations = check(runTotal, run, base, budget)
+    violations.foreach(v => println(s"  $v"))
+    if (violations.nonEmpty) { println("BenchGuard: FAIL"); sys.exit(1) }
+    println("BenchGuard: OK")
+  }
+}
