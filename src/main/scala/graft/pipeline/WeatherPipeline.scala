@@ -97,26 +97,32 @@ class WeatherPipeline(spark: SparkSession, root: String) {
     loadWarehouse()
   }
 
-  /** Op 19 — truncate both operational tables (notebook reset cells). */
+  /** Op 19 — truncate both operational tables (notebook reset cells).
+    * Hadoop [[org.apache.hadoop.fs.FileSystem]] like the streaming
+    * store walk — the store root may be HDFS/S3A in a deployment
+    * (`file:` paths resolve to the local FS through the same API), so
+    * the one remaining path-manipulating surface keeps the same
+    * any-Hadoop-visible-FS posture. */
   def reset(): Unit = {
+    import org.apache.hadoop.fs.Path
     for (p <- Seq(weatherStorePath, lookupStorePath)) {
-      val dir = new java.io.File(p)
-      if (dir.exists()) {
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) {
         Relational.truncate(spark.read.parquet(p), p + "_empty")
-        delete(dir)
-        new java.io.File(p + "_empty").renameTo(dir)
+        fs.delete(dir, true)
+        fs.rename(new Path(p + "_empty"), dir)
       }
     }
   }
-
-  private def delete(f: java.io.File): Unit = WeatherPipeline.delete(f)
 }
 
 object WeatherPipeline {
   /** Null-safe recursive delete (File.listFiles returns NULL — not an
     * empty array — for a non-directory, a vanished path, or an I/O
     * error; the guard makes concurrent deletion a no-op, not an NPE).
-    * Shared with the streaming store compaction. */
+    * Local-fixture cleanup only (test scaffolding); every store-path
+    * walk in main code is Hadoop FileSystem. */
   private[graft] def delete(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val children = f.listFiles()

@@ -224,16 +224,25 @@ object StreamingIngest {
   /**
    * Compact the register store behind [[startDistinctMaintenance]]:
    * fold every partial partition into ONE fresh GENERATION partition
-   * (`_batch_id = -1, -2, -3, …` — a namespace no streaming batch
-   * uses; each compaction claims the next unused negative id) and
-   * delete the folded partitions — including any PRIOR generation —
-   * only AFTER the new write commits. Partition count on a long-lived
-   * store drops to 1 without moving the view.
+   * (negative `_batch_id` — a namespace no streaming batch uses; each
+   * compaction claims the FIRST FREE negative id, so a long-lived
+   * store's generation ids stay bounded in {−1, −2} instead of
+   * decreasing forever, and a quiescent store canonicalizes to
+   * `_batch_id=-1`: a store already holding exactly that single
+   * partition is a no-op) and delete the folded partitions —
+   * including any PRIOR generation — only AFTER the new write
+   * commits. Partition count on a long-lived store drops to 1 without
+   * moving the view.
    *
    * Crash windows, exhaustively: (a) before the write — store
-   * untouched; (b) during the write — only an uncommitted
-   * `_temporary` staging dir exists (readers ignore underscore paths
-   * that carry no `=`), the folded partitions are intact; (c) between
+   * untouched; (b) during the write — only an uncommitted staging dir
+   * exists (dynamic partition overwrite stages under
+   * `.spark-staging-<jobId>`; some committers use `_temporary` —
+   * readers ignore both as non-partition paths), the folded
+   * partitions are intact; the orphaned staging debris of a crashed
+   * write is reaped by the NEXT compaction's snapshot step, age-gated
+   * one hour so a concurrent writer's live staging dir is never
+   * touched; (c) between
    * the write commit and the deletes — the new generation AND the
    * folded partitions coexist, i.e. every register is duplicated, and
    * the idempotent max-merge ⊕ absorbs duplicates (the property the
@@ -280,22 +289,45 @@ object StreamingIngest {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
       s"not a readable store directory: $storePath")
-    val snapshot = fs.listStatus(root)
+    val entries = fs.listStatus(root)
+    // reap crash window (b)'s debris: a write that died mid-flight left
+    // an orphaned `.spark-staging-<jobId>` (or `_temporary`) dir that no
+    // other process ever cleans. Age-gate the delete so a CONCURRENT
+    // writer's live staging dir survives a compaction overlap.
+    val staleCutoff = System.currentTimeMillis() - 60L * 60L * 1000L
+    entries.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && (n.startsWith(".spark-staging-") || n == "_temporary") &&
+        st.getModificationTime < staleCutoff
+    }.foreach(st => fs.delete(st.getPath, true))
+    // graceful id parse: a non-numeric partition dir (a null batch id's
+    // __HIVE_DEFAULT_PARTITION__, a stray hand-made dir) is excluded
+    // from the fold — still read by the view, never deleted here —
+    // instead of a NumberFormatException permanently blocking compaction
+    val snapshot = entries
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_batch_id="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("_batch_id=").toLong)
+          .toOption.map(id => (st.getPath, id))
+      }
     if (snapshot.isEmpty) return Nil
-    val ids = snapshot.map(_.getPath.getName.stripPrefix("_batch_id=").toLong)
-    // next unused generation id: strictly below every folded partition
-    // AND below 0 (the streaming namespace), so the write NEVER lands in
-    // a partition the fold is reading — pure add, no in-place overwrite
-    val gen = math.min(ids.min, 0L) - 1L
-    spark.read.parquet(snapshot.map(_.getPath.toString).toSeq: _*)
+    val ids = snapshot.map(_._2).toSet
+    // already canonical: exactly the one quiescent `-1` generation —
+    // re-folding would just ping-pong −1 ↔ −2 forever
+    if (ids == Set(-1L)) return Nil
+    // FIRST FREE negative id (not min−1): never a partition the fold is
+    // reading — pure add, no in-place overwrite — and bounded: folding
+    // {gen, batches…} claims the other of {−1, −2}, so a quiescent
+    // store converges to `_batch_id=-1` instead of minting gen−1 forever
+    val gen = Iterator.from(1).map(-_.toLong).find(!ids.contains(_)).get
+    spark.read.parquet(snapshot.map(_._1.toString).toSeq: _*)
       .groupBy(col(keyCol), col("j")).agg(max(col("m_j")).as("m_j"))
       .withColumn("_batch_id", lit(gen))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
       .parquet(storePath)
-    snapshot.map(_.getPath).toSeq
+    snapshot.map(_._1).toSeq
   }
 
   /** The maintained view behind [[startDistinctMaintenance]]: merged

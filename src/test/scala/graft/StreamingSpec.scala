@@ -302,15 +302,21 @@ class StreamingSpec extends AnyFunSuite {
 
     // RECOVERY: re-running the compaction converges — the snapshot now
     // includes the orphaned generation, folds it with the originals into
-    // the NEXT generation, and this time the deletes run
+    // the first FREE negative generation (−1 is occupied), and this time
+    // the deletes run
     StreamingIngest.compactDistinctStore(spark, store)
     assert(parts() == Seq("_batch_id=-2"), s"after recovery: ${parts()}")
     assert(view() == before, "recovery compaction moved the view")
 
-    // steady state: compacting an already-compacted store just advances
-    // the generation; ingest keeps appending on top
+    // canonicalization: a quiescent store folds BACK to _batch_id=-1
+    // (first free negative), and once there further compactions are
+    // no-ops — generation ids are bounded, not minted forever
     StreamingIngest.compactDistinctStore(spark, store)
-    assert(parts() == Seq("_batch_id=-3"))
+    assert(parts() == Seq("_batch_id=-1"), s"canonicalize: ${parts()}")
+    StreamingIngest.compactDistinctStore(spark, store)
+    assert(parts() == Seq("_batch_id=-1"), "canonical store must be a fixed point")
+    assert(view() == before, "canonicalization moved the view")
+
     writeBatch(7L, (550L to 800L).map(u => ("view", u)))
     val all = (1L to 800L).map(u => ("view", u)) ++ (1L to 150L).map(u => ("click", u))
     val batchView = graft.Queries.hllEstimate(
@@ -319,8 +325,42 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("event_type"), graft.Queries.hllHarmonic.as("e"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     StreamingIngest.compactDistinctStore(spark, store)
-    assert(parts() == Seq("_batch_id=-4"))
+    assert(parts() == Seq("_batch_id=-2"), s"fold of {-1, 7}: ${parts()}")
     assert(view() == batchView, "post-crash store diverged from the one-shot batch sketch")
+  }
+
+  test("compaction housekeeping: non-numeric partitions skip the fold; stale staging dirs are reaped") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_hll_housekeep").toString
+    graft.Queries.hllRegisters(
+        (1L to 200L).map(u => ("view", u)).toDF("event_type", "user_id"),
+        Seq("event_type"))
+      .withColumn("_batch_id", lit(0L))
+      .write.mode("append").partitionBy("_batch_id").parquet(store)
+    val before = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // a stray non-numeric partition dir (e.g. __HIVE_DEFAULT_PARTITION__
+    // from a null batch id) used to NumberFormatException-block every
+    // future compaction; now it is skipped — folded around, not deleted
+    val stray = new java.io.File(store, "_batch_id=__HIVE_DEFAULT_PARTITION__")
+    assert(stray.mkdir())
+    // staging debris: one stale (crashed write, mtime aged >1h) and one
+    // fresh (a concurrent writer's live dir) — only the stale one goes
+    val stale = new java.io.File(store, ".spark-staging-deadjob")
+    val fresh = new java.io.File(store, ".spark-staging-livejob")
+    assert(stale.mkdir() && fresh.mkdir())
+    assert(stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    StreamingIngest.compactDistinctStore(spark, store)
+    val names = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(names.contains("_batch_id=-1"), s"fold did not run: $names")
+    assert(!names.contains("_batch_id=0"), "folded partition not deleted")
+    assert(names.contains("_batch_id=__HIVE_DEFAULT_PARTITION__"),
+      "stray partition must be skipped, not deleted")
+    assert(!names.contains(".spark-staging-deadjob"), "stale staging dir not reaped")
+    assert(names.contains(".spark-staging-livejob"), "live staging dir must survive")
+    val after = StreamingIngest.distinctView(spark, store)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == before, "housekeeping moved the view")
   }
 
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
