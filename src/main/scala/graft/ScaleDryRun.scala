@@ -387,6 +387,7 @@ object ScaleDryRun {
       case "wave4" => wave4Mode(spark, srcDir, factor, workDir)
       case "wave5" => wave5Mode(spark, srcDir, factor, workDir)
       case "wave6" => wave6Mode(spark, srcDir, factor, workDir)
+      case "wave7" => wave7Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -466,6 +467,95 @@ object ScaleDryRun {
       synthesizeDocs(spark, srcDir, factor))
     measureOps(spark, srcDir, synthDir, factor,
       Seq("t32_lexical_diversity", "m12_audio_neardup"))
+  }
+
+  /** Checkpoint-lifecycle wave (round-10 verdict item #4): the
+    * operators that localCheckpoint per round (g08 kCore, g11 LPA) or
+    * per invocation (m09/m12 banded pair engines, g05 as the
+    * no-checkpoint control), at 1x vs factor-x, PLUS the
+    * storage-flatness witness at corpus scale: three consecutive
+    * (run → release) cycles at factor-x, sampling persisted-RDD count
+    * and cached bytes after each run and each release —
+    * CheckpointLifecycleSpec proves the flat-storage property at unit
+    * scale; this records it at corpus scale, where a leak would be
+    * gigabytes per invocation.
+    *
+    * The factor-x graph is `factor` DISJOINT copies of the 1x co-order
+    * graph (vertex ids offset per copy): triangle/wedge/peel work
+    * scales exactly linearly and per-vertex degree structure — the
+    * thing the O(√m) wedge orientation bounds — is preserved, so a
+    * super-linear wall or shuffle number indicts the operator, not the
+    * corpus. */
+  private def wave7Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    def replicate(minQty: Int, path: String): Unit =
+      materialize(spark, path) {
+        val e1 = graft.Queries.coOrderEdges(spark, srcDir, minQty)
+        val off = e1.agg(greatest(max(col("u")), max(col("v"))))
+          .first().getAs[Number](0).longValue + 1L
+        e1.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+            explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+          .select((col("u") + col("c") * off).as("u"),
+                  (col("v") + col("c") * off).as("v"))
+      }
+    replicate(30, s"$synthDir/edges_q30.parquet")
+    replicate(46, s"$synthDir/edges_q46.parquet")
+    def e30(x: Boolean) = if (x) spark.read.parquet(s"$synthDir/edges_q30.parquet")
+                          else graft.Queries.coOrderEdges(spark, srcDir, 30)
+    def e46(x: Boolean) = if (x) spark.read.parquet(s"$synthDir/edges_q46.parquet")
+                          else graft.Queries.coOrderEdges(spark, srcDir, 46)
+
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, x) <- Seq((s"$srcDir (1x)", false), (s"${factor}x", true))) {
+      val ops: Seq[(String, () => Long)] = Seq(
+        "g05_triangles" -> (() => operators.Graph.triangleStats(e30(x)).count()),
+        "g08_kcore" -> (() => operators.Graph.kCore(e30(x), k = 12).count()),
+        "g11_lpa_labels" -> (() => operators.Graph.labelPropagation(e46(x), rounds = 4).count()))
+      for ((op, body) <- ops) {
+        val (rows, t, sb) = meter.measure(body())
+        println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+        Checkpoints.release(spark)
+      }
+      val mOps = Seq("m09_image_neardup", "m12_audio_neardup")
+      val dir = if (x) synthDir else srcDir
+      for (op <- mOps) {
+        val (rows, t, sb) = meter.measure(SparkEntry.queries(op)(spark, dir).count())
+        println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+      }
+      NorthStar.releaseCaches(spark, dir)
+    }
+
+    // storage-flatness witness: the leak shape is "each invocation
+    // leaves blocks behind"; three (run → release) cycles must show a
+    // CONSTANT after-run footprint and a base-level after-release one
+    def storage(): String = {
+      val info = spark.sparkContext.getRDDStorageInfo
+      s"${info.length} RDDs / ${fmtBytes(info.map(i => i.memSize + i.diskSize).sum)}"
+    }
+    println()
+    println(s"storage flatness at ${factor}x (persisted RDDs / cached bytes):")
+    println("| operator | after run 1 | after release | after run 2 | after release | after run 3 | after release |")
+    println("|---|---|---|---|---|---|---|")
+    val flat: Seq[(String, () => Long, () => Unit)] = Seq(
+      ("g08_kcore", () => operators.Graph.kCore(e30(true), k = 12).count(),
+        () => Checkpoints.release(spark)),
+      ("g11_lpa_labels", () => operators.Graph.labelPropagation(e46(true), rounds = 4).count(),
+        () => Checkpoints.release(spark)),
+      ("m09_image_neardup", () => SparkEntry.queries("m09_image_neardup")(spark, synthDir).count(),
+        () => NorthStar.releaseCaches(spark, synthDir)),
+      ("m12_audio_neardup", () => SparkEntry.queries("m12_audio_neardup")(spark, synthDir).count(),
+        () => NorthStar.releaseCaches(spark, synthDir)))
+    for ((op, body, rel) <- flat) {
+      val cells = (1 to 3).flatMap { _ =>
+        body(); val afterRun = storage(); rel(); Seq(afterRun, storage())
+      }
+      println(s"| $op | ${cells.mkString(" | ")} |")
+    }
   }
 
   /** Round-7 first-wave scale posture: the eight r7 ops at 1x vs
