@@ -97,12 +97,22 @@ object Queries {
                                   minQty: Int): DataFrame = {
     coOrderMemo.getOrElseUpdate((s, dir, minQty), {
       hookSession(s)
-      val inc = t(s, dir, "lineitem")
+      // per-order pair generation via a sorted part set + double explode:
+      // one groupBy shuffle replaces the (distinct + self-join) pair —
+      // collect_set IS the (o, p) dedup, and sort_array makes each pair
+      // emerge exactly once as (earlier, later), already u < v. The
+      // per-group array is bounded by order width (a handful of parts
+      // per order in this schema — NOT a corpus-scale list; a key whose
+      // group cannot fit one executor row needs the self-join shape).
+      val parts = t(s, dir, "lineitem")
         .filter(col("l_quantity") >= minQty)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      inc.as("a").join(inc.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+      parts.select(posexplode(col("ps")).as(Seq("i", "u")), col("ps"))
+        .select(col("u"), explode(slice(col("ps"), col("i") + lit(2),
+          size(col("ps")))).as("v"))
+        .distinct()
         .persist()
     })
   }
@@ -110,9 +120,9 @@ object Queries {
   /**
    * The derived edge table is memoized + persisted per (session, dir,
    * minQty): seven g-tier queries bind the same co-order graph, and
-   * without the memo each re-runs the lineitem self-join with its two
-   * corpus-scale distincts — 12 scan+shuffle rounds at 100 TB where one
-   * materialized table suffices (round-7/8 verdict item #1). Persist is
+   * without the memo each re-runs the lineitem group-and-pair build
+   * with its corpus-scale distinct — 12 scan+shuffle rounds at 100 TB
+   * where one materialized table suffices (round-7/8 verdict item #1). Persist is
    * lazy — the first g query materializes it; the graph operators'
    * internal localCheckpoints then copy from the cache instead of
    * re-deriving the join. [[releaseCaches]] is the lifecycle handle

@@ -41,6 +41,16 @@ object Graph {
    * silently corrupting the orientation and the triangle count.
    * Empty edge sets and wedge-free graphs return a single row with
    * zero counts and a NULL clustering coefficient (0/0 is undefined).
+   *
+   * The edge, degree, and oriented tables ride [[linkPredict]]'s
+   * tracked-checkpoint shape: `oriented` feeds THREE plan branches
+   * (both wedge sides and the closing-edge probe) and `deg` a fourth
+   * (the wedge total), and the probe's (wu, wv)-keyed exchange cannot
+   * reuse the wedge sides' src-keyed exchange, so without
+   * materialization each branch re-derives the whole scan→degree→join
+   * pipeline. Measured on the harness co-order graph: the lazy shape
+   * ran ~4× slower than [[linkPredict]] doing a strict superset of
+   * this work over the same materializations.
    */
   def triangleStats(edges: DataFrame): DataFrame = {
     // assert_true yields NULL when the condition holds and raises
@@ -52,9 +62,11 @@ object Graph {
         concat(lit("triangleStats: vertex id out of [0, 2^32): "),
           id.cast("string"))).cast("long"), lit(0L))
     }
-    val e = edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v"))
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val e = graft.Checkpoints.tracked(
+      edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v")))
+    val deg = graft.Checkpoints.tracked(
+      e.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("d")))
     val keyed = e
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
@@ -64,28 +76,31 @@ object Graph {
     // src = (degree, id)-smaller endpoint; kdst carries the order key of
     // the other end so the wedge join can pair out-edges without a
     // second degree lookup
-    val oriented = keyed.select(
+    val oriented = graft.Checkpoints.tracked(keyed.select(
       when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
       when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
-      greatest(col("ku"), col("kv")).as("kdst"))
+      greatest(col("ku"), col("kv")).as("kdst")))
     // wedge (a, b) at minimal vertex src, a before b in the total order;
     // the closing edge — if present — is oriented a -> b by transitivity
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
-    val tri = wedges
+    val triRows = wedges
       .join(oriented.select(col("src").as("wu"), col("dst").as("wv")),
         Seq("wu", "wv"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
-    val wedgeTotal = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
-    // two one-row aggregates — the scalar-broadcast crossJoin pattern
-    // sum() over an empty degree table is NULL → coalesce counts to 0;
+      .select(lit(1L).as("t"), lit(0L).as("w"))
+    val wedgeRows = deg.select(lit(0L).as("t"), expr("d * (d - 1) div 2").as("w"))
+    // ONE global aggregate over the union of tagged contribution rows —
+    // the triangle census and the wedge total land in the same one-row
+    // sum, so no second aggregate branch and no scalar-broadcast
+    // crossJoin job. sum() over an empty union is NULL → coalesce to 0;
     // clustering = 3T/W is undefined when W = 0, reported as NULL rather
     // than a division-by-zero NULL-with-wrong-counts row
-    tri.crossJoin(broadcast(wedgeTotal))
-      .select(coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
-        when(coalesce(col("n_wedges"), lit(0L)) > 0,
+    triRows.unionByName(wedgeRows)
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"),
+        coalesce(sum(col("w")), lit(0L)).as("n_wedges"))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
           lit(3.0) * col("n_triangles") / col("n_wedges"))
           .as("global_clustering"))
   }
@@ -114,7 +129,7 @@ object Graph {
    */
   def degreeStats(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("d"))
     val ed = e
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
@@ -186,7 +201,7 @@ object Graph {
     val e = graft.Checkpoints.tracked(
       edges.select(checkedId(col("u")).as("u"), checkedId(col("v")).as("v")))
     val deg = graft.Checkpoints.tracked(
-      e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("d")))
     val keyed = e
       .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
@@ -236,48 +251,69 @@ object Graph {
    *
    * Iterative-algorithm shape (the pagerank/BFS discipline): one peel
    * round = a degree aggregate plus two payload-free left-semi probes;
-   * every round localCheckpoints, so lineage stays flat and each round
-   * reads the PREVIOUS round's materialized edges, not the whole
-   * history. Convergence is detected by edge-count fixpoint (no edge
-   * removed ⇒ all degrees ≥ k ⇒ done); a peel that exhausts `maxIter`
+   * rounds run in BATCHES of `peelsPerCheckpoint` lazy peels between
+   * localCheckpoints, so lineage stays bounded and each batch reads the
+   * PREVIOUS batch's materialized edges, not the whole history. Within
+   * a batch the intermediate peel is re-derived by its consumers (the
+   * next peel's degree scan reads it twice, the edge filter once) —
+   * measured on the harness graph that re-derivation COSTS more than
+   * the per-round fixed costs it saves (checkpoint write, convergence
+   * count, adaptive re-plan), so the default is 1 peel per checkpoint;
+   * the knob exists for graphs where materialization dominates (deep
+   * peels over edge sets that barely shrink, where a checkpoint write
+   * is a full copy but a re-derived probe pipeline is cheap).
+   * Convergence is detected by edge-count fixpoint (no edge removed
+   * across a batch ⇒ no edge removed in any of its peels, the peel is
+   * monotone ⇒ all degrees ≥ k ⇒ done); a peel that exhausts `maxIter`
    * PRODUCTIVE rounds gets one final degree check instead of paying an
    * extra peel round to prove the fixpoint — all maxIter rounds are
-   * usable, and only a genuinely unfinished peel raises rather than
-   * silently returning a non-core. Work per round is O(current edges);
-   * rounds are bounded by the peel depth (7 on the harness graph at
-   * k = 12), never by n.
+   * usable (the last batch is truncated to land exactly on maxIter),
+   * and only a genuinely unfinished peel raises rather than silently
+   * returning a non-core. Work per round is O(current edges); rounds
+   * are bounded by the peel depth (7 on the harness graph at k = 12),
+   * never by n.
    */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 16): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 16,
+            peelsPerCheckpoint: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(peelsPerCheckpoint >= 1,
+      s"peelsPerCheckpoint must be >= 1, got $peelsPerCheckpoint")
+    def peeled(cur: DataFrame): DataFrame = {
+      // one scan, both endpoints: explode beats a two-leg union here —
+      // it halves the round's task count over the checkpointed blocks
+      val deg = cur.select(explode(array(col("u"), col("v"))).as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("x"))
+      cur.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+    }
     var e = graft.Checkpoints.tracked(edges.select(col("u"), col("v")))
     var n = e.count()
     var converged = n == 0
     var it = 0
     while (!converged && it < maxIter) {
-      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("x"))
-      val e2 = graft.Checkpoints.tracked(e
-        .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v")))
+      val steps = math.min(peelsPerCheckpoint, maxIter - it)
+      var p = e
+      for (_ <- 1 to steps) p = peeled(p)
+      val e2 = graft.Checkpoints.tracked(p)
       val n2 = e2.count()
       converged = n2 == n
-      // e2 is materialized — the previous round's edges are superseded
+      // e2 is materialized — the previous batch's edges are superseded
       graft.Checkpoints.free(e)
-      e = e2; n = n2; it += 1
+      e = e2; n = n2; it += steps
     }
     if (!converged && n > 0) {
       // maxIter productive rounds ran; the fixpoint may still have been
       // reached on the LAST one — prove it with a degree check rather
       // than a peel (one aggregate, no extra round)
-      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       converged = deg.filter(col("d") < k).limit(1).count() == 0
     }
     require(converged || n == 0,
       s"kCore: no fixpoint after $maxIter rounds ($n edges left)")
-    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+    e.select(explode(array(col("u"), col("v"))).as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
       .select(col("x").as("vertex"), col("core_degree"))
   }
@@ -317,8 +353,7 @@ object Graph {
     val e = edges.select(col("u"), col("v"))
     val lab = labels.select(col("vertex"), col("community"))
     val m = e.agg(count(lit(1)).as("m"))
-    val deg = e.select(col("u").as("vertex"))
-      .unionAll(e.select(col("v").as("vertex")))
+    val deg = e.select(explode(array(col("u"), col("v"))).as("vertex"))
       .groupBy(col("vertex")).agg(count(lit(1)).as("d"))
     val comm = deg.join(lab, Seq("vertex"))
       .groupBy(col("community"))
@@ -408,65 +443,77 @@ object Graph {
    * relevance pass that grows a small trusted set into a ranked
    * neighborhood (curation's graph-side decontamination twin).
    *
-   * Scale: seeds are a broadcast node list (a trusted set is metadata
-   * next to the graph); each round is one edge⋈rank join + one map-side-
-   * combined sum keyed by dst, with PERIODIC (every-4-rounds)
-   * localCheckpoints bounding the plan tree's doubling while keeping
-   * the edge/degree subtrees shareable as ReusedExchange inside each
-   * segment — per-round checkpoints split rounds into jobs that cannot
-   * share those subtrees (measured 5× slower at 3 rounds). Seeds absent
-   * from the node set contribute nothing (documented drop, mirrored by
-   * the SQL replay's inner derivation from the edge list).
+   * Scale: the edge list, out-degree, and node tables are materialized
+   * ONCE as tracked localCheckpoints (the kCore/linkPredict posture) —
+   * every round re-reads the edge table, and without materialization
+   * each round re-runs the CALLER'S edge derivation (g12 passes a
+   * distinct-deduped union: stage metrics showed the dedup finalize
+   * re-executed five times across three rounds, because exchange reuse
+   * shares only the pre-aggregate shuffle output, not the work above
+   * it). Beware the control that long justified the lazy shape here:
+   * g02's uniform PageRank benches fast under `count()` only because
+   * Catalyst ELIMINATES its final left join against the per-round
+   * aggregates (unique join key, no right columns referenced) — the
+   * rounds never run, so it was never evidence that lazy re-derivation
+   * scales. Rank state is FRONTIER-shaped: only nodes the walk has
+   * reached carry rows (restart mass enters as union rows, not a
+   * per-round all-nodes join), so per-round state is bounded by the
+   * seed neighborhood, not the graph — untouched nodes join back as
+   * exact 0 ranks once at the end. PERIODIC (every-4-rounds) tracked
+   * checkpoints bound the plan's linear deepening on long walks; each
+   * superseded segment boundary is freed as soon as the next one
+   * materializes. Seeds absent from the node set contribute nothing
+   * (documented drop, mirrored by the SQL replay's inner derivation
+   * from the edge list).
    */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale >= 100L, s"scale must be >= 100 for the 85/15 split, got $scale")
-    // the edge table is NOT checkpointed: re-deriving it per round is a
-    // pruned-column scan (cheap, parallel, storage-backed), while eager
-    // executor-memory materialization of a corpus-scale edge list is
-    // exactly the cost a 100 TB run cannot pay (measured: the
-    // checkpoint tripled g12's bench time vs g02's re-scan shape). The
-    // RANK tables — node-sized, and the thing whose lineage deepens
-    // per round — are the ones checkpointed.
-    val both = edges.select(col("src"), col("dst"))
-    val outdeg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = both.select(col("src").as("node")).distinct()
+    val both = graft.Checkpoints.tracked(edges.select(col("src"), col("dst")))
+    val outdeg = graft.Checkpoints.tracked(
+      both.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    // every source node appears in outdeg, so the node set is its key
+    // set — a free projection on the checkpointed aggregate, not a
+    // second corpus-wide distinct
+    val nodes = outdeg.select(col("src").as("node"))
+    // a trusted seed set is metadata next to the graph — broadcast it;
+    // the semi-join pins restart mass to seeds that exist as sources
     val sd = seeds.select(col("node")).distinct()
-      .select(col("node"), lit(true).as("seed"))
-    val seeded = nodes.join(broadcast(sd), Seq("node"), "left")
-      .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
-    var ranks = seeded.select(col("node"),
-      when(col("seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    val seedsIn = nodes.join(broadcast(sd), Seq("node"), "left_semi")
+    val restart = seedsIn.select(col("node"),
+      lit(0L).as("c"), lit(scale * 15L / 100L).as("r"))
+    var active = seedsIn.select(col("node"), lit(scale).as("rank"))
     var lastCp: DataFrame = null
     for (i <- 1 to iters) {
-      val contrib = both
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      // rank_i = 15%·scale·[seed] + (85·Σ rank_{i-1} div deg) div 100,
+      // assembled as ONE keyed aggregation: edge rows carry (c, 0),
+      // restart rows (0, r), and the union feeds a single map-side-
+      // combined sum — integer-identical to a join-then-add (absent
+      // rows ≡ 0 contributions), one shuffle per round instead of two,
+      // and the state stays frontier-sized — nodes the walk hasn't
+      // reached have NO row
+      active = both
+        .join(active.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("in_sum"))
-      ranks = seeded.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("seed"), lit(scale * 15L / 100L)).otherwise(lit(0L)) +
-            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
-      // PERIODIC lineage truncation, not per-round: a checkpoint splits
-      // execution into separate jobs, and separate jobs cannot share
-      // the edge/degree/node subtrees that ONE lazy job deduplicates as
-      // ReusedExchange (measured: per-round checkpoints made the
-      // 3-round harness run 5× slower than g02's identical lazy
-      // shape). Every 4th round bounds the plan tree's doubling while
-      // keeping exchange reuse inside each 4-round segment; small
-      // fixed-iteration runs (like the harness's 3) stay one job.
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("c"), lit(0L).as("r"))
+        .unionByName(restart)
+        .groupBy(col("node"))
+        .agg((expr("(85 * sum(c)) div 100") + sum(col("r"))).as("rank"))
       if (i % 4 == 0 && i < iters) {
-        ranks = graft.Checkpoints.tracked(ranks)
+        active = graft.Checkpoints.tracked(active)
         // the new segment boundary is materialized — the previous
         // boundary's blocks (which this segment's lazy rounds read)
         // are superseded; the final boundary stays tracked because the
         // returned (lazy) tail rounds still read it
         if (lastCp != null) graft.Checkpoints.free(lastCp)
-        lastCp = ranks
+        lastCp = active
       }
     }
-    ranks
+    // untouched nodes surface with rank exactly 0 (integer fixed point:
+    // the `rank > 0` cut downstream is exact, not a float threshold)
+    nodes.join(active, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank"), lit(0L)).as("rank"))
   }
 }
