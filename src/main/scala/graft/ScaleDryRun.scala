@@ -388,6 +388,7 @@ object ScaleDryRun {
       case "wave5" => wave5Mode(spark, srcDir, factor, workDir)
       case "wave6" => wave6Mode(spark, srcDir, factor, workDir)
       case "wave7" => wave7Mode(spark, srcDir, factor, workDir)
+      case "wave8" => wave8Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -553,6 +554,104 @@ object ScaleDryRun {
     for ((op, body, rel) <- flat) {
       val cells = (1 to 3).flatMap { _ =>
         body(); val afterRun = storage(); rel(); Seq(afterRun, storage())
+      }
+      println(s"| $op | ${cells.mkString(" | ")} |")
+    }
+  }
+
+  /** Wave-8 (round 11): the REWRITTEN graph shapes at scale — the
+    * frontier-state personalized PageRank (g12) and the
+    * tracked-checkpoint triangle census (g05). The PPR graph is g12's
+    * supplier↔part bipartite edge list replicated factor× with
+    * per-copy id offsets, seeds replicated the same way — every copy
+    * carries its own trusted set, so walk work AND seed neighborhoods
+    * scale exactly linearly; g05 rides wave-7-style co-order replicas.
+    * Storage flatness is re-witnessed for both (g05 newly tracks
+    * checkpoints; PPR now materializes its edge/degree tables). */
+  private def wave8Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    val off = 10000000L
+    // > any 1x node id (parts sit at partkey + 1e7): copies stay disjoint
+    val span = 100000000L
+    materialize(spark, s"$synthDir/ppr_edges.parquet") {
+      val edges = spark.read.parquet(s"$srcDir/lineitem.parquet")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
+        .distinct()
+      edges.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+        .select(col("src"), col("dst"),
+          explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+        .select((col("src") + col("c") * span).as("src"),
+                (col("dst") + col("c") * span).as("dst"))
+    }
+    materialize(spark, s"$synthDir/ppr_seeds.parquet") {
+      spark.read.parquet(s"$srcDir/supplier.parquet")
+        .filter(col("s_nationkey") === 0)
+        .select(col("s_suppkey").as("node"),
+          explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+        .select((col("node") + col("c") * span).as("node"))
+    }
+    def replicate(minQty: Int, path: String): Unit =
+      materialize(spark, path) {
+        val e1 = graft.Queries.coOrderEdges(spark, srcDir, minQty)
+        val eoff = e1.agg(greatest(max(col("u")), max(col("v"))))
+          .first().getAs[Number](0).longValue + 1L
+        e1.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+            explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+          .select((col("u") + col("c") * eoff).as("u"),
+                  (col("v") + col("c") * eoff).as("v"))
+      }
+    replicate(30, s"$synthDir/edges_q30.parquet")
+    def pprRun(x: Boolean): Long = {
+      val (e, sd) = if (x)
+        (spark.read.parquet(s"$synthDir/ppr_edges.parquet"),
+         spark.read.parquet(s"$synthDir/ppr_seeds.parquet"))
+      else {
+        val edges = spark.read.parquet(s"$srcDir/lineitem.parquet")
+          .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
+          .distinct()
+        (edges.select(col("s").as("src"), col("p").as("dst"))
+           .unionByName(edges.select(col("p").as("src"), col("s").as("dst"))),
+         spark.read.parquet(s"$srcDir/supplier.parquet")
+           .filter(col("s_nationkey") === 0)
+           .select(col("s_suppkey").as("node")))
+      }
+      operators.Graph.personalizedPageRank(e, sd, iters = 3)
+        .filter(col("rank") > 0).count()
+    }
+    def triRun(x: Boolean): Long = {
+      val e = if (x) spark.read.parquet(s"$synthDir/edges_q30.parquet")
+              else graft.Queries.coOrderEdges(spark, srcDir, 30)
+      operators.Graph.triangleStats(e).count()
+    }
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, x) <- Seq((s"$srcDir (1x)", false), (s"${factor}x", true))) {
+      for ((op, body) <- Seq[(String, () => Long)](
+          "g12_ppr" -> (() => pprRun(x)),
+          "g05_triangles" -> (() => triRun(x)))) {
+        val (rows, t, sb) = meter.measure(body())
+        println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+        Checkpoints.release(spark)
+        NorthStar.releaseCaches(spark, srcDir)
+      }
+    }
+    def storage(): String = {
+      val info = spark.sparkContext.getRDDStorageInfo
+      s"${info.length} RDDs / ${fmtBytes(info.map(i => i.memSize + i.diskSize).sum)}"
+    }
+    println()
+    println(s"storage flatness at ${factor}x (persisted RDDs / cached bytes):")
+    println("| operator | after run 1 | after release | after run 2 | after release | after run 3 | after release |")
+    println("|---|---|---|---|---|---|---|")
+    for ((op, body) <- Seq[(String, () => Long)](
+        "g12_ppr" -> (() => pprRun(true)),
+        "g05_triangles" -> (() => triRun(true)))) {
+      val cells = (1 to 3).flatMap { _ =>
+        body(); val afterRun = storage()
+        Checkpoints.release(spark); Seq(afterRun, storage())
       }
       println(s"| $op | ${cells.mkString(" | ")} |")
     }
