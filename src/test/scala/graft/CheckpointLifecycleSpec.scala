@@ -29,6 +29,13 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
       assert(operators.Graph.linkPredict(edges).count() == 6)
       assert(operators.Graph.labelPropagation(edges, 2).count() == 5)
       assert(operators.Graph.kCore(edges, 2).count() == 5)
+      // round-11 additions to the tracked set: the triangle census and
+      // the frontier PPR (edge/degree tables materialized per call)
+      assert(operators.Graph.triangleStats(edges).count() == 1)
+      assert(operators.Graph.personalizedPageRank(
+        edges.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(edges.select(col("v").as("src"), col("u").as("dst"))),
+        Seq(1L).toDF("node"), iters = 5).count() == 5)
       // in-loop frees (superseded rounds) already ran; what's left is the
       // per-call tracked set the RESULTS read — it must not grow with i
       val now = persisted - base
