@@ -24,15 +24,24 @@ object NorthStar {
   // The harness documents table is ONE parquet file (one row group), so
   // the scan yields a single input split and every text transform would
   // run on one core; repartition by doc_id to engage the full executor
-  // set. This is harness-input plumbing, not operator design: production
-  // corpora arrive as many files/splits and need no forced text shuffle.
+  // set. The partition count is PINNED (defaultParallelism): a bare
+  // repartition(col) exchange is AQE-coalescible by BYTES, and text
+  // rows are tiny-bytes / heavy-CPU — compressed shuffle output under
+  // minPartitionSize re-serialized every downstream transform onto ONE
+  // task (measured: d09's probe generation 2.5 s on 1 task with 31
+  // cores idle; same shape in d11/d15/t23). An explicit count is
+  // exempt from coalescing, which is exactly right when CPU-per-row,
+  // not bytes, is the scaling unit. This is harness-input plumbing,
+  // not operator design: production corpora arrive as many
+  // files/splits and need no forced text shuffle.
   // Base reads go through Queries' shared per-(session, dir, table)
   // file-index memo — ~90 of the 198 queries bind documents/embeddings,
   // and without the memo each re-lists the file and re-resolves the
   // schema (the q-tier's round-9 lesson; released by [[releaseCaches]]).
   // The repartition is a fresh plan node per call on the shared read.
   private def docs(s: SparkSession, dir: String): DataFrame =
-    graft.Queries.t(s, dir, "documents").repartition(col("doc_id"))
+    graft.Queries.t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.Queries.t(s, dir, "embeddings")
 
@@ -1055,12 +1064,20 @@ object NorthStar {
         import s.implicits._
         (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj")
       }
+      // the scoring exchange keys on (bi, bj) — B(B+1)/2 keys of tiny
+      // BYTES but quadratic-per-block downstream dot products; pin the
+      // partition count so AQE's byte-based coalescing can't serialize
+      // the scoring onto 1-2 tasks (measured: 877 ms on 2 tasks with
+      // 30 cores idle before the pin)
+      val par = s.sparkContext.defaultParallelism
       val left = e.join(broadcast(blockPairs), col("blk") === col("bi"))
         .select(col("vec_id").as("id_l"), col("v").as("v_l"),
           col("nrm").as("nrm_l"), col("bi"), col("bj"))
+        .repartition(par, col("bi"), col("bj"))
       val right = e.join(broadcast(blockPairs), col("blk") === col("bj"))
         .select(col("vec_id").as("id_r"), col("v").as("v_r"),
           col("nrm").as("nrm_r"), col("bi").as("ri"), col("bj").as("rj"))
+        .repartition(par, col("ri"), col("rj"))
       left.join(right, col("bi") === col("ri") && col("bj") === col("rj"))
         // diagonal blocks would otherwise emit both orientations
         .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
@@ -2387,12 +2404,20 @@ object NorthStar {
         import s.implicits._
         (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj")
       }
+      // the scoring exchange keys on (bi, bj) — B(B+1)/2 keys of tiny
+      // BYTES but quadratic-per-block downstream dot products; pin the
+      // partition count so AQE's byte-based coalescing can't serialize
+      // the scoring onto 1-2 tasks (measured: 877 ms on 2 tasks with
+      // 30 cores idle before the pin)
+      val par = s.sparkContext.defaultParallelism
       val left = e.join(broadcast(blockPairs), col("blk") === col("bi"))
         .select(col("vec_id").as("id_l"), col("v").as("v_l"),
           col("nrm").as("nrm_l"), col("bi"), col("bj"))
+        .repartition(par, col("bi"), col("bj"))
       val right = e.join(broadcast(blockPairs), col("blk") === col("bj"))
         .select(col("vec_id").as("id_r"), col("v").as("v_r"),
           col("nrm").as("nrm_r"), col("bi").as("ri"), col("bj").as("rj"))
+        .repartition(par, col("ri"), col("rj"))
       val scored = left.join(right, col("bi") === col("ri") && col("bj") === col("rj"))
         .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))
         .select(col("id_l"), col("id_r"),
@@ -2444,12 +2469,19 @@ object NorthStar {
         import s.implicits._
         (for (i <- 0 until B; j <- i until B) yield (i, j)).toDF("bi", "bj")
       }
+      // pin the (bi, bj) scoring exchange like s04/e01: signature rows
+      // are tiny BYTES but the block join emits the quadratic-per-block
+      // hamming pairs — AQE's byte-based coalescing ran it on ONE task
+      // (measured 1.0 s with 31 cores idle)
+      val par = s.sparkContext.defaultParallelism
       val left = sig.join(broadcast(blockPairs), col("blk") === col("bi"))
         .select(col("vec_id").as("id_l"), col("sig").as("sig_l"),
           col("bi"), col("bj"))
+        .repartition(par, col("bi"), col("bj"))
       val right = sig.join(broadcast(blockPairs), col("blk") === col("bj"))
         .select(col("vec_id").as("id_r"), col("sig").as("sig_r"),
           col("bi").as("ri"), col("bj").as("rj"))
+        .repartition(par, col("ri"), col("rj"))
       val hams = left
         .join(right, col("bi") === col("ri") && col("bj") === col("rj"))
         .filter(col("bi") =!= col("bj") || col("id_l") < col("id_r"))

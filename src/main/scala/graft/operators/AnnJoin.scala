@@ -76,13 +76,21 @@ object AnnJoin {
 
   /** Undirected candidate pairs (id_l < id_r) co-resident in ≥1 cell.
     * The distinct collapses multi-cell co-residence (≤ probes² copies)
-    * and shuffles only the pruned pair set. */
-  def candidatePairs(cells: DataFrame): DataFrame =
+    * and shuffles only the pruned pair set. The cell-keyed exchange is
+    * PINNED to defaultParallelism: cell rows are tiny BYTES but the
+    * self-join emits quadratic-per-cell pairs, and AQE's byte-based
+    * coalescing otherwise serializes that fan-out onto 1–3 tasks
+    * (the s04/e01/s06 block-join lesson applied to the cell join). */
+  def candidatePairs(cells: DataFrame): DataFrame = {
+    val par = cells.sparkSession.sparkContext.defaultParallelism
     cells.select(col("id").as("id_l"), col("cell"))
-      .join(cells.select(col("id").as("id_r"), col("cell")), Seq("cell"))
+      .repartition(par, col("cell"))
+      .join(cells.select(col("id").as("id_r"), col("cell"))
+        .repartition(par, col("cell")), Seq("cell"))
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"))
       .distinct()
+  }
 
   /**
    * The full bucketed cascade: cells → candidate pairs → Hamming
