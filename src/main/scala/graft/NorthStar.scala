@@ -44,6 +44,17 @@ object NorthStar {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   private def emb(s: SparkSession, dir: String): DataFrame =
     graft.Queries.t(s, dir, "embeddings")
+  // The embeddings table is the same single-file/single-split plumbing
+  // as documents, but emb() deliberately stays UNSPREAD: cheap one-pass
+  // consumers (s01/s13-style single-query top-k) carry a plan contract
+  // that a corpus query must NOT shuffle the corpus (PlansSpec), and a
+  // blanket repartition would break exactly that posture. Consumers
+  // whose per-vector kernels are the cost — 512-bit signature builds,
+  // PQ/ADC scans, eval sweeps (measured 600-700 ms on the scan's ONE
+  // task) — opt into the pinned spread explicitly; the count pin is
+  // the docs() lesson (byte-based AQE coalescing vs CPU-bound rows).
+  private def embWide(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).repartition(s.sparkContext.defaultParallelism, col("vec_id"))
 
   /** Per-vector prototypicality scoring shared by e09 (prune the MOST
     * prototypical) and e14 (sample the LEAST): argmax-dot centroid
@@ -173,7 +184,9 @@ object NorthStar {
               dim = 64, path = path, nBits = nBits)
           graft.operators.AnnIndex.load(s, path).select(col("vec_id"), col("sig"))
         case None =>
-          emb(s, dir).select(col("vec_id"),
+          // embWide: the 512-bit signature kernel is the cost, and the
+          // result persists — the spread amortizes over every consumer
+          embWide(s, dir).select(col("vec_id"),
             // bitSignature applies toDouble itself — pass the raw column
             VF.bitSignature(col("embedding"), 64, nBits).as("sig"))
       }
@@ -2571,7 +2584,7 @@ object NorthStar {
       val nBits = 512; val nC = 16; val probes = 2; val cands = 96; val k = 3
       val sig = sigTable(s, dir, nBits, 8).select(col("vec_id"), col("sig"))
       graft.operators.AnnJoin.bucketedKnnJoin(
-        emb(s, dir), sig, "vec_id", "embedding",
+        embWide(s, dir), sig, "vec_id", "embedding",
         dim = 64, nCells = nC, probes = probes, cands = cands, k = k)
     }),
 
@@ -2710,7 +2723,7 @@ object NorthStar {
       val nBits = 512; val nC = 16; val probes = 2; val cands = 96; val k = 3
       val sig = sigTable(s, dir, nBits, 8).select(col("vec_id"), col("sig"))
       val isQ = col("vec_id") % 10 === 0
-      val e = emb(s, dir)
+      val e = embWide(s, dir)
       graft.operators.AnnJoin.bucketedKnnJoinAgainst(
         e.filter(isQ), e.filter(!isQ),
         sig.filter(isQ), sig.filter(!isQ),
