@@ -672,4 +672,32 @@ class PlansSpec extends AnyFunSuite {
     NorthStar.releaseCaches(spark, dirS)
     NorthStar.releaseCaches(spark, "/root/testdata/sf0.01")
   }
+
+  test("pinned-parallelism contract: the audited CPU-bound exchanges carry " +
+       "REPARTITION_BY_NUM so AQE byte-based coalescing cannot serialize them") {
+    // round-11 lesson (BASELINE.md): post-shuffle coalescing sizes
+    // partitions by compressed bytes, and text/signature/block-key rows
+    // compress under the min partition size while fanning out to
+    // millions of downstream ops — a bare repartition(col) is itself
+    // coalescible, so only an explicit-count repartition protects these
+    // stages. This pins the mechanism, BenchGuard pins the effect.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    def pinned(p: SparkPlan): Boolean = (p match {
+      case e: ShuffleExchangeExec => e.shuffleOrigin == REPARTITION_BY_NUM
+      case _ => false
+    }) || p.children.exists(pinned)
+    val dirS = "/root/testdata/sf0.001"
+    for (q <- Seq(
+        "d09_editdist_pairs",    // docs() spread under the probe generation
+        "t23_ngram_novelty",     // docs() spread under the shingle explode
+        "s04_knn_join",          // block-pair scoring exchange
+        "e01_embedding_neardup", // block-pair scoring exchange
+        "s06_ann_knn_join",      // signature block-pair scoring exchange
+        "s10_ann_bucketed"))     // embWide + candidatePairs cell exchange
+      assert(pinned(SparkEntry.queries(q)(spark, dirS).queryExecution.sparkPlan),
+        s"$q lost its pinned repartition — AQE can serialize its hot stage " +
+        "back onto one task")
+    NorthStar.releaseCaches(spark, dirS)
+  }
 }
