@@ -193,6 +193,30 @@ object ScaleDryRun {
     } else println(s"-- reusing cached $path")
   }
 
+  /** Replicate the sf co-order graph `factor`-x as disjoint copies
+    * (vertex ids offset per copy) — shared by wave7/wave8. Refuses an
+    * empty source edge set with a clear message instead of an opaque
+    * NPE off the null max aggregate. */
+  private def replicateCoOrder(spark: SparkSession, srcDir: String,
+                               minQty: Int, factor: Int, path: String): Unit =
+    materialize(spark, path) {
+      val e1 = graft.Queries.coOrderEdges(spark, srcDir, minQty)
+      val maxCell = e1.agg(greatest(max(col("u")), max(col("v")))).first()
+      require(!maxCell.isNullAt(0),
+        s"cannot replicate: coOrderEdges($srcDir, minQty=$minQty) is empty")
+      val off = maxCell.getAs[Number](0).longValue + 1L
+      e1.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+          explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+        .select((col("u") + col("c") * off).as("u"),
+                (col("v") + col("c") * off).as("v"))
+    }
+
+  /** Persisted-RDD count + cached bytes — the storage-flatness probe. */
+  private def storageSummary(spark: SparkSession): String = {
+    val info = spark.sparkContext.getRDDStorageInfo
+    s"${info.length} RDDs / ${fmtBytes(info.map(i => i.memSize + i.diskSize).sum)}"
+  }
+
   private def dedupMode(spark: SparkSession, srcDir: String, factor: Int,
                         workDir: String): Unit = {
     val synthDir = s"$workDir/${factor}x"
@@ -492,18 +516,8 @@ object ScaleDryRun {
     val synthDir = s"$workDir/${factor}x"
     materialize(spark, s"$synthDir/documents.parquet")(
       synthesizeDocs(spark, srcDir, factor))
-    def replicate(minQty: Int, path: String): Unit =
-      materialize(spark, path) {
-        val e1 = graft.Queries.coOrderEdges(spark, srcDir, minQty)
-        val off = e1.agg(greatest(max(col("u")), max(col("v"))))
-          .first().getAs[Number](0).longValue + 1L
-        e1.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
-            explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
-          .select((col("u") + col("c") * off).as("u"),
-                  (col("v") + col("c") * off).as("v"))
-      }
-    replicate(30, s"$synthDir/edges_q30.parquet")
-    replicate(46, s"$synthDir/edges_q46.parquet")
+    replicateCoOrder(spark, srcDir, 30, factor, s"$synthDir/edges_q30.parquet")
+    replicateCoOrder(spark, srcDir, 46, factor, s"$synthDir/edges_q46.parquet")
     def e30(x: Boolean) = if (x) spark.read.parquet(s"$synthDir/edges_q30.parquet")
                           else graft.Queries.coOrderEdges(spark, srcDir, 30)
     def e46(x: Boolean) = if (x) spark.read.parquet(s"$synthDir/edges_q46.parquet")
@@ -534,10 +548,6 @@ object ScaleDryRun {
     // storage-flatness witness: the leak shape is "each invocation
     // leaves blocks behind"; three (run → release) cycles must show a
     // CONSTANT after-run footprint and a base-level after-release one
-    def storage(): String = {
-      val info = spark.sparkContext.getRDDStorageInfo
-      s"${info.length} RDDs / ${fmtBytes(info.map(i => i.memSize + i.diskSize).sum)}"
-    }
     println()
     println(s"storage flatness at ${factor}x (persisted RDDs / cached bytes):")
     println("| operator | after run 1 | after release | after run 2 | after release | after run 3 | after release |")
@@ -553,7 +563,7 @@ object ScaleDryRun {
         () => NorthStar.releaseCaches(spark, synthDir)))
     for ((op, body, rel) <- flat) {
       val cells = (1 to 3).flatMap { _ =>
-        body(); val afterRun = storage(); rel(); Seq(afterRun, storage())
+        body(); val afterRun = storageSummary(spark); rel(); Seq(afterRun, storageSummary(spark))
       }
       println(s"| $op | ${cells.mkString(" | ")} |")
     }
@@ -592,17 +602,7 @@ object ScaleDryRun {
           explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
         .select((col("node") + col("c") * span).as("node"))
     }
-    def replicate(minQty: Int, path: String): Unit =
-      materialize(spark, path) {
-        val e1 = graft.Queries.coOrderEdges(spark, srcDir, minQty)
-        val eoff = e1.agg(greatest(max(col("u")), max(col("v"))))
-          .first().getAs[Number](0).longValue + 1L
-        e1.select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
-            explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
-          .select((col("u") + col("c") * eoff).as("u"),
-                  (col("v") + col("c") * eoff).as("v"))
-      }
-    replicate(30, s"$synthDir/edges_q30.parquet")
+    replicateCoOrder(spark, srcDir, 30, factor, s"$synthDir/edges_q30.parquet")
     def pprRun(x: Boolean): Long = {
       val (e, sd) = if (x)
         (spark.read.parquet(s"$synthDir/ppr_edges.parquet"),
@@ -638,10 +638,6 @@ object ScaleDryRun {
         NorthStar.releaseCaches(spark, srcDir)
       }
     }
-    def storage(): String = {
-      val info = spark.sparkContext.getRDDStorageInfo
-      s"${info.length} RDDs / ${fmtBytes(info.map(i => i.memSize + i.diskSize).sum)}"
-    }
     println()
     println(s"storage flatness at ${factor}x (persisted RDDs / cached bytes):")
     println("| operator | after run 1 | after release | after run 2 | after release | after run 3 | after release |")
@@ -650,8 +646,8 @@ object ScaleDryRun {
         "g12_ppr" -> (() => pprRun(true)),
         "g05_triangles" -> (() => triRun(true)))) {
       val cells = (1 to 3).flatMap { _ =>
-        body(); val afterRun = storage()
-        Checkpoints.release(spark); Seq(afterRun, storage())
+        body(); val afterRun = storageSummary(spark)
+        Checkpoints.release(spark); Seq(afterRun, storageSummary(spark))
       }
       println(s"| $op | ${cells.mkString(" | ")} |")
     }

@@ -293,12 +293,26 @@ object StreamingIngest {
     // reap crash window (b)'s debris: a write that died mid-flight left
     // an orphaned `.spark-staging-<jobId>` (or `_temporary`) dir that no
     // other process ever cleans. Age-gate the delete so a CONCURRENT
-    // writer's live staging dir survives a compaction overlap.
+    // writer's live staging dir survives a compaction overlap — and gate
+    // on the NEWEST mtime in the staging TREE, not the root dir's: a
+    // live job writes into nested task subdirectories, so the root's
+    // mtime stalls at job setup and a >1h write would look stale by the
+    // root alone. A genuinely live writer keeps advancing some leaf's
+    // mtime; crashed debris advances nothing. (Residual caveat: the
+    // compactor compares its own clock against FS mtimes — gross clock
+    // skew erodes the margin; the 1h gate leaves room for sane NTP
+    // drift, not for an unsynchronized fleet.)
+    def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
+    }
     val staleCutoff = System.currentTimeMillis() - 60L * 60L * 1000L
     entries.filter { st =>
       val n = st.getPath.getName
       st.isDirectory && (n.startsWith(".spark-staging-") || n == "_temporary") &&
-        st.getModificationTime < staleCutoff
+        scala.util.Try(newestMtime(st.getPath)).toOption.exists(_ < staleCutoff)
     }.foreach(st => fs.delete(st.getPath, true))
     // graceful id parse: a non-numeric partition dir (a null batch id's
     // __HIVE_DEFAULT_PARTITION__, a stray hand-made dir) is excluded

@@ -45,6 +45,17 @@ object SessionStopProbe {
         s"memos=${Queries.memoCount(spark)} hooks=${SessionScope.pendingHooks}")
       sys.exit(1)
     }
+    // registering on an ALREADY-stopped session: the hook must fire
+    // inline and leave no entry behind (the round-11 review found
+    // getOrElseUpdate re-inserting the key AFTER the immediate-fire
+    // block — a permanent strong retention of the stopped session)
+    var fired = 0
+    SessionScope.onStop("probe-post-stop", spark)(() => fired += 1)
+    if (fired != 1 || SessionScope.pendingHooks != 0) {
+      System.err.println(s"PROBE: post-stop registration leaked — " +
+        s"fired=$fired hooks=${SessionScope.pendingHooks}")
+      sys.exit(3)
+    }
     println("PROBE: clean")
     sys.exit(0)
   }
