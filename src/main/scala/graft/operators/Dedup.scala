@@ -140,7 +140,10 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val survivors = cand
-      .repartition(col("doc_a")) // keep the O(k)-per-row estimate stage parallel
+      // keep the O(k)-per-row estimate stage parallel — COUNT-pinned:
+      // a bare repartition(col) is AQE-coalescible by bytes, and these
+      // few-MB candidate exchanges fan out to CPU-bound per-pair work
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
       .join(sig.toDF("doc_a", "sig_a"), "doc_a")
       .join(sig.toDF("doc_b", "sig_b"), "doc_b")
       .filter(Hashing.sigMatchCount(col("sig_a"), col("sig_b"))
@@ -187,7 +190,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_existing"))
       .distinct()
     val out = cand
-      .repartition(col("doc_new"))
+      // count-pinned for the same reason as the batch estimate stage
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col("doc_new"))
       .join(sn.select(col("doc_id").as("doc_new"), col("hs").as("hs_n"),
         col("sig").as("sig_n")), "doc_new")
       .join(si.select(col("doc_id").as("doc_existing"), col("hs").as("hs_e"),
@@ -240,7 +244,9 @@ object Dedup {
         greatest(col("pa"), col("pb")).as("doc_b"))
       .distinct()
     cand
-      .repartition(col("doc_a"))
+      // count-pinned spread (bare repartition(col) is AQE-coalescible;
+      // each row here runs a sorted-merge intersect — CPU-bound)
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
       .join(hsTable.toDF("doc_a", "hs_a"), "doc_a")
       .join(hsTable.toDF("doc_b", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -264,7 +270,9 @@ object Dedup {
    */
   private def exactVerify(cand: DataFrame, hsTable: DataFrame, threshold: Double): DataFrame =
     cand
-      .repartition(col("doc_a"))
+      // count-pinned spread (bare repartition(col) is AQE-coalescible;
+      // each row here runs a sorted-merge intersect — CPU-bound)
+      .repartition(cand.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
       .join(hsTable.toDF("doc_a", "hs_a"), "doc_a")
       .join(hsTable.toDF("doc_b", "hs_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
