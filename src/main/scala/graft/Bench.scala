@@ -74,7 +74,14 @@ object Bench {
     val ts = scala.util.Try(java.time.Instant.now().toString).getOrElse("unknown")
     val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .getOrElse("unknown")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","ts":"$ts","host":"$host"}"""
+    // stamp the active filter (or its absence) so a dev-subset artifact is
+    // self-identifying — without this, a SPARK_GRAFT_FILTER run's file is
+    // indistinguishable from a full-surface measurement unless BenchGuard's
+    // missing-query check happens to be run against it
+    val filterStamp = sys.env.get("SPARK_GRAFT_FILTER")
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","filter":$filterStamp,"ts":"$ts","host":"$host"}"""
     println(json)
     // the durable artifact: stdout gets truncated by the driver's log tail
     // (BENCH_r01-r08 all recorded "parsed": null), the file does not

@@ -35,8 +35,12 @@ object BenchGuard {
     val missing = base.keySet.diff(run.keySet).toSeq.sorted
       .map(q => s"MISSING from run: $q")
     val regressed = base.toSeq.sortBy(_._1).flatMap { case (q, b) =>
-      run.get(q).filter(r => r > math.max(2.0 * b, b + 0.5))
-        .map(r => f"REGRESSED: $q: $b%.2f s -> $r%.2f s (${r / b}%.1fx)")
+      run.get(q).filter(r => r > math.max(2.0 * b, b + 0.5)).map { r =>
+        // a zero baseline entry degenerates the 2× arm to the +0.5 s
+        // floor (pass/fail is fine) but r/b would print Infinityx
+        val ratio = if (b > 0) f"${r / b}%.1fx" else "n/a"
+        f"REGRESSED: $q: $b%.2f s -> $r%.2f s ($ratio)"
+      }
     }
     val over = if (runTotal > budget)
       Seq(f"OVER BUDGET: $runTotal%.1f s > $budget%.0f s") else Nil

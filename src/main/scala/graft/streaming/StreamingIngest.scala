@@ -226,10 +226,13 @@ object StreamingIngest {
    * fold every partial partition into ONE fresh GENERATION partition
    * (negative `_batch_id` — a namespace no streaming batch uses; each
    * compaction claims the FIRST FREE negative id, so a long-lived
-   * store's generation ids stay bounded in {−1, −2} instead of
-   * decreasing forever, and a quiescent store canonicalizes to
-   * `_batch_id=-1`: a store already holding exactly that single
-   * partition is a no-op) and delete the folded partitions —
+   * store's generation ids converge back to `_batch_id=-1` instead of
+   * decreasing forever — a store already holding exactly that single
+   * partition is a no-op. Transiently deeper ids appear only while
+   * recovering from a crash window: if a crash left `-1` and `-2`
+   * coexisting, the recovery fold mints `-3` before the next
+   * compaction converges back to `-1`) and delete the folded
+   * partitions —
    * including any PRIOR generation — only AFTER the new write
    * commits. Partition count on a long-lived store drops to 1 without
    * moving the view.
@@ -241,8 +244,8 @@ object StreamingIngest {
    * readers ignore both as non-partition paths), the folded
    * partitions are intact; the orphaned staging debris of a crashed
    * write is reaped by the NEXT compaction's snapshot step, age-gated
-   * one hour so a concurrent writer's live staging dir is never
-   * touched; (c) between
+   * (`graft.streaming.stagingReapAgeHours`, default 24 h) so a
+   * concurrent writer's live staging dir is never touched; (c) between
    * the write commit and the deletes — the new generation AND the
    * folded partitions coexist, i.e. every register is duplicated, and
    * the idempotent max-merge ⊕ absorbs duplicates (the property the
@@ -296,19 +299,28 @@ object StreamingIngest {
     // writer's live staging dir survives a compaction overlap — and gate
     // on the NEWEST mtime in the staging TREE, not the root dir's: a
     // live job writes into nested task subdirectories, so the root's
-    // mtime stalls at job setup and a >1h write would look stale by the
-    // root alone. A genuinely live writer keeps advancing some leaf's
-    // mtime; crashed debris advances nothing. (Residual caveat: the
-    // compactor compares its own clock against FS mtimes — gross clock
-    // skew erodes the margin; the 1h gate leaves room for sane NTP
-    // drift, not for an unsynchronized fleet.)
+    // mtime stalls at job setup and a long write would look stale by
+    // the root alone. A genuinely live writer keeps advancing some
+    // leaf's mtime; crashed debris advances nothing. The age gate is
+    // configurable (`graft.streaming.stagingReapAgeHours`) and defaults
+    // to 24 h — debris reaping is not urgent, and a generous gate
+    // protects two legitimate slow-writer shapes the tree-mtime walk
+    // alone cannot: a writer that spends hours computing before its
+    // FIRST task file lands (nothing in the tree advances yet), and an
+    // FS whose open files only update mtime on close (HDFS). (Residual
+    // caveat: the compactor compares its own clock against FS mtimes —
+    // gross clock skew erodes the margin; the gate leaves room for sane
+    // NTP drift, not for an unsynchronized fleet.)
     def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
       val st = fs.getFileStatus(p)
       if (!st.isDirectory) st.getModificationTime
       else (st.getModificationTime +:
         fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
     }
-    val staleCutoff = System.currentTimeMillis() - 60L * 60L * 1000L
+    val reapAgeHours = spark.conf
+      .get("graft.streaming.stagingReapAgeHours", "24").toDouble
+    val staleCutoff =
+      System.currentTimeMillis() - (reapAgeHours * 60 * 60 * 1000).toLong
     entries.filter { st =>
       val n = st.getPath.getName
       st.isDirectory && (n.startsWith(".spark-staging-") || n == "_temporary") &&

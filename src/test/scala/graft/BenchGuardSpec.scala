@@ -23,6 +23,14 @@ class BenchGuardSpec extends AnyFunSuite {
       .exists(_.contains("REGRESSED: g05")))
   }
 
+  test("a zero baseline entry gates on the +0.5s floor and reports n/a, not Infinityx") {
+    val zb = base + ("q99" -> 0.0)
+    assert(BenchGuard.check(100.0, zb + ("q99" -> 0.4), zb, 130.0).isEmpty)
+    val v = BenchGuard.check(100.0, zb + ("q99" -> 0.6), zb, 130.0)
+    assert(v.exists(l => l.contains("REGRESSED: q99") && l.contains("(n/a)")))
+    assert(!v.exists(_.contains("Infinity")))
+  }
+
   test("over-budget total fails even with no per-query regression") {
     val v = BenchGuard.check(131.0, base, base, 130.0)
     assert(v.size == 1 && v.head.startsWith("OVER BUDGET"))

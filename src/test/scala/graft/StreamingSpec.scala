@@ -344,12 +344,16 @@ class StreamingSpec extends AnyFunSuite {
     // future compaction; now it is skipped — folded around, not deleted
     val stray = new java.io.File(store, "_batch_id=__HIVE_DEFAULT_PARTITION__")
     assert(stray.mkdir())
-    // staging debris: one stale (crashed write, mtime aged >1h) and one
-    // fresh (a concurrent writer's live dir) — only the stale one goes
+    // staging debris: one stale (crashed write, aged past the default
+    // 24 h reap gate), one merely old (2 h — a slow writer still inside
+    // the gate), and one fresh (a concurrent writer's live dir) — only
+    // the genuinely stale one goes under the default gate
     val stale = new java.io.File(store, ".spark-staging-deadjob")
+    val slow = new java.io.File(store, ".spark-staging-slowjob")
     val fresh = new java.io.File(store, ".spark-staging-livejob")
-    assert(stale.mkdir() && fresh.mkdir())
-    assert(stale.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    assert(stale.mkdir() && slow.mkdir() && fresh.mkdir())
+    assert(stale.setLastModified(System.currentTimeMillis() - 25L * 60 * 60 * 1000))
+    assert(slow.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
     StreamingIngest.compactDistinctStore(spark, store)
     val names = new java.io.File(store).listFiles().map(_.getName).toSet
     assert(names.contains("_batch_id=-1"), s"fold did not run: $names")
@@ -357,7 +361,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(names.contains("_batch_id=__HIVE_DEFAULT_PARTITION__"),
       "stray partition must be skipped, not deleted")
     assert(!names.contains(".spark-staging-deadjob"), "stale staging dir not reaped")
+    assert(names.contains(".spark-staging-slowjob"),
+      "a 2h-old staging dir is inside the 24h default gate and must survive")
     assert(names.contains(".spark-staging-livejob"), "live staging dir must survive")
+    // the gate is configurable: a 1 h gate reaps the 2 h-old slow dir
+    spark.conf.set("graft.streaming.stagingReapAgeHours", "1")
+    try StreamingIngest.compactDistinctStore(spark, store)
+    finally spark.conf.unset("graft.streaming.stagingReapAgeHours")
+    val names2 = new java.io.File(store).listFiles().map(_.getName).toSet
+    assert(!names2.contains(".spark-staging-slowjob"),
+      "configured 1h gate should reap the 2h-old staging dir")
+    assert(names2.contains(".spark-staging-livejob"), "live staging dir must survive")
     val after = StreamingIngest.distinctView(spark, store)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after == before, "housekeeping moved the view")
