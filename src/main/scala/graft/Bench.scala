@@ -5,6 +5,24 @@ import org.apache.spark.sql.SparkSession
   * in name order after a session warm-up action, so timings are per-query
   * work, not JVM/session init noise. */
 object Bench {
+
+  /** Assemble the one-line artifact JSON. Pure so the shape BenchGuard
+    * parses — and the filter stamp's string escaping — is unit-testable
+    * without forking a bench JVM. `filter` is the active
+    * SPARK_GRAFT_FILTER regex (stamped verbatim, escaped) or None for a
+    * full-surface run (stamped as JSON null — a subset artifact must be
+    * distinguishable from a full measurement). */
+  def renderJson(results: Seq[(String, Double)], sfDir: String, cpus: String,
+                 filter: Option[String], ts: String, host: String): String = {
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val filterStamp = filter
+      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","filter":$filterStamp,"ts":"$ts","host":"$host"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the benchmark contract (SURVEY.md §7 / driver spec);
@@ -62,26 +80,19 @@ object Bench {
     spark.catalog.clearCache()
     val p2 = pass()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // self-identifying provenance (timestamp + host facts): eight rounds of
-    // BENCH_r*.json were unparseable stdout tails, and identical builds
-    // re-measured on different days were indistinguishable from file copies.
-    // Both lookups degrade to fallbacks rather than throw — provenance runs
-    // AFTER the timing passes, and an unresolvable hostname must not
-    // discard the measurement it is meant to label
+    // self-identifying provenance (timestamp + host facts + active filter):
+    // eight rounds of BENCH_r*.json were unparseable stdout tails, identical
+    // builds re-measured on different days were indistinguishable from file
+    // copies, and a SPARK_GRAFT_FILTER subset run's artifact was
+    // indistinguishable from a full-surface measurement. The ts/host lookups
+    // degrade to fallbacks rather than throw — provenance runs AFTER the
+    // timing passes, and an unresolvable hostname must not discard the
+    // measurement it is meant to label
     val ts = scala.util.Try(java.time.Instant.now().toString).getOrElse("unknown")
     val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .getOrElse("unknown")
-    // stamp the active filter (or its absence) so a dev-subset artifact is
-    // self-identifying — without this, a SPARK_GRAFT_FILTER run's file is
-    // indistinguishable from a full-surface measurement unless BenchGuard's
-    // missing-query check happens to be run against it
-    val filterStamp = sys.env.get("SPARK_GRAFT_FILTER")
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .getOrElse("null")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","filter":$filterStamp,"ts":"$ts","host":"$host"}"""
+    val json = renderJson(results, sfDir, cpus,
+      sys.env.get("SPARK_GRAFT_FILTER"), ts, host)
     println(json)
     // the durable artifact: stdout gets truncated by the driver's log tail
     // (BENCH_r01-r08 all recorded "parsed": null), the file does not

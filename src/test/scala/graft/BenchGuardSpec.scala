@@ -42,6 +42,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.check(100.0, base + ("x99" -> 1.0), base, 130.0).isEmpty)
   }
 
+  test("Bench.renderJson round-trips through BenchGuard's parser; filter stamp escapes and distinguishes subset runs") {
+    val res = Seq("q01" -> 0.5, "d09" -> 2.25)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // full-surface run: filter stamped as JSON null
+    val full = m.readTree(
+      Bench.renderJson(res, "/sf", "32", None, "ts0", "h0"))
+    assert(full.get("filter").isNull)
+    assert(full.get("value").asDouble() == 2.75)
+    assert(full.get("queries").get("d09").asDouble() == 2.25)
+    // subset run: regex with JSON-hostile chars survives escaping
+    val sub = m.readTree(Bench.renderJson(res, "/sf", "32",
+      Some("""^d\d+|say "hi""""), "ts0", "h0"))
+    assert(sub.get("filter").asText() == """^d\d+|say "hi"""")
+    // and the same bytes parse through the gate's own loader
+    val p = java.nio.file.Files.createTempFile("bench_rt", ".json")
+    java.nio.file.Files.writeString(p,
+      Bench.renderJson(res, "/sf", "32", Some("d.*"), "ts0", "h0"))
+    val (total, qs) = BenchGuard.load(p.toString)
+    assert(total == 2.75 && qs == res.toMap)
+  }
+
   test("the committed baseline parses and covers the full query surface") {
     val (total, qs) = BenchGuard.load("bench_baseline.json")
     assert(total > 0 && total <= 130.0,
