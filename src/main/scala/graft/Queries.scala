@@ -1110,8 +1110,14 @@ object Queries {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
         .distinct()
-      val both = edges.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+      // both directions via explode, not a two-leg union: a union's legs
+      // each re-run the distinct FINALIZE over the shared exchange
+      // (round-12 stage metrics: 2× 591k rows read where the pair set is
+      // 295k — the g08 degree-scan lesson applied to edge orientation)
+      val both = edges.select(explode(array(
+          struct(col("s").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("s").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") === 0)
         .select(col("s_suppkey").as("node"))

@@ -450,7 +450,17 @@ object Graph {
    * distinct-deduped union: stage metrics showed the dedup finalize
    * re-executed five times across three rounds, because exchange reuse
    * shares only the pre-aggregate shuffle output, not the work above
-   * it). Beware the control that long justified the lazy shape here:
+   * it). The per-round `outdeg` join stays INSIDE the loop on purpose —
+   * a round-12 experiment hoisted the loop-invariant edges⋈outdeg into
+   * its own src-repartitioned checkpoint and measured it WORSE (wall
+   * 2.44→2.95 s on the g12 corpus): `outdeg` rides a per-round
+   * BROADCAST (tiny, essentially free), while the hoist paid a full
+   * edge-table repartition shuffle plus a wider checkpoint up front AND
+   * the rounds' joins still read the hoisted table through a shuffle —
+   * the checkpoint's preserved hash partitioning did not survive AQE's
+   * re-planning into the per-round joins. Don't re-hoist without stage
+   * metrics showing the cache-scan actually goes exchange-free.
+   * Beware the control that long justified the lazy shape here:
    * g02's uniform PageRank benches fast under `count()` only because
    * Catalyst ELIMINATES its final left join against the per-round
    * aggregates (unique join key, no right columns referenced) — the
