@@ -118,6 +118,23 @@ object Queries {
   }
 
   /**
+   * Orient an undirected pair set `(a, b)` in BOTH directions as
+   * `(src, dst)` rows via one generate, not a two-leg union: a union's
+   * legs each re-run everything ABOVE the pair set's last exchange —
+   * for a distinct-deduped pair build that is the whole dedup FINALIZE,
+   * twice (round-12 stage metrics on g12: 2× 591k shuffle rows read,
+   * 2.7 s cpu, halved by this shape). Same one-read lesson as kCore's
+   * explode degree scan. The ×2 row growth happens inside the Generate
+   * (codegen, no extra exchange); plan contract pinned in PlansSpec.
+   */
+  private[graft] def bothDirections(pairs: DataFrame,
+                                    a: String, b: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+
+  /**
    * The derived edge table is memoized + persisted per (session, dir,
    * minQty): seven g-tier queries bind the same co-order graph, and
    * without the memo each re-runs the lineitem group-and-pair build
@@ -921,8 +938,7 @@ object Queries {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
         .distinct()
-      val both = edges.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+      val both = bothDirections(edges, "s", "p")
       val outdeg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = both.select(col("src").as("node")).distinct()
       var ranks = nodes.select(col("node"), lit(scale).as("rank"))
@@ -959,8 +975,10 @@ object Queries {
       // out — cheaper than shuffling the whole edge table to dedupe it
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("src"), (col("l_partkey") + off).as("dst"))
-      val both = edges
-        .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      // one scan per evaluation, not a two-leg union of two scans —
+      // this edge list is LAZY (re-evaluated by each BFS round), so the
+      // union shape paid 2 lineitem scans × 4 rounds
+      val both = bothDirections(edges, "src", "dst")
       var dist = s.range(1)
         .select(lit(start).as("node"), lit(0).as("hops"))
       var frontier = dist.select(col("node"))
@@ -1110,14 +1128,7 @@ object Queries {
       val edges = t(s, dir, "lineitem")
         .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
         .distinct()
-      // both directions via explode, not a two-leg union: a union's legs
-      // each re-run the distinct FINALIZE over the shared exchange
-      // (round-12 stage metrics: 2× 591k rows read where the pair set is
-      // 295k — the g08 degree-scan lesson applied to edge orientation)
-      val both = edges.select(explode(array(
-          struct(col("s").as("src"), col("p").as("dst")),
-          struct(col("p").as("src"), col("s").as("dst")))).as("e"))
-        .select(col("e.src"), col("e.dst"))
+      val both = bothDirections(edges, "s", "p")
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") === 0)
         .select(col("s_suppkey").as("node"))

@@ -588,8 +588,7 @@ object ScaleDryRun {
       val edges = spark.read.parquet(s"$srcDir/lineitem.parquet")
         .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
         .distinct()
-      edges.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(edges.select(col("p").as("src"), col("s").as("dst")))
+      Queries.bothDirections(edges, "s", "p")
         .select(col("src"), col("dst"),
           explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
         .select((col("src") + col("c") * span).as("src"),
@@ -611,8 +610,7 @@ object ScaleDryRun {
         val edges = spark.read.parquet(s"$srcDir/lineitem.parquet")
           .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
           .distinct()
-        (edges.select(col("s").as("src"), col("p").as("dst"))
-           .unionByName(edges.select(col("p").as("src"), col("s").as("dst"))),
+        (Queries.bothDirections(edges, "s", "p"),
          spark.read.parquet(s"$srcDir/supplier.parquet")
            .filter(col("s_nationkey") === 0)
            .select(col("s_suppkey").as("node")))

@@ -163,6 +163,22 @@ class PlansSpec extends AnyFunSuite {
     assert("(?<!Broadcast)Exchange".r.findAllIn(d11).size <= 1, s"d11:\n$d11")
   }
 
+  test("bothDirections orients via one Generate, no Union — the distinct " +
+      "finalize above a pair build runs once, and results match the union shape") {
+    import spark.implicits._
+    val pairs = Seq((1L, 10L), (2L, 10L), (1L, 20L), (1L, 10L))
+      .toDF("a", "b").distinct()
+    val oriented = Queries.bothDirections(pairs, "a", "b")
+    val plan = oriented.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), s"explode orientation missing:\n$plan")
+    assert(!plan.contains("Union"),
+      s"two-leg union re-runs the pair dedup finalize per leg:\n$plan")
+    val unionShape = pairs.select($"a".as("src"), $"b".as("dst"))
+      .unionByName(pairs.select($"b".as("src"), $"a".as("dst")))
+    assert(oriented.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      unionShape.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("q67 nearest as-of: both RANGE carries share ONE exchange and ONE sort") {
     val dir = "/root/testdata/sf0.001"
     val q67 = SparkEntry.queries("q67_asof_nearest")(spark, dir)
