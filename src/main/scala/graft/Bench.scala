@@ -6,21 +6,31 @@ import org.apache.spark.sql.SparkSession
   * work, not JVM/session init noise. */
 object Bench {
 
+  /** RFC 8259 string escape: backslash, quote, AND control chars
+    * U+0000–U+001F (Jackson rejects raw control chars, so an unescaped
+    * tab in an env var would make the artifact unparseable — discarding
+    * the measurement it exists to preserve). */
+  private[graft] def jsonStr(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Assemble the one-line artifact JSON. Pure so the shape BenchGuard
-    * parses — and the filter stamp's string escaping — is unit-testable
+    * parses — and every string field's escaping — is unit-testable
     * without forking a bench JVM. `filter` is the active
     * SPARK_GRAFT_FILTER regex (stamped verbatim, escaped) or None for a
     * full-surface run (stamped as JSON null — a subset artifact must be
     * distinguishable from a full measurement). */
   def renderJson(results: Seq[(String, Double)], sfDir: String, cpus: String,
                  filter: Option[String], ts: String, host: String): String = {
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + jsonStr(k) + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val filterStamp = filter
-      .map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .getOrElse("null")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":2,"cpus":"$cpus","filter":$filterStamp,"ts":"$ts","host":"$host"}"""
+    val filterStamp = filter.map("\"" + jsonStr(_) + "\"").getOrElse("null")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonStr(sfDir)}","passes":2,"cpus":"${jsonStr(cpus)}","filter":$filterStamp,"ts":"${jsonStr(ts)}","host":"${jsonStr(host)}"}"""
   }
 
   def main(args: Array[String]): Unit = {

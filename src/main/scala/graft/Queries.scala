@@ -117,22 +117,12 @@ object Queries {
     })
   }
 
-  /**
-   * Orient an undirected pair set `(a, b)` in BOTH directions as
-   * `(src, dst)` rows via one generate, not a two-leg union: a union's
-   * legs each re-run everything ABOVE the pair set's last exchange —
-   * for a distinct-deduped pair build that is the whole dedup FINALIZE,
-   * twice (round-12 stage metrics on g12: 2× 591k shuffle rows read,
-   * 2.7 s cpu, halved by this shape). Same one-read lesson as kCore's
-   * explode degree scan. The ×2 row growth happens inside the Generate
-   * (codegen, no extra exchange); plan contract pinned in PlansSpec.
-   */
+  /** Edge-orientation shared shape: see
+    * [[graft.operators.Graph.bothDirections]] (one Generate, no
+    * two-leg union — the union legs re-run the pair build per leg). */
   private[graft] def bothDirections(pairs: DataFrame,
                                     a: String, b: String): DataFrame =
-    pairs.select(explode(array(
-        struct(col(a).as("src"), col(b).as("dst")),
-        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
+    graft.operators.Graph.bothDirections(pairs, a, b)
 
   /**
    * The derived edge table is memoized + persisted per (session, dir,

@@ -348,9 +348,10 @@ object Dedup {
    * labeling is silently wrong data, never worth returning.
    */
   private[graft] def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+    // one-Generate orientation: the persist sits above this, so with a
+    // two-leg union materialization ran the caller's (often expensive)
+    // candidate-pair derivation once PER LEG — see Graph.bothDirections
+    val edges = Graph.bothDirections(pairs, "doc_a", "doc_b").persist()
     var labels = graft.Checkpoints.tracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))

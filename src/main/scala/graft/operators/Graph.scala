@@ -16,6 +16,25 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /**
+   * Orient an undirected pair set `(a, b)` in BOTH directions as
+   * `(src, dst)` rows via one generate, not a two-leg union: a union's
+   * legs each re-run everything ABOVE the pair set's last exchange —
+   * for a distinct-deduped pair build that is the whole dedup FINALIZE,
+   * twice (round-12 stage metrics on g12: 2× 591k shuffle rows read,
+   * 2.7 s cpu, halved by this shape), and for a persisted/checkpointed
+   * orientation it is the caller's whole pair DERIVATION, twice, at
+   * materialization time. Same one-read lesson as kCore's explode
+   * degree scan. The ×2 row growth happens inside the Generate
+   * (codegen, no extra exchange); plan contract pinned in PlansSpec.
+   */
+  private[graft] def bothDirections(pairs: DataFrame,
+                                    a: String, b: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+
+  /**
    * Exact triangle count, wedge (open-triad) count, and the global
    * clustering coefficient 3·triangles/wedges, over an undirected simple
    * edge set `edges(u, v)` with u < v, no self-loops, no duplicates.
@@ -400,9 +419,9 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e = edges.select(col("u"), col("v"))
-    val orient = graft.Checkpoints.tracked(
-      e.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(e.select(col("v").as("src"), col("u").as("dst"))))
+    // one-Generate orientation: checkpoint materialization previously
+    // ran the caller's edge derivation once per union leg
+    val orient = graft.Checkpoints.tracked(bothDirections(e, "u", "v"))
     var labels = graft.Checkpoints.tracked(
       orient.select(col("src").as("vertex")).distinct()
         .select(col("vertex"), col("vertex").as("lab")))
@@ -447,10 +466,12 @@ object Graph {
    * ONCE as tracked localCheckpoints (the kCore/linkPredict posture) —
    * every round re-reads the edge table, and without materialization
    * each round re-runs the CALLER'S edge derivation (g12 passes a
-   * distinct-deduped union: stage metrics showed the dedup finalize
-   * re-executed five times across three rounds, because exchange reuse
-   * shares only the pre-aggregate shuffle output, not the work above
-   * it). The per-round `outdeg` join stays INSIDE the loop on purpose —
+   * distinct-deduped pair set — oriented via [[bothDirections]] since
+   * round 12, a two-leg union before that, under which stage metrics
+   * showed the dedup finalize re-executed five times across three
+   * rounds, because exchange reuse shares only the pre-aggregate
+   * shuffle output, not the work above it).
+   * The per-round `outdeg` join stays INSIDE the loop on purpose —
    * a round-12 experiment hoisted the loop-invariant edges⋈outdeg into
    * its own src-repartitioned checkpoint and measured it WORSE (wall
    * 2.44→2.95 s on the g12 corpus): `outdeg` rides a per-round

@@ -317,8 +317,14 @@ object StreamingIngest {
       else (st.getModificationTime +:
         fs.listStatus(p).toSeq.map(c => newestMtime(c.getPath))).max
     }
-    val reapAgeHours = spark.conf
-      .get("graft.streaming.stagingReapAgeHours", "24").toDouble
+    // graceful conf parse, the partition-id discipline below: a
+    // malformed value must not permanently block compaction, and a
+    // negative/NaN value would put the cutoff AT-OR-PAST now — deleting
+    // a concurrent writer's LIVE staging dir, the exact hazard the gate
+    // exists to prevent. Anything unparseable or < 0 falls back to 24 h.
+    val reapAgeHours = scala.util.Try(
+        spark.conf.get("graft.streaming.stagingReapAgeHours", "24").toDouble)
+      .toOption.filter(h => h >= 0 && !h.isNaN).getOrElse(24.0)
     val staleCutoff =
       System.currentTimeMillis() - (reapAgeHours * 60 * 60 * 1000).toLong
     entries.filter { st =>

@@ -55,6 +55,14 @@ class BenchGuardSpec extends AnyFunSuite {
     val sub = m.readTree(Bench.renderJson(res, "/sf", "32",
       Some("""^d\d+|say "hi""""), "ts0", "h0"))
     assert(sub.get("filter").asText() == """^d\d+|say "hi"""")
+    // control chars (tab/newline pasted into an env var) must be
+    // \u-escaped — Jackson rejects raw control chars, which would
+    // discard the measurement; sfDir/host get the same treatment
+    val ctl = m.readTree(Bench.renderJson(res, "/sf\"dir", "32",
+      Some("a\tb\nc"), "ts0", "h"))
+    assert(ctl.get("filter").asText() == "a\tb\nc")
+    assert(ctl.get("sf").asText() == "/sf\"dir")
+    assert(ctl.get("host").asText() == "h")
     // and the same bytes parse through the gate's own loader
     val p = java.nio.file.Files.createTempFile("bench_rt", ".json")
     java.nio.file.Files.writeString(p,

@@ -364,6 +364,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(names.contains(".spark-staging-slowjob"),
       "a 2h-old staging dir is inside the 24h default gate and must survive")
     assert(names.contains(".spark-staging-livejob"), "live staging dir must survive")
+    // a malformed or negative conf value must fall back to the 24h
+    // default (a negative gate would put the cutoff past NOW and reap a
+    // LIVE writer's dir; a parse crash would block compaction forever)
+    for (bad <- Seq("24h", "-5", "NaN")) {
+      spark.conf.set("graft.streaming.stagingReapAgeHours", bad)
+      try StreamingIngest.compactDistinctStore(spark, store)
+      finally spark.conf.unset("graft.streaming.stagingReapAgeHours")
+      val n = new java.io.File(store).listFiles().map(_.getName).toSet
+      assert(n.contains(".spark-staging-slowjob") &&
+        n.contains(".spark-staging-livejob"),
+        s"conf '$bad' must fall back to the 24h gate, got $n")
+    }
     // the gate is configurable: a 1 h gate reaps the 2 h-old slow dir
     spark.conf.set("graft.streaming.stagingReapAgeHours", "1")
     try StreamingIngest.compactDistinctStore(spark, store)
