@@ -229,15 +229,28 @@ object Dedup {
    * sorted hash arrays last.
    */
   def containmentPairs(hsTable: DataFrame, threshold: Double): DataFrame = {
+    val par = hsTable.sparkSession.sparkContext.defaultParallelism
+    // count-pinned spread on the shingle stream (round-12 stage metrics:
+    // the df-join, prefix window, and candidate join all ran on 2-4
+    // AQE-coalesced tasks with 0.3-2.4 s of cpu each — shingle rows are
+    // tiny BYTES, heavy CPU). ONE pinned raw-row exchange on s serves
+    // the document-frequency aggregate AND both s-keyed joins
+    // (partitioning is preserved through the agg, so they plan
+    // exchange-free on this side)
     val sh = hsTable.select(col("doc_id"), size(col("hs")).as("n"),
       explode(col("hs")).as("s"))
+      .repartition(par, col("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfreq, "s")
+      // pin the window's doc_id exchange too — the per-doc sort is the
+      // single most CPU-expensive stage of the prefix build
+      .repartition(par, col("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-6) + 1)
       .select(col("doc_id").as("pa"), col("s"))
     val cand = prefix
+      .repartition(par, col("s"))
       .join(sh.select(col("doc_id").as("pb"), col("s")), "s")
       .filter(col("pa") =!= col("pb"))
       .select(least(col("pa"), col("pb")).as("doc_a"),
