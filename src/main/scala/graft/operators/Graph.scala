@@ -268,73 +268,98 @@ object Graph {
    * (Seidman, Soc. Netw. 1983) a link-graph pipeline runs to isolate
    * template farms and citation cliques from the long peripheral tail.
    *
-   * Iterative-algorithm shape (the pagerank/BFS discipline): one peel
-   * round = a degree aggregate plus two payload-free left-semi probes;
-   * rounds run in BATCHES of `peelsPerCheckpoint` lazy peels between
-   * localCheckpoints, so lineage stays bounded and each batch reads the
-   * PREVIOUS batch's materialized edges, not the whole history. Within
-   * a batch the intermediate peel is re-derived by its consumers (the
-   * next peel's degree scan reads it twice, the edge filter once) —
-   * measured on the harness graph that re-derivation COSTS more than
-   * the per-round fixed costs it saves (checkpoint write, convergence
-   * count, adaptive re-plan), so the default is 1 peel per checkpoint;
-   * the knob exists for graphs where materialization dominates (deep
-   * peels over edge sets that barely shrink, where a checkpoint write
-   * is a full copy but a re-derived probe pipeline is cheap).
-   * Convergence is detected by edge-count fixpoint (no edge removed
-   * across a batch ⇒ no edge removed in any of its peels, the peel is
-   * monotone ⇒ all degrees ≥ k ⇒ done); a peel that exhausts `maxIter`
-   * PRODUCTIVE rounds gets one final degree check instead of paying an
-   * extra peel round to prove the fixpoint — all maxIter rounds are
-   * usable (the last batch is truncated to land exactly on maxIter),
-   * and only a genuinely unfinished peel raises rather than silently
-   * returning a non-core. Work per round is O(current edges); rounds
-   * are bounded by the peel depth (7 on the harness graph at k = 12),
-   * never by n.
+   * DELTA-PEELED iteration: the per-round state is the DEGREE TABLE
+   * (one small row per live vertex), not the edge set. The exploded
+   * edge view is shuffled exactly once (the seed degree aggregate);
+   * every later wave only (a) filters the degree table for the wave's
+   * victims (`d < k`), (b) scans the checkpointed edge view MAP-SIDE
+   * for rows whose neighbor is in the wave, and (c) decrements the
+   * survivors' degrees by those lost edges — so a wave costs one tiny
+   * shuffle over the wave-incident rows instead of re-aggregating both
+   * endpoints of every live edge (the pre-round-12 shape paid a
+   * 2|E|-row explode shuffle plus an edge checkpoint PER ROUND;
+   * measured on the harness graph the delta form runs the same seven
+   * waves on decrement inputs three orders of magnitude smaller).
+   * Edge liveness never needs materializing: an exploded row is live
+   * iff both endpoints are still in the degree table, so a row whose
+   * neighbor drops in the CURRENT wave is exactly one live edge its
+   * source loses — decrements addressed to already-dead sources join
+   * onto nothing and vanish. Wave joins are written WITHOUT a forced
+   * broadcast: a first wave on a shallow graph can be a large fraction
+   * of the vertex set (shuffle join is then correct), while late wave
+   * frames are runtime-small and AQE/statistics pick broadcast on
+   * their own.
+   *
+   * `peelsPerCheckpoint` bounds the LINEAGE of the degree state: waves
+   * between eager localCheckpoints of the (tiny) degree table. The
+   * default 1 re-materializes every wave — the state is a few
+   * thousand (vertex, degree) rows, so the write is noise while the
+   * bounded lineage keeps each wave's plan flat; raise it only if the
+   * per-wave checkpoint job overhead ever dominates (degenerate
+   * many-wave peels over tiny graphs). Convergence = an empty wave;
+   * a peel that exhausts `maxIter` PRODUCTIVE waves gets one final
+   * degree check instead of paying an extra wave to prove the
+   * fixpoint, and only a genuinely unfinished peel raises rather than
+   * silently returning a non-core. Waves are bounded by the peel
+   * depth (7 on the harness graph at k = 12), never by n. The result
+   * IS the final degree table (degree inside the core ≡ the maintained
+   * count), so the returned plan references only the last tiny
+   * checkpoint — the edge view is freed before returning.
    */
   def kCore(edges: DataFrame, k: Int, maxIter: Int = 16,
             peelsPerCheckpoint: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(peelsPerCheckpoint >= 1,
       s"peelsPerCheckpoint must be >= 1, got $peelsPerCheckpoint")
-    def peeled(cur: DataFrame): DataFrame = {
-      // one scan, both endpoints: explode beats a two-leg union here —
-      // it halves the round's task count over the checkpointed blocks
-      val deg = cur.select(explode(array(col("u"), col("v"))).as("x"))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= k).select(col("x"))
-      cur.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-    }
-    var e = graft.Checkpoints.tracked(edges.select(col("u"), col("v")))
-    var n = e.count()
-    var converged = n == 0
+    // both-direction exploded view: one row per (endpoint, neighbor);
+    // degree(x) = row count at src = x. Checkpointed once, scanned
+    // map-side by every wave's decrement probe.
+    val ex = graft.Checkpoints.tracked(
+      bothDirections(edges.select(col("u"), col("v")), "u", "v"))
+    var base = graft.Checkpoints.tracked(          // last checkpointed state
+      ex.groupBy(col("src")).agg(count(lit(1)).as("d")))
+    var cur = base                                 // current (maybe lazy) state
     var it = 0
+    var sinceCkpt = 0
+    var converged = false
     while (!converged && it < maxIter) {
-      val steps = math.min(peelsPerCheckpoint, maxIter - it)
-      var p = e
-      for (_ <- 1 to steps) p = peeled(p)
-      val e2 = graft.Checkpoints.tracked(p)
-      val n2 = e2.count()
-      converged = n2 == n
-      // e2 is materialized — the previous batch's edges are superseded
-      graft.Checkpoints.free(e)
-      e = e2; n = n2; it += steps
+      val wave = cur.filter(col("d") < k).select(col("src"))
+      if (wave.isEmpty) converged = true
+      else {
+        // one live edge lost per exploded row whose neighbor is waved
+        val dec = ex.join(wave.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+        cur = cur.join(wave, Seq("src"), "left_anti")
+          .join(dec, Seq("src"), "left")
+          .select(col("src"),
+            (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+          .filter(col("d") > 0) // isolated survivors leave the live subgraph
+        it += 1; sinceCkpt += 1
+        if (sinceCkpt >= peelsPerCheckpoint) {
+          val ck = graft.Checkpoints.tracked(cur) // eager — base superseded
+          graft.Checkpoints.free(base)
+          base = ck; cur = ck; sinceCkpt = 0
+        }
+      }
     }
-    if (!converged && n > 0) {
-      // maxIter productive rounds ran; the fixpoint may still have been
+    if (!converged) {
+      // maxIter productive waves ran; the fixpoint may still have been
       // reached on the LAST one — prove it with a degree check rather
-      // than a peel (one aggregate, no extra round)
-      val deg = e.select(explode(array(col("u"), col("v"))).as("x"))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      converged = deg.filter(col("d") < k).limit(1).count() == 0
+      // than a wave (one empty-probe, no extra round)
+      converged = cur.filter(col("d") < k).isEmpty
     }
-    require(converged || n == 0,
-      s"kCore: no fixpoint after $maxIter rounds ($n edges left)")
-    e.select(explode(array(col("u"), col("v"))).as("x"))
-      .groupBy(col("x")).agg(count(lit(1)).as("core_degree"))
-      .select(col("x").as("vertex"), col("core_degree"))
+    require(converged, {
+      val left = cur.agg(sum(col("d"))).head.getLong(0) / 2
+      s"kCore: no fixpoint after $maxIter rounds ($left edges left)"
+    })
+    val res =
+      if (sinceCkpt > 0) {
+        val ck = graft.Checkpoints.tracked(cur)
+        graft.Checkpoints.free(base)
+        ck
+      } else cur
+    graft.Checkpoints.free(ex) // result reads only the degree checkpoint
+    res.select(col("src").as("vertex"), col("d").as("core_degree"))
   }
 
   /**
