@@ -967,11 +967,24 @@ object NorthStar {
     // stage's pool is the previous stage's survivors.
     "d13_dedup_verdict" -> ((s, dir) => {
       val d = docs(s, dir)
-      // stage 1: quality (t06 rules)
+      // stage 1: quality (t06 rules). NOT a bare filter over the inline
+      // feature projection: a deterministic predicate pushes through
+      // docs()'s pinned repartition with the projection's aliases
+      // inlined (PushPredicateThroughNonJoin), landing the whole
+      // per-doc feature compute on the corpus file's single split —
+      // measured ~250 ms on ONE task per derivation, twice per run
+      // (projections stay above the pin; filters do not). The
+      // unique-key aggregate is a pushdown BARRIER (predicates on agg
+      // outputs stay above it) that rides the spread's hash(doc_id)
+      // partitioning — the gate computes 32-way with no extra
+      // exchange. (A persisted quality memo was measured WORSE: the
+      // cache boundary turned the broadcast-sized keep lists into six
+      // scheduling-bound 4.4k-row exchanges across d13/d16.)
       val qKeep = d.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
-        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
-          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
-        .select(col("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3).as("keepq"))
+        .filter(col("keepq")).select(col("doc_id"))
       val pool1 = d.join(qKeep, Seq("doc_id"), "left_semi")
       // stage 2: exact dedup among quality survivors
       val eKeep = pool1.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
