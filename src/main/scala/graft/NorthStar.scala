@@ -1554,7 +1554,12 @@ object NorthStar {
       val seeds = e.orderBy(col("vec_id")).limit(16)
         .select(col("v")).collect().map(_.getSeq[Double](0)).toSeq
       val q = e.filter(col("vec_id") === 0).select(col("v")).head().getSeq[Double](0)
-      VF.pqAdcTopK(emb(s, dir), "embedding", "vec_id", q, seeds,
+      // embWide: the per-vector ADC kernel (m aggregate-folds per row)
+      // is the cost, not the scan bytes — on the unspread single-split
+      // read it ran 1.06 s CPU on ONE task (round-12 stage metrics);
+      // the pinned spread is the documented opt-in for exactly this
+      // shape. s08 carries no no-shuffle contract (that is s12/s13).
+      VF.pqAdcTopK(embWide(s, dir), "embedding", "vec_id", q, seeds,
         k = 10, m = 16, candidates = 192)
     }),
 
