@@ -1391,6 +1391,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore: delta-peel edge cases — mutual-drop pair, cascade decrement, " +
+       "silent degree-zero exit") {
+    // K4 core {1,2,3,4}; pendant chain 1-5-6 (cascades one decrement
+    // into the core); isolated pair 7-8 (BOTH endpoints waved together —
+    // the edge's two decrement rows must both vanish, not double-fire);
+    // star 10-{11,12} (center survives wave 1 at degree 2, then drops
+    // to degree 0 when both leaves wave — it must exit via the d > 0
+    // filter without ever appearing in a wave or the result)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (5L, 6L), (7L, 8L),
+      (10L, 11L), (10L, 12L)).toDF("u", "v")
+    val got = graft.operators.Graph.kCore(edges, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("law: kCore equals brute-force iterative peeling on random graphs") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 5) {
