@@ -20,9 +20,15 @@ import scala.jdk.CollectionConverters._
  *
  * Usage: `runMain graft.BenchGuard [runJson] [baselineJson]` after a
  * `runMain graft.Bench` under the BASELINE.md protocol (quiet host,
- * tmpfs scratch reaped, min-of-2 — the baseline was measured the same
- * way; comparing a steal-inflated run against it WILL flag, which is
- * the conservative direction for a budget gate). New queries absent
+ * tmpfs scratch reaped, min-of-2). The committed baseline is the
+ * round-12 MIN-COMPOSITE: each query's minimum across the round's
+ * full protocol runs (BASELINE.md records the run set) — the same
+ * per-query-minima arbiter the bench protocol already uses, so the
+ * baseline is steal-immune where any single run is not. The 2×/+0.5 s
+ * slack absorbs ordinary steal inflation (measured 1.1–1.4×;
+ * round-12 check: zero false flags across seven steal-affected runs),
+ * while a genuinely waved run can still trip the budget arm — the
+ * conservative direction for a budget gate. New queries absent
  * from the baseline are listed informationally and gated only by the
  * total. Budget override: SPARK_GRAFT_BENCH_BUDGET (seconds).
  */
