@@ -26,9 +26,16 @@ object Bench {
     * distinguishable from a full measurement). */
   def renderJson(results: Seq[(String, Double)], sfDir: String, cpus: String,
                  filter: Option[String], ts: String, host: String): String = {
-    val qs = results.map { case (k, v) => "\"" + jsonStr(k) + "\":" + v }
+    // non-finite guard: NaN/Infinity are not JSON number literals, so one
+    // bad timing would make the whole artifact unparseable — the failure
+    // the escaping above exists to prevent. Not reachable from elapsed
+    // nanos today; clamp to -1 (the same "measurement invalid" sentinel
+    // the error path uses) so a future timing source can't discard the
+    // artifact.
+    def num(v: Double): String = if (v.isNaN || v.isInfinite) "-1" else v.toString
+    val qs = results.map { case (k, v) => "\"" + jsonStr(k) + "\":" + num(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = num(if (results.nonEmpty) results.map(_._2).sum else 0.0)
     val filterStamp = filter.map("\"" + jsonStr(_) + "\"").getOrElse("null")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonStr(sfDir)}","passes":2,"cpus":"${jsonStr(cpus)}","filter":$filterStamp,"ts":"${jsonStr(ts)}","host":"${jsonStr(host)}"}"""
   }

@@ -296,7 +296,15 @@ object Graph {
    * thousand (vertex, degree) rows, so the write is noise while the
    * bounded lineage keeps each wave's plan flat; raise it only if the
    * per-wave checkpoint job overhead ever dominates (degenerate
-   * many-wave peels over tiny graphs). Convergence = an empty wave;
+   * many-wave peels over tiny graphs). With a batch size > 1 the wave
+   * itself is materialized once per round (the emptiness check is an
+   * action, and the dec/anti joins re-derive the wave — unmaterialized,
+   * each of the three would replay the whole lazy chain since the last
+   * degree checkpoint); the residual cost of batching is that each
+   * round's ONE replay still walks the in-batch chain (O(batch²) tiny
+   * degree-table links per batch), which is exactly what the batch
+   * trades against per-wave checkpoint job overhead.
+   * Convergence = an empty wave;
    * a peel that exhausts `maxIter` PRODUCTIVE waves gets one final
    * degree check instead of paying an extra wave to prove the
    * fixpoint, and only a genuinely unfinished peel raises rather than
@@ -322,10 +330,24 @@ object Graph {
     var it = 0
     var sinceCkpt = 0
     var converged = false
+    // waves materialized inside the current batch: the lazy `cur` chain
+    // still references them, so they are freed only when the next degree
+    // checkpoint supersedes that chain (or at return)
+    var waveCkpts = List.empty[DataFrame]
+    def freeWaves(): Unit = { waveCkpts.foreach(graft.Checkpoints.free); waveCkpts = Nil }
     while (!converged && it < maxIter) {
-      val wave = cur.filter(col("d") < k).select(col("src"))
-      if (wave.isEmpty) converged = true
-      else {
+      val wave0 = cur.filter(col("d") < k).select(col("src"))
+      // on a lazy `cur` (sinceCkpt > 0) the emptiness action plus the
+      // dec/anti joins would each replay the unmaterialized chain since
+      // the last degree checkpoint — materialize the tiny victim table
+      // once and let all three read it (default batch size 1 always has
+      // a checkpointed `cur`, so this adds zero jobs there)
+      val wave = if (sinceCkpt > 0) graft.Checkpoints.tracked(wave0) else wave0
+      if (wave.isEmpty) {
+        if (sinceCkpt > 0) graft.Checkpoints.free(wave) // nothing references it
+        converged = true
+      } else {
+        if (sinceCkpt > 0) waveCkpts ::= wave
         // one live edge lost per exploded row whose neighbor is waved
         val dec = ex.join(wave.select(col("src").as("dst")), Seq("dst"), "left_semi")
           .groupBy(col("src")).agg(count(lit(1)).as("dec"))
@@ -338,6 +360,7 @@ object Graph {
         if (sinceCkpt >= peelsPerCheckpoint) {
           val ck = graft.Checkpoints.tracked(cur) // eager — base superseded
           graft.Checkpoints.free(base)
+          freeWaves()
           base = ck; cur = ck; sinceCkpt = 0
         }
       }
@@ -356,6 +379,7 @@ object Graph {
       if (sinceCkpt > 0) {
         val ck = graft.Checkpoints.tracked(cur)
         graft.Checkpoints.free(base)
+        freeWaves()
         ck
       } else cur
     graft.Checkpoints.free(ex) // result reads only the degree checkpoint

@@ -321,10 +321,13 @@ object StreamingIngest {
     // malformed value must not permanently block compaction, and a
     // negative/NaN value would put the cutoff AT-OR-PAST now — deleting
     // a concurrent writer's LIVE staging dir, the exact hazard the gate
-    // exists to prevent. Anything unparseable or < 0 falls back to 24 h.
+    // exists to prevent. Zero is rejected for the same reason — it puts
+    // the cutoff exactly AT now, which reaps a writer whose newest mtime
+    // landed this instant. Anything unparseable or <= 0 falls back to
+    // 24 h; there is deliberately no reap-everything escape hatch.
     val reapAgeHours = scala.util.Try(
         spark.conf.get("graft.streaming.stagingReapAgeHours", "24").toDouble)
-      .toOption.filter(h => h >= 0 && !h.isNaN).getOrElse(24.0)
+      .toOption.filter(h => h > 0 && !h.isNaN).getOrElse(24.0)
     val staleCutoff =
       System.currentTimeMillis() - (reapAgeHours * 60 * 60 * 1000).toLong
     entries.filter { st =>

@@ -69,6 +69,16 @@ class BenchGuardSpec extends AnyFunSuite {
       Bench.renderJson(res, "/sf", "32", Some("d.*"), "ts0", "h0"))
     val (total, qs) = BenchGuard.load(p.toString)
     assert(total == 2.75 && qs == res.toMap)
+    // a non-finite timing must not emit an unparseable artifact: NaN and
+    // Infinity are not JSON number literals — they clamp to the -1
+    // "measurement invalid" sentinel the error path already uses
+    val nf = m.readTree(Bench.renderJson(
+      Seq("q01" -> Double.NaN, "d09" -> Double.PositiveInfinity, "t01" -> 1.5),
+      "/sf", "32", None, "ts0", "h0"))
+    assert(nf.get("queries").get("q01").asDouble() == -1.0)
+    assert(nf.get("queries").get("d09").asDouble() == -1.0)
+    assert(nf.get("queries").get("t01").asDouble() == 1.5)
+    assert(nf.get("value").asDouble() == -1.0) // NaN-poisoned sum clamps too
   }
 
   test("the committed baseline parses and covers the full query surface") {

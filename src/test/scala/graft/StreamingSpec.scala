@@ -364,10 +364,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(names.contains(".spark-staging-slowjob"),
       "a 2h-old staging dir is inside the 24h default gate and must survive")
     assert(names.contains(".spark-staging-livejob"), "live staging dir must survive")
-    // a malformed or negative conf value must fall back to the 24h
-    // default (a negative gate would put the cutoff past NOW and reap a
-    // LIVE writer's dir; a parse crash would block compaction forever)
-    for (bad <- Seq("24h", "-5", "NaN")) {
+    // a malformed, negative, or ZERO conf value must fall back to the
+    // 24h default (a negative gate would put the cutoff past NOW and a
+    // zero gate exactly AT now — either reaps a LIVE writer's dir; a
+    // parse crash would block compaction forever)
+    for (bad <- Seq("24h", "-5", "NaN", "0")) {
       spark.conf.set("graft.streaming.stagingReapAgeHours", bad)
       try StreamingIngest.compactDistinctStore(spark, store)
       finally spark.conf.unset("graft.streaming.stagingReapAgeHours")
