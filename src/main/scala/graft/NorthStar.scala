@@ -101,6 +101,78 @@ object NorthStar {
     "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
     "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
 
+  /** Pseudonymization key for t36 — embedded verbatim in the oracle, so
+    * it must stay ASCII (fnvSql folds per-char ord as the byte). */
+  private val piiKey = "graft-pii-k13"
+
+  /** Deterministic PII injection for the audit tier (the corpus carries
+    * none): one email always; a second email on mod-2, a phone on mod-3,
+    * an IPv4 on mod-5, an SSN-shaped ID on mod-7 — so the per-doc counts
+    * VARY. Mirrored literally by [[piiInjectSql]]. */
+  private def piiInject(text: Column, id: Column): Column =
+    concat(text,
+      lit(" reach user"), id, lit("@example.com"),
+      when(id % 2 === 0,
+        concat(lit(" or ops-"), id, lit("@example.org"))).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" call +1-555-"),
+          lpad(pmod(id, lit(10000L)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" from 10."), pmod(id, lit(256L)).cast("string"),
+          // cast-truncate == // for the non-negative ids (< 2^52 exact)
+          lit("."), pmod((id / lit(7)).cast("long"), lit(256L)).cast("string"),
+          lit("."), pmod(id, lit(250L)).cast("string"))).otherwise(lit("")),
+      when(id % 7 === 0,
+        concat(lit(" ssn "), lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(id, lit(100L)).cast("string"), 2, "0"),
+          lit("-"), lpad(pmod(id, lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+
+  /** DuckDB twin of [[piiInject]] (expects `documents`' doc_id/text in
+    * scope). */
+  private val piiInjectSql: String =
+    """text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' or ops-' || CAST(doc_id AS VARCHAR) || '@example.org'
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                   || '.' || CAST(doc_id % 250 AS VARCHAR)
+              ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END"""
+
+  /** DuckDB twin of TF.scrubPii over expr `t`: the four-class redact
+    * chain in piiPatterns order (patterns are RE2-safe and quote-free,
+    * embedded verbatim). */
+  private def scrubSql(t: String): String =
+    TF.piiPatterns.foldLeft(t) { case (acc, (tag, p)) =>
+      s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+    }
+
+  /** DuckDB twin of one TF.pseudonymizePii substitution pass over expr
+    * `t`: distinct matches of `pattern`, (length, value)-ascending (the
+    * zero-padded length prefix makes one lexicographic list_sort realize
+    * the pair order), folded through literal replace with the keyed FNV
+    * tag. Matches are ASCII by pattern construction, so fnvSql's
+    * per-char ord IS the byte fold. */
+  private def pseudoSql(t: String, label: String, pattern: String): String =
+    s"""list_reduce(list_prepend($t,
+          list_transform(
+            list_sort(list_transform(
+              list_distinct(regexp_extract_all($t, '$pattern')),
+              m -> lpad(CAST(length(m) AS VARCHAR), 4, '0') || m)),
+            k -> k[5:])),
+        (acc, m) -> replace(acc, m,
+          '<$label:' || CAST(${fnvSql(s"'$piiKey|' || m")} AS VARCHAR) || '>'))"""
+
   /** DuckDB 3-gram shingle list mirroring TextFunctions.shingles. */
   private val sqlShingles =
     s"""CASE WHEN len($sqlToks) < 3 THEN [array_to_string($sqlToks, ' ')]
@@ -639,6 +711,49 @@ object NorthStar {
         .select(col("doc_id"),
           coalesce(col("mr"), lit(false)).as("matched_raw"),
           coalesce(col("mn"), lit(false)).as("matched_norm"))
+    }),
+
+    // scrub → dedup interaction witness (d18's normalization-leak
+    // measurement extended to the PII stage): volatile per-crawl PII —
+    // session emails, visitor IPs — is exactly the content that SPLITS
+    // re-crawl dup clusters, because two captures of the same page differ
+    // only in those spans. Setup: mod-2 docs in the canonical crawl carry
+    // crawl-derived PII (address + IP whose VALUES depend on a crawl
+    // salt); a deterministic re-crawl of every doc arrives under shifted
+    // ids with the same underlying text but fresh salt (different
+    // address/IP). Fingerprint-dedup runs twice — raw text leaks every
+    // PII-carrying re-crawl (values differ ⇒ fingerprints differ), while
+    // the SCRUBBED fingerprint (TF.scrubPii's blind tags; the
+    // pseudonymized form would NOT work — keyed tags preserve the value
+    // distinction by design) must recover all of them. Two map-only
+    // fingerprint projections + two broadcast-sized probes, as in d18.
+    "d25_scrub_dedup" -> ((s, dir) => {
+      def crawl(t: Column, id: Column, salt: Int): Column =
+        when(id % 2 === 0, concat(t,
+          lit(" sess s"), (id * 7 + lit(salt.toLong)).cast("string"),
+          lit("@example.com from 10."),
+          pmod(id + lit(salt.toLong), lit(256L)).cast("string"),
+          lit("."), pmod(id, lit(256L)).cast("string"),
+          lit("."), pmod(id + lit(salt.toLong), lit(250L)).cast("string")))
+          .otherwise(t)
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val canonical = base.select(col("doc_id"),
+        crawl(col("text"), col("doc_id"), 1).as("text"))
+      val recrawl = base.select((col("doc_id") + 300000L).as("doc_id"),
+        crawl(col("text"), col("doc_id"), 2).as("text"))
+      val fpRaw = canonical.select(
+        TF.fingerprint(col("text")).as("fp_raw")).distinct()
+      val fpScrub = canonical.select(
+        TF.fingerprint(TF.scrubPii(col("text"))).as("fp_scrub")).distinct()
+      recrawl
+        .select(col("doc_id"),
+          TF.fingerprint(col("text")).as("fp_raw"),
+          TF.fingerprint(TF.scrubPii(col("text"))).as("fp_scrub"))
+        .join(fpRaw.withColumn("mr", lit(true)), Seq("fp_raw"), "left")
+        .join(fpScrub.withColumn("ms", lit(true)), Seq("fp_scrub"), "left")
+        .select(col("doc_id"),
+          coalesce(col("mr"), lit(false)).as("matched_raw"),
+          coalesce(col("ms"), lit(false)).as("matched_scrubbed"))
     }),
 
     // per-SOURCE duplication profile: exact-dup verdicts (d01/d02
@@ -1715,6 +1830,48 @@ object NorthStar {
           lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text_pii"))
         .select(col("doc_id"), TF.redactPii(col("text_pii")).as("clean"))),
+
+    // the full PII stage a production corpus runs before dedup — t07's
+    // redaction widened to DETECTION (per-doc match counts for all four
+    // pattern classes) plus the four-class scrub. Same injection
+    // discipline as t07 (the corpus is word-salad with zero PII-shaped
+    // spans, so both engines deterministically plant a VARYING mix: one
+    // email always, a second email / phone / IPv4 / SSN-shaped ID on
+    // doc_id residue classes — varying counts are what make the oracle
+    // non-vacuous). Counts and scrub are codegen'd regex built-ins over
+    // the spread scan; the whole stage is map-only at any scale.
+    "t35_pii_audit" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          piiInject(col("text"), col("doc_id")).as("tp"))
+        .select(col("doc_id"),
+          TF.piiCount(col("tp"), TF.emailPattern).as("n_email"),
+          TF.piiCount(col("tp"), TF.phonePattern).as("n_phone"),
+          TF.piiCount(col("tp"), TF.ipv4Pattern).as("n_ip"),
+          TF.piiCount(col("tp"), TF.idPattern).as("n_id"),
+          TF.scrubPii(col("tp")).as("clean"))),
+
+    // keyed pseudonymization — the scrub variant that PRESERVES linkage:
+    // every email/phone is replaced by `<EMAIL:fnv64(key|value)>`, so
+    // equal identifiers collapse to equal tags across documents (mod-10
+    // docs share one planted address and keep a common tag; every
+    // doc-specific address stays distinct) while the raw value needs the
+    // key. Per-row literal fold over the match list in pinned
+    // (length, value) order — see TF.pseudonymizePii; FNV is the
+    // engine-replayable hash the oracle regenerates byte-for-byte.
+    "t36_pii_pseudonymize" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com"),
+            when(col("doc_id") % 10 === 0, lit(" cc audit@example.net"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" or +1-555-"),
+                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+              .otherwise(lit(""))).as("tp"))
+        .select(col("doc_id"),
+          TF.pseudonymizePii(col("tp"), piiKey).as("pseudo"))),
 
     // rare-term extraction (keyword/quality signal): global document
     // frequency per term, joined back and reduced to each document's 3
@@ -4458,6 +4615,31 @@ object NorthStar {
               '${TF.emailPattern}', '<EMAIL>', 'g'),
               '${TF.phonePattern}', '<PHONE>', 'g') AS clean
           FROM documents""",
+    // detection counts + the four-class scrub over the same injected text
+    "t35_pii_audit" ->
+      s"""WITH tp AS (SELECT doc_id, $piiInjectSql AS t FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '${TF.emailPattern}')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(t, '${TF.phonePattern}')) AS BIGINT) AS n_phone,
+                 CAST(len(regexp_extract_all(t, '${TF.ipv4Pattern}')) AS BIGINT) AS n_ip,
+                 CAST(len(regexp_extract_all(t, '${TF.idPattern}')) AS BIGINT) AS n_id,
+                 ${scrubSql("t")} AS clean
+          FROM tp""",
+    // staged CTEs: one pseudoSql pass per class, exactly the Spark-side
+    // sub(sub(text, EMAIL), PHONE) composition
+    "t36_pii_pseudonymize" ->
+      s"""WITH tp AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                || CASE WHEN doc_id % 10 = 0 THEN ' cc audit@example.net' ELSE '' END
+                || CASE WHEN doc_id % 3 = 0
+                        THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS t
+            FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", "EMAIL", TF.emailPattern)} AS t FROM tp)
+          SELECT doc_id,
+                 ${pseudoSql("t", "PHONE", TF.phonePattern)} AS pseudo
+          FROM p1""",
     "t08_rare_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term
                       FROM documents),
@@ -4598,6 +4780,37 @@ object NorthStar {
                  EXISTS (SELECT 1 FROM braw b WHERE b.fp = r.fp) AS matched_raw,
                  EXISTS (SELECT 1 FROM bnorm b WHERE b.fp = n.fp) AS matched_norm
           FROM rraw r JOIN rnorm n USING (doc_id)"""
+    },
+    // d18's two-fingerprint audit shape with the scrub stage in place of
+    // normalization: crawl(salt) plants salt-dependent session PII on
+    // mod-2 docs, the re-crawl replays it under salt 2 + shifted ids
+    "d25_scrub_dedup" -> {
+      def crawlSql(salt: Int): String =
+        s"""CASE WHEN doc_id % 2 = 0
+               THEN text || ' sess s' || CAST(doc_id * 7 + $salt AS VARCHAR)
+                    || '@example.com from 10.'
+                    || CAST((doc_id + $salt) % 256 AS VARCHAR)
+                    || '.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.' || CAST((doc_id + $salt) % 250 AS VARCHAR)
+               ELSE text END"""
+      s"""WITH canon AS (SELECT doc_id, ${crawlSql(1)} AS text FROM documents),
+          rc AS (SELECT doc_id + 300000 AS doc_id, ${crawlSql(2)} AS text
+                 FROM documents),
+          braw AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
+                   FROM canon),
+          cs AS (SELECT doc_id, ${scrubSql("text")} AS text FROM canon),
+          bscrub AS (SELECT DISTINCT md5(array_to_string($sqlToks, ' ')) AS fp
+                     FROM cs),
+          rraw AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
+                   FROM rc),
+          rs0 AS (SELECT doc_id, ${scrubSql("text")} AS text FROM rc),
+          rscrub AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp
+                     FROM rs0)
+          SELECT r.doc_id,
+                 EXISTS (SELECT 1 FROM braw b WHERE b.fp = r.fp) AS matched_raw,
+                 EXISTS (SELECT 1 FROM bscrub b WHERE b.fp = n.fp)
+                   AS matched_scrubbed
+          FROM rraw r JOIN rscrub n USING (doc_id)"""
     },
     // d01's md5 token fingerprint + min-doc_id survivor rule, rolled up
     // by source; the one double division at the end is fixed-shape

@@ -117,6 +117,76 @@ object TextFunctions {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** Remaining audit-tier PII patterns ([[scrubPii]] / NorthStar t35):
+    * IPv4 literals and SSN-shaped ID tokens. Same RE2-safe discipline as
+    * [[emailPattern]]. The four classes are mutually non-overlapping by
+    * construction — phones are dash-separated 1-3/3/4 digit groups, IDs
+    * 3/2/4 (no digit window satisfies both), IPs dot-separated, email
+    * TLDs are letters — so the detection counts are independent of
+    * evaluation order. */
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val idPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** The audit patterns in scrub order with their placeholder tags:
+    * emails first (digits inside an address must not half-match as a
+    * phone/IP), then phones, IPs, ID tokens. Tags carry no digits, dots,
+    * or dashes, so a replacement can never CREATE a later match. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "EMAIL" -> emailPattern, "PHONE" -> phonePattern,
+    "IP" -> ipv4Pattern, "ID" -> idPattern)
+
+  /** Per-pattern PII match count — the detection side of the audit
+    * (what a corpus datasheet reports before scrubbing). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Four-class redaction: [[redactPii]] extended with IP/ID tags, in
+    * [[piiPatterns]] order. Still a chain of codegen'd `regexp_replace`
+    * — map-only at any scale. Dedup MUST fingerprint THIS form, not
+    * [[pseudonymizePii]]'s (blind tags collapse volatile per-crawl PII;
+    * keyed tags preserve value distinctions by design — see the
+    * d25_scrub_dedup witness). */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (tag, p)) =>
+      regexp_replace(t, p, s"<$tag>")
+    }
+
+  /**
+   * Keyed pseudonymization: each email/phone match is replaced by a
+   * stable tag `<EMAIL:n>` / `<PHONE:n>` where n is the unsigned decimal
+   * FNV-1a-64 of `key || '|' || match`. Unlike [[scrubPii]]'s blind
+   * placeholders, equal identifiers map to equal tags ACROSS documents —
+   * linkage (who-talks-to-whom, address frequency) survives scrubbing —
+   * while the raw value is unrecoverable without the key.
+   *
+   * Per row: extract the distinct matches, order them canonically
+   * ((length, value) ascending — replacement is a literal fold, so
+   * matches in substring relation would make the fold order observable;
+   * pinning it keeps the result deterministic and oracle-reproducible),
+   * then fold `replace` over the row's own text. Built-ins plus the
+   * codegen'd FnvChecksum expression only; per-row cost is
+   * O(matches × length) with matches-per-document small, and nothing
+   * shuffles. Tags are digits-only between ':' and '>', so a
+   * replacement can never create a new email/phone match.
+   */
+  def pseudonymizePii(text: Column, key: String): Column = {
+    def tag(label: String, m: Column): Column =
+      concat(lit(s"<$label:"),
+        conv(hex(Hashing.fnvChecksum(
+          concat(lit(key + "|"), m).cast("binary"))), 16, 10),
+        lit(">"))
+    def sub(t: Column, label: String, pattern: String): Column = {
+      val ms = array_sort(
+        array_distinct(regexp_extract_all(t, lit(pattern), lit(0))),
+        (l, r) => when(length(l) < length(r), -1)
+          .when(length(l) > length(r), 1)
+          .when(l < r, -1).when(l > r, 1).otherwise(0))
+      aggregate(ms, t, (acc, m) =>
+        call_function("replace", acc, m, tag(label, m)))
+    }
+    sub(sub(text, "EMAIL", emailPattern), "PHONE", phonePattern)
+  }
+
   /**
    * Word n-gram shingles (distinct) from a pre-tokenized array column —
    * the unit for Jaccard/MinHash. Documents shorter than n tokens

@@ -13,6 +13,10 @@ import graft.operators.Dedup
  * stage is individually oracle-verified as a harness query; this driver
  * chains them):
  *
+ *   0. PII scrub               (t35's four-class redaction — BEFORE any
+ *                               fingerprinting, so volatile per-crawl PII
+ *                               cannot split dup clusters: the d25
+ *                               witness)
  *   1. quality filter          (t06's keep rules)
  *   2. exact dedup             (d02: min-doc_id survivor per fingerprint)
  *   3. near-dup dedup          (d03 pairs → d06 clusters → d07 keep rule:
@@ -67,13 +71,23 @@ object CorpusPipeline {
       out
     }
 
+    // 0. PII scrub — a map-only text REWRITE (docs_in == docs_out; the
+    // stats row records it ran, not a drop). Placed before any
+    // fingerprint/shingle projection on purpose: volatile per-crawl PII
+    // (session addresses, visitor IPs) differs between captures of the
+    // same page, so raw-text dedup would leak every such re-crawl —
+    // d25_scrub_dedup measures exactly that split. Downstream stages
+    // never see raw PII, so no identifier can reach the released corpus.
+    val scrubbed = stage("pii_scrub",
+      docs.withColumn("text", TF.scrubPii(col("text"))))
+
     // 1. quality filter — per-row expressions only
     val quality = {
-      val q = docs.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+      val q = scrubbed.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
         .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
           col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
         .select(col("doc_id"))
-      stage("quality_filter", docs.join(q, Seq("doc_id"), "left_semi"))
+      stage("quality_filter", scrubbed.join(q, Seq("doc_id"), "left_semi"))
     }
 
     // 2. exact dedup — keep the min doc_id per content fingerprint
@@ -112,7 +126,9 @@ object CorpusPipeline {
     val clean = {
       val sh = nearDup.select(col("doc_id"), col("source"),
         explode(graft.functions.Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
-      val evalSet = docs.filter(col("source") === evalSource)
+      // eval shingles come from the SCRUBBED text too — both sides of the
+      // contamination compare must live in the same text space
+      val evalSet = scrubbed.filter(col("source") === evalSource)
         .select(explode(graft.functions.Hashing.shingleHashSet(
           TF.tokens(col("text")), 5)).as("s")).distinct()
       val contaminated = sh.filter(col("source") =!= evalSource)

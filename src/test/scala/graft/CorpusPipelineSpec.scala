@@ -18,9 +18,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
   test("stages run in order and only ever shrink the corpus") {
     val st = result.stats
-    assert(st.map(_.stage) == Seq("quality_filter", "exact_dedup",
-      "neardup_dedup", "decontaminate"))
+    assert(st.map(_.stage) == Seq("pii_scrub", "quality_filter",
+      "exact_dedup", "neardup_dedup", "decontaminate"))
     st.foreach(s => assert(s.docs_out <= s.docs_in, s.toString))
+    assert(st.head.docs_out == st.head.docs_in,
+      "pii_scrub is a rewrite, never a drop")
     // chaining: each stage's input is the previous stage's output
     st.sliding(2).foreach {
       case Seq(a, b) => assert(b.docs_in == a.docs_out)

