@@ -413,6 +413,7 @@ object ScaleDryRun {
       case "wave6" => wave6Mode(spark, srcDir, factor, workDir)
       case "wave7" => wave7Mode(spark, srcDir, factor, workDir)
       case "wave8" => wave8Mode(spark, srcDir, factor, workDir)
+      case "wave9" => wave9Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -437,6 +438,35 @@ object ScaleDryRun {
         "m08_audio_segments", "m09_image_neardup", "m10_video_neardup",
         "d17_bloom_gate", "d18_normalized_dedup",
         "e14_diverse_sample", "e15_quant_error", "s15_maxsim_rerank"))
+  }
+
+  /** PII-wave scale posture (round 13): t35/t36 are map-only — counts,
+    * scrub chains, and the per-row pseudonymization fold all ride the
+    * docs() spread with zero further exchanges (plan-audited), so wall
+    * should track corpus size linearly and shuffle stays at the spread.
+    * d25's only additional shuffles are the two distinct-fingerprint
+    * probes, whose rows are fixed-width md5s regardless of text size. */
+  private def wave9Mode(spark: SparkSession, srcDir: String, factor: Int,
+                        workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    // NOT measureOps/count(): count() over these map-only projections
+    // prunes every text column and the regex/fold kernels never run
+    // (the round-11 g02 lesson — first wave9 draft measured 2.8 MiB of
+    // shuffle for a 505k-doc corpus, i.e. a doc_id-only spread). The
+    // noop sink evaluates every output column.
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | operator | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir));
+         op <- Seq("t35_pii_audit", "t36_pii_pseudonymize", "d25_scrub_dedup")) {
+      val df = SparkEntry.queries(op)(spark, dir)
+      val (_, t, sb) = meter.measure(
+        df.write.mode("overwrite").format("noop").save())
+      val rows = df.count()
+      println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+    }
   }
 
   /** Shared 1x-vs-factor-x measurement loop for the wave modes: each op
