@@ -103,6 +103,69 @@ class PiiSpec extends AnyFunSuite {
     assert(p == p2)
   }
 
+  test("law: on random corpora with random planted PII, per-class counts " +
+       "equal the planted counts, scrub recall is 1.0, and pseudonymize " +
+       "tags one-for-one") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // PII-free filler: letters only (cannot match any class — every
+    // pattern needs a digit or '@')
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val digits = (n: Int) => Gen.listOfN(n, Gen.numChar).map(_.mkString)
+    // letters-only local/domain keeps a planted email from EMBEDDING a
+    // phone/id-shaped digit run (the cross-class count hazard); the
+    // patterns themselves are pairwise disjoint (TextFunctions doc)
+    val email = for {
+      l <- word; d <- word; t <- Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+    } yield s"$l@$d.${t.mkString}"
+    val phone = for {
+      p <- Gen.oneOf("", "+"); c <- Gen.chooseNum(1, 3).flatMap(digits)
+      m <- digits(3); s <- digits(4)
+    } yield s"$p$c-$m-$s"
+    val ip = Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString("."))
+    val idTok = for { a <- digits(3); b <- digits(2); c <- digits(4) }
+      yield s"$a-$b-$c"
+    val token: Gen[(String, String)] = Gen.frequency(
+      6 -> word.map(("w", _)), 1 -> email.map(("EMAIL", _)),
+      1 -> phone.map(("PHONE", _)), 1 -> ip.map(("IP", _)),
+      1 -> idTok.map(("ID", _)))
+    val doc = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, token))
+    val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
+
+    val prop = Prop.forAll(corpus) { ds =>
+      val rows = ds.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.map(_._2).mkString(" "),
+          toks.count(_._1 == "EMAIL").toLong, toks.count(_._1 == "PHONE").toLong,
+          toks.count(_._1 == "IP").toLong, toks.count(_._1 == "ID").toLong)
+      }
+      val df = rows.toDF("doc_id", "text", "e", "p", "i", "d")
+      val got = df.select(col("doc_id"),
+        TF.piiCount(col("text"), TF.emailPattern).as("ge"),
+        TF.piiCount(col("text"), TF.phonePattern).as("gp"),
+        TF.piiCount(col("text"), TF.ipv4Pattern).as("gi"),
+        TF.piiCount(col("text"), TF.idPattern).as("gd"),
+        TF.scrubPii(col("text")).as("clean"),
+        TF.pseudonymizePii(col("text"), "law-key").as("pseudo"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getString(5), r.getString(6))).toMap
+      rows.forall { case (id, _, e, p, i, d) =>
+        val (ge, gp, gi, gd, clean, pseudo) = got(id)
+        // counts == planted (the disjointness the patterns guarantee)
+        (ge, gp, gi, gd) == ((e, p, i, d)) &&
+          // scrub recall 1.0 on every class
+          TF.piiPatterns.forall { case (_, pat) =>
+            !pat.r.findFirstIn(clean).isDefined } &&
+          // pseudonymize: one tag per planted occurrence, zero raw survivors
+          "<EMAIL:[0-9]+>".r.findAllIn(pseudo).size == e &&
+          "<PHONE:[0-9]+>".r.findAllIn(pseudo).size == p &&
+          TF.emailPattern.r.findFirstIn(pseudo).isEmpty &&
+          TF.phonePattern.r.findFirstIn(pseudo).isEmpty
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("pipeline: planted PII never reaches the released corpus, and the " +
        "scrub stage rescues a volatile-PII re-crawl from dup leakage") {
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
