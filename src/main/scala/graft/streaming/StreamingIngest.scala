@@ -132,6 +132,91 @@ object StreamingIngest {
     } finally arrivals.unpersist()
   }
 
+  /**
+   * Streaming scrubbed-ingest gate — CorpusPipeline's stage 0 (PII
+   * scrub) + stage 2's exact dedup enforced at the ingest boundary:
+   * each arriving document (doc_id, text; one row per doc_id per batch,
+   * the same upstream contract as [[startSnapshotDiff]]) is scrubbed
+   * with TF.scrubPii BEFORE anything is fingerprinted or stored, then
+   * fingerprinted ON THE SCRUBBED TEXT and admitted only if that
+   * fingerprint is new — vs the store AND vs earlier arrivals in the
+   * same batch (min doc_id survives, d02's rule). Fingerprinting the
+   * scrubbed form is load-bearing, not cosmetic: volatile per-crawl PII
+   * (session addresses, visitor IPs) differs between captures of the
+   * same page, so a raw-text gate re-admits every such re-crawl —
+   * d25_scrub_dedup measures a 50% leak on the harness corpus. No raw
+   * text ever touches disk.
+   *
+   * Store/idempotence follow the snapshot-diff protocol: rows are
+   * (doc_id, text[scrubbed], fp) under `_batch_id=` partitions; a
+   * replay recomputes against the store EXCLUDING its own partition
+   * (partition-pruned read) and replaces it via dynamic overwrite.
+   * Shuffle discipline at corpus scale: the store-side probe joins the
+   * store's fp column against a BROADCAST of the batch's fingerprints
+   * (map-side semi-join — the corpus never shuffles toward the batch;
+   * d17's bloom gate is the drop-in prefilter when even the probe scan
+   * needs thinning), the in-batch survivor choice moves (fp, doc_id)
+   * pairs only, and the scrubbed text is projected into the final
+   * write through a broadcast semi-join back onto the batch — text
+   * never crosses a shuffle.
+   */
+  def startScrubbedIngest(docs: DataFrame, storePath: String,
+                          checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scrubbedIngestBatch(batch, storePath, batchId)
+      }
+      .start()
+
+  /** The per-batch scrub-and-gate behind [[startScrubbedIngest]],
+    * exposed for direct unit testing (incl. true replays). */
+  private[graft] def scrubbedIngestBatch(batch: DataFrame, storePath: String,
+                                         batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import graft.functions.{TextFunctions => TF}
+    val scrubbed = batch
+      .withColumn("text", TF.scrubPii(col("text")))
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .persist()
+    try {
+      if (scrubbed.count() == 0) return
+      // in-batch survivor: min doc_id per scrubbed fingerprint
+      val keep = scrubbed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val storeExists = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(storePath))
+      val admitted =
+        if (!storeExists) keep
+        else {
+          // store-side probe: corpus fps scan map-side against the
+          // broadcast batch fp set; `hits` is batch-bounded
+          val hits = spark.read.parquet(storePath)
+            .filter(col("_batch_id") =!= batchId) // replay: own partition out
+            .select(col("fp"))
+            .join(broadcast(keep.select(col("fp"))), Seq("fp"), "left_semi")
+            .distinct()
+          keep.join(broadcast(hits), Seq("fp"), "left_anti")
+        }
+      val rows = scrubbed
+        .join(broadcast(admitted.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      // an empty write on a fresh path would leave a schemaless dir that
+      // wedges every later read — same contract as the vector gate
+      if (rows.count() == 0) return
+      rows.withColumn("_batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(storePath)
+    } finally scrubbed.unpersist()
+  }
+
+  /** The admitted corpus: (doc_id, text[scrubbed], fp, _batch_id). */
+  def scrubbedCorpus(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .select(col("doc_id"), col("text"), col("fp"), col("_batch_id"))
+
   /** Latest event per doc_id (highest _batch_id wins; docs are unique
     * within a batch by construction), removals filtered — the current
     * corpus digest table. */

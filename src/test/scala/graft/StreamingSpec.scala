@@ -390,6 +390,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "housekeeping moved the view")
   }
 
+  test("scrubbed ingest gate: PII-variant re-crawls dedupe on the scrubbed " +
+       "fingerprint, no raw PII lands, in-batch dups collapse, replay " +
+       "replaces itself") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    val root = Files.createTempDirectory("graft_scrub_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    def drain(): Unit = {
+      val q = StreamingIngest.startScrubbedIngest(
+        spark.readStream.schema(schema).json(landing), store, ckpt)
+      q.awaitTermination()
+    }
+    // batch 0: doc 1 carries a session email; docs 2 and 3 are content
+    // dups of each other (min id 2 must survive)
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      ("""{"doc_id":1,"text":"alpha beta sess s1@example.com"}""" + "\n" +
+       """{"doc_id":2,"text":"gamma delta"}""" + "\n" +
+       """{"doc_id":3,"text":"gamma delta"}""").getBytes("UTF-8"))
+    drain()
+    val s1 = StreamingIngest.scrubbedCorpus(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(s1.keySet == Set(1L, 2L), s"in-batch dup must collapse: $s1")
+    assert(s1(1L) == "alpha beta sess <EMAIL>", "raw PII must never land")
+    // batch 1: doc 11 is a RE-CRAWL of doc 1 with a different session
+    // email (raw fingerprints differ; scrubbed ones match — the d25
+    // leak this gate exists to close); doc 12 is genuinely new
+    Files.write(java.nio.file.Paths.get(s"$landing/p2.json"),
+      ("""{"doc_id":11,"text":"alpha beta sess s2@example.com"}""" + "\n" +
+       """{"doc_id":12,"text":"epsilon zeta"}""").getBytes("UTF-8"))
+    drain()
+    val s2 = StreamingIngest.scrubbedCorpus(spark, store).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    assert(s2 == Set(1L, 2L, 12L),
+      s"PII-variant re-crawl must be rejected, new content admitted: $s2")
+    // true replay of batch 1 (same data, same batch id): the store's own
+    // partition is excluded from the probe and then replaced — identical
+    val before = StreamingIngest.scrubbedCorpus(spark, store).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[Long]("_batch_id"))).toSet
+    StreamingIngest.scrubbedIngestBatch(
+      spark.read.schema(schema).json(s"$landing/p2.json"), store, 1L)
+    val after = StreamingIngest.scrubbedCorpus(spark, store).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[Long]("_batch_id"))).toSet
+    assert(after == before, "replay must replace, not duplicate or drift")
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
