@@ -44,6 +44,14 @@ object BenchGuard {
             base: Map[String, Double], budget: Double): Seq[String] = {
     val missing = base.keySet.diff(run.keySet).toSeq.sorted
       .map(q => s"MISSING from run: $q")
+    // a negative run value is Bench's "measurement invalid" sentinel
+    // (query crashed, or a non-finite timing was clamped) — without
+    // this arm it would silently PASS and even lower the run total,
+    // turning a broken measurement into "BenchGuard: OK" (every query
+    // is gated, new ones included: an invalid measurement is invalid
+    // regardless of baseline membership)
+    val invalid = run.toSeq.filter(_._2 < 0).map(_._1).sorted
+      .map(q => s"INVALID measurement (negative sentinel): $q")
     val regressed = base.toSeq.sortBy(_._1).flatMap { case (q, b) =>
       run.get(q).filter(r => r > math.max(2.0 * b, b + 0.5)).map { r =>
         // a zero baseline entry degenerates the 2× arm to the +0.5 s
@@ -54,7 +62,7 @@ object BenchGuard {
     }
     val over = if (runTotal > budget)
       Seq(f"OVER BUDGET: $runTotal%.1f s > $budget%.0f s") else Nil
-    missing ++ regressed ++ over
+    missing ++ invalid ++ regressed ++ over
   }
 
   def load(p: String): (Double, Map[String, Double]) = {

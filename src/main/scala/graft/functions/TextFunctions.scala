@@ -119,11 +119,19 @@ object TextFunctions {
 
   /** Remaining audit-tier PII patterns ([[scrubPii]] / NorthStar t35):
     * IPv4 literals and SSN-shaped ID tokens. Same RE2-safe discipline as
-    * [[emailPattern]]. The four classes are mutually non-overlapping by
-    * construction — phones are dash-separated 1-3/3/4 digit groups, IDs
-    * 3/2/4 (no digit window satisfies both), IPs dot-separated, email
-    * TLDs are letters — so the detection counts are independent of
-    * evaluation order. */
+    * [[emailPattern]]. For identifiers standing as their own tokens the
+    * four classes are mutually non-overlapping — phones are
+    * dash-separated 1-3/3/4 digit groups, IDs 3/2/4 (no digit window
+    * satisfies both), IPs dot-separated, email TLDs are letters — so
+    * token-level detection counts are independent of evaluation order.
+    * The one overlap that EXISTS: [[emailPattern]]'s local part admits
+    * digits/dots/dashes, so a phone- or IP-shaped span EMBEDDED in an
+    * email address (`+1-555-0100@x.com`, `10.0.0.1@x.com`) counts in
+    * both classes under raw-text [[piiCount]] — a datasheet built from
+    * the counts over-reports those classes by the embedded cases.
+    * [[scrubPii]]/[[pseudonymizePii]] are unaffected (the email pass
+    * runs first and consumes the whole address), and both engines count
+    * identically either way (the oracle contract). */
   val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
   val idPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 

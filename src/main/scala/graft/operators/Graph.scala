@@ -371,10 +371,17 @@ object Graph {
       // than a wave (one empty-probe, no extra round)
       converged = cur.filter(col("d") < k).isEmpty
     }
-    require(converged, {
+    if (!converged) {
+      // free the working checkpoints BEFORE raising: a caller that
+      // catches and retries with a larger maxIter must not accumulate
+      // leaked blocks (base + edge view + any in-batch waves)
       val left = cur.agg(sum(col("d"))).head.getLong(0) / 2
-      s"kCore: no fixpoint after $maxIter rounds ($left edges left)"
-    })
+      freeWaves()
+      graft.Checkpoints.free(base)
+      graft.Checkpoints.free(ex)
+      throw new IllegalArgumentException(
+        s"requirement failed: kCore: no fixpoint after $maxIter rounds ($left edges left)")
+    }
     val res =
       if (sinceCkpt > 0) {
         val ck = graft.Checkpoints.tracked(cur)

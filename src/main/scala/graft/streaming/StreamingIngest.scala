@@ -153,12 +153,22 @@ object StreamingIngest {
    * (partition-pruned read) and replaces it via dynamic overwrite.
    * Shuffle discipline at corpus scale: the store-side probe joins the
    * store's fp column against a BROADCAST of the batch's fingerprints
-   * (map-side semi-join — the corpus never shuffles toward the batch;
+   * (map-side semi-join — the CORPUS never shuffles toward the batch;
    * d17's bloom gate is the drop-in prefilter when even the probe scan
    * needs thinning), the in-batch survivor choice moves (fp, doc_id)
    * pairs only, and the scrubbed text is projected into the final
-   * write through a broadcast semi-join back onto the batch — text
-   * never crosses a shuffle.
+   * write through a broadcast semi-join back onto the batch. The only
+   * text that moves is BATCH text, once, through the per-batch
+   * one-version-per-doc reduction.
+   *
+   * Contract: micro-batches must be trigger-bounded — every broadcast
+   * here (batch fp set, hit set, admitted set) is batch-sized by
+   * construction, so a backfill over a pre-populated landing directory
+   * must cap the first batch (`maxFilesPerTrigger`/`maxBytesPerTrigger`
+   * on the source); an unbounded "all history as batch 0" run would
+   * push the batch-sized sets past broadcast limits. Bounded triggers
+   * are how a production gate runs anyway — the cap is the knob that
+   * keeps replay cost and store partition sizes flat.
    */
   def startScrubbedIngest(docs: DataFrame, storePath: String,
                           checkpointDir: String): StreamingQuery =
@@ -176,9 +186,16 @@ object StreamingIngest {
                                          batchId: Long): Unit = {
     val spark = batch.sparkSession
     import graft.functions.{TextFunctions => TF}
+    // one version per doc per batch (same defense as snapshotDiffBatch:
+    // a doc re-emitted across two files of one AvailableNow trigger must
+    // not land twice) — max (fp, text) struct is deterministic under any
+    // partitioning, and fp is the text's md5 so the pair is consistent
     val scrubbed = batch
       .withColumn("text", TF.scrubPii(col("text")))
       .withColumn("fp", TF.fingerprint(col("text")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("fp"), col("text"))).as("m"))
+      .select(col("doc_id"), col("m.text").as("text"), col("m.fp").as("fp"))
       .persist()
     try {
       if (scrubbed.count() == 0) return

@@ -79,6 +79,15 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(nf.get("queries").get("d09").asDouble() == -1.0)
     assert(nf.get("queries").get("t01").asDouble() == 1.5)
     assert(nf.get("value").asDouble() == -1.0) // NaN-poisoned sum clamps too
+    // ...and the GATE rejects the sentinel rather than silently passing
+    // it (a clamped -1 lowers the total, so without this arm a broken
+    // measurement reads as a speedup); new-query sentinels flag too
+    val base = Map("q01" -> 0.5, "d09" -> 2.0)
+    val inv = BenchGuard.check(1.5, Map("q01" -> -1.0, "d09" -> 2.0, "x99" -> -1.0),
+      base, 130.0)
+    assert(inv.exists(_.contains("INVALID measurement (negative sentinel): q01")))
+    assert(inv.exists(_.contains("INVALID measurement (negative sentinel): x99")))
+    assert(BenchGuard.check(2.5, Map("q01" -> 0.5, "d09" -> 2.0), base, 130.0).isEmpty)
   }
 
   test("the committed baseline parses and covers the full query surface") {
