@@ -177,7 +177,10 @@ object TextFunctions {
    * shuffles. Tags are digits-only between ':' and '>', so a
    * replacement can never create a new email/phone match.
    */
-  def pseudonymizePii(text: Column, key: String): Column = {
+  def pseudonymizePii(text: Column, key: String,
+                      classes: Seq[(String, String)] =
+                        Seq("EMAIL" -> emailPattern,
+                            "PHONE" -> phonePattern)): Column = {
     def tag(label: String, m: Column): Column =
       concat(lit(s"<$label:"),
         conv(hex(Hashing.fnvChecksum(
@@ -192,7 +195,12 @@ object TextFunctions {
       aggregate(ms, t, (acc, m) =>
         call_function("replace", acc, m, tag(label, m)))
     }
-    sub(sub(text, "EMAIL", emailPattern), "PHONE", phonePattern)
+    // default = the linkable identifiers (emails/phones — t36's oracle
+    // contract); pass piiPatterns to pseudonymize all four classes
+    // (telemetry pipelines keying on visitor IPs). Class order matters
+    // the same way scrub order does: emails first, so a phone/IP span
+    // embedded in a local part is consumed by the email's tag.
+    classes.foldLeft(text) { case (t, (label, p)) => sub(t, label, p) }
   }
 
   /**

@@ -76,6 +76,28 @@ class PiiSpec extends AnyFunSuite {
     assert(phoneTag(ps(1L)) == phoneTag(ps(5L)))
   }
 
+  test("pseudonymization generalizes to all four classes: IPs and IDs " +
+       "link under keyed tags when passed the full pattern set") {
+    val ps = planted.select(col("doc_id"),
+      TF.pseudonymizePii(col("text"), "k1", TF.piiPatterns).as("p"))
+      .as[(Long, String)].collect().toMap
+    // doc 1 carries one of each class — all four tagged, nothing raw
+    assert("<EMAIL:[0-9]+>".r.findAllIn(ps(1L)).size == 1)
+    assert("<PHONE:[0-9]+>".r.findAllIn(ps(1L)).size == 1)
+    assert("<IP:[0-9]+>".r.findAllIn(ps(1L)).size == 1)
+    assert("<ID:[0-9]+>".r.findAllIn(ps(1L)).size == 1)
+    TF.piiPatterns.foreach { case (_, pat) =>
+      assert(pat.r.findFirstIn(ps(1L)).isEmpty, s"raw $pat survived") }
+    // doc 3's duplicated address still collapses to one tag value, and
+    // its IP gets its own class tag
+    assert("<IP:[0-9]+>".r.findAllIn(ps(3L)).size == 1)
+    // default two-class behavior is unchanged (t36's oracle contract)
+    val dflt = planted.filter(col("doc_id") === 1)
+      .select(TF.pseudonymizePii(col("text"), "k1")).head.getString(0)
+    assert(dflt.contains("10.0.0.1") && dflt.contains("123-45-6789"),
+      "default classes must remain EMAIL/PHONE only")
+  }
+
   test("pseudonymization is KEYED: a different key moves every tag") {
     val a = planted.filter(col("doc_id") === 1)
       .select(TF.pseudonymizePii(col("text"), "k1")).head.getString(0)
