@@ -414,6 +414,7 @@ object ScaleDryRun {
       case "wave7" => wave7Mode(spark, srcDir, factor, workDir)
       case "wave8" => wave8Mode(spark, srcDir, factor, workDir)
       case "wave9" => wave9Mode(spark, srcDir, factor, workDir)
+      case "wave10" => wave10Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -466,6 +467,67 @@ object ScaleDryRun {
         df.write.mode("overwrite").format("noop").save())
       val rows = df.count()
       println(f"| $label | $op | $rows | $t%.1f | ${fmtBytes(sb)} |")
+    }
+  }
+
+  /** Streaming-gate scale posture (round 13): the scrubbed-ingest
+    * gate's PER-BATCH cost must be batch-sized as the STORE grows — the
+    * store-side probe scans corpus fingerprints map-side against the
+    * broadcast batch fp set, so batch shuffle bytes should stay flat
+    * while the store scales; only the (map-side, shuffle-free) probe
+    * scan grows. The study seeds a store from the factor-x corpus (one
+    * backfill batch — fine at study scale; production backfills are
+    * trigger-capped per the operator doc), then ingests a fixed
+    * 500-doc arrival batch: 250 re-crawls with fresh volatile session
+    * PII (must be REJECTED on the scrubbed fingerprint) and 250
+    * genuinely-new variants (admitted). */
+  private def wave10Mode(spark: SparkSession, srcDir: String, factor: Int,
+                         workDir: String): Unit = {
+    import graft.streaming.StreamingIngest
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    println("| store | arrivals | admitted | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, tag, dir) <- Seq((s"$srcDir (1x)", "1x", srcDir),
+                                  (s"${factor}x", s"${factor}x", synthDir))) {
+      val store = s"$workDir/scrub_store_$tag" // testdata dirs are read-only
+      // every capture carries crawl-salted volatile session PII (the d25
+      // shape) — salt 1 at seed time, salt 2 on the re-crawl, scrubbing
+      // both to the same "... sess <EMAIL>" form
+      def capture(docs: DataFrame, salt: Int): DataFrame =
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" sess s"),
+            (col("doc_id") * 7 + lit(salt.toLong)).cast("string"),
+            lit("@example.com")).as("text"))
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      StreamingIngest.scrubbedIngestBatch(capture(corpus, 1), store, 0L)
+      // fixed-size arrival batch regardless of store size: 250 re-crawls
+      // (same text, fresh session value, shifted ids — must be REJECTED
+      // on the scrubbed fingerprint) + 250 genuinely-new docs (admitted)
+      val base = corpus.orderBy(col("doc_id")).limit(500)
+      val arrivals = capture(base.limit(250), 2)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .unionByName(base.orderBy(col("doc_id").desc).limit(250)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat(col("text"), lit(" novel payload "),
+              col("doc_id")).as("text")))
+        .persist()
+      arrivals.count() // materialize the study input OUTSIDE the window:
+      // the global orderBy over the factor-x corpus is harness plumbing
+      // (a 2.6 MiB text exchange at 10x) and must not pollute the
+      // gate's per-batch measurement
+      val meter = new ShuffleMeter(spark)
+      val (_, t, sb) = meter.measure(
+        StreamingIngest.scrubbedIngestBatch(arrivals, store, 1L))
+      val admitted = spark.read.parquet(store)
+        .filter(col("_batch_id") === 1L).count()
+      arrivals.unpersist()
+      println(f"| $label | 500 | $admitted | $t%.1f | ${fmtBytes(sb)} |")
     }
   }
 
