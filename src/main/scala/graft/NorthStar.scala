@@ -126,7 +126,33 @@ object NorthStar {
         concat(lit(" ssn "), lpad(pmod(id, lit(1000L)).cast("string"), 3, "0"),
           lit("-"), lpad(pmod(id, lit(100L)).cast("string"), 2, "0"),
           lit("-"), lpad(pmod(id, lit(10000L)).cast("string"), 4, "0")))
-        .otherwise(lit("")))
+        .otherwise(lit("")),
+      when(id % 11 === 0,
+        concat(lit(" via 2001:db8::"),
+          lower(hex(pmod(id, lit(65536L)))))).otherwise(lit("")))
+
+  /** The t36/t37/t38 linkage injection: one per-doc email always, the
+    * SHARED audit address on mod-10 docs (the cross-doc linkage witness
+    * and t37's deletion target), a phone on mod-3. Mirrored literally by
+    * [[linkInjectSql]]. */
+  private def linkInjected(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com"),
+        when(col("doc_id") % 10 === 0, lit(" cc audit@example.net"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("tp"))
+
+  /** DuckDB twin of [[linkInjected]]. */
+  private val linkInjectSql: String =
+    """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      || CASE WHEN doc_id % 10 = 0 THEN ' cc audit@example.net' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END"""
 
   /** DuckDB twin of [[piiInject]] (expects `documents`' doc_id/text in
     * scope). */
@@ -147,31 +173,80 @@ object NorthStar {
               THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
                    || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN ' via 2001:db8::' || lower(to_hex(doc_id % 65536))
               ELSE '' END"""
 
-  /** DuckDB twin of TF.scrubPii over expr `t`: the four-class redact
-    * chain in piiPatterns order (patterns are RE2-safe and quote-free,
+  /** RE2 replacement string for one class: literal tag for group-0
+    * classes (EMAIL); `\1<TAG>\3` for guarded classes so the consumed
+    * lead/tail context chars are re-emitted (the Java-regex twin is
+    * `$1<TAG>$3` inside TF.scrubPii). */
+  private def duckRepl(c: TF.PiiClass): String =
+    if (c.group == 0) c.tag else s"\\1${c.tag}\\3"
+
+  /** One full scrub of one class over SQL expr `acc`: guarded classes
+    * run the two-pass form (pass 2 catches spans whose lead char the
+    * previous match's tail guard consumed — see TextFunctions). */
+  private def scrubClassSql(acc: String, c: TF.PiiClass): String = {
+    val once = s"regexp_replace($acc, '${c.pattern}', '${duckRepl(c)}', 'g')"
+    if (c.group == 0) once
+    else s"regexp_replace($once, '${c.pattern}', '${duckRepl(c)}', 'g')"
+  }
+
+  /** DuckDB twin of TF.scrubPii over expr `t`: the five-class redact
+    * chain in piiClasses order (patterns are RE2-safe and quote-free,
     * embedded verbatim). */
   private def scrubSql(t: String): String =
-    TF.piiPatterns.foldLeft(t) { case (acc, (tag, p)) =>
-      s"regexp_replace($acc, '$p', '<$tag>', 'g')"
+    TF.piiClasses.foldLeft(t)(scrubClassSql)
+
+  /** DuckDB twin of TF.piiCount over expr `t`: guarded classes add the
+    * second-pass extraction over the once-replaced text. */
+  private def countSql(t: String, c: TF.PiiClass): String =
+    if (c.group == 0)
+      s"CAST(len(regexp_extract_all($t, '${c.pattern}')) AS BIGINT)"
+    else {
+      val once = s"regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g')"
+      s"""CAST(len(regexp_extract_all($t, '${c.pattern}', ${c.group}))
+             + len(regexp_extract_all($once, '${c.pattern}', ${c.group})) AS BIGINT)"""
     }
 
-  /** DuckDB twin of one TF.pseudonymizePii substitution pass over expr
-    * `t`: distinct matches of `pattern`, (length, value)-ascending (the
-    * zero-padded length prefix makes one lexicographic list_sort realize
-    * the pair order), folded through literal replace with the keyed FNV
-    * tag. Matches are ASCII by pattern construction, so fnvSql's
-    * per-char ord IS the byte fold. */
-  private def pseudoSql(t: String, label: String, pattern: String): String =
+  /** The keyed FNV tag of match expr `m` for `label` — the t36/t37
+    * linkage tag the oracle re-derives from scratch. Matches are ASCII
+    * by pattern construction, so fnvSql's per-char ord IS the byte
+    * fold. */
+  private def fnvTagSql(label: String)(m: String): String =
+    s"'<$label:' || CAST(${fnvSql(s"'$piiKey|' || $m")} AS VARCHAR) || '>'"
+
+  /** The MAC tag of match expr `m`: first 32 hex chars of the nested
+    * digest sha256(key|sha256(key|m)) — TF.pseudonymizePiiMac's twin
+    * (both engines compose over lowercase hex strings). */
+  private def macTagSql(label: String)(m: String): String =
+    s"""'<$label#' || substr(sha256('$piiKey|' ||
+          sha256('$piiKey|' || $m)), 1, 32) || '>'"""
+
+  /** DuckDB twin of one TF.pseudonymizeWith substitution pass over expr
+    * `t`: the class's identifier values (pass-1 guarded matches plus the
+    * alternate-blocked survivors from the once-replaced text), distinct,
+    * (length, value)-ascending (the zero-padded length prefix makes one
+    * lexicographic list_sort realize the pair order), folded through
+    * literal replace with `tagSql(m)`. */
+  private def pseudoSql(t: String, c: TF.PiiClass,
+                        tagSql: String => String): String = {
+    val matches =
+      if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
+      else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
+               || regexp_extract_all(
+                    regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g'),
+                    '${c.pattern}', ${c.group})"""
     s"""list_reduce(list_prepend($t,
           list_transform(
             list_sort(list_transform(
-              list_distinct(regexp_extract_all($t, '$pattern')),
+              list_distinct($matches),
               m -> lpad(CAST(length(m) AS VARCHAR), 4, '0') || m)),
             k -> k[5:])),
-        (acc, m) -> replace(acc, m,
-          '<$label:' || CAST(${fnvSql(s"'$piiKey|' || m")} AS VARCHAR) || '>'))"""
+        (acc, m) -> replace(acc, m, ${tagSql("m")}))"""
+  }
 
   /** DuckDB 3-gram shingle list mirroring TextFunctions.shingles. */
   private val sqlShingles =
@@ -1832,24 +1907,24 @@ object NorthStar {
         .select(col("doc_id"), TF.redactPii(col("text_pii")).as("clean"))),
 
     // the full PII stage a production corpus runs before dedup — t07's
-    // redaction widened to DETECTION (per-doc match counts for all four
-    // pattern classes) plus the four-class scrub. Same injection
-    // discipline as t07 (the corpus is word-salad with zero PII-shaped
-    // spans, so both engines deterministically plant a VARYING mix: one
-    // email always, a second email / phone / IPv4 / SSN-shaped ID on
-    // doc_id residue classes — varying counts are what make the oracle
-    // non-vacuous). Counts and scrub are codegen'd regex built-ins over
-    // the spread scan; the whole stage is map-only at any scale.
+    // redaction widened to DETECTION (per-doc match counts for all five
+    // pattern classes, boundary-guarded and octet-bounded so version
+    // strings / ISBNs / number tables don't inflate the datasheet) plus
+    // the five-class scrub. Same injection discipline as t07 (the corpus
+    // is word-salad with zero PII-shaped spans, so both engines
+    // deterministically plant a VARYING mix: one email always, a second
+    // email / phone / IPv4 / SSN-shaped ID / IPv6 on doc_id residue
+    // classes — varying counts are what make the oracle non-vacuous).
+    // Counts and scrub are codegen'd regex built-ins over the spread
+    // scan; the whole stage is map-only at any scale.
     "t35_pii_audit" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
           piiInject(col("text"), col("doc_id")).as("tp"))
-        .select(col("doc_id"),
-          TF.piiCount(col("tp"), TF.emailPattern).as("n_email"),
-          TF.piiCount(col("tp"), TF.phonePattern).as("n_phone"),
-          TF.piiCount(col("tp"), TF.ipv4Pattern).as("n_ip"),
-          TF.piiCount(col("tp"), TF.idPattern).as("n_id"),
-          TF.scrubPii(col("tp")).as("clean"))),
+        .select(col("doc_id") +:
+          TF.piiClasses.map(c =>
+            TF.piiCount(col("tp"), c).as(s"n_${c.label.toLowerCase}")) :+
+          TF.scrubPii(col("tp")).as("clean"): _*)),
 
     // keyed pseudonymization — the scrub variant that PRESERVES linkage:
     // every email/phone is replaced by `<EMAIL:fnv64(key|value)>`, so
@@ -1860,18 +1935,40 @@ object NorthStar {
     // (length, value) order — see TF.pseudonymizePii; FNV is the
     // engine-replayable hash the oracle regenerates byte-for-byte.
     "t36_pii_pseudonymize" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"),
-          concat(col("text"),
-            lit(" contact user"), col("doc_id"), lit("@example.com"),
-            when(col("doc_id") % 10 === 0, lit(" cc audit@example.net"))
-              .otherwise(lit("")),
-            when(col("doc_id") % 3 === 0,
-              concat(lit(" or +1-555-"),
-                lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-              .otherwise(lit(""))).as("tp"))
+      linkInjected(docs(s, dir))
         .select(col("doc_id"),
           TF.pseudonymizePii(col("tp"), piiKey).as("pseudo"))),
+
+    // right-to-be-forgotten over the pseudonymized corpus — the GDPR
+    // deletion path t36's keyed tags exist to serve: given one
+    // identifier value (audit@example.net, the address every mod-10 doc
+    // shares), its tag is a DRIVER-COMPUTED constant (TF.pseudoTag ==
+    // fnv64(key|value), re-derived from scratch by the oracle), so
+    // locating every linked document is a map-only `contains` predicate
+    // on the scan — no join, no shuffle, nothing broadcast but one
+    // literal — and the re-scrub is a literal replace to an unlinkable
+    // placeholder. Every OTHER identifier's linkage tag survives
+    // untouched (the t37 pipeline law pins that).
+    "t37_rtbf_forget" -> ((s, dir) => {
+      val target = "audit@example.net"
+      linkInjected(docs(s, dir))
+        .select(col("doc_id"),
+          TF.pseudonymizePii(col("tp"), piiKey).as("pseudo"))
+        .filter(TF.linksTo(col("pseudo"), "EMAIL", piiKey, target))
+        .select(col("doc_id"),
+          TF.forgetValue(col("pseudo"), "EMAIL", piiKey, target).as("pseudo"))
+    }),
+
+    // MAC-grade pseudonymization — same linkage semantics as t36, tags
+    // from the nested digest sha256(key|sha256(key|value)) truncated to
+    // 128 bits: the release-grade variant whose tags resist dictionary
+    // attacks and hash-state recovery (the FNV tags' documented
+    // weakness). Both engines compose the digests over lowercase hex
+    // strings, so the oracle regenerates every tag byte-for-byte.
+    "t38_pii_mac" -> ((s, dir) =>
+      linkInjected(docs(s, dir))
+        .select(col("doc_id"),
+          TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo"))),
 
     // rare-term extraction (keyword/quality signal): global document
     // frequency per term, joined back and reduced to each document's 3
@@ -4608,37 +4705,53 @@ object NorthStar {
           FROM v""",
     "t07_pii_scrub" ->
       s"""SELECT doc_id,
-            regexp_replace(regexp_replace(
-              text || ' contact user' || CAST(doc_id AS VARCHAR)
+            ${TF.piiClasses.take(2).foldLeft(
+              """text || ' contact user' || CAST(doc_id AS VARCHAR)
                    || '@example.com or +1-555-'
-                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
-              '${TF.emailPattern}', '<EMAIL>', 'g'),
-              '${TF.phonePattern}', '<PHONE>', 'g') AS clean
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')""")(
+              scrubClassSql)} AS clean
           FROM documents""",
-    // detection counts + the four-class scrub over the same injected text
+    // detection counts + the five-class scrub over the same injected text
     "t35_pii_audit" ->
       s"""WITH tp AS (SELECT doc_id, $piiInjectSql AS t FROM documents)
           SELECT doc_id,
-                 CAST(len(regexp_extract_all(t, '${TF.emailPattern}')) AS BIGINT) AS n_email,
-                 CAST(len(regexp_extract_all(t, '${TF.phonePattern}')) AS BIGINT) AS n_phone,
-                 CAST(len(regexp_extract_all(t, '${TF.ipv4Pattern}')) AS BIGINT) AS n_ip,
-                 CAST(len(regexp_extract_all(t, '${TF.idPattern}')) AS BIGINT) AS n_id,
+                 ${TF.piiClasses.map(c =>
+                   countSql("t", c) + s" AS n_${c.label.toLowerCase}")
+                   .mkString(",\n                 ")},
                  ${scrubSql("t")} AS clean
           FROM tp""",
     // staged CTEs: one pseudoSql pass per class, exactly the Spark-side
     // sub(sub(text, EMAIL), PHONE) composition
     "t36_pii_pseudonymize" ->
-      s"""WITH tp AS (SELECT doc_id,
-              text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                || CASE WHEN doc_id % 10 = 0 THEN ' cc audit@example.net' ELSE '' END
-                || CASE WHEN doc_id % 3 = 0
-                        THEN ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                        ELSE '' END AS t
-            FROM documents),
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
           p1 AS (SELECT doc_id,
-                   ${pseudoSql("t", "EMAIL", TF.emailPattern)} AS t FROM tp)
+                   ${pseudoSql("t", TF.piiClasses(0), fnvTagSql("EMAIL"))} AS t
+                 FROM tp)
           SELECT doc_id,
-                 ${pseudoSql("t", "PHONE", TF.phonePattern)} AS pseudo
+                 ${pseudoSql("t", TF.piiClasses(1), fnvTagSql("PHONE"))} AS pseudo
+          FROM p1""",
+    // t36's pseudonymized corpus filtered to the one identifier's tag
+    // (re-derived from scratch: fnv64 over 'key|audit@example.net'),
+    // tag erased
+    "t37_rtbf_forget" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), fnvTagSql("EMAIL"))} AS t
+                 FROM tp),
+          q AS (SELECT doc_id,
+                  ${pseudoSql("t", TF.piiClasses(1), fnvTagSql("PHONE"))} AS pseudo
+                FROM p1),
+          tag AS (SELECT ${fnvTagSql("EMAIL")("'audit@example.net'")} AS tg)
+          SELECT doc_id, replace(pseudo, tg, '<FORGOTTEN>') AS pseudo
+          FROM q, tag WHERE contains(pseudo, tg)""",
+    // the MAC variant: same staged composition, nested-sha256 tags
+    "t38_pii_mac" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), macTagSql("EMAIL"))} AS t
+                 FROM tp)
+          SELECT doc_id,
+                 ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
           FROM p1""",
     "t08_rare_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term

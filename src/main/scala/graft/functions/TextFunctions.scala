@@ -99,64 +99,198 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Email/phone patterns for [[redactPii]], shared with the DuckDB oracle:
+  /** Email pattern for [[redactPii]], shared with the DuckDB oracle:
     * restricted to RE2-compatible character classes (no lookaround, no
     * backreferences) so the identical pattern string behaves the same
-    * under Java regex (Spark) and RE2 (DuckDB `regexp_replace(..., 'g')`). */
+    * under Java regex (Spark) and RE2 (DuckDB `regexp_replace(..., 'g')`).
+    * Unguarded (group 0 is the match): the mandatory `@` anchors the
+    * shape, the greedy local part absorbs its own left edge, and the
+    * letters-only TLD ends it. Known over-match: a phone/IP-shaped span
+    * EMBEDDED in a local part (`+1-555-0100@x.com`) still counts in both
+    * classes under raw-text [[piiCount]] — scrub is immune (the email
+    * pass runs first and consumes the whole address). */
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val phonePattern = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** Numeric-identifier patterns are BOUNDARY-GUARDED: a guarded pattern
+    * is `(lead)(core)(tail)` where the lead/tail groups pin a one-char
+    * context that cannot itself belong to (or extend) the identifier, so
+    * - a dotted/dashed/digit RUN never yields a sub-span match
+    *   (`1.2.3.4.5`, ISBNs, credit-card numbers, 16-digit runs),
+    * - letter-adjacent spans are rejected (`v10.2.3.4` version strings
+    *   no longer inflate t35 datasheets — the round-13 verdict's ask),
+    * - sentence-final identifiers still match (`see 10.0.0.1.` — the
+    *   tail alternation admits `.` + non-digit and `.` + end).
+    * Guards consume their context char, so scrub re-emits them
+    * (`$1<TAG>$3` / RE2 `\1<TAG>\3`) and counting extracts group 2.
+    * RE2-safe throughout: alternation + char classes only, no
+    * lookaround, identical semantics under Java regex and DuckDB RE2
+    * (probed match-for-match on both engines).
+    *
+    * One consequence of consuming guards: two same-class identifiers
+    * separated by a SINGLE char ("1.1.1.1 2.2.2.2") alternate-block
+    * within one scan — the first match eats the separator that the
+    * second needed as its lead. A second pass over the once-replaced
+    * text (tags re-emit the guard chars, so the survivor's lead is back)
+    * is exact: a blocked span always directly follows a replaced match,
+    * so pass-2 survivors are isolated. [[scrubPii]], [[piiCount]] and
+    * the pseudonymizers all run that two-pass form per guarded class. */
+  private val leadNum = "(^|[^0-9A-Za-z.+-])" // phone lead: +/-/. extend phones
+  private val leadDot = "(^|[^0-9A-Za-z.-])"  // ipv4/id lead: dot/dash runs
+  private val leadHex = "(^|[^0-9A-Za-z:.])"  // ipv6 lead: colon runs
+  private val tailNum = "([^0-9A-Za-z.-]|\\.[^0-9]|\\.$|$)"
+  private val tailHex = "([^0-9A-Za-z:.]|\\.[^0-9]|\\.$|$)"
+
+  /** Phone family (core, group 2 of [[phonePattern]]): parenthesized US
+    * (`(555) 010-0100`), +-prefixed with dash/dot/space separators
+    * (`+1 555 0100`), bare dash/dot-separated 1-3/3/4 (`1-555-0100`,
+    * `212.555.0100`), and E.164 without separators (`+15550100`, 7–15
+    * digits per ITU). Bare SPACE-separated triples (`12 345 6789`) are
+    * deliberately out: without a `+` or `(` anchor they are
+    * indistinguishable from number-table columns (the precision law
+    * plants exactly that confusable). */
+  private val phoneCore =
+    "\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}" +
+    "|\\+[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}" +
+    "|[0-9]{1,3}[-.][0-9]{3}[-.][0-9]{4}" +
+    "|\\+[0-9]{7,15}"
+  val phonePattern: String = leadNum + "((?:" + phoneCore + "))" + tailNum
+
+  /** IPv4 (core, group 2): four octet-bounded groups — 25x/2xx/1xx/0-99
+    * with optional leading zero (`192.168.001.255` still matches; `999`
+    * or `256` octets never do). Guarded, so dotted runs and
+    * letter/dash-adjacent quads (`v10.2.3.4`, `10.2.3.4-rc1`) are
+    * rejected; the dash exclusion trades away compact `a.b.c.d-e.f.g.h`
+    * range notation (spaced ranges still match both ends). */
+  private val ipv4Octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|0?[0-9]{1,2})"
+  private val ipv4Core = ipv4Octet + "(?:\\." + ipv4Octet + "){3}"
+  val ipv4Pattern: String = leadDot + "(" + ipv4Core + ")" + tailNum
+
+  /** IPv6 (core, group 2): the bounded hex-group alternation — full
+    * 8-group form plus every single-`::` compression with ≤7 groups
+    * total, including `::1`, `fe80::`, and `1::`. Bare `::` is
+    * deliberately excluded (C++ scope syntax), and the hex-or-colon lead
+    * guard kills `deadbeef::1` sub-spans and `ns::cafe`-style
+    * hex-word scopes. IPv4-mapped forms (`::ffff:1.2.3.4`) are not
+    * detected as IPv6 — the tail guard stops before the dotted part and
+    * the v4 tail then counts under IP (its lead guard accepts `:`). */
+  private val h16 = "[0-9A-Fa-f]{1,4}"
+  private val ipv6Core = Seq(
+    s"(?:$h16:){7}$h16",
+    s"(?:$h16:){6}:$h16",
+    s"(?:$h16:){5}(?::$h16){1,2}",
+    s"(?:$h16:){4}(?::$h16){1,3}",
+    s"(?:$h16:){3}(?::$h16){1,4}",
+    s"(?:$h16:){2}(?::$h16){1,5}",
+    s"(?:$h16:){1}(?::$h16){1,6}",
+    s"(?:$h16:){1,7}:",
+    s":(?::$h16){1,7}").mkString("|")
+  val ipv6Pattern: String = leadHex + "(" + ipv6Core + ")" + tailHex
+
+  /** SSN-shaped ID tokens, 3-2-4 dashed (core, group 2). */
+  private val idCore = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val idPattern: String = leadDot + "(" + idCore + ")" + tailNum
+
+  /** One detection class: placeholder label, full (guarded) pattern, and
+    * the group index that extracts the identifier itself (0 = the whole
+    * match is the identifier — EMAIL; 2 = the guarded core). */
+  final case class PiiClass(label: String, pattern: String, group: Int) {
+    def tag: String = s"<$label>"
+    /** Java-regex replacement that re-emits the consumed guard chars. */
+    private[functions] def sparkRepl(t: String): String =
+      if (group == 0) t else "$1" + t + "$3"
+  }
+
+  /** The audit classes in scrub order: emails first (digits inside an
+    * address must not half-match as a phone/IP), then phones, IPv6
+    * before IPv4 (colon forms carry no dots today, but a future
+    * v4-mapped form must meet the v6 pass first), then ID tokens. Tags
+    * carry no digits, dots, dashes, or colons, so a replacement can
+    * never CREATE a later match. */
+  val piiClasses: Seq[PiiClass] = Seq(
+    PiiClass("EMAIL", emailPattern, 0),
+    PiiClass("PHONE", phonePattern, 2),
+    PiiClass("IP6", ipv6Pattern, 2),
+    PiiClass("IP", ipv4Pattern, 2),
+    PiiClass("ID", idPattern, 2))
+
+  /** (label, pattern) view of [[piiClasses]] for raw-survivor regex
+    * sweeps (a guarded pattern finding nothing == no guarded match
+    * survives). */
+  val piiPatterns: Seq[(String, String)] = piiClasses.map(c => c.label -> c.pattern)
+
+  /** One scrub pass of one class (guards re-emitted). */
+  private def replaceOnce(t: Column, c: PiiClass, tag: String): Column =
+    regexp_replace(t, c.pattern, c.sparkRepl(tag))
+
+  /** Full scrub of one class: guarded classes run the two-pass form (see
+    * the guard note above — pass 2 catches the alternate-blocked spans). */
+  private def scrubClass(t: Column, c: PiiClass, tag: String): Column =
+    if (c.group == 0) replaceOnce(t, c, tag)
+    else replaceOnce(replaceOnce(t, c, tag), c, tag)
+
+  /** Per-class PII match count — the detection side of the audit (what a
+    * corpus datasheet reports before scrubbing). Exact under guard
+    * consumption: pass-1 matches plus the survivors a second extraction
+    * over the once-replaced text recovers. */
+  def piiCount(text: Column, c: PiiClass): Column = {
+    val first = size(regexp_extract_all(text, lit(c.pattern), lit(c.group)))
+    val n =
+      if (c.group == 0) first
+      else first + size(regexp_extract_all(
+        replaceOnce(text, c, c.tag), lit(c.pattern), lit(c.group)))
+    n.cast("long")
+  }
 
   /**
    * PII redaction for training corpora: emails then phone-shaped numbers
-   * replaced with stable placeholder tags (emails first, so digits inside
-   * an address can't be half-matched as a phone). Pure codegen'd
+   * replaced with stable placeholder tags. Pure codegen'd
    * `regexp_replace` — no UDF, no shuffle, linear scan per row.
    */
   def redactPii(text: Column): Column =
-    regexp_replace(
-      regexp_replace(text, emailPattern, "<EMAIL>"),
-      phonePattern, "<PHONE>")
+    piiClasses.filter(c => c.label == "EMAIL" || c.label == "PHONE")
+      .foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
 
-  /** Remaining audit-tier PII patterns ([[scrubPii]] / NorthStar t35):
-    * IPv4 literals and SSN-shaped ID tokens. Same RE2-safe discipline as
-    * [[emailPattern]]. For identifiers standing as their own tokens the
-    * four classes are mutually non-overlapping — phones are
-    * dash-separated 1-3/3/4 digit groups, IDs 3/2/4 (no digit window
-    * satisfies both), IPs dot-separated, email TLDs are letters — so
-    * token-level detection counts are independent of evaluation order.
-    * The one overlap that EXISTS: [[emailPattern]]'s local part admits
-    * digits/dots/dashes, so a phone- or IP-shaped span EMBEDDED in an
-    * email address (`+1-555-0100@x.com`, `10.0.0.1@x.com`) counts in
-    * both classes under raw-text [[piiCount]] — a datasheet built from
-    * the counts over-reports those classes by the embedded cases.
-    * [[scrubPii]]/[[pseudonymizePii]] are unaffected (the email pass
-    * runs first and consumes the whole address), and both engines count
-    * identically either way (the oracle contract). */
-  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  val idPattern = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-
-  /** The audit patterns in scrub order with their placeholder tags:
-    * emails first (digits inside an address must not half-match as a
-    * phone/IP), then phones, IPs, ID tokens. Tags carry no digits, dots,
-    * or dashes, so a replacement can never CREATE a later match. */
-  val piiPatterns: Seq[(String, String)] = Seq(
-    "EMAIL" -> emailPattern, "PHONE" -> phonePattern,
-    "IP" -> ipv4Pattern, "ID" -> idPattern)
-
-  /** Per-pattern PII match count — the detection side of the audit
-    * (what a corpus datasheet reports before scrubbing). */
-  def piiCount(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
-
-  /** Four-class redaction: [[redactPii]] extended with IP/ID tags, in
-    * [[piiPatterns]] order. Still a chain of codegen'd `regexp_replace`
-    * — map-only at any scale. Dedup MUST fingerprint THIS form, not
-    * [[pseudonymizePii]]'s (blind tags collapse volatile per-crawl PII;
-    * keyed tags preserve value distinctions by design — see the
-    * d25_scrub_dedup witness). */
+  /** Five-class redaction in [[piiClasses]] order. A chain of codegen'd
+    * `regexp_replace` — map-only at any scale. Dedup MUST fingerprint
+    * THIS form, not [[pseudonymizePii]]'s (blind tags collapse volatile
+    * per-crawl PII; keyed tags preserve value distinctions by design —
+    * see the d25_scrub_dedup witness). */
   def scrubPii(text: Column): Column =
-    piiPatterns.foldLeft(text) { case (t, (tag, p)) =>
-      regexp_replace(t, p, s"<$tag>")
+    piiClasses.foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
+
+  /** All of one class's identifier values in `t`: pass-1 guarded matches
+    * plus the alternate-blocked survivors recovered from the
+    * once-replaced text (see the guard note). */
+  private def classMatches(t: Column, c: PiiClass): Column = {
+    val pass1 = regexp_extract_all(t, lit(c.pattern), lit(c.group))
+    if (c.group == 0) pass1
+    else concat(pass1, regexp_extract_all(
+      replaceOnce(t, c, c.tag), lit(c.pattern), lit(c.group)))
+  }
+
+  /** The shared pseudonymization skeleton: per class, extract the
+    * distinct identifier values, order them canonically ((length, value)
+    * ascending — replacement is a literal fold, so matches in substring
+    * relation would make the fold order observable; pinning it keeps the
+    * result deterministic and oracle-reproducible), then fold `replace`
+    * over the row's own text with `tagOf(label, value)`. Built-ins plus
+    * codegen'd expressions only; per-row cost is O(matches × length)
+    * with matches-per-document small, and nothing shuffles. Class order
+    * matters the same way scrub order does: emails first, so a phone/IP
+    * span embedded in a local part is consumed by the email's tag.
+    * Because the fold replaces VALUES literally, an identifier value
+    * also occurring inside a longer unguarded run is rewritten there too
+    * — the conservative side for a privacy rewrite. */
+  private def pseudonymizeWith(text: Column, classes: Seq[PiiClass],
+                               tagOf: (String, Column) => Column): Column =
+    classes.foldLeft(text) { case (t, c) =>
+      val ms = array_sort(
+        array_distinct(classMatches(t, c)),
+        (l, r) => when(length(l) < length(r), -1)
+          .when(length(l) > length(r), 1)
+          .when(l < r, -1).when(l > r, 1).otherwise(0))
+      aggregate(ms, t, (acc, m) =>
+        call_function("replace", acc, m, tagOf(c.label, m)))
     }
 
   /**
@@ -164,44 +298,76 @@ object TextFunctions {
    * stable tag `<EMAIL:n>` / `<PHONE:n>` where n is the unsigned decimal
    * FNV-1a-64 of `key || '|' || match`. Unlike [[scrubPii]]'s blind
    * placeholders, equal identifiers map to equal tags ACROSS documents —
-   * linkage (who-talks-to-whom, address frequency) survives scrubbing —
-   * while the raw value is unrecoverable without the key.
+   * linkage (who-talks-to-whom, address frequency) survives scrubbing.
    *
-   * Per row: extract the distinct matches, order them canonically
-   * ((length, value) ascending — replacement is a literal fold, so
-   * matches in substring relation would make the fold order observable;
-   * pinning it keeps the result deterministic and oracle-reproducible),
-   * then fold `replace` over the row's own text. Built-ins plus the
-   * codegen'd FnvChecksum expression only; per-row cost is
-   * O(matches × length) with matches-per-document small, and nothing
-   * shuffles. Tags are digits-only between ':' and '>', so a
-   * replacement can never create a new email/phone match.
+   * SECURITY CONTRACT — this is deterministic NON-CRYPTOGRAPHIC linkage
+   * pseudonymization, not a MAC. FNV-1a-64's steps (xor a byte, multiply
+   * by an odd prime mod 2^64) are each invertible, so one known
+   * (value, tag) pair recovers the post-key hash state and lets an
+   * attacker compute the keyed tag of ANY candidate value — a dictionary
+   * attack over phones/emails enumerates the corpus; 64-bit tags also
+   * birthday-collide around 2^32 distinct identifiers. Use it where the
+   * tag audience is trusted (internal linkage analytics, the t36/t37
+   * oracle family, [[forgetValue]] lookups); for adversarial release use
+   * [[pseudonymizePiiMac]], whose nested-SHA-256 tags resist both.
+   *
+   * Default classes = the linkable identifiers (emails/phones — t36's
+   * oracle contract); pass [[piiClasses]] to pseudonymize all five
+   * (telemetry pipelines keying on visitor IPs). Tags are digits-only
+   * between ':' and '>', so a replacement can never create a new match.
    */
   def pseudonymizePii(text: Column, key: String,
-                      classes: Seq[(String, String)] =
-                        Seq("EMAIL" -> emailPattern,
-                            "PHONE" -> phonePattern)): Column = {
-    def tag(label: String, m: Column): Column =
+                      classes: Seq[PiiClass] = piiClasses.take(2)): Column =
+    pseudonymizeWith(text, classes, (label, m) =>
       concat(lit(s"<$label:"),
         conv(hex(Hashing.fnvChecksum(
           concat(lit(key + "|"), m).cast("binary"))), 16, 10),
-        lit(">"))
-    def sub(t: Column, label: String, pattern: String): Column = {
-      val ms = array_sort(
-        array_distinct(regexp_extract_all(t, lit(pattern), lit(0))),
-        (l, r) => when(length(l) < length(r), -1)
-          .when(length(l) > length(r), 1)
-          .when(l < r, -1).when(l > r, 1).otherwise(0))
-      aggregate(ms, t, (acc, m) =>
-        call_function("replace", acc, m, tag(label, m)))
-    }
-    // default = the linkable identifiers (emails/phones — t36's oracle
-    // contract); pass piiPatterns to pseudonymize all four classes
-    // (telemetry pipelines keying on visitor IPs). Class order matters
-    // the same way scrub order does: emails first, so a phone/IP span
-    // embedded in a local part is consumed by the email's tag.
-    classes.foldLeft(text) { case (t, (label, p)) => sub(t, label, p) }
-  }
+        lit(">")))
+
+  /**
+   * MAC-grade pseudonymization for adversarial release: tags are
+   * `<LABEL#h>` where h is the first 32 hex chars (128 bits) of the
+   * nested digest `sha256(key || '|' || sha256(key || '|' || value))`.
+   * The sandwich construction (an NMAC-style envelope over hex-string
+   * composition) blocks the two failure modes the FNV tags document:
+   * no hash-state recovery from a known (value, tag) pair (SHA-256 is
+   * one-way) and no length-extension forgery (the outer keyed pass seals
+   * the inner digest); 128-bit tags push birthday collisions past 2^64
+   * identifiers. Same linkage semantics and fold skeleton as
+   * [[pseudonymizePii]]; both engines compose the digests over lowercase
+   * hex strings, so the DuckDB oracle regenerates tags byte-for-byte
+   * (t38). Tag bodies are lowercase hex between '#' and '>' — no '@',
+   * separator, or colon — so a replacement can never create a new match.
+   */
+  def pseudonymizePiiMac(text: Column, key: String,
+                         classes: Seq[PiiClass] = piiClasses.take(2)): Column =
+    pseudonymizeWith(text, classes, (label, m) =>
+      concat(lit(s"<$label#"),
+        substring(sha2(concat(lit(key + "|"),
+          sha2(concat(lit(key + "|"), m), 256)), 256), 1, 32),
+        lit(">")))
+
+  /** Driver-side twin of the [[pseudonymizePii]] tag for ONE identifier
+    * value — the right-to-be-forgotten entry point: the tag of a deletion
+    * request's value is a constant, so locating every linked document is
+    * a map-only `contains` over the pseudonymized corpus (predicate on
+    * the scan, no join, no shuffle) and the re-scrub is a literal
+    * replace. Matches FnvChecksum/`fnvSql` bit-for-bit. */
+  def pseudoTag(label: String, key: String, value: String): String =
+    s"<$label:${java.lang.Long.toUnsignedString(
+      Fnv.hashBytes((key + "|" + value).getBytes("UTF-8")))}>"
+
+  /** RTBF predicate: does this pseudonymized text link to `value`? */
+  def linksTo(pseudo: Column, label: String, key: String, value: String): Column =
+    pseudo.contains(pseudoTag(label, key, value))
+
+  /** RTBF re-scrub: erase one identifier's linkage tag (GDPR deletion
+    * over a pseudonymized corpus — the tag, and only the tag, becomes an
+    * unlinkable placeholder; every other identifier's linkage survives). */
+  def forgetValue(pseudo: Column, label: String, key: String, value: String,
+                  replacement: String = "<FORGOTTEN>"): Column =
+    call_function("replace", pseudo,
+      lit(pseudoTag(label, key, value)), lit(replacement))
 
   /**
    * Word n-gram shingles (distinct) from a pre-tokenized array column —

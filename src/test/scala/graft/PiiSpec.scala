@@ -16,24 +16,26 @@ class PiiSpec extends AnyFunSuite {
   import spark.implicits._
 
   // every pattern class planted at known multiplicity, with hostile
-  // placement (start/end of text, back-to-back, shared across rows)
+  // placement (start/end of text, back-to-back, shared across rows,
+  // leading-zero octets, compressed/full/loopback IPv6)
   private val planted = Seq(
     (1L, "alice@corp.example.com wrote see 10.0.0.1 or +1-555-0100 id 123-45-6789 end"),
     (2L, "plain text no identifiers at all"),
     (3L, "dual bob@x.org and bob@x.org again plus 192.168.001.255"),
     (4L, "tail case ends with carol.o'brien's mail carol+spam@mail.example.io"),
-    (5L, "alice@corp.example.com reappears for linkage plus +1-555-0100")
+    (5L, "alice@corp.example.com reappears for linkage plus +1-555-0100"),
+    (6L, "node fe80::1 and 2001:db8:0:0:0:0:2:1 plus ::1 end")
   ).toDF("doc_id", "text")
 
   private def countAll(df: org.apache.spark.sql.DataFrame, c: String) =
-    TF.piiPatterns.map { case (label, p) =>
-      label -> df.agg(sum(TF.piiCount(col(c), p))).head.getLong(0)
+    TF.piiClasses.map { cls =>
+      cls.label -> df.agg(sum(TF.piiCount(col(c), cls))).head.getLong(0)
     }.toMap
 
   test("planted-PII recall is 1.0: scrub leaves zero matches of any class") {
     val before = countAll(planted, "text")
-    assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "IP" -> 2L, "ID" -> 1L),
-      s"fixture drifted: $before")
+    assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "IP" -> 2L,
+      "ID" -> 1L, "IP6" -> 3L), s"fixture drifted: $before")
     val after = countAll(planted.select(TF.scrubPii(col("text")).as("t")), "t")
     assert(after.values.forall(_ == 0L), s"scrub left matches: $after")
     // and the scrub is idempotent — tags carry no digits/dots/dashes, so
@@ -76,10 +78,10 @@ class PiiSpec extends AnyFunSuite {
     assert(phoneTag(ps(1L)) == phoneTag(ps(5L)))
   }
 
-  test("pseudonymization generalizes to all four classes: IPs and IDs " +
+  test("pseudonymization generalizes to all five classes: IPs and IDs " +
        "link under keyed tags when passed the full pattern set") {
     val ps = planted.select(col("doc_id"),
-      TF.pseudonymizePii(col("text"), "k1", TF.piiPatterns).as("p"))
+      TF.pseudonymizePii(col("text"), "k1", TF.piiClasses).as("p"))
       .as[(Long, String)].collect().toMap
     // doc 1 carries one of each class — all four tagged, nothing raw
     assert("<EMAIL:[0-9]+>".r.findAllIn(ps(1L)).size == 1)
@@ -91,6 +93,8 @@ class PiiSpec extends AnyFunSuite {
     // doc 3's duplicated address still collapses to one tag value, and
     // its IP gets its own class tag
     assert("<IP:[0-9]+>".r.findAllIn(ps(3L)).size == 1)
+    // doc 6's three IPv6 literals each get the IP6 class tag
+    assert("<IP6:[0-9]+>".r.findAllIn(ps(6L)).size == 3)
     // default two-class behavior is unchanged (t36's oracle contract)
     val dflt = planted.filter(col("doc_id") === 1)
       .select(TF.pseudonymizePii(col("text"), "k1")).head.getString(0)
@@ -139,53 +143,173 @@ class PiiSpec extends AnyFunSuite {
     val email = for {
       l <- word; d <- word; t <- Gen.chooseNum(2, 4).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
     } yield s"$l@$d.${t.mkString}"
-    val phone = for {
-      p <- Gen.oneOf("", "+"); c <- Gen.chooseNum(1, 3).flatMap(digits)
-      m <- digits(3); s <- digits(4)
-    } yield s"$p$c-$m-$s"
+    // the widened phone family: dashed (±plus), dotted, parenthesized,
+    // plus-spaced, and bare E.164 — every recall form the guards admit
+    val phone = Gen.oneOf(
+      for { p <- Gen.oneOf("", "+"); c <- Gen.chooseNum(1, 3).flatMap(digits)
+            m <- digits(3); s <- digits(4) } yield s"$p$c-$m-$s",
+      for { c <- Gen.chooseNum(1, 3).flatMap(digits); m <- digits(3)
+            s <- digits(4) } yield s"$c.$m.$s",
+      for { c <- digits(3); m <- digits(3); s <- digits(4) }
+        yield s"($c) $m-$s",
+      for { c <- Gen.chooseNum(1, 3).flatMap(digits); m <- digits(3)
+            s <- digits(4) } yield s"+$c $m $s",
+      Gen.chooseNum(7, 15).flatMap(digits).map("+" + _))
     val ip = Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString("."))
+    val hexGroup = Gen.chooseNum(0, 0xffff).map(_.toHexString)
+    val ip6 = Gen.oneOf(
+      Gen.listOfN(8, hexGroup).map(_.mkString(":")),
+      for { a <- Gen.chooseNum(1, 3); b <- Gen.chooseNum(1, 3)
+            g1 <- Gen.listOfN(a, hexGroup); g2 <- Gen.listOfN(b, hexGroup) }
+        yield g1.mkString(":") + "::" + g2.mkString(":"),
+      Gen.const("::1"), Gen.const("fe80::"))
     val idTok = for { a <- digits(3); b <- digits(2); c <- digits(4) }
       yield s"$a-$b-$c"
     val token: Gen[(String, String)] = Gen.frequency(
       6 -> word.map(("w", _)), 1 -> email.map(("EMAIL", _)),
       1 -> phone.map(("PHONE", _)), 1 -> ip.map(("IP", _)),
-      1 -> idTok.map(("ID", _)))
+      1 -> ip6.map(("IP6", _)), 1 -> idTok.map(("ID", _)))
     val doc = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, token))
     val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
 
     val prop = Prop.forAll(corpus) { ds =>
+      // single-space joins on purpose: adjacent same-class identifiers
+      // alternate-block a single guarded scan, and the two-pass
+      // count/scrub must stay EXACT anyway (the guard-consumption note
+      // in TextFunctions — this law is the regression pin for it)
       val rows = ds.zipWithIndex.map { case (toks, i) =>
         (i.toLong, toks.map(_._2).mkString(" "),
-          toks.count(_._1 == "EMAIL").toLong, toks.count(_._1 == "PHONE").toLong,
-          toks.count(_._1 == "IP").toLong, toks.count(_._1 == "ID").toLong)
+          TF.piiClasses.map(c => toks.count(_._1 == c.label).toLong))
       }
-      val df = rows.toDF("doc_id", "text", "e", "p", "i", "d")
-      val got = df.select(col("doc_id"),
-        TF.piiCount(col("text"), TF.emailPattern).as("ge"),
-        TF.piiCount(col("text"), TF.phonePattern).as("gp"),
-        TF.piiCount(col("text"), TF.ipv4Pattern).as("gi"),
-        TF.piiCount(col("text"), TF.idPattern).as("gd"),
-        TF.scrubPii(col("text")).as("clean"),
-        TF.pseudonymizePii(col("text"), "law-key").as("pseudo"))
+      val df = rows.map { case (id, t, ns) => (id, t) }.toDF("doc_id", "text")
+      val got = df.select(col("doc_id") +:
+        TF.piiClasses.map(c => TF.piiCount(col("text"), c)
+          .as(s"g_${c.label}")) :+
+        TF.scrubPii(col("text")).as("clean") :+
+        TF.pseudonymizePii(col("text"), "law-key").as("pseudo"): _*)
         .collect().map(r => r.getLong(0) ->
-          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-            r.getString(5), r.getString(6))).toMap
-      rows.forall { case (id, _, e, p, i, d) =>
-        val (ge, gp, gi, gd, clean, pseudo) = got(id)
-        // counts == planted (the disjointness the patterns guarantee)
-        (ge, gp, gi, gd) == ((e, p, i, d)) &&
+          ((1 to TF.piiClasses.size).map(r.getLong).toSeq,
+            r.getString(TF.piiClasses.size + 1),
+            r.getString(TF.piiClasses.size + 2))).toMap
+      rows.forall { case (id, _, planted) =>
+        val (counts, clean, pseudo) = got(id)
+        // counts == planted (class disjointness + exact two-pass scans)
+        counts == planted &&
           // scrub recall 1.0 on every class
           TF.piiPatterns.forall { case (_, pat) =>
             !pat.r.findFirstIn(clean).isDefined } &&
           // pseudonymize: one tag per planted occurrence, zero raw survivors
-          "<EMAIL:[0-9]+>".r.findAllIn(pseudo).size == e &&
-          "<PHONE:[0-9]+>".r.findAllIn(pseudo).size == p &&
+          "<EMAIL:[0-9]+>".r.findAllIn(pseudo).size == planted.head &&
+          "<PHONE:[0-9]+>".r.findAllIn(pseudo).size == planted(1) &&
           TF.emailPattern.r.findFirstIn(pseudo).isEmpty &&
           TF.phonePattern.r.findFirstIn(pseudo).isEmpty
       }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("precision law: planted confusables — semver/version strings, " +
+       "ISBNs, credit cards, number tables, times, MACs, C++ scopes, " +
+       "DOIs — yield ZERO matches in every class and scrub is identity") {
+    val confusables = Seq(
+      "version v10.2.3.4 shipped today",
+      "semver 10.2.3.4-rc1 tagged",
+      "dotted run 1.2.3.4.5 here",
+      "octets 999.1.1.1 and 256.300.1.2 invalid",
+      "isbn 978-0-306-40615-7 cited",
+      "card 4111-1111-1111-1111 masked",
+      "serial +1234567890123456 too long",
+      "table 12 345 6789 columns",
+      "times 08:00 and 09:30:15 clock",
+      "mac de:ad:be:ef:00:11 address",
+      "cpp std::vector and ns::cafe scopes",
+      "pi 3.14159 e 2.71828 decimals",
+      "doi 10.1000/182 reference")
+    val df = confusables.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val counts = countAll(df, "text")
+    assert(counts.values.forall(_ == 0L), s"confusables matched: $counts")
+    assert(df.select(TF.scrubPii(col("text"))).collect().map(_.getString(0)).toSeq
+      == confusables, "scrub must leave confusables verbatim")
+  }
+
+  test("recall widening: E.164, dotted, parenthesized, plus-spaced " +
+       "phones, leading-zero IPv4, IPv6 family, and sentence-final " +
+       "placement all detect once and scrub clean") {
+    val cases: Seq[(String, String)] = Seq(
+      ("PHONE", "call +15550100 today"),
+      ("PHONE", "intl +442079460958 line"),
+      ("PHONE", "office 212.555.0100 desk"),
+      ("PHONE", "home (555) 010-0100 listed"),
+      ("PHONE", "cell +1 555 0100 works"),
+      ("PHONE", "ends with +1-555-0100."),
+      ("IP", "server at 10.0.0.1."),
+      ("IP", "log 192.168.001.255 entry"),
+      ("IP6", "node fe80::1 up"),
+      ("IP6", "loopback ::1 bound"),
+      ("IP6", "prefix fe80:: announced"),
+      ("IP6", "full 2001:db8:85a3:0:0:8a2e:370:7334 route"),
+      ("ID", "record 078-05-1120 filed"))
+    cases.foreach { case (label, text) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val counts = countAll(df, "text")
+      assert(counts(label) == 1L && counts.values.sum == 1L,
+        s"'$text' should count exactly once as $label: $counts")
+      val clean = countAll(df.select(TF.scrubPii(col("text")).as("t")), "t")
+      assert(clean.values.forall(_ == 0L), s"'$text' survived scrub: $clean")
+    }
+    // guard-consumption exactness: single-space-adjacent same-class runs
+    // count fully and scrub fully (the two-pass form's regression pin)
+    val adj = Seq((1L, "a 1.1.1.1 2.2.2.2 3.3.3.3 b"),
+      (2L, "p 1-555-0100 2-555-0100 3-555-0100 q")).toDF("doc_id", "text")
+    val c = countAll(adj, "text")
+    assert(c("IP") == 3L && c("PHONE") == 3L, s"adjacent runs undercounted: $c")
+    val after = countAll(adj.select(TF.scrubPii(col("text")).as("t")), "t")
+    assert(after.values.forall(_ == 0L), s"adjacent runs survived scrub: $after")
+  }
+
+  test("RTBF: forgetValue erases exactly the requested identifier's tag " +
+       "across the corpus; every other linkage tag survives") {
+    val ps = planted.select(col("doc_id"),
+      TF.pseudonymizePii(col("text"), "k1").as("p"))
+    // the deletion target is alice's address (docs 1 and 5 link to it)
+    val tag = TF.pseudoTag("EMAIL", "k1", "alice@corp.example.com")
+    val linked = ps.filter(TF.linksTo(col("p"), "EMAIL", "k1",
+      "alice@corp.example.com")).select(col("doc_id")).as[Long].collect().toSet
+    assert(linked == Set(1L, 5L), s"linkage lookup drifted: $linked")
+    val after = ps.select(col("doc_id"),
+      TF.forgetValue(col("p"), "EMAIL", "k1", "alice@corp.example.com").as("p"))
+      .as[(Long, String)].collect().toMap
+    // the tag is gone everywhere, replaced by the unlinkable placeholder
+    assert(after.values.forall(t => !t.contains(tag)), "target tag survived")
+    assert(after(1L).contains("<FORGOTTEN>") && after(5L).contains("<FORGOTTEN>"))
+    // bob's tag (and every non-target tag) survives verbatim
+    val bobTag = TF.pseudoTag("EMAIL", "k1", "bob@x.org")
+    assert(after(3L).contains(bobTag), "non-target linkage must survive")
+    // and the driver-side tag matches the engine-side tag bit-for-bit
+    val engineTag = "<EMAIL:[0-9]+>".r
+      .findFirstIn(ps.filter(col("doc_id") === 3).head.getString(1)).get
+    assert(engineTag == bobTag, "TF.pseudoTag must equal the engine's FNV tag")
+  }
+
+  test("MAC pseudonymization: linkage + keying hold, tags are 128-bit " +
+       "hex, and no known-pair state-recovery shortcut exists in form") {
+    val ps = planted.select(col("doc_id"),
+      TF.pseudonymizePiiMac(col("text"), "k1").as("p"))
+      .as[(Long, String)].collect().toMap
+    def tagOf(s: String): String =
+      "<EMAIL#[0-9a-f]{32}>".r.findFirstIn(s).getOrElse(sys.error(s"no tag: $s"))
+    // linkage: alice's two docs share one tag; bob differs
+    assert(tagOf(ps(1L)) == tagOf(ps(5L)) && tagOf(ps(3L)) != tagOf(ps(1L)))
+    // keyed: a different key moves the tag
+    val ps2 = planted.filter(col("doc_id") === 1)
+      .select(TF.pseudonymizePiiMac(col("text"), "k2")).head.getString(0)
+    assert(tagOf(ps2) != tagOf(ps(1L)))
+    // no raw identifier survives
+    val counts = countAll(planted.select(
+      TF.pseudonymizePiiMac(col("text"), "k1").as("t")), "t")
+    assert(counts("EMAIL") == 0L && counts("PHONE") == 0L)
   }
 
   test("pipeline: planted PII never reaches the released corpus, and the " +
@@ -203,7 +327,7 @@ class PiiSpec extends AnyFunSuite {
       .withColumn("source", lit("recrawl"))
     val corpus = CorpusPipeline.run(crawl(1).unionByName(recrawl)).corpus.cache()
     // recall inside the composed pipeline: nothing email-shaped ships
-    assert(corpus.agg(sum(TF.piiCount(col("text"), TF.emailPattern)))
+    assert(corpus.agg(sum(TF.piiCount(col("text"), TF.piiClasses.head)))
       .head.getLong(0) == 0L)
     // the exact-dedup stage saw scrubbed text, so every re-crawl copy is
     // a fingerprint dup of its canonical and exactly one survives: no
