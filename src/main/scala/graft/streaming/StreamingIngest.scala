@@ -27,6 +27,29 @@ import graft.operators.WeatherOps
  */
 object StreamingIngest {
 
+  /** Remove a batch's `_batch_id=` partition (and, if it was the last
+    * one, the whole store) — the empty-replay arm of the idempotence
+    * contract: dynamic overwrite cannot write an empty partition, so a
+    * replay whose recomputation admits NOTHING must delete whatever its
+    * previous attempt wrote (store or landing data drifted between
+    * attempts), or the stale partition silently survives the "replay
+    * replaces itself" promise. Removing the last partition removes the
+    * root too: an empty partitioned root is a schemaless dir that wedges
+    * later reads, while an ABSENT store is the well-defined "nothing
+    * admitted yet" state every probe here already handles. */
+  private[graft] def dropBatchPartition(spark: SparkSession, storePath: String,
+                                        batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(root, s"_batch_id=$batchId")
+    if (fs.exists(part)) {
+      fs.delete(part, true)
+      val anyLeft = fs.exists(root) && fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("_batch_id="))
+      if (!anyLeft) fs.delete(root, true)
+    }
+  }
+
   /** Streaming op 2-7: landing dir of JSON-line payloads → weather rows. */
   def weatherStream(spark: SparkSession, landingDir: String): DataFrame = {
     val raw = spark.readStream
@@ -98,7 +121,9 @@ object StreamingIngest {
       .groupBy(col("doc_id")).agg(max(col("digest")).as("digest"))
       .persist()
     try {
-      if (arrivals.count() == 0) return
+      if (arrivals.count() == 0) {
+        dropBatchPartition(spark, storePath, batchId); return
+      }
       val storeExists = new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(new org.apache.hadoop.fs.Path(storePath))
@@ -122,8 +147,13 @@ object StreamingIngest {
             .as("status"))
         .filter(col("status").isNotNull)
       // an empty write on a fresh path would leave a schemaless dir that
-      // wedges every later read — same contract as the vector gate
-      if (events.count() == 0) return
+      // wedges every later read; on a REPLAY the previous attempt's
+      // partition must go (a no-change recomputation means the store
+      // already reflects this batch, or drifted — either way batch-id
+      // ownership says this partition holds nothing now)
+      if (events.count() == 0) {
+        dropBatchPartition(spark, storePath, batchId); return
+      }
       events.withColumn("_batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -198,7 +228,9 @@ object StreamingIngest {
       .select(col("doc_id"), col("m.text").as("text"), col("m.fp").as("fp"))
       .persist()
     try {
-      if (scrubbed.count() == 0) return
+      if (scrubbed.count() == 0) {
+        dropBatchPartition(spark, storePath, batchId); return
+      }
       // in-batch survivor: min doc_id per scrubbed fingerprint
       val keep = scrubbed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
       val storeExists = new org.apache.hadoop.fs.Path(storePath)
@@ -219,8 +251,11 @@ object StreamingIngest {
       val rows = scrubbed
         .join(broadcast(admitted.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       // an empty write on a fresh path would leave a schemaless dir that
-      // wedges every later read — same contract as the vector gate
-      if (rows.count() == 0) return
+      // wedges every later read; an empty REPLAY must also drop what the
+      // previous attempt wrote (see dropBatchPartition)
+      if (rows.count() == 0) {
+        dropBatchPartition(spark, storePath, batchId); return
+      }
       rows.withColumn("_batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -705,6 +740,17 @@ object StreamingIngest {
       .select(col("vec_id"),
         transform(col("v"), x => x.cast("float")).as("embedding"), col("sig"))
       .withColumn("_batch_id", lit(batchId))
+      .persist()
+    try {
+    // all-dup batches write nothing, so a REPLAY whose recomputation
+    // keeps no survivor must drop the previous attempt's partition
+    // (possible only when a store exists — a fresh batch always keeps
+    // its min-id anchor). Stale sidecar cells for the dropped vec_ids
+    // are harmless: the probe joins them against the store and finds
+    // no row.
+    if (survivors.count() == 0) {
+      dropBatchPartition(spark, storePath, batchId); return
+    }
     survivors.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_batch_id")
@@ -745,6 +791,7 @@ object StreamingIngest {
           toAppend.write.mode("append").parquet(cellsPath)
       } finally toAppend.unpersist()
     }
+    } finally survivors.unpersist()
     } finally b.unpersist()
   }
 

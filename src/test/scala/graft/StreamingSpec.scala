@@ -438,6 +438,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(after == before, "replay must replace, not duplicate or drift")
   }
 
+  test("scrubbed ingest gate: CRASH WINDOW between the store write and " +
+       "the checkpoint commit — the restarted stream replays the same " +
+       "batch id and converges to the identical store") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    val root = Files.createTempDirectory("graft_scrub_crash").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    def drain(): Unit = {
+      val q = StreamingIngest.startScrubbedIngest(
+        spark.readStream.schema(schema).json(landing), store, ckpt)
+      q.awaitTermination()
+    }
+    def snap(): Set[(Long, String, Long)] =
+      StreamingIngest.scrubbedCorpus(spark, store).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+          r.getAs[Number]("_batch_id").longValue)).toSet
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      ("""{"doc_id":1,"text":"alpha beta"}""" + "\n" +
+       """{"doc_id":2,"text":"gamma delta"}""").getBytes("UTF-8"))
+    drain() // batch 0 committed
+    Files.write(java.nio.file.Paths.get(s"$landing/p2.json"),
+      ("""{"doc_id":11,"text":"alpha beta"}""" + "\n" +
+       """{"doc_id":12,"text":"epsilon zeta"}""").getBytes("UTF-8"))
+    // the crash: foreachBatch for batch 1 finished its dynamic-overwrite
+    // write, then the process died BEFORE the checkpoint commit — the
+    // direct call below is exactly that state (store has partition 1,
+    // checkpoint still says batch 0 was the last commit)
+    StreamingIngest.scrubbedIngestBatch(
+      spark.read.schema(schema).json(s"$landing/p2.json"), store, 1L)
+    val crashed = snap()
+    assert(crashed.exists(_._3 == 1L), "crash-window write must be visible")
+    // restart: the engine re-runs the uncommitted batch under the SAME id
+    drain()
+    assert(snap() == crashed,
+      "post-crash replay must converge to the crash-window store")
+    assert(snap().map(r => (r._1, r._3)) ==
+      Set((1L, 0L), (2L, 0L), (12L, 1L)),
+      "dedup decisions must match a never-crashed run (11 is a dup of 1)")
+    // and the store keeps working: a later batch lands normally
+    Files.write(java.nio.file.Paths.get(s"$landing/p3.json"),
+      """{"doc_id":21,"text":"eta theta"}""".getBytes("UTF-8"))
+    drain()
+    assert(snap().map(_._1) == Set(1L, 2L, 12L, 21L))
+  }
+
+  test("scrubbed ingest gate: a replay that admits NOTHING drops its " +
+       "stale partition; an empty replay of the last batch removes the " +
+       "store (absent == nothing admitted)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_scrub_emptyreplay").toString
+    val store = s"$root/store"
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamingIngest.scrubbedIngestBatch(df(1L -> "alpha beta"), store, 0L)
+    StreamingIngest.scrubbedIngestBatch(df(11L -> "gamma delta"), store, 1L)
+    assert(StreamingIngest.scrubbedCorpus(spark, store)
+      .select(col("doc_id")).as[Long].collect().toSet == Set(1L, 11L))
+    // landing drift: batch 1's recomputation now carries only a content
+    // dup of batch 0 — admits nothing, so its old partition must go
+    // (the pre-fix behavior left doc 11 resurrected forever)
+    StreamingIngest.scrubbedIngestBatch(df(11L -> "alpha beta"), store, 1L)
+    assert(StreamingIngest.scrubbedCorpus(spark, store)
+      .select(col("doc_id")).as[Long].collect().toSet == Set(1L),
+      "stale partition must be dropped when the replay admits nothing")
+    // empty replay of the only remaining batch: the store itself goes
+    StreamingIngest.scrubbedIngestBatch(df(), store, 0L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store)),
+      "an empty store root would wedge reads — it must be removed whole")
+    // and the gate still accepts a fresh start afterwards
+    StreamingIngest.scrubbedIngestBatch(df(31L -> "eta theta"), store, 2L)
+    assert(StreamingIngest.scrubbedCorpus(spark, store)
+      .select(col("doc_id")).as[Long].collect().toSet == Set(31L))
+  }
+
+  test("snapshot-diff CDC gate: a drifted replay that emits no events " +
+       "drops its stale event partition") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_cdc_emptyreplay").toString + "/store"
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    StreamingIngest.snapshotDiffBatch(df(1L -> "alpha"), store, 0L)
+    StreamingIngest.snapshotDiffBatch(df(1L -> "alpha2"), store, 1L)
+    assert(StreamingIngest.snapshotEvents(spark, store)
+      .filter(col("_batch_id") === 1L).count() == 1)
+    // drift: the replayed batch 1 now re-presents the batch-0 content —
+    // unchanged vs state-minus-own-partition, zero events; the previous
+    // attempt's "changed" event must not survive as a ghost
+    StreamingIngest.snapshotDiffBatch(df(1L -> "alpha"), store, 1L)
+    assert(StreamingIngest.snapshotEvents(spark, store)
+      .filter(col("_batch_id") === 1L).count() == 0,
+      "ghost event partition survived an empty replay")
+    assert(StreamingIngest.snapshotState(spark, store)
+      .as[(Long, String)].collect().toMap.keySet == Set(1L))
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
