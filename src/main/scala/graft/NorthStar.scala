@@ -1970,6 +1970,82 @@ object NorthStar {
         .select(col("doc_id"),
           TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo"))),
 
+    // n-gram language-model fluency scoring — the CCNet/KenLM stage of a
+    // training-data pipeline: a bigram LM is trained on the curated
+    // reference slice (source 'src0', the same held-out convention as
+    // t12's eval split) and every other document is scored by how well
+    // its token transitions are explained by that LM. Deliberately
+    // log-free (t13/t32's reason: libm ln/exp are not bit-stable across
+    // engines, so true perplexity = exp(−Σ ln p / n) can't sit in a
+    // hash-checked contract): each transition's add-one smoothed INVERSE
+    // probability (c(w1)+V)/(c(w1,w2)+1) is taken in truncating integer
+    // division and summed — `ppx_proxy`, the mean inverse probability,
+    // is perplexity's arithmetic-mean cousin (identical filter ordering
+    // on the dominant term) — alongside exact LM-coverage counts: n_hit
+    // (transition seen in the LM) and n_oov_ctx (context never seen).
+    // Every per-doc number stays an integer until ONE final IEEE divide
+    // (the t11 discipline), and the keep gate (≥ 3/4 of the transitions
+    // LM-covered — sited at the harness corpus's coverage median so the
+    // flag actually discriminates) is decided in cross-multiplied
+    // integer form, never on a float. Distributed shape: both LM tables are reference-slice-
+    // vocabulary-sized and BROADCAST, the one-row vocabulary size rides
+    // a broadcast cross join (t26's n_docs pattern), so scoring is
+    // map-side over the exploded transitions — the only exchanges are
+    // the LM-build aggs (reference slice only) and the per-doc count
+    // agg keyed by doc_id. Docs with < 2 tokens surface with zero
+    // counts via the left spine join, not silently dropped by the
+    // explode. At 100 TB: an LM trained on a curated reference corpus
+    // stays broadcastable by construction; for an LM trained on the
+    // full corpus, prune to the top-K n-grams first (the quantized
+    // KenLM shape) to keep the broadcast, else the probe degrades to a
+    // sort-merge join keyed by the gram.
+    "t39_lm_fluency" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tk = d.select(col("doc_id"), col("source"),
+        TF.tokens(col("text")).as("tks"))
+      val tr = tk.filter(size(col("tks")) >= 2)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(0, size(tks)-2), " +
+              "i -> struct(tks[i] AS w1, tks[i+1] AS w2))")).as("p"))
+        .select(col("doc_id"), col("source"), col("p.w1"), col("p.w2"))
+      val ref = tr.filter(col("source") === "src0")
+      val big = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      // context counts are the bigram table's w1-marginal — deriving
+      // them by summation (vs re-exploding the reference slice) drops a
+      // whole scan+Generate+exchange subtree from the LM build
+      val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val voc = tk.filter(col("source") === "src0")
+        .select(explode(col("tks")).as("t"))
+        .agg(count_distinct(col("t")).as("v"))
+      val per = tr.filter(col("source") =!= "src0")
+        .join(broadcast(big), Seq("w1", "w2"), "left")
+        .join(broadcast(ctx), Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"),
+          col("c2").isNotNull.cast(LongType).as("hit"),
+          col("c1").isNull.cast(LongType).as("oov"),
+          expr("(coalesce(c1, 0L) + v) div (coalesce(c2, 0L) + 1L)")
+            .as("invp"))
+        .groupBy(col("doc_id")).agg(
+          count(lit(1)).as("n_trans"), sum(col("hit")).as("n_hit"),
+          sum(col("oov")).as("n_oov_ctx"), sum(col("invp")).as("inv_p_sum"))
+      d.filter(col("source") =!= "src0").select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          coalesce(col("n_oov_ctx"), lit(0L)).as("n_oov_ctx"),
+          coalesce(col("inv_p_sum"), lit(0L)).as("inv_p_sum"),
+          coalesce(col("n_hit").cast(DoubleType) / col("n_trans"), lit(0.0))
+            .as("hit_ratio"),
+          coalesce(col("inv_p_sum").cast(DoubleType) / col("n_trans"),
+            lit(0.0)).as("ppx_proxy"),
+          (coalesce(col("n_trans"), lit(0L)) > 0 &&
+            coalesce(col("n_hit"), lit(0L)) * 4 >=
+              coalesce(col("n_trans"), lit(0L)) * 3).as("keep"))
+    }),
+
     // rare-term extraction (keyword/quality signal): global document
     // frequency per term, joined back and reduced to each document's 3
     // rarest terms via the custom TopKPerKey physical operator (bounded
@@ -4753,6 +4829,43 @@ object NorthStar {
           SELECT doc_id,
                  ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
           FROM p1""",
+    // bigram LM trained on src0, scored log-free: integer truncating
+    // division replays Spark's `div` exactly, ratios are one IEEE
+    // divide, the keep gate is a cross-multiplied integer compare
+    "t39_lm_fluency" ->
+      s"""WITH tk AS (SELECT doc_id, source, $sqlToks AS tks FROM documents),
+          tr AS (SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(tks)), i -> tks[i])) AS w1,
+                   unnest(list_transform(range(1, len(tks)), i -> tks[i+1])) AS w2
+                 FROM tk WHERE len(tks) >= 2),
+          big AS (SELECT w1, w2, count(*) AS c2 FROM tr
+                  WHERE source = 'src0' GROUP BY 1, 2),
+          ctx AS (SELECT w1, count(*) AS c1 FROM tr
+                  WHERE source = 'src0' GROUP BY 1),
+          voc AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(tks) AS t FROM tk WHERE source = 'src0')),
+          sc AS (SELECT doc_id, count(*) AS n_trans,
+                   CAST(SUM(CASE WHEN big.c2 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_hit,
+                   CAST(SUM(CASE WHEN ctx.c1 IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov_ctx,
+                   CAST(SUM((COALESCE(ctx.c1, 0) + voc.v)
+                     // (COALESCE(big.c2, 0) + 1)) AS BIGINT) AS inv_p_sum
+                 FROM tr CROSS JOIN voc
+                   LEFT JOIN big USING (w1, w2)
+                   LEFT JOIN ctx USING (w1)
+                 WHERE tr.source <> 'src0' GROUP BY 1)
+          SELECT d.doc_id,
+                 COALESCE(n_trans, 0) AS n_trans,
+                 COALESCE(n_hit, 0) AS n_hit,
+                 COALESCE(n_oov_ctx, 0) AS n_oov_ctx,
+                 COALESCE(inv_p_sum, 0) AS inv_p_sum,
+                 COALESCE(CAST(n_hit AS DOUBLE) / n_trans, 0.0) AS hit_ratio,
+                 COALESCE(CAST(inv_p_sum AS DOUBLE) / n_trans, 0.0) AS ppx_proxy,
+                 (COALESCE(n_trans, 0) > 0 AND
+                   COALESCE(n_hit, 0) * 4 >= COALESCE(n_trans, 0) * 3) AS keep
+          FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+            LEFT JOIN sc USING (doc_id)""",
     "t08_rare_terms" ->
       s"""WITH tk AS (SELECT doc_id, unnest(list_distinct($sqlToks)) AS term
                       FROM documents),

@@ -110,6 +110,46 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("t39 LM fluency equals a driver-side bigram-LM rescore on every doc") {
+    val got = q("t39_lm_fluency").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def toks(text: String): Array[String] =
+      if (text.trim.isEmpty) Array.empty else text.trim.toLowerCase.split("\\s+")
+    val ref = docs.filter(_._2 == "src0")
+    assert(ref.nonEmpty && docs.exists(_._2 != "src0"))
+    val refTrans = ref.flatMap { case (_, _, t) =>
+      val tk = toks(t); tk.zip(tk.drop(1))
+    }
+    val big = refTrans.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val ctx = refTrans.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val v = ref.flatMap { case (_, _, t) => toks(t) }.distinct.length.toLong
+    val scored = docs.filter(_._2 != "src0")
+    assert(got.size == scored.length)
+    scored.foreach { case (id, _, text) =>
+      val tk = toks(text)
+      val trans = tk.zip(tk.drop(1))
+      val nHit = trans.count(big.contains)
+      val nOov = trans.count(p => !ctx.contains(p._1))
+      val invP = trans.map(p =>
+        (ctx.getOrElse(p._1, 0L) + v) / (big.getOrElse(p, 0L) + 1L)).sum
+      val r = got(id)
+      assert(r.getAs[Long]("n_trans") == trans.length, s"doc $id n_trans")
+      assert(r.getAs[Long]("n_hit") == nHit, s"doc $id n_hit")
+      assert(r.getAs[Long]("n_oov_ctx") == nOov, s"doc $id n_oov_ctx")
+      assert(r.getAs[Long]("inv_p_sum") == invP, s"doc $id inv_p_sum")
+      val (hr, px) =
+        if (trans.isEmpty) (0.0, 0.0)
+        else (nHit.toDouble / trans.length, invP.toDouble / trans.length)
+      assert(r.getAs[Double]("hit_ratio") == hr, s"doc $id hit_ratio")
+      assert(r.getAs[Double]("ppx_proxy") == px, s"doc $id ppx_proxy")
+      assert(r.getAs[Boolean]("keep") ==
+        (trans.nonEmpty && nHit * 4 >= trans.length * 3), s"doc $id keep")
+    }
+  }
+
   test("e04 k-means step: means equal builtin avg per (cluster, dim), sizes equal e03's") {
     val got = q("e04_kmeans_step")
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
