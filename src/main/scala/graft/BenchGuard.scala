@@ -20,17 +20,16 @@ import scala.jdk.CollectionConverters._
  *
  * Usage: `runMain graft.BenchGuard [runJson] [baselineJson]` after a
  * `runMain graft.Bench` under the BASELINE.md protocol (quiet host,
- * tmpfs scratch reaped, min-of-2). The committed baseline carries the
- * round-13 SINGLE MEASURED RUN (`bench_runs/bench_r13_run2.json`,
- * 93.8 s over the 201 r13 queries on a quiet host) for every query
- * that existed then, plus per-query minima from the two round-14 runs
- * for t37/t38/t39 (both runs landed under a measured ~2.5× median
- * steal wave — the steal-forced composite case, see the baseline's
- * embedded note). A single artifact is preferred over a min-composite
- * whenever the host allows one, because a composite of best-evers can
- * mask a uniform small regression (the round-12 verdict's caveat);
- * fall back to a composite only when steal denies a clean window, and
- * record the contributing run set in BASELINE.md either way. The 2×/+0.5 s
+ * tmpfs scratch reaped, min-of-2). The committed baseline is the
+ * round-14 SINGLE MEASURED RUN (`bench_runs/bench_r14_run3.json`,
+ * 97.7 s over all 204 queries in a quiet window — median per-query
+ * ratio 1.02 vs the r13 quiet artifact, BenchGuard zero flags vs the
+ * interim steal-forced composite it replaced). A single artifact is
+ * preferred over a min-composite whenever the host allows one,
+ * because a composite of best-evers can mask a uniform small
+ * regression (the round-12 verdict's caveat); fall back to a
+ * composite only when steal denies a clean window, and record the
+ * contributing run set in BASELINE.md either way. The 2×/+0.5 s
  * slack absorbs ordinary steal inflation (measured 1.1–1.4×;
  * round-12 check: zero false flags across seven steal-affected runs),
  * while a genuinely waved run can still trip the budget arm — the
