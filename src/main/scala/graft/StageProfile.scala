@@ -62,13 +62,21 @@ object StageProfile {
     })
 
     import scala.jdk.CollectionConverters._
+    // 3rd arg `noop`: drive through the noop sink instead of count() —
+    // count() prunes prunable final projections AND cardinality-
+    // preserving joins (left-join elimination), so map-only kernels and
+    // spine-join probe sides never run under it (the wave9 lesson)
+    val useNoop = args.length > 2 && args(2) == "noop"
+    def drive(df: org.apache.spark.sql.DataFrame): Unit =
+      if (useNoop) df.write.mode("overwrite").format("noop").save()
+      else { df.count(); () }
     for (name <- names) {
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
-      fn(spark, sfDir).count() // warm: JIT + memo builds out of the window
+      drive(fn(spark, sfDir)) // warm: JIT + memo builds out of the window
       stages.clear()
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      drive(fn(spark, sfDir))
       val wall = (System.nanoTime() - t0) / 1e9
       // stage-completion events are async; give the bus a beat to drain
       Thread.sleep(400)
