@@ -228,8 +228,12 @@ object NorthStar {
   /** DuckDB twin of one TF.pseudonymizeWith substitution pass over expr
     * `t`: the class's identifier values (pass-1 guarded matches plus the
     * alternate-blocked survivors from the once-replaced text), distinct,
-    * (length, value)-ascending (the zero-padded length prefix makes one
-    * lexicographic list_sort realize the pair order), folded through
+    * length-DESCENDING (longest first, so a value containing a shorter
+    * same-class value folds before it — the zero-padded length prefix
+    * makes one lexicographic 'DESC' list_sort realize it; the tiebreak
+    * differs from Spark's value-ascending, which is immaterial:
+    * same-length distinct values cannot overlap, so their replace
+    * order cannot change the folded text), folded through
     * literal replace with `tagSql(m)`. */
   private def pseudoSql(t: String, c: TF.PiiClass,
                         tagSql: String => String): String = {
@@ -243,7 +247,7 @@ object NorthStar {
           list_transform(
             list_sort(list_transform(
               list_distinct($matches),
-              m -> lpad(CAST(length(m) AS VARCHAR), 4, '0') || m)),
+              m -> lpad(CAST(length(m) AS VARCHAR), 4, '0') || m), 'DESC'),
             k -> k[5:])),
         (acc, m) -> replace(acc, m, ${tagSql("m")}))"""
   }
@@ -1932,7 +1936,8 @@ object NorthStar {
     // docs share one planted address and keep a common tag; every
     // doc-specific address stays distinct) while the raw value needs the
     // key. Per-row literal fold over the match list in pinned
-    // (length, value) order — see TF.pseudonymizePii; FNV is the
+    // longest-first order (substring-related values fold container
+    // first — see TF.pseudonymizeWith); FNV is the
     // engine-replayable hash the oracle regenerates byte-for-byte.
     "t36_pii_pseudonymize" -> ((s, dir) =>
       linkInjected(docs(s, dir))

@@ -570,15 +570,21 @@ object ScaleDryRun {
       val df = SparkEntry.queries("t39_lm_fluency")(spark, dir)
       val (_, t, sb) = meter.measure(
         df.write.mode("overwrite").format("noop").save())
-      val rows = df.count()
+      // diagnostics OUTSIDE the window, both cheap: the output row count
+      // is the non-src0 doc count by construction (re-running df.count()
+      // would execute the whole LM build a second time), and the LM size
+      // uses the same posexplode pairing as t39 (the transform/struct
+      // form re-materializes every token's bytes — see the query doc)
+      val rows = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") =!= "src0").count()
       val lmRows = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("source") === "src0")
         .select(graft.functions.TextFunctions.tokens(col("text")).as("tks"))
         .filter(size(col("tks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(tks)-2), i -> struct(tks[i] AS w1, tks[i+1] AS w2))"))
-          .as("p"))
-        .select(col("p.w1"), col("p.w2")).distinct().count()
+        .select(col("tks"), posexplode(col("tks")).as(Seq("i", "w1")))
+        .filter(col("i") < size(col("tks")) - 1)
+        .select(col("w1"), col("tks").getItem(col("i") + 1).as("w2"))
+        .distinct().count()
       println(f"| $label | t39_lm_fluency | $rows | $lmRows | $t%.1f | ${fmtBytes(sb)} |")
       NorthStar.releaseCaches(spark, dir)
     }

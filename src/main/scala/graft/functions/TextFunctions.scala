@@ -203,9 +203,12 @@ object TextFunctions {
   /** The audit classes in scrub order: emails first (digits inside an
     * address must not half-match as a phone/IP), then phones, IPv6
     * before IPv4 (colon forms carry no dots today, but a future
-    * v4-mapped form must meet the v6 pass first), then ID tokens. Tags
-    * carry no digits, dots, dashes, or colons, so a replacement can
-    * never CREATE a later match. */
+    * v4-mapped form must meet the v6 pass first), then ID tokens.
+    * No-new-match invariant: a replacement can never CREATE a later
+    * match — scrub tags carry no '@', dot, dash, or colon, and the one
+    * digit in <IP6> is flanked by 'P' and '>' so no pattern's core or
+    * lead guard can absorb it (a future tag must keep any digit away
+    * from '<'/'>' boundaries or re-prove this). */
   val piiClasses: Seq[PiiClass] = Seq(
     PiiClass("EMAIL", emailPattern, 0),
     PiiClass("PHONE", phonePattern, 2),
@@ -269,10 +272,13 @@ object TextFunctions {
   }
 
   /** The shared pseudonymization skeleton: per class, extract the
-    * distinct identifier values, order them canonically ((length, value)
-    * ascending — replacement is a literal fold, so matches in substring
-    * relation would make the fold order observable; pinning it keeps the
-    * result deterministic and oracle-reproducible), then fold `replace`
+    * distinct identifier values, order them canonically (length
+    * DESCENDING, value-ascending tiebreak — replacement is a literal
+    * fold, so a value containing a shorter same-class value as a
+    * substring must fold FIRST or the shorter value's global replace
+    * corrupts its occurrences and destroys its linkage tag; the pinned
+    * order also keeps the result deterministic and
+    * oracle-reproducible), then fold `replace`
     * over the row's own text with `tagOf(label, value)`. Built-ins plus
     * codegen'd expressions only; per-row cost is O(matches × length)
     * with matches-per-document small, and nothing shuffles. Class order
@@ -284,10 +290,19 @@ object TextFunctions {
   private def pseudonymizeWith(text: Column, classes: Seq[PiiClass],
                                tagOf: (String, Column) => Column): Column =
     classes.foldLeft(text) { case (t, c) =>
+      // longest-first: a value that CONTAINS a shorter same-class value
+      // as a literal substring (fe80::1 vs ::1, xa@b.com vs a@b.com)
+      // must fold before it — ascending order would let the shorter
+      // value's global replace rewrite the longer value's occurrences,
+      // destroying its linkage tag. Same-length distinct values cannot
+      // overlap, so the value tiebreak only pins determinism; and no
+      // class's pattern can match inside a tag (tag bodies are
+      // digits/hex with no '@', '.', '-', or '::'), so an earlier
+      // replacement can never feed a later one.
       val ms = array_sort(
         array_distinct(classMatches(t, c)),
-        (l, r) => when(length(l) < length(r), -1)
-          .when(length(l) > length(r), 1)
+        (l, r) => when(length(l) > length(r), -1)
+          .when(length(l) < length(r), 1)
           .when(l < r, -1).when(l > r, 1).otherwise(0))
       aggregate(ms, t, (acc, m) =>
         call_function("replace", acc, m, tagOf(c.label, m)))

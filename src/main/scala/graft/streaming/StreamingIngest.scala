@@ -636,8 +636,14 @@ object StreamingIngest {
     try {
     // an EMPTY batch must write nothing: a zero-row partitioned write on
     // a fresh storePath creates a schemaless directory that wedges every
-    // later batch's read (UNABLE_TO_INFER_SCHEMA, retried forever)
-    if (b.count() == 0) return
+    // later batch's read (UNABLE_TO_INFER_SCHEMA, retried forever) —
+    // but a REPLAY that recomputes to empty must still drop the
+    // previous attempt's partition (same ghost-partition hazard as the
+    // scrubbed/CDC gates; phantom sidecar rows from the dropped
+    // partition are harmless — the inner sig join discards them)
+    if (b.count() == 0) {
+      dropBatchPartition(spark, storePath, batchId); return
+    }
     val storeExists = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(storePath))

@@ -114,19 +114,28 @@ class PiiSpec extends AnyFunSuite {
     assert(a == a2)
   }
 
-  test("substring-related matches fold in the pinned (length, value) " +
-       "order — deterministic output") {
-    // xa@b.com contains a@b.com as a literal substring; the short match
-    // replaces first (length ascending), so the long match's occurrence
-    // is consumed by the short tag and its own fold step no-ops. What
-    // matters is that the result is DETERMINISTIC and PII-free — the
-    // oracle replays the same order, which t36's hash compare certifies
-    // cross-engine.
+  test("substring-related matches fold longest-first: BOTH values keep " +
+       "their own faithful linkage tag") {
+    // xa@b.com contains a@b.com as a literal substring. Longest-first
+    // folding replaces xa@b.com before a@b.com's global replace could
+    // rewrite its tail — so each value gets ITS OWN tag (ascending
+    // order corrupted the container: 'x<EMAIL:tag(a@b.com)>', losing
+    // xa@b.com's linkage and silently orphaning its RTBF path).
     val df = Seq((1L, "first a@b.com then xa@b.com done")).toDF("doc_id", "text")
     val p = df.select(TF.pseudonymizePii(col("text"), "k")).head.getString(0)
     assert(!p.contains("a@b.com"), s"raw value survived: $p")
+    assert(p.contains(TF.pseudoTag("EMAIL", "k", "xa@b.com")),
+      s"container value lost its own tag: $p")
+    assert(p.contains(TF.pseudoTag("EMAIL", "k", "a@b.com")),
+      s"contained value lost its tag: $p")
     val p2 = df.select(TF.pseudonymizePii(col("text"), "k")).head.getString(0)
     assert(p == p2)
+    // the IPv6 shape of the same hazard: ::1 inside fe80::1
+    val p6 = Seq((1L, "node fe80::1 plus ::1 end")).toDF("doc_id", "text")
+      .select(TF.pseudonymizePii(col("text"), "k", TF.piiClasses))
+      .head.getString(0)
+    assert(p6.contains(TF.pseudoTag("IP6", "k", "fe80::1")) &&
+      p6.contains(TF.pseudoTag("IP6", "k", "::1")), s"IPv6 mistag: $p6")
   }
 
   test("law: on random corpora with random planted PII, per-class counts " +

@@ -536,6 +536,38 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap.keySet == Set(1L))
   }
 
+  test("vector dedup gate: a replay that recomputes to an EMPTY batch " +
+       "drops the previous attempt's partition") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_vec_emptyreplay").toString + "/store"
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def df(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    def storedIds(): Set[Long] =
+      spark.read.parquet(store).select(col("vec_id")).as[Long].collect().toSet
+    StreamingIngest.vectorDedupBatch(df(1L -> vec(1)), store, 0L, 0.95, 64, 512, 32)
+    StreamingIngest.vectorDedupBatch(df(2L -> vec(2)), store, 1L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(1L, 2L))
+    // landing drift: the replayed batch 1 recomputes to NO rows — the
+    // previous attempt's partition must not survive as a ghost in the
+    // dedup index (the scrubbed/CDC gates' hazard, same fix)
+    StreamingIngest.vectorDedupBatch(df(), store, 1L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(1L),
+      "ghost vector partition survived an empty replay")
+    // empty replay of the only remaining batch removes the store whole;
+    // the gate then accepts a fresh start
+    StreamingIngest.vectorDedupBatch(df(), store, 0L, 0.95, 64, 512, 32)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store)))
+    StreamingIngest.vectorDedupBatch(df(9L -> vec(9)), store, 2L, 0.95, 64, 512, 32)
+    assert(storedIds() == Set(9L))
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
