@@ -21,10 +21,10 @@ import scala.jdk.CollectionConverters._
  * Usage: `runMain graft.BenchGuard [runJson] [baselineJson]` after a
  * `runMain graft.Bench` under the BASELINE.md protocol (quiet host,
  * tmpfs scratch reaped, min-of-2). The committed baseline is the
- * round-14 SINGLE MEASURED RUN (`bench_runs/bench_r14_run3.json`,
- * 97.7 s over all 204 queries in a quiet window — median per-query
- * ratio 1.02 vs the r13 quiet artifact, BenchGuard zero flags vs the
- * interim steal-forced composite it replaced). A single artifact is
+ * round-14 FINAL-BUILD SINGLE MEASURED RUN
+ * (`bench_runs/bench_r14_run5.json`, 92.7 s over all 204 queries in a
+ * quiet window — median per-query ratio 0.93 vs the mid-round run-3
+ * artifact it replaces, BenchGuard zero flags). A single artifact is
  * preferred over a min-composite whenever the host allows one,
  * because a composite of best-evers can mask a uniform small
  * regression (the round-12 verdict's caveat); fall back to a
