@@ -228,13 +228,14 @@ object NorthStar {
   /** DuckDB twin of one TF.pseudonymizeWith substitution pass over expr
     * `t`: the class's identifier values (pass-1 guarded matches plus the
     * alternate-blocked survivors from the once-replaced text), distinct,
-    * length-DESCENDING (longest first, so a value containing a shorter
-    * same-class value folds before it — the zero-padded length prefix
-    * makes one lexicographic 'DESC' list_sort realize it; the tiebreak
-    * differs from Spark's value-ascending, which is immaterial:
-    * same-length distinct values cannot overlap, so their replace
-    * order cannot change the folded text), folded through
-    * literal replace with `tagSql(m)`. */
+    * length-DESCENDING with value-ASCENDING ties — the INVERTED
+    * zero-padded length prefix (9999 − length) makes one plain-ascending
+    * lexicographic list_sort realize exactly Spark's comparator
+    * (TextFunctions.pseudonymizeWith). The tiebreak must match: two
+    * distinct equal-length values CAN overlap at a shifted occurrence
+    * (suffix of one = prefix of the other), and the fold's literal
+    * replace is position-blind, so replace order changes the folded
+    * text. Folded through literal replace with `tagSql(m)`. */
   private def pseudoSql(t: String, c: TF.PiiClass,
                         tagSql: String => String): String = {
     val matches =
@@ -247,7 +248,7 @@ object NorthStar {
           list_transform(
             list_sort(list_transform(
               list_distinct($matches),
-              m -> lpad(CAST(length(m) AS VARCHAR), 4, '0') || m), 'DESC'),
+              m -> lpad(CAST(9999 - length(m) AS VARCHAR), 4, '0') || m)),
             k -> k[5:])),
         (acc, m) -> replace(acc, m, ${tagSql("m")}))"""
   }

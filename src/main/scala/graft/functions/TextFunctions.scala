@@ -286,7 +286,17 @@ object TextFunctions {
     * span embedded in a local part is consumed by the email's tag.
     * Because the fold replaces VALUES literally, an identifier value
     * also occurring inside a longer unguarded run is rewritten there too
-    * — the conservative side for a privacy rewrite. */
+    * — the conservative side for a privacy rewrite.
+    *
+    * Faithfulness boundary: longest-first folding guarantees each
+    * value's own tag under substring CONTAINMENT only. Two values that
+    * PARTIALLY overlap at one occurrence (suffix of one = prefix of the
+    * other, e.g. 'ab@c.dex' and 'x@d.efgh' in 'ab@c.dex@d.efgh') cannot
+    * both be rewritten there — the longer (or tie-broken earlier) value
+    * wins that span and the other's overlapped occurrence leaves a raw
+    * partial residue. Deterministic and engine-consistent (both engines
+    * pin the same fold order), and each value's NON-overlapped
+    * occurrences still tag faithfully. */
   private def pseudonymizeWith(text: Column, classes: Seq[PiiClass],
                                tagOf: (String, Column) => Column): Column =
     classes.foldLeft(text) { case (t, c) =>
@@ -294,11 +304,15 @@ object TextFunctions {
       // as a literal substring (fe80::1 vs ::1, xa@b.com vs a@b.com)
       // must fold before it — ascending order would let the shorter
       // value's global replace rewrite the longer value's occurrences,
-      // destroying its linkage tag. Same-length distinct values cannot
-      // overlap, so the value tiebreak only pins determinism; and no
-      // class's pattern can match inside a tag (tag bodies are
-      // digits/hex with no '@', '.', '-', or '::'), so an earlier
-      // replacement can never feed a later one.
+      // destroying its linkage tag. The value-ASC tiebreak is
+      // LOAD-BEARING, not just determinism: two distinct equal-length
+      // values CAN overlap at a shifted occurrence (suffix of one =
+      // prefix of the other), the literal replace is position-blind, so
+      // replace order changes the folded text — the DuckDB twin
+      // (NorthStar.pseudoSql) realizes the identical length-DESC /
+      // value-ASC order. No class's pattern can match inside a tag (tag
+      // bodies are digits/hex with no '@', '.', '-', or '::'), so an
+      // earlier replacement can never feed a later one.
       val ms = array_sort(
         array_distinct(classMatches(t, c)),
         (l, r) => when(length(l) > length(r), -1)

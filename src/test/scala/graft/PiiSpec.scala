@@ -114,13 +114,16 @@ class PiiSpec extends AnyFunSuite {
     assert(a == a2)
   }
 
-  test("substring-related matches fold longest-first: BOTH values keep " +
+  test("substring-CONTAINED matches fold longest-first: both values keep " +
        "their own faithful linkage tag") {
     // xa@b.com contains a@b.com as a literal substring. Longest-first
     // folding replaces xa@b.com before a@b.com's global replace could
     // rewrite its tail — so each value gets ITS OWN tag (ascending
     // order corrupted the container: 'x<EMAIL:tag(a@b.com)>', losing
     // xa@b.com's linkage and silently orphaning its RTBF path).
+    // Scope: this guarantee covers CONTAINMENT only — PARTIAL overlap
+    // between different values is pinned (deterministic, residue
+    // documented) by the equal-length-overlap test below.
     val df = Seq((1L, "first a@b.com then xa@b.com done")).toDF("doc_id", "text")
     val p = df.select(TF.pseudonymizePii(col("text"), "k")).head.getString(0)
     assert(!p.contains("a@b.com"), s"raw value survived: $p")
@@ -136,6 +139,28 @@ class PiiSpec extends AnyFunSuite {
       .head.getString(0)
     assert(p6.contains(TF.pseudoTag("IP6", "k", "fe80::1")) &&
       p6.contains(TF.pseudoTag("IP6", "k", "::1")), s"IPv6 mistag: $p6")
+  }
+
+  test("equal-length values that PARTIALLY overlap fold in pinned " +
+       "value-ascending order: the smaller value wins the shared span, " +
+       "deterministically, and non-overlapped occurrences tag faithfully") {
+    // ab@c.dex ends with 'x'; x@d.efgh starts with 'x'. In the mash
+    // 'ab@c.dex@d.efgh' both values occur as literal substrings at a
+    // one-char overlap — the position-blind fold can only rewrite one.
+    // Equal lengths make the value-ASC tiebreak decide: ab@c.dex folds
+    // first (wins the span), x@d.efgh's overlapped occurrence leaves the
+    // raw residue '@d.efgh'. This order is the cross-engine contract —
+    // NorthStar.pseudoSql realizes the identical length-DESC/value-ASC
+    // sort, so the t36/t37/t38 hash gates stay aligned.
+    val df = Seq((1L,
+      "a ab@c.dex b x@d.efgh c ab@c.dex@d.efgh d")).toDF("doc_id", "text")
+    val p = df.select(TF.pseudonymizePii(col("text"), "k")).head.getString(0)
+    val tagAb = TF.pseudoTag("EMAIL", "k", "ab@c.dex")
+    val tagX = TF.pseudoTag("EMAIL", "k", "x@d.efgh")
+    assert(p == s"a $tagAb b $tagX c $tagAb@d.efgh d",
+      s"overlap fold order drifted: $p")
+    // determinism
+    assert(p == df.select(TF.pseudonymizePii(col("text"), "k")).head.getString(0))
   }
 
   test("law: on random corpora with random planted PII, per-class counts " +
