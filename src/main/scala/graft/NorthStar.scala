@@ -1976,6 +1976,24 @@ object NorthStar {
         .select(col("doc_id"),
           TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo"))),
 
+    // right-to-be-forgotten over the MAC-pseudonymized corpus — t37's
+    // deletion path lifted to the release-grade t38 variant: the
+    // deletion target's nested-sha256 tag is a DRIVER-COMPUTED constant
+    // (TF.pseudoTagMac, re-derived from scratch by the oracle), so the
+    // linked-document scan is the same map-only `contains` predicate —
+    // no join, no shuffle — and the re-scrub the same literal replace.
+    // MAC tags keep deletion FINDABLE (any key holder derives the
+    // value's tag) while a tag alone reveals nothing about other values.
+    "t40_rtbf_mac_forget" -> ((s, dir) => {
+      val target = "audit@example.net"
+      linkInjected(docs(s, dir))
+        .select(col("doc_id"),
+          TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo"))
+        .filter(TF.linksToMac(col("pseudo"), "EMAIL", piiKey, target))
+        .select(col("doc_id"),
+          TF.forgetValueMac(col("pseudo"), "EMAIL", piiKey, target).as("pseudo"))
+    }),
+
     // n-gram language-model fluency scoring — the CCNet/KenLM stage of a
     // training-data pipeline: a bigram LM is trained on the curated
     // reference slice (source 'src0', the same held-out convention as
@@ -4841,6 +4859,20 @@ object NorthStar {
           SELECT doc_id,
                  ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
           FROM p1""",
+    // t38's MAC corpus filtered to the deletion target's tag (re-derived
+    // from scratch: nested sha256 over 'key|audit@example.net'), tag
+    // erased — the release-grade RTBF twin of t37
+    "t40_rtbf_mac_forget" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), macTagSql("EMAIL"))} AS t
+                 FROM tp),
+          q AS (SELECT doc_id,
+                  ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
+                FROM p1),
+          tag AS (SELECT ${macTagSql("EMAIL")("'audit@example.net'")} AS tg)
+          SELECT doc_id, replace(pseudo, tg, '<FORGOTTEN>') AS pseudo
+          FROM q, tag WHERE contains(pseudo, tg)""",
     // bigram LM trained on src0, scored log-free: integer truncating
     // division replays Spark's `div` exactly, ratios are one IEEE
     // divide, the keep gate is a cross-multiplied integer compare

@@ -170,9 +170,13 @@ object TextFunctions {
     * total, including `::1`, `fe80::`, and `1::`. Bare `::` is
     * deliberately excluded (C++ scope syntax), and the hex-or-colon lead
     * guard kills `deadbeef::1` sub-spans and `ns::cafe`-style
-    * hex-word scopes. IPv4-mapped forms (`::ffff:1.2.3.4`) are not
-    * detected as IPv6 — the tail guard stops before the dotted part and
-    * the v4 tail then counts under IP (its lead guard accepts `:`). */
+    * hex-word scopes. IPv4-mapped forms (`::ffff:1.2.3.4`,
+    * `64:ff9b::1.2.3.4`): the IPv6 class matches NOTHING there — every
+    * hex-prefix candidate is followed by `:` or a hex char, which no
+    * tail-guard alternative admits — and the embedded dotted quad counts
+    * exactly once under IP (its lead guard accepts `:`), so scrub yields
+    * `::ffff:<IP>`. The identifying half is redacted; the mapping prefix
+    * stays raw. PiiSpec pins this semantics as a law. */
   private val h16 = "[0-9A-Fa-f]{1,4}"
   private val ipv6Core = Seq(
     s"(?:$h16:){7}$h16",
@@ -397,6 +401,37 @@ object TextFunctions {
                   replacement: String = "<FORGOTTEN>"): Column =
     call_function("replace", pseudo,
       lit(pseudoTag(label, key, value)), lit(replacement))
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Driver-side twin of the [[pseudonymizePiiMac]] tag for ONE
+    * identifier value — the right-to-be-forgotten entry point for the
+    * release-grade MAC corpus, same shape as [[pseudoTag]] for the FNV
+    * family: the deletion request's tag is a constant, so locating every
+    * linked document stays a map-only `contains` predicate (no join, no
+    * shuffle) and the re-scrub a literal replace. Composes the nested
+    * digest over lowercase-hex strings exactly as Spark's `sha2` does,
+    * so it matches the engine-side tag byte-for-byte. Note the one-way
+    * asymmetry MAC tags buy: the TAG is still derivable from the value
+    * by any key holder (that is what makes deletion findable), but a
+    * tag alone reveals nothing about non-candidate values. */
+  def pseudoTagMac(label: String, key: String, value: String): String =
+    s"<$label#${sha256Hex(key + "|" + sha256Hex(key + "|" + value))
+      .substring(0, 32)}>"
+
+  /** RTBF predicate over a MAC-pseudonymized corpus. */
+  def linksToMac(pseudo: Column, label: String, key: String, value: String): Column =
+    pseudo.contains(pseudoTagMac(label, key, value))
+
+  /** RTBF re-scrub over a MAC-pseudonymized corpus — the deletion path
+    * for the release-grade variant: the target's 128-bit tag (and only
+    * it) becomes an unlinkable placeholder. */
+  def forgetValueMac(pseudo: Column, label: String, key: String, value: String,
+                     replacement: String = "<FORGOTTEN>"): Column =
+    call_function("replace", pseudo,
+      lit(pseudoTagMac(label, key, value)), lit(replacement))
 
   /**
    * Word n-gram shingles (distinct) from a pre-tokenized array column —

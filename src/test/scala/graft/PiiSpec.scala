@@ -293,6 +293,23 @@ class PiiSpec extends AnyFunSuite {
       val clean = countAll(df.select(TF.scrubPii(col("text")).as("t")), "t")
       assert(clean.values.forall(_ == 0L), s"'$text' survived scrub: $clean")
     }
+    // IPv4-mapped IPv6 forms: pinned semantics (TextFunctions IPv6 doc)
+    // — the IPv6 class matches NOTHING (every hex-prefix candidate is
+    // followed by ':' or hex, which no tail-guard alternative admits),
+    // the embedded quad counts exactly ONCE under IP, and scrub redacts
+    // the identifying half leaving the mapping prefix raw
+    Seq("host ::ffff:1.2.3.4 up" -> "host ::ffff:<IP> up",
+        "nat64 64:ff9b::10.0.0.1 path" -> "nat64 64:ff9b::<IP> path",
+        "ends with ::ffff:192.168.0.1." -> "ends with ::ffff:<IP>.")
+      .foreach { case (text, want) =>
+        val df = Seq((1L, text)).toDF("doc_id", "text")
+        val counts = countAll(df, "text")
+        assert(counts("IP") == 1L && counts("IP6") == 0L &&
+          counts.values.sum == 1L,
+          s"mapped-form '$text' semantics drifted: $counts")
+        val scrubbed = df.select(TF.scrubPii(col("text"))).head.getString(0)
+        assert(scrubbed == want, s"mapped-form scrub drifted: $scrubbed")
+      }
     // guard-consumption exactness: single-space-adjacent same-class runs
     // count fully and scrub fully (the two-pass form's regression pin)
     val adj = Seq((1L, "a 1.1.1.1 2.2.2.2 3.3.3.3 b"),
@@ -325,6 +342,37 @@ class PiiSpec extends AnyFunSuite {
     val engineTag = "<EMAIL:[0-9]+>".r
       .findFirstIn(ps.filter(col("doc_id") === 3).head.getString(1)).get
     assert(engineTag == bobTag, "TF.pseudoTag must equal the engine's FNV tag")
+  }
+
+  test("MAC RTBF: forgetValueMac erases exactly the requested " +
+       "identifier's MAC tag; every other tag and every non-tag byte " +
+       "survive verbatim (only-the-tag-changes)") {
+    val ps = planted.select(col("doc_id"),
+      TF.pseudonymizePiiMac(col("text"), "k1").as("p"))
+    val target = "alice@corp.example.com"
+    val tag = TF.pseudoTagMac("EMAIL", "k1", target)
+    // the linked-document lookup is the same map-only contains predicate
+    val linked = ps.filter(TF.linksToMac(col("p"), "EMAIL", "k1", target))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(linked == Set(1L, 5L), s"MAC linkage lookup drifted: $linked")
+    val before = ps.as[(Long, String)].collect().toMap
+    val after = ps.select(col("doc_id"),
+      TF.forgetValueMac(col("p"), "EMAIL", "k1", target).as("p"))
+      .as[(Long, String)].collect().toMap
+    assert(after.values.forall(t => !t.contains(tag)), "target tag survived")
+    // the ONLY change is the target tag → placeholder: every document
+    // equals its literal string-replacement image (the t37 pipeline law
+    // lifted to the MAC family)
+    assert(before.forall { case (id, t) =>
+      after(id) == t.replace(tag, "<FORGOTTEN>") },
+      "forgetValueMac changed more than the target tag")
+    // bob's MAC tag survives, and the driver-side tag matches the
+    // engine-side tag bit-for-bit
+    val bobTag = TF.pseudoTagMac("EMAIL", "k1", "bob@x.org")
+    assert(after(3L).contains(bobTag), "non-target MAC linkage must survive")
+    val engineTag = "<EMAIL#[0-9a-f]{32}>".r
+      .findFirstIn(before(3L)).get
+    assert(engineTag == bobTag, "TF.pseudoTagMac must equal the engine tag")
   }
 
   test("MAC pseudonymization: linkage + keying hold, tags are 128-bit " +
