@@ -108,7 +108,13 @@ object NorthStar {
   /** Deterministic PII injection for the audit tier (the corpus carries
     * none): one email always; a second email on mod-2, a phone on mod-3,
     * an IPv4 on mod-5, an SSN-shaped ID on mod-7 — so the per-doc counts
-    * VARY. Mirrored literally by [[piiInjectSql]]. */
+    * VARY. Cards use fixed well-known TEST PANs (a doc_id-derived PAN
+    * would need a check-digit computation in both injection twins for
+    * zero added coverage): a Luhn-VALID dashed Visa on mod-13=0, the
+    * check-digit-BROKEN variant on mod-13=1 (must count 0 and survive
+    * scrub raw — the precision side of the Luhn gate, hash-checked
+    * cross-engine), a valid contiguous Amex on mod-17=0. Mirrored
+    * literally by [[piiInjectSql]]. */
   private def piiInject(text: Column, id: Column): Column =
     concat(text,
       lit(" reach user"), id, lit("@example.com"),
@@ -117,6 +123,10 @@ object NorthStar {
       when(id % 3 === 0,
         concat(lit(" call +1-555-"),
           lpad(pmod(id, lit(10000L)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 13 === 0, lit(" pay 4111-1111-1111-1111"))
+        .when(id % 13 === 1, lit(" pay 4111-1111-1111-1112"))
+        .otherwise(lit("")),
+      when(id % 17 === 0, lit(" amex 378282246310005")).otherwise(lit("")),
       when(id % 5 === 0,
         concat(lit(" from 10."), pmod(id, lit(256L)).cast("string"),
           // cast-truncate == // for the non-negative ids (< 2^52 exact)
@@ -164,6 +174,10 @@ object NorthStar {
       || CASE WHEN doc_id % 3 = 0
               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
               ELSE '' END
+      || CASE WHEN doc_id % 13 = 0 THEN ' pay 4111-1111-1111-1111'
+              WHEN doc_id % 13 = 1 THEN ' pay 4111-1111-1111-1112'
+              ELSE '' END
+      || CASE WHEN doc_id % 17 = 0 THEN ' amex 378282246310005' ELSE '' END
       || CASE WHEN doc_id % 5 = 0
               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
@@ -185,26 +199,61 @@ object NorthStar {
   private def duckRepl(c: TF.PiiClass): String =
     if (c.group == 0) c.tag else s"\\1${c.tag}\\3"
 
-  /** One full scrub of one class over SQL expr `acc`: guarded classes
-    * run the two-pass form (pass 2 catches spans whose lead char the
-    * previous match's tail guard consumed — see TextFunctions). */
-  private def scrubClassSql(acc: String, c: TF.PiiClass): String = {
-    val once = s"regexp_replace($acc, '${c.pattern}', '${duckRepl(c)}', 'g')"
-    if (c.group == 0) once
-    else s"regexp_replace($once, '${c.pattern}', '${duckRepl(c)}', 'g')"
+  /** DuckDB twin of TF.luhnValid over expr `m` (its own binding, usually
+    * a lambda variable): separators stripped, every second digit from
+    * the right doubled (−9 when > 9), sum ≡ 0 mod 10 — exact integer
+    * arithmetic, digit-for-digit the Spark fold. */
+  private def luhnCondSql(m: String): String = {
+    val dg = s"regexp_replace($m, '[^0-9]', '', 'g')"
+    s"""(list_sum(list_transform(range(1, length($dg) + 1),
+          i -> CASE WHEN (length($dg) - i) % 2 = 1
+                    THEN CASE WHEN CAST($dg[i] AS INT) * 2 > 9
+                              THEN CAST($dg[i] AS INT) * 2 - 9
+                              ELSE CAST($dg[i] AS INT) * 2 END
+                    ELSE CAST($dg[i] AS INT) END)) % 10 = 0)"""
   }
 
-  /** DuckDB twin of TF.scrubPii over expr `t`: the five-class redact
-    * chain in piiClasses order (patterns are RE2-safe and quote-free,
-    * embedded verbatim). */
+  /** The class's candidate values over expr `t`: pass-1 guarded matches
+    * plus the alternate-blocked survivors from the once-replaced text
+    * (TF.classMatches' twin); `x -> luhn(x)`-filtered for the
+    * checksum-gated class (TF.validMatches). */
+  private def validMatchesSql(t: String, c: TF.PiiClass): String = {
+    val cand =
+      if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
+      else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
+               || regexp_extract_all(
+                    regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g'),
+                    '${c.pattern}', ${c.group})"""
+    if (c.luhn) s"list_filter($cand, x -> ${luhnCondSql("x")})" else cand
+  }
+
+  /** One full scrub of one class over SQL expr `acc`: guarded regex
+    * classes run the two-pass form (pass 2 catches spans whose lead char
+    * the previous match's tail guard consumed — see TextFunctions); the
+    * checksum-gated class folds literal replace over its verified
+    * values (TF.scrubClass's fold arm — pseudoSql with a constant tag). */
+  private def scrubClassSql(acc: String, c: TF.PiiClass): String =
+    if (c.luhn) pseudoSql(acc, c, _ => s"'${c.tag}'")
+    else {
+      val once = s"regexp_replace($acc, '${c.pattern}', '${duckRepl(c)}', 'g')"
+      if (c.group == 0) once
+      else s"regexp_replace($once, '${c.pattern}', '${duckRepl(c)}', 'g')"
+    }
+
+  /** DuckDB twin of TF.scrubPii over expr `t`: the full redact chain in
+    * piiClasses order (patterns are RE2-safe and quote-free, embedded
+    * verbatim). */
   private def scrubSql(t: String): String =
     TF.piiClasses.foldLeft(t)(scrubClassSql)
 
   /** DuckDB twin of TF.piiCount over expr `t`: guarded classes add the
-    * second-pass extraction over the once-replaced text. */
+    * second-pass extraction over the once-replaced text; the
+    * checksum-gated class counts only verified candidates. */
   private def countSql(t: String, c: TF.PiiClass): String =
     if (c.group == 0)
       s"CAST(len(regexp_extract_all($t, '${c.pattern}')) AS BIGINT)"
+    else if (c.luhn)
+      s"CAST(len(${validMatchesSql(t, c)}) AS BIGINT)"
     else {
       val once = s"regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g')"
       s"""CAST(len(regexp_extract_all($t, '${c.pattern}', ${c.group}))
@@ -214,9 +263,10 @@ object NorthStar {
   /** The keyed FNV tag of match expr `m` for `label` — the t36/t37
     * linkage tag the oracle re-derives from scratch. Matches are ASCII
     * by pattern construction, so fnvSql's per-char ord IS the byte
-    * fold. */
+    * fold. Zero-padded to 20 digits in lockstep with
+    * TF.pseudonymizePii (the CARD no-new-match invariant). */
   private def fnvTagSql(label: String)(m: String): String =
-    s"'<$label:' || CAST(${fnvSql(s"'$piiKey|' || $m")} AS VARCHAR) || '>'"
+    s"'<$label:' || lpad(CAST(${fnvSql(s"'$piiKey|' || $m")} AS VARCHAR), 20, '0') || '>'"
 
   /** The MAC tag of match expr `m`: first 32 hex chars of the nested
     * digest sha256(key|sha256(key|m)) — TF.pseudonymizePiiMac's twin
@@ -238,12 +288,7 @@ object NorthStar {
     * text. Folded through literal replace with `tagSql(m)`. */
   private def pseudoSql(t: String, c: TF.PiiClass,
                         tagSql: String => String): String = {
-    val matches =
-      if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
-      else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
-               || regexp_extract_all(
-                    regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g'),
-                    '${c.pattern}', ${c.group})"""
+    val matches = validMatchesSql(t, c)
     s"""list_reduce(list_prepend($t,
           list_transform(
             list_sort(list_transform(
@@ -1912,16 +1957,19 @@ object NorthStar {
         .select(col("doc_id"), TF.redactPii(col("text_pii")).as("clean"))),
 
     // the full PII stage a production corpus runs before dedup — t07's
-    // redaction widened to DETECTION (per-doc match counts for all five
-    // pattern classes, boundary-guarded and octet-bounded so version
-    // strings / ISBNs / number tables don't inflate the datasheet) plus
-    // the five-class scrub. Same injection discipline as t07 (the corpus
-    // is word-salad with zero PII-shaped spans, so both engines
-    // deterministically plant a VARYING mix: one email always, a second
-    // email / phone / IPv4 / SSN-shaped ID / IPv6 on doc_id residue
+    // redaction widened to DETECTION (per-doc match counts for all six
+    // pattern classes, boundary-guarded, octet-bounded, and Luhn-gated
+    // so version strings / ISBNs / number tables / check-digit-broken
+    // PANs don't inflate the datasheet) plus the six-class scrub. Same
+    // injection discipline as t07 (the corpus is word-salad with zero
+    // PII-shaped spans, so both engines deterministically plant a
+    // VARYING mix: one email always, a second email / phone / card
+    // (valid AND check-digit-broken — the broken one must count 0 and
+    // survive scrub raw) / IPv4 / SSN-shaped ID / IPv6 on doc_id residue
     // classes — varying counts are what make the oracle non-vacuous).
-    // Counts and scrub are codegen'd regex built-ins over the spread
-    // scan; the whole stage is map-only at any scale.
+    // Counts and scrub are codegen'd regex built-ins plus the CARD
+    // class's Luhn-verified literal fold over the spread scan; the
+    // whole stage is map-only at any scale.
     "t35_pii_audit" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),

@@ -194,10 +194,47 @@ object TextFunctions {
   private val idCore = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
   val idPattern: String = leadDot + "(" + idCore + ")" + tailNum
 
-  /** One detection class: placeholder label, full (guarded) pattern, and
-    * the group index that extracts the identifier itself (0 = the whole
-    * match is the identifier — EMAIL; 2 = the guarded core). */
-  final case class PiiClass(label: String, pattern: String, group: Int) {
+  /** Payment-card PANs (core, group 2): 4-4-4-{1,7} dash/space groupings
+    * (13–19 digits — the classic 4-4-4-4 plus long-PAN tails), Amex
+    * 4-6-5, and contiguous 13–19 digit runs. The REGEX only shapes
+    * CANDIDATES — detection requires the Luhn check digit to verify
+    * ([[luhnValid]]), so ISBNs, order numbers, and random digit tables
+    * that happen to group like a PAN stay out unless their checksum
+    * actually passes (1-in-10 for uniform digits; the precision law
+    * plants check-digit-broken PANs that must NOT match). The phone-like
+    * lead guard (no `+`, so E.164 spans stay PHONE's) and the digit/dash
+    * tail guard reject sub-spans of longer runs (a fifth dashed group,
+    * 20+ contiguous digits). Five-group long PANs (4-4-4-4-3) are out —
+    * rare, and a fifth group is indistinguishable from an appended
+    * sequence number. */
+  private val cardCore =
+    "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}" +
+    "|[0-9]{4}[- ][0-9]{6}[- ][0-9]{5}" +
+    "|[0-9]{13,19}"
+  val cardPattern: String = leadNum + "(" + cardCore + ")" + tailNum
+
+  /** Luhn check over a candidate PAN (separators stripped): from the
+    * right, every second digit doubled (minus 9 when > 9), sum ≡ 0
+    * mod 10. Exact integer arithmetic over built-in HOFs — no libm, no
+    * UDF — replayed digit-for-digit by the DuckDB twin
+    * (NorthStar.luhnCondSql). */
+  def luhnValid(m: Column): Column = {
+    val ds = regexp_replace(m, "[^0-9]", "")
+    val n = length(ds)
+    (aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = ds.substr(i, lit(1)).cast("int")
+      val dbl = when(pmod(n - i, lit(2)) === 1, d * 2).otherwise(d)
+      acc + when(dbl > 9, dbl - 9).otherwise(dbl)
+    }) % 10) === 0
+  }
+
+  /** One detection class: placeholder label, full (guarded) pattern, the
+    * group index that extracts the identifier itself (0 = the whole
+    * match is the identifier — EMAIL; 2 = the guarded core), and an
+    * optional checksum gate (`luhn = true` — CARD): candidates only
+    * count/scrub when [[luhnValid]] verifies. */
+  final case class PiiClass(label: String, pattern: String, group: Int,
+                            luhn: Boolean = false) {
     def tag: String = s"<$label>"
     /** Java-regex replacement that re-emits the consumed guard chars. */
     private[functions] def sparkRepl(t: String): String =
@@ -205,17 +242,27 @@ object TextFunctions {
   }
 
   /** The audit classes in scrub order: emails first (digits inside an
-    * address must not half-match as a phone/IP), then phones, IPv6
-    * before IPv4 (colon forms carry no dots today, but a future
-    * v4-mapped form must meet the v6 pass first), then ID tokens.
+    * address must not half-match as a phone/IP), then phones, then
+    * Luhn-gated card PANs (phone before card is safe in both
+    * directions: phone guards reject card sub-spans — the dashed/spaced
+    * groups are 4-wide, phones need 1-3/3/4 — and the card lead
+    * excludes '+', so E.164 spans stay PHONE's), IPv6 before IPv4
+    * (colon forms carry no dots today, but a future v4-mapped form must
+    * meet the v6 pass first), then ID tokens.
     * No-new-match invariant: a replacement can never CREATE a later
     * match — scrub tags carry no '@', dot, dash, or colon, and the one
     * digit in <IP6> is flanked by 'P' and '>' so no pattern's core or
     * lead guard can absorb it (a future tag must keep any digit away
-    * from '<'/'>' boundaries or re-prove this). */
+    * from '<'/'>' boundaries or re-prove this; since CARD, any digit
+    * RUN in a tag body must also stay outside 13-19 length when its
+    * right boundary is non-alphanumeric — the FNV tags zero-pad to 20
+    * for exactly this reason).
+    * NOTE t36/t37/t38/t40 bind `piiClasses.take(2)` as the linkable
+    * identifiers — EMAIL and PHONE must stay the first two entries. */
   val piiClasses: Seq[PiiClass] = Seq(
     PiiClass("EMAIL", emailPattern, 0),
     PiiClass("PHONE", phonePattern, 2),
+    PiiClass("CARD", cardPattern, 2, luhn = true),
     PiiClass("IP6", ipv6Pattern, 2),
     PiiClass("IP", ipv4Pattern, 2),
     PiiClass("ID", idPattern, 2))
@@ -229,24 +276,27 @@ object TextFunctions {
   private def replaceOnce(t: Column, c: PiiClass, tag: String): Column =
     regexp_replace(t, c.pattern, c.sparkRepl(tag))
 
-  /** Full scrub of one class: guarded classes run the two-pass form (see
-    * the guard note above — pass 2 catches the alternate-blocked spans). */
+  /** Full scrub of one class: guarded regex classes run the two-pass
+    * form (see the guard note above — pass 2 catches the
+    * alternate-blocked spans). A checksum-gated class (CARD) cannot
+    * scrub by regex alone — the pattern admits candidates the check
+    * digit rejects — so it folds literal `replace` over its DISTINCT
+    * verified values (longest-first, the pseudonymize order). Literal
+    * folding is position-blind: a verified value also occurring inside
+    * a longer unguarded run is rewritten there too — the conservative
+    * side for redaction. */
   private def scrubClass(t: Column, c: PiiClass, tag: String): Column =
-    if (c.group == 0) replaceOnce(t, c, tag)
+    if (c.luhn) foldReplace(t, validMatches(t, c), _ => lit(tag))
+    else if (c.group == 0) replaceOnce(t, c, tag)
     else replaceOnce(replaceOnce(t, c, tag), c, tag)
 
   /** Per-class PII match count — the detection side of the audit (what a
     * corpus datasheet reports before scrubbing). Exact under guard
     * consumption: pass-1 matches plus the survivors a second extraction
-    * over the once-replaced text recovers. */
-  def piiCount(text: Column, c: PiiClass): Column = {
-    val first = size(regexp_extract_all(text, lit(c.pattern), lit(c.group)))
-    val n =
-      if (c.group == 0) first
-      else first + size(regexp_extract_all(
-        replaceOnce(text, c, c.tag), lit(c.pattern), lit(c.group)))
-    n.cast("long")
-  }
+    * over the once-replaced text recovers; checksum-gated classes count
+    * only the verified candidates. */
+  def piiCount(text: Column, c: PiiClass): Column =
+    size(validMatches(text, c)).cast("long")
 
   /**
    * PII redaction for training corpora: emails then phone-shaped numbers
@@ -257,22 +307,47 @@ object TextFunctions {
     piiClasses.filter(c => c.label == "EMAIL" || c.label == "PHONE")
       .foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
 
-  /** Five-class redaction in [[piiClasses]] order. A chain of codegen'd
-    * `regexp_replace` — map-only at any scale. Dedup MUST fingerprint
+  /** Full redaction in [[piiClasses]] order (all six classes). A chain
+    * of codegen'd `regexp_replace` plus the CARD class's Luhn-verified
+    * literal fold — map-only at any scale. Dedup MUST fingerprint
     * THIS form, not [[pseudonymizePii]]'s (blind tags collapse volatile
     * per-crawl PII; keyed tags preserve value distinctions by design —
     * see the d25_scrub_dedup witness). */
   def scrubPii(text: Column): Column =
     piiClasses.foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
 
-  /** All of one class's identifier values in `t`: pass-1 guarded matches
+  /** All of one class's CANDIDATE values in `t`: pass-1 guarded matches
     * plus the alternate-blocked survivors recovered from the
-    * once-replaced text (see the guard note). */
+    * once-replaced text (see the guard note). The unblocking replace
+    * deliberately rewrites ALL candidates — checksum validity doesn't
+    * matter for recovering a consumed lead char. */
   private def classMatches(t: Column, c: PiiClass): Column = {
     val pass1 = regexp_extract_all(t, lit(c.pattern), lit(c.group))
     if (c.group == 0) pass1
     else concat(pass1, regexp_extract_all(
       replaceOnce(t, c, c.tag), lit(c.pattern), lit(c.group)))
+  }
+
+  /** [[classMatches]] narrowed to the class's VERIFIED identifier values
+    * — identity for regex-only classes; the Luhn gate for CARD. */
+  private def validMatches(t: Column, c: PiiClass): Column = {
+    val ms = classMatches(t, c)
+    if (c.luhn) filter(ms, m => luhnValid(m)) else ms
+  }
+
+  /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in
+    * the pinned length-DESC / value-ASC order (see the pseudonymize
+    * note: containers before contained values; the value-ASC tiebreak is
+    * the cross-engine contract for equal-length overlaps). */
+  private def foldReplace(t: Column, ms: Column,
+                          tagOf: Column => Column): Column = {
+    val sorted = array_sort(
+      array_distinct(ms),
+      (l, r) => when(length(l) > length(r), -1)
+        .when(length(l) < length(r), 1)
+        .when(l < r, -1).when(l > r, 1).otherwise(0))
+    aggregate(sorted, t, (acc, m) =>
+      call_function("replace", acc, m, tagOf(m)))
   }
 
   /** The shared pseudonymization skeleton: per class, extract the
@@ -304,26 +379,20 @@ object TextFunctions {
   private def pseudonymizeWith(text: Column, classes: Seq[PiiClass],
                                tagOf: (String, Column) => Column): Column =
     classes.foldLeft(text) { case (t, c) =>
-      // longest-first: a value that CONTAINS a shorter same-class value
-      // as a literal substring (fe80::1 vs ::1, xa@b.com vs a@b.com)
-      // must fold before it — ascending order would let the shorter
-      // value's global replace rewrite the longer value's occurrences,
-      // destroying its linkage tag. The value-ASC tiebreak is
-      // LOAD-BEARING, not just determinism: two distinct equal-length
-      // values CAN overlap at a shifted occurrence (suffix of one =
-      // prefix of the other), the literal replace is position-blind, so
-      // replace order changes the folded text — the DuckDB twin
-      // (NorthStar.pseudoSql) realizes the identical length-DESC /
-      // value-ASC order. No class's pattern can match inside a tag (tag
-      // bodies are digits/hex with no '@', '.', '-', or '::'), so an
-      // earlier replacement can never feed a later one.
-      val ms = array_sort(
-        array_distinct(classMatches(t, c)),
-        (l, r) => when(length(l) > length(r), -1)
-          .when(length(l) < length(r), 1)
-          .when(l < r, -1).when(l > r, 1).otherwise(0))
-      aggregate(ms, t, (acc, m) =>
-        call_function("replace", acc, m, tagOf(c.label, m)))
+      // longest-first via foldReplace: a value that CONTAINS a shorter
+      // same-class value as a literal substring (fe80::1 vs ::1,
+      // xa@b.com vs a@b.com) must fold before it — ascending order
+      // would let the shorter value's global replace rewrite the longer
+      // value's occurrences, destroying its linkage tag. The value-ASC
+      // tiebreak is LOAD-BEARING, not just determinism: two distinct
+      // equal-length values CAN overlap at a shifted occurrence (suffix
+      // of one = prefix of the other), the literal replace is
+      // position-blind, so replace order changes the folded text — the
+      // DuckDB twin (NorthStar.pseudoSql) realizes the identical
+      // length-DESC / value-ASC order. No class's pattern can match
+      // inside a tag (tag bodies are digits/hex with no '@', '.', '-',
+      // or '::'), so an earlier replacement can never feed a later one.
+      foldReplace(t, validMatches(t, c), m => tagOf(c.label, m))
     }
 
   /**
@@ -345,16 +414,23 @@ object TextFunctions {
    * [[pseudonymizePiiMac]], whose nested-SHA-256 tags resist both.
    *
    * Default classes = the linkable identifiers (emails/phones — t36's
-   * oracle contract); pass [[piiClasses]] to pseudonymize all five
+   * oracle contract); pass [[piiClasses]] to pseudonymize the full set
    * (telemetry pipelines keying on visitor IPs). Tags are digits-only
-   * between ':' and '>', so a replacement can never create a new match.
+   * between ':' and '>', ZERO-PADDED to 20 digits: an unpadded 64-bit
+   * decimal can be 13-19 digits long — exactly the CARD pattern's
+   * contiguous-PAN range, and ':' is a lead char cards accept
+   * ("card: 4111...") — so an unpadded tag body could Luhn-fluke into
+   * a card candidate when CARD folds after EMAIL/PHONE. At 20 digits
+   * the run overruns every card alternative (interior starts are
+   * digit-lead-blocked), and no other class can match a bare digit run,
+   * so a replacement can never create a new match.
    */
   def pseudonymizePii(text: Column, key: String,
                       classes: Seq[PiiClass] = piiClasses.take(2)): Column =
     pseudonymizeWith(text, classes, (label, m) =>
       concat(lit(s"<$label:"),
-        conv(hex(Hashing.fnvChecksum(
-          concat(lit(key + "|"), m).cast("binary"))), 16, 10),
+        lpad(conv(hex(Hashing.fnvChecksum(
+          concat(lit(key + "|"), m).cast("binary"))), 16, 10), 20, "0"),
         lit(">")))
 
   /**
@@ -370,7 +446,12 @@ object TextFunctions {
    * [[pseudonymizePii]]; both engines compose the digests over lowercase
    * hex strings, so the DuckDB oracle regenerates tags byte-for-byte
    * (t38). Tag bodies are lowercase hex between '#' and '>' — no '@',
-   * separator, or colon — so a replacement can never create a new match.
+   * separator, or colon — so a replacement can never create a new match;
+   * vs CARD specifically: a 13-19 digit sub-run inside the 32-hex body
+   * is interior (alnum-lead-blocked) or followed by a hex letter
+   * (alnum-tail-blocked), and an all-digit body would be a 32-digit run
+   * that overruns every card alternative — hex bodies are inert without
+   * padding.
    */
   def pseudonymizePiiMac(text: Column, key: String,
                          classes: Seq[PiiClass] = piiClasses.take(2)): Column =
@@ -386,9 +467,11 @@ object TextFunctions {
     * a map-only `contains` over the pseudonymized corpus (predicate on
     * the scan, no join, no shuffle) and the re-scrub is a literal
     * replace. Matches FnvChecksum/`fnvSql` bit-for-bit. */
-  def pseudoTag(label: String, key: String, value: String): String =
-    s"<$label:${java.lang.Long.toUnsignedString(
-      Fnv.hashBytes((key + "|" + value).getBytes("UTF-8")))}>"
+  def pseudoTag(label: String, key: String, value: String): String = {
+    val n = java.lang.Long.toUnsignedString(
+      Fnv.hashBytes((key + "|" + value).getBytes("UTF-8")))
+    s"<$label:${"0" * (20 - n.length) + n}>"
+  }
 
   /** RTBF predicate: does this pseudonymized text link to `value`? */
   def linksTo(pseudo: Column, label: String, key: String, value: String): Column =

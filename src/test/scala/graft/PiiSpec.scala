@@ -32,10 +32,22 @@ class PiiSpec extends AnyFunSuite {
       cls.label -> df.agg(sum(TF.piiCount(col(c), cls))).head.getLong(0)
     }.toMap
 
+  // reference Luhn (the spec the engine fold must agree with): from the
+  // right, every second digit doubled, −9 when > 9, sum ≡ 0 mod 10
+  private def luhnSum(num: String): Int = num.reverse.zipWithIndex.map {
+    case (c, i) =>
+      val d = c - '0'; val x = if (i % 2 == 1) d * 2 else d
+      if (x > 9) x - 9 else x
+  }.sum
+
+  /** Append the check digit that makes `payload` a Luhn-valid PAN. */
+  private def mkValidPan(payload: String): String =
+    payload + ((10 - luhnSum(payload + "0") % 10) % 10)
+
   test("planted-PII recall is 1.0: scrub leaves zero matches of any class") {
     val before = countAll(planted, "text")
-    assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "IP" -> 2L,
-      "ID" -> 1L, "IP6" -> 3L), s"fixture drifted: $before")
+    assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "CARD" -> 0L,
+      "IP" -> 2L, "ID" -> 1L, "IP6" -> 3L), s"fixture drifted: $before")
     val after = countAll(planted.select(TF.scrubPii(col("text")).as("t")), "t")
     assert(after.values.forall(_ == 0L), s"scrub left matches: $after")
     // and the scrub is idempotent — tags carry no digits/dots/dashes, so
@@ -78,7 +90,49 @@ class PiiSpec extends AnyFunSuite {
     assert(phoneTag(ps(1L)) == phoneTag(ps(5L)))
   }
 
-  test("pseudonymization generalizes to all five classes: IPs and IDs " +
+  test("card class: Luhn-VALID PANs in every accepted grouping detect " +
+       "exactly once and scrub to <CARD>; check-digit-broken twins " +
+       "never match; keyed pseudonymization tags verified cards") {
+    val nineteen = mkValidPan("411111111111111111") // 19-digit long PAN
+    val grouped19 = s"${nineteen.take(4)}-${nineteen.slice(4, 8)}-" +
+      s"${nineteen.slice(8, 12)}-${nineteen.drop(12)}" // 4-4-4-7 grouping
+    val valid = Seq(
+      "pay 4111-1111-1111-1111 dashed",
+      "pay 4111 1111 1111 1111 spaced",
+      "pay 4111111111111111 contiguous",
+      "amex 378282246310005 contiguous",
+      "amex 3782-822463-10005 grouped",
+      "amex 3782 822463 10005 spaced",
+      s"longpan $grouped19 tail",
+      "visa13 4222222222222 contiguous",
+      "ends with 4111-1111-1111-1111.")
+    valid.foreach { text =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val counts = countAll(df, "text")
+      assert(counts("CARD") == 1L && counts.values.sum == 1L,
+        s"'$text' should count exactly once as CARD: $counts")
+      val clean = df.select(TF.scrubPii(col("text"))).head.getString(0)
+      assert(clean.contains("<CARD>") && countAll(
+        df.select(TF.scrubPii(col("text")).as("t")), "t").values.forall(_ == 0L),
+        s"'$text' survived scrub: $clean")
+    }
+    // adjacent same-class runs: the fold replaces values literally, so
+    // single-space-adjacent cards both count (two-pass) and both scrub
+    val adj = Seq((1L, "p 4111111111111111 378282246310005 q")).toDF("doc_id", "text")
+    assert(countAll(adj, "text")("CARD") == 2L)
+    assert(adj.select(TF.scrubPii(col("text"))).head.getString(0)
+      == "p <CARD> <CARD> q")
+    // keyed pseudonymization verifies the checksum too: the valid PAN
+    // gets a linkage tag, the broken twin stays raw
+    val mix = Seq((1L, "a 4111111111111111 b 4111111111111112 c"))
+      .toDF("doc_id", "text")
+    val p = mix.select(TF.pseudonymizePii(col("text"), "k", TF.piiClasses))
+      .head.getString(0)
+    assert(p == s"a ${TF.pseudoTag("CARD", "k", "4111111111111111")} " +
+      "b 4111111111111112 c", s"card pseudonymization drifted: $p")
+  }
+
+  test("pseudonymization generalizes beyond email/phone: IPs and IDs " +
        "link under keyed tags when passed the full pattern set") {
     val ps = planted.select(col("doc_id"),
       TF.pseudonymizePii(col("text"), "k1", TF.piiClasses).as("p"))
@@ -199,9 +253,21 @@ class PiiSpec extends AnyFunSuite {
       Gen.const("::1"), Gen.const("fe80::"))
     val idTok = for { a <- digits(3); b <- digits(2); c <- digits(4) }
       yield s"$a-$b-$c"
+    // Luhn-valid random PANs, 13-19 digits, contiguous or 4-4-4-N
+    // grouped with a uniform dash/space separator (the accepted forms)
+    val card = for {
+      len <- Gen.chooseNum(12, 18); payload <- digits(len)
+      sep <- Gen.oneOf("", "-", " ")
+    } yield {
+      val full = mkValidPan(payload)
+      if (sep.isEmpty) full
+      else s"${full.take(4)}$sep${full.slice(4, 8)}$sep" +
+        s"${full.slice(8, 12)}$sep${full.drop(12)}"
+    }
     val token: Gen[(String, String)] = Gen.frequency(
       6 -> word.map(("w", _)), 1 -> email.map(("EMAIL", _)),
-      1 -> phone.map(("PHONE", _)), 1 -> ip.map(("IP", _)),
+      1 -> phone.map(("PHONE", _)), 1 -> card.map(("CARD", _)),
+      1 -> ip.map(("IP", _)),
       1 -> ip6.map(("IP6", _)), 1 -> idTok.map(("ID", _)))
     val doc = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, token))
     val corpus = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, doc))
@@ -252,7 +318,13 @@ class PiiSpec extends AnyFunSuite {
       "dotted run 1.2.3.4.5 here",
       "octets 999.1.1.1 and 256.300.1.2 invalid",
       "isbn 978-0-306-40615-7 cited",
-      "card 4111-1111-1111-1111 masked",
+      // check-digit-BROKEN PANs in every accepted grouping: the regex
+      // admits the candidates, the Luhn gate must reject them all
+      "card 4111-1111-1111-1112 masked",
+      "card 1234 5678 9012 3456 spaced",
+      "card 4111111111111112 contiguous",
+      "amex 3782-822463-10006 grouped",
+      "fifth group 4111-1111-1111-1111-1111 rejected",
       "serial +1234567890123456 too long",
       "table 12 345 6789 columns",
       "times 08:00 and 09:30:15 clock",
