@@ -1288,6 +1288,81 @@ object NorthStar {
           .select(col("doc_id"), col("score")), Seq("doc_id"))
     }),
 
+    // d13's staged verdict composition with the t39 LM-fluency gate
+    // wired in as a quality stage — the CCNet ordering: heuristic
+    // quality → LM perplexity filter → dedup → decontamination. The
+    // fluency stage calls THE SAME operators/LmFluency.score body the
+    // oracle-verified t39 runs (and the oracle embeds t39's verified
+    // SQL), so the composition cannot drift from its stages. LM trained
+    // on the FULL src0 reference slice (the reference is given, not
+    // quality-gated — t39's contract); only quality-surviving non-src0
+    // docs face the gate, src0 rows bypass it (they are the reference,
+    // and leave at the eval-exclusion stage). Distributed shape: the
+    // fluency stage adds ONE map-side broadcast-scored explode plus a
+    // doc_id-keyed agg to d13's plan — no new corpus-sized shuffle.
+    "d26_verdict_lm" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // stage 1: quality (d13's gate, same pushdown-barrier shape)
+      val qKeep = d.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3).as("keepq"))
+        .filter(col("keepq")).select(col("doc_id"))
+      val pool1 = d.join(qKeep, Seq("doc_id"), "left_semi")
+      // stage 2: LM-fluency gate (t39's body via LmFluency.score)
+      val fKeep = graft.operators.LmFluency.score(
+          d.filter(col("source") === "src0").select(col("text")),
+          pool1.filter(col("source") =!= "src0")
+            .select(col("doc_id"), col("text")))
+        .filter(col("keep")).select(col("doc_id"))
+        .unionByName(pool1.filter(col("source") === "src0")
+          .select(col("doc_id")))
+      val pool2 = pool1.join(fKeep, Seq("doc_id"), "left_semi")
+      // stage 3: exact dedup among fluency survivors
+      val eKeep = pool2.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val pool3 = pool2.join(eKeep, Seq("doc_id"), "left_semi")
+      // stage 4: near-dup representative — the memoized corpus pair set
+      // restricted to the pool (d13's reuse discipline)
+      val pool3Ids = pool3.select(col("doc_id"))
+      val poolPairs = neardupPairs(s, dir)
+        .join(pool3Ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(pool3Ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      val comps = graft.operators.Dedup.connectedComponents(
+        poolPairs.select(col("doc_a"), col("doc_b")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+      val nKeep = pool3.select(col("doc_id"), col("n_chars"))
+        .join(comps, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      val pool4 = pool3.join(nKeep, Seq("doc_id"), "left_semi")
+      // stage 5: eval exclusion + contamination among near-dup survivors
+      val evalSet = d.filter(col("source") === "src0")
+        .select(explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+        .distinct()
+      val contaminated = pool4.filter(col("source") =!= "src0")
+        .select(col("doc_id"),
+          explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+        .join(broadcast(evalSet), Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+      d.select(col("doc_id"), col("source"))
+        .join(qKeep.withColumn("fq", lit(1)), Seq("doc_id"), "left")
+        .join(fKeep.withColumn("ff", lit(1)), Seq("doc_id"), "left")
+        .join(eKeep.withColumn("fe", lit(1)), Seq("doc_id"), "left")
+        .join(nKeep.withColumn("fn", lit(1)), Seq("doc_id"), "left")
+        .join(contaminated.withColumn("fc", lit(1)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("fq").isNull, "dropped_quality")
+            .when(col("ff").isNull, "dropped_fluency")
+            .when(col("fe").isNull, "dropped_exact")
+            .when(col("fn").isNull, "dropped_near")
+            .when(col("source") === "src0", "dropped_eval")
+            .when(col("fc").isNotNull, "dropped_contaminated")
+            .otherwise("kept").as("verdict"))
+    }),
+
     // SimHash near-dup: 64-bit signatures (custom Catalyst expression),
     // byte-banded candidate join (8 bands ⇒ complete for hamming ≤ 7)
     "d05_simhash_pairs" -> ((s, dir) => {
@@ -2046,7 +2121,11 @@ object NorthStar {
     // training-data pipeline: a bigram LM is trained on the curated
     // reference slice (source 'src0', the same held-out convention as
     // t12's eval split) and every other document is scored by how well
-    // its token transitions are explained by that LM. Deliberately
+    // its token transitions are explained by that LM. The body lives in
+    // operators/LmFluency.score — ONE implementation shared with the
+    // d26 verdict composition and CorpusPipeline's lmFluency stage, so
+    // the composed pipeline cannot drift from this oracle-verified
+    // query. Deliberately
     // log-free (t13/t32's reason: libm ln/exp are not bit-stable across
     // engines, so true perplexity = exp(−Σ ln p / n) can't sit in a
     // hash-checked contract): each transition's add-one smoothed INVERSE
@@ -2073,55 +2152,9 @@ object NorthStar {
     // sort-merge join keyed by the gram.
     "t39_lm_fluency" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tk = d.select(col("doc_id"), col("source"),
-        TF.tokens(col("text")).as("tks"))
-      // transitions via posexplode + a parent-array index — NOT
-      // transform(sequence, struct(...)): building the array-of-struct
-      // pair list copies every token's bytes into per-doc
-      // UnsafeArrayData before Generate unrolls it (measured 99 s cpu
-      // for 24M transitions at the 100x study scale; the posexplode
-      // form reads the already-materialized token array in place)
-      val tr = tk.filter(size(col("tks")) >= 2)
-        .select(col("doc_id"), col("source"), col("tks"),
-          posexplode(col("tks")).as(Seq("i", "w1")))
-        .filter(col("i") < size(col("tks")) - 1)
-        .select(col("doc_id"), col("source"), col("w1"),
-          col("tks").getItem(col("i") + 1).as("w2"))
-      val ref = tr.filter(col("source") === "src0")
-      val big = ref.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      // context counts are the bigram table's w1-marginal — deriving
-      // them by summation (vs re-exploding the reference slice) drops a
-      // whole scan+Generate+exchange subtree from the LM build
-      val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val voc = tk.filter(col("source") === "src0")
-        .select(explode(col("tks")).as("t"))
-        .agg(count_distinct(col("t")).as("v"))
-      val per = tr.filter(col("source") =!= "src0")
-        .join(broadcast(big), Seq("w1", "w2"), "left")
-        .join(broadcast(ctx), Seq("w1"), "left")
-        .crossJoin(broadcast(voc))
-        .select(col("doc_id"),
-          col("c2").isNotNull.cast(LongType).as("hit"),
-          col("c1").isNull.cast(LongType).as("oov"),
-          expr("(coalesce(c1, 0L) + v) div (coalesce(c2, 0L) + 1L)")
-            .as("invp"))
-        .groupBy(col("doc_id")).agg(
-          count(lit(1)).as("n_trans"), sum(col("hit")).as("n_hit"),
-          sum(col("oov")).as("n_oov_ctx"), sum(col("invp")).as("inv_p_sum"))
-      d.filter(col("source") =!= "src0").select(col("doc_id"))
-        .join(per, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_trans"), lit(0L)).as("n_trans"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          coalesce(col("n_oov_ctx"), lit(0L)).as("n_oov_ctx"),
-          coalesce(col("inv_p_sum"), lit(0L)).as("inv_p_sum"),
-          coalesce(col("n_hit").cast(DoubleType) / col("n_trans"), lit(0.0))
-            .as("hit_ratio"),
-          coalesce(col("inv_p_sum").cast(DoubleType) / col("n_trans"),
-            lit(0.0)).as("ppx_proxy"),
-          (coalesce(col("n_trans"), lit(0L)) > 0 &&
-            coalesce(col("n_hit"), lit(0L)) * 4 >=
-              coalesce(col("n_trans"), lit(0L)) * 3).as("keep"))
+      graft.operators.LmFluency.score(
+        d.filter(col("source") === "src0").select(col("text")),
+        d.filter(col("source") =!= "src0").select(col("doc_id"), col("text")))
     }),
 
     // rare-term extraction (keyword/quality signal): global document
@@ -4337,6 +4370,100 @@ object NorthStar {
          LEFT JOIN nk ON d.doc_id = nk.doc_id
          LEFT JOIN cont ON d.doc_id = cont.doc_id"""
     },
+    // d13's staged replay with t39's verified LM-fluency body embedded
+    // between the quality and exact-dedup stages (the CCNet ordering):
+    // tk/tr/big/ctx/voc/sc are t39's oracle fragments verbatim, the
+    // keep gate the same cross-multiplied integer compare, scored over
+    // the quality-survivor pool's non-src0 docs; src0 rows bypass
+    "d26_verdict_lm" -> {
+      val t06cond =
+        s"""CAST(len($sqlToks) AS INT) >= 5
+            AND CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                / greatest(length(text), 1) <= 0.2
+            AND CAST(len(list_filter($sqlToks,
+                 x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                / greatest(len($sqlToks), 1) >= 0.01
+            AND CAST(len(list_distinct($sqlToks)) AS DOUBLE)
+                / greatest(len($sqlToks), 1) >= 0.3"""
+      s"""WITH RECURSIVE
+         q AS (SELECT doc_id FROM documents WHERE $t06cond),
+         p1 AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+         tk AS (SELECT doc_id, source, $sqlToks AS tks FROM documents),
+         tr AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(tks)), i -> tks[i])) AS w1,
+                  unnest(list_transform(range(1, len(tks)), i -> tks[i+1])) AS w2
+                FROM tk WHERE len(tks) >= 2),
+         big AS (SELECT w1, w2, count(*) AS c2 FROM tr
+                 WHERE source = 'src0' GROUP BY 1, 2),
+         ctx AS (SELECT w1, count(*) AS c1 FROM tr
+                 WHERE source = 'src0' GROUP BY 1),
+         voc AS (SELECT count(DISTINCT t) AS v
+                 FROM (SELECT unnest(tks) AS t FROM tk WHERE source = 'src0')),
+         sc AS (SELECT tr.doc_id, count(*) AS n_trans,
+                  CAST(SUM(CASE WHEN big.c2 IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+                FROM tr CROSS JOIN voc
+                  LEFT JOIN big USING (w1, w2)
+                  LEFT JOIN ctx USING (w1)
+                WHERE tr.source <> 'src0'
+                  AND tr.doc_id IN (SELECT doc_id FROM p1)
+                GROUP BY 1),
+         fk AS (SELECT doc_id FROM sc
+                WHERE n_trans > 0 AND n_hit * 4 >= n_trans * 3
+                UNION ALL
+                SELECT doc_id FROM p1 WHERE source = 'src0'),
+         p2 AS (SELECT p1.* FROM p1 JOIN fk USING (doc_id)),
+         efp AS (SELECT doc_id, md5(array_to_string($sqlToks, ' ')) AS fp FROM p2),
+         ek AS (SELECT min(doc_id) AS doc_id FROM efp GROUP BY fp),
+         p3 AS (SELECT p2.* FROM p2 JOIN ek USING (doc_id)),
+         sh AS (SELECT doc_id, unnest($sqlShingles) AS s FROM p3),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b FROM pr
+                   JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+                   WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                  FROM reach GROUP BY src),
+         lab AS (SELECT p3.doc_id, p3.n_chars,
+                        COALESCE(c.component, p3.doc_id) AS component
+                 FROM p3 LEFT JOIN comp c USING (doc_id)),
+         nk AS (SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rn FROM lab)
+                WHERE rn = 1),
+         p4 AS (SELECT p3.* FROM p3 JOIN nk USING (doc_id)),
+         ev AS (SELECT DISTINCT s FROM (
+                  SELECT unnest(${sqlShinglesN("tks", 5)}) AS s FROM (
+                    SELECT $sqlToks AS tks FROM documents WHERE source = 'src0'))),
+         cont AS (SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, unnest(${sqlShinglesN("tks", 5)}) AS s FROM (
+                      SELECT doc_id, $sqlToks AS tks FROM p4 WHERE source <> 'src0'))
+                  WHERE s IN (SELECT s FROM ev))
+         SELECT d.doc_id,
+                CASE WHEN q.doc_id IS NULL THEN 'dropped_quality'
+                     WHEN fk.doc_id IS NULL THEN 'dropped_fluency'
+                     WHEN ek.doc_id IS NULL THEN 'dropped_exact'
+                     WHEN nk.doc_id IS NULL THEN 'dropped_near'
+                     WHEN d.source = 'src0' THEN 'dropped_eval'
+                     WHEN cont.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                     ELSE 'kept' END AS verdict
+         FROM documents d
+         LEFT JOIN q ON d.doc_id = q.doc_id
+         LEFT JOIN fk ON d.doc_id = fk.doc_id
+         LEFT JOIN ek ON d.doc_id = ek.doc_id
+         LEFT JOIN nk ON d.doc_id = nk.doc_id
+         LEFT JOIN cont ON d.doc_id = cont.doc_id"""
+    },
+
     "d03_jaccard_pairs" -> jaccardOracle(0.8),
     // the k-curve: g01's signature replay keyed by doc over shingle
     // strings, truncation as a j < k filter, the error mean as a

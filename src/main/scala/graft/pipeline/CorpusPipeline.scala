@@ -18,6 +18,9 @@ import graft.operators.Dedup
  *                               cannot split dup clusters: the d25
  *                               witness)
  *   1. quality filter          (t06's keep rules)
+ *   1b. LM-fluency gate        (optional, t39's bigram-LM keep rule —
+ *                               the CCNet ordering: heuristic quality,
+ *                               then LM perplexity filter, then dedup)
  *   2. exact dedup             (d02: min-doc_id survivor per fingerprint)
  *   3. near-dup dedup          (d03 pairs → d06 clusters → d07 keep rule:
  *                               longest text per cluster)
@@ -56,9 +59,21 @@ object CorpusPipeline {
    *                    the two stages is law-tested at scales where
    *                    both are feasible — verified pairs are EQUAL at
    *                    1x and 10x, SCALE.md).
+   * @param lmFluency   when true, insert the t39 bigram-LM fluency gate
+   *                    between the heuristic quality filter and dedup —
+   *                    the CCNet ordering. The LM trains on the FULL
+   *                    evalSource slice of the scrubbed corpus (the
+   *                    curated reference is given, not quality-gated);
+   *                    only non-evalSource quality survivors face the
+   *                    keep gate (≥ 3/4 of transitions LM-covered),
+   *                    evalSource rows bypass it (they are the
+   *                    reference, and leave at decontamination). One
+   *                    [[graft.operators.LmFluency.score]] body shared
+   *                    with the oracle-verified t39/d26 queries.
    */
   def run(docs: DataFrame, evalSource: String = "src0",
-          jaccard: Double = 0.8, lshPairs: Boolean = false): Result = {
+          jaccard: Double = 0.8, lshPairs: Boolean = false,
+          lmFluency: Boolean = false): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStats]
     // each stage's input IS the previous stage's output, so count each
     // frame ONCE and thread the count forward — re-counting `in` would
@@ -90,13 +105,29 @@ object CorpusPipeline {
       stage("quality_filter", scrubbed.join(q, Seq("doc_id"), "left_semi"))
     }
 
+    // 1b. optional LM-fluency gate — map-side broadcast scoring over the
+    // posexplode'd transitions plus one doc_id-keyed agg; no new
+    // corpus-sized shuffle joins the pipeline (LmFluency's scale note)
+    val fluent =
+      if (!lmFluency) quality
+      else {
+        val keep = graft.operators.LmFluency.score(
+            scrubbed.filter(col("source") === evalSource).select(col("text")),
+            quality.filter(col("source") =!= evalSource)
+              .select(col("doc_id"), col("text")))
+          .filter(col("keep")).select(col("doc_id"))
+          .unionByName(quality.filter(col("source") === evalSource)
+            .select(col("doc_id")))
+        stage("lm_fluency", quality.join(keep, Seq("doc_id"), "left_semi"))
+      }
+
     // 2. exact dedup — keep the min doc_id per content fingerprint
     val exact = {
-      val keep = quality
+      val keep = fluent
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      stage("exact_dedup", quality.join(keep, Seq("doc_id"), "left_semi"))
+      stage("exact_dedup", fluent.join(keep, Seq("doc_id"), "left_semi"))
     }
 
     // 3. near-dup dedup — pairs → components → longest-text survivor

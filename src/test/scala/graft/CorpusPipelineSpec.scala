@@ -71,6 +71,58 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(a == b, s"survivor/split divergence: ${(a diff b) ++ (b diff a)}")
   }
 
+  test("LM-fluency stage law: the gated run's stats insert exactly one " +
+       "lm_fluency stage, every doc it drops FAILS the t39 keep gate " +
+       "computed independently, every survivor passes or is the " +
+       "reference slice, and lmFluency=false is byte-identical to " +
+       "the ungated pipeline") {
+    val gated = CorpusPipeline.run(docs, lmFluency = true)
+    assert(gated.stats.map(_.stage) == Seq("pii_scrub", "quality_filter",
+      "lm_fluency", "exact_dedup", "neardup_dedup", "decontaminate"))
+    // reconstruct the gate's exact inputs: the scrubbed corpus and its
+    // quality-survivor pool (stage semantics verified by their own
+    // oracle-green queries; here the CHAIN is pinned)
+    val scrubbed = docs.withColumn("text", TF.scrubPii(col("text")))
+    val q = scrubbed.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
+      .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
+        col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
+      .select(col("doc_id"))
+    val pool = scrubbed.join(q, Seq("doc_id"), "left_semi")
+    val keepSet = graft.operators.LmFluency.score(
+        scrubbed.filter(col("source") === "src0").select(col("text")),
+        pool.filter(col("source") =!= "src0").select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id")).as[Long].collect().toSet
+    val poolIds = pool.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val lmStage = gated.stats.find(_.stage == "lm_fluency").get
+    val survivorsAfter = {
+      // survivors of the lm stage = docs entering exact_dedup; recover
+      // them from the final verdictless corpus is lossy, so re-derive:
+      // pool ∩ (keepSet ∪ src0)
+      poolIds.collect { case (id, src) if src == "src0" || keepSet(id) => id }.toSet
+    }
+    assert(lmStage.docs_in == poolIds.size && lmStage.docs_out == survivorsAfter.size,
+      s"lm stage counts drifted: $lmStage vs pool=${poolIds.size} keep=${survivorsAfter.size}")
+    // dropped docs are exactly the pool's non-reference gate failures
+    val dropped = poolIds.keySet -- survivorsAfter
+    assert(dropped.forall(id => poolIds(id) != "src0" && !keepSet(id)))
+    // and the ungated run is unchanged by the new parameter's existence
+    val ungated = CorpusPipeline.run(docs, lmFluency = false)
+    assert(ungated.corpus.select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toSet ==
+      result.corpus.select(col("doc_id"), col("split"))
+        .as[(Long, String)].collect().toSet)
+    // the gated corpus is a SUBSET of the ungated one in doc_ids only if
+    // dedup survivor choices are unaffected — which they are NOT in
+    // general (a dropped doc can change a cluster representative), so the
+    // law pinned here is the stage-level one above, plus: no gated
+    // survivor fails the gate
+    val gatedIds = gated.corpus.select(col("doc_id")).as[Long].collect().toSet
+    assert(gatedIds.forall(id => poolIds.get(id).exists(src =>
+      src != "src0" && keepSet(id))),
+      "a released doc must be a non-reference gate-passer")
+  }
+
   test("split assignment is content-stable: re-running yields identical splits") {
     val a = result.corpus.select(col("doc_id"), col("split"))
       .as[(Long, String)].collect().toMap
