@@ -18,14 +18,30 @@ object Bench {
       case c => c.toString
     }
 
+  /** First three fields of /proc/loadavg (1/5/15-minute run-queue
+    * averages) — the steal-time witness: a quiet-host measurement and a
+    * neighbor-loaded one are indistinguishable without it, and round 14's
+    * 167.9 s driver artifact needed a judge rerun to adjudicate as
+    * steal. Degrades to "unknown" rather than throw (provenance must
+    * never discard the measurement it labels; /proc is Linux-only). */
+  private[graft] def loadAvg(): String =
+    scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+").take(3).mkString(" ")
+    }.getOrElse("unknown")
+
   /** Assemble the one-line artifact JSON. Pure so the shape BenchGuard
     * parses — and every string field's escaping — is unit-testable
     * without forking a bench JVM. `filter` is the active
     * SPARK_GRAFT_FILTER regex (stamped verbatim, escaped) or None for a
     * full-surface run (stamped as JSON null — a subset artifact must be
-    * distinguishable from a full measurement). */
+    * distinguishable from a full measurement). `loadBefore`/`loadAfter`
+    * are [[loadAvg]] snapshots bracketing the timing passes. */
   def renderJson(results: Seq[(String, Double)], sfDir: String, cpus: String,
-                 filter: Option[String], ts: String, host: String): String = {
+                 filter: Option[String], ts: String, host: String,
+                 loadBefore: String = "unknown",
+                 loadAfter: String = "unknown"): String = {
     // non-finite guard: NaN/Infinity are not JSON number literals, so one
     // bad timing would make the whole artifact unparseable — the failure
     // the escaping above exists to prevent. Not reachable from elapsed
@@ -37,10 +53,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = num(if (results.nonEmpty) results.map(_._2).sum else 0.0)
     val filterStamp = filter.map("\"" + jsonStr(_) + "\"").getOrElse("null")
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonStr(sfDir)}","passes":2,"cpus":"${jsonStr(cpus)}","filter":$filterStamp,"ts":"${jsonStr(ts)}","host":"${jsonStr(host)}"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"${jsonStr(sfDir)}","passes":2,"cpus":"${jsonStr(cpus)}","filter":$filterStamp,"ts":"${jsonStr(ts)}","host":"${jsonStr(host)}","load_before":"${jsonStr(loadBefore)}","load_after":"${jsonStr(loadAfter)}"}"""
   }
 
   def main(args: Array[String]): Unit = {
+    // stamp BEFORE the session/warm-up spin up our own 32 threads: the
+    // before-value is the NEIGHBOR load diagnosis (a high load_before
+    // says "the host was already busy"; load_after includes our own
+    // contribution and is the during-run witness)
+    val loadBefore = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // local[32] is the benchmark contract (SURVEY.md §7 / driver spec);
     // the env override exists only for dev experiments — BENCH_r03 showed
@@ -96,6 +117,7 @@ object Bench {
     NorthStar.releaseCaches(spark, sfDir)
     spark.catalog.clearCache()
     val p2 = pass()
+    val loadAfter = loadAvg()
     val results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     // self-identifying provenance (timestamp + host facts + active filter):
     // eight rounds of BENCH_r*.json were unparseable stdout tails, identical
@@ -109,7 +131,7 @@ object Bench {
     val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
       .getOrElse("unknown")
     val json = renderJson(results, sfDir, cpus,
-      sys.env.get("SPARK_GRAFT_FILTER"), ts, host)
+      sys.env.get("SPARK_GRAFT_FILTER"), ts, host, loadBefore, loadAfter)
     println(json)
     // the durable artifact: stdout gets truncated by the driver's log tail
     // (BENCH_r01-r08 all recorded "parsed": null), the file does not

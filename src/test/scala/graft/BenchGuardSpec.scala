@@ -45,12 +45,24 @@ class BenchGuardSpec extends AnyFunSuite {
   test("Bench.renderJson round-trips through BenchGuard's parser; filter stamp escapes and distinguishes subset runs") {
     val res = Seq("q01" -> 0.5, "d09" -> 2.25)
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    // full-surface run: filter stamped as JSON null
+    // full-surface run: filter stamped as JSON null; load stamps default
+    // to the degraded sentinel when not supplied
     val full = m.readTree(
       Bench.renderJson(res, "/sf", "32", None, "ts0", "h0"))
     assert(full.get("filter").isNull)
     assert(full.get("value").asDouble() == 2.75)
     assert(full.get("queries").get("d09").asDouble() == 2.25)
+    assert(full.get("load_before").asText() == "unknown" &&
+      full.get("load_after").asText() == "unknown")
+    // load provenance: stamped verbatim (escaped — a hostile value must
+    // not make the artifact unparseable), and the live reader yields the
+    // three loadavg fields on this Linux host
+    val ld = m.readTree(Bench.renderJson(res, "/sf", "32", None, "ts0", "h0",
+      "0.12 0.34 0.56", "31.9 12.0\t1.1"))
+    assert(ld.get("load_before").asText() == "0.12 0.34 0.56")
+    assert(ld.get("load_after").asText() == "31.9 12.0\t1.1")
+    assert(Bench.loadAvg().matches("""[0-9.]+ [0-9.]+ [0-9.]+"""),
+      s"live /proc/loadavg read drifted: ${Bench.loadAvg()}")
     // subset run: regex with JSON-hostile chars survives escaping
     val sub = m.readTree(Bench.renderJson(res, "/sf", "32",
       Some("""^d\d+|say "hi""""), "ts0", "h0"))
