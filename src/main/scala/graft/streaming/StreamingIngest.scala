@@ -640,7 +640,11 @@ object StreamingIngest {
     // but a REPLAY that recomputes to empty must still drop the
     // previous attempt's partition (same ghost-partition hazard as the
     // scrubbed/CDC gates; phantom sidecar rows from the dropped
-    // partition are harmless — the inner sig join discards them)
+    // partition are harmless — the inner sig join discards them —
+    // pinned by the BUCKETED empty-replay test: orphans neither
+    // phantom-drop a re-ingested near-dup of the dropped vector nor
+    // perturb live-row decisions, including after the whole store root
+    // is removed under a surviving sidecar)
     if (b.count() == 0) {
       dropBatchPartition(spark, storePath, batchId); return
     }

@@ -568,6 +568,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(storedIds() == Set(9L))
   }
 
+  test("vector dedup gate (BUCKETED): an empty replay drops the ghost " +
+       "partition while its sidecar cells persist as orphans — and the " +
+       "orphans are harmless: a near-dup of the DROPPED vector re-admits, " +
+       "a near-dup of a live vector still drops, and a store-root " +
+       "removal with a surviving whole sidecar accepts a fresh start") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_vec_bkt_emptyreplay")
+      .toString + "/store"
+    def vec(seed: Int, noise: Double = 0.0): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      val base = Array.fill(64)(r.nextGaussian())
+      val rn = new scala.util.Random(seed + 1000)
+      val v = base.map(x => x + noise * rn.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def df(rows: (Long, Array[Float])*) = rows.toDF("vec_id", "embedding")
+    def storedIds(): Set[Long] =
+      spark.read.parquet(store).select(col("vec_id")).as[Long].collect().toSet
+    def gate(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingIngest.vectorDedupBatch(b, store, id, 0.95, 64, 512, 32,
+        nCells = Some(8), probes = 2)
+    val sidecarPath = s"${store}_cells_n8"
+    def sidecarIds(): Set[Long] = spark.read.parquet(sidecarPath)
+      .select(col("vec_id")).as[Long].collect().toSet
+    gate(df(1L -> vec(1)), 0L)
+    gate(df(2L -> vec(2)), 1L)
+    assert(storedIds() == Set(1L, 2L) && sidecarIds() == Set(1L, 2L))
+    // empty replay of batch 1: the partition drops; the APPEND-ONLY
+    // sidecar keeps vec 2's cells as orphans (the documented contract —
+    // the probe's inner sig join discards rows the store no longer has)
+    gate(df(), 1L)
+    assert(storedIds() == Set(1L), "ghost partition survived (bucketed)")
+    assert(sidecarIds() == Set(1L, 2L), "sidecar is append-only by design")
+    // orphan harmlessness, admit side: a near-dup of the DROPPED vector
+    // must be ADMITTED — its only index neighbor exists in the sidecar
+    // but not the store
+    gate(df(22L -> vec(2, 0.001)), 2L)
+    assert(storedIds() == Set(1L, 22L),
+      "orphaned sidecar cells must not phantom-drop a re-ingested vector")
+    // orphan harmlessness, drop side: with orphans present, a near-dup
+    // of a LIVE vector still drops through the bucketed probe, and a
+    // novel vector still lands
+    gate(df(33L -> vec(1, 0.01), 34L -> vec(34)), 3L)
+    assert(storedIds() == Set(1L, 22L, 34L),
+      "bucketed probe decisions drifted under orphaned sidecar cells")
+    // empty replays of EVERY batch remove the store root while the whole
+    // sidecar persists as one big orphan
+    gate(df(), 0L); gate(df(), 2L); gate(df(), 3L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(store)),
+      "empty store root would wedge reads — it must be removed whole")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(sidecarPath)))
+    // fresh start against the orphaned sidecar: the first batch admits
+    // (nothing stored), its cells append, and the next batch's near-dup
+    // probe works against the new row despite the stale rows
+    gate(df(41L -> vec(1)), 4L)
+    assert(storedIds() == Set(41L),
+      "a fresh start must ignore the orphaned sidecar entirely")
+    gate(df(42L -> vec(1, 0.01)), 5L)
+    assert(storedIds() == Set(41L),
+      "the rebuilt store's bucketed probe must still drop near-dups")
+  }
+
   test("top-k maintenance: k-row state tracks the global top-k; replay is a no-op") {
     val root = Files.createTempDirectory("graft_topk").toString
     val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
