@@ -206,7 +206,21 @@ object TextFunctions {
     * tail guard reject sub-spans of longer runs (a fifth dashed group,
     * 20+ contiguous digits). Five-group long PANs (4-4-4-4-3) are out —
     * rare, and a fifth group is indistinguishable from an appended
-    * sequence number. */
+    * sequence number.
+    *
+    * SPACED-grouping boundary limitation (law-pinned): when the
+    * preceding text ends in a space-separated digit group (a
+    * plus-spaced phone tail, a number column), the leftmost scan can
+    * form a cross-boundary candidate from that group plus the PAN's
+    * head ("+9 704 2314 4111 1111 1111 1111" yields the candidate
+    * "2314 4111 1111 1111"); the stolen candidate rarely passes Luhn,
+    * so [[piiCount]] conservatively UNDER-counts that PAN. The full
+    * [[scrubPii]] chain still redacts it — the email→phone→card ORDER
+    * removes the stealing digits before the card pass ("<PHONE>
+    * <CARD>") — so detection mis-sights in this adjacency fail toward
+    * a datasheet under-count, never toward leaking a PAN through
+    * scrub. Dashed/dotted/contiguous neighbors cannot steal (their
+    * trailing separator is excluded by the card lead guard). */
   private val cardCore =
     "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}" +
     "|[0-9]{4}[- ][0-9]{6}[- ][0-9]{5}" +
