@@ -229,9 +229,14 @@ object TextFunctions {
 
   /** Luhn check over a candidate PAN (separators stripped): from the
     * right, every second digit doubled (minus 9 when > 9), sum ≡ 0
-    * mod 10. Exact integer arithmetic over built-in HOFs — no libm, no
-    * UDF — replayed digit-for-digit by the DuckDB twin
-    * (NorthStar.luhnCondSql). */
+    * mod 10. Exact integer arithmetic over built-in HOFs, replayed
+    * digit-for-digit by the DuckDB twin (NorthStar.luhnCondSql). This
+    * Column form is the REFERENCE formulation the equivalence law
+    * checks against — the hot paths run the fused [[LuhnCandidates]] /
+    * [[LuhnScrub]] kernels instead (HOFs are CodegenFallbacks whose
+    * interpreted trees re-evaluate the upstream scrub chain per
+    * element: measured ~100× the five-class t35 cost before the
+    * kernels). */
   def luhnValid(m: Column): Column = {
     val ds = regexp_replace(m, "[^0-9]", "")
     val n = length(ds)
@@ -300,7 +305,14 @@ object TextFunctions {
     * a longer unguarded run is rewritten there too — the conservative
     * side for redaction. */
   private def scrubClass(t: Column, c: PiiClass, tag: String): Column =
-    if (c.luhn) foldReplace(t, validMatches(t, c), _ => lit(tag))
+    if (c.luhn) {
+      // fused kernel, not the HOF fold: value-identical (PiiSpec law),
+      // but one compiled-regex pass instead of an interpreted
+      // ArrayAggregate re-evaluating the upstream scrub chain per row
+      // (measured ~100× t35 at sf0.1 before the kernel)
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      column(LuhnScrub(expression(t), c.pattern, tag))
+    }
     else if (c.group == 0) replaceOnce(t, c, tag)
     else replaceOnce(replaceOnce(t, c, tag), c, tag)
 
@@ -344,10 +356,15 @@ object TextFunctions {
 
   /** [[classMatches]] narrowed to the class's VERIFIED identifier values
     * — identity for regex-only classes; the Luhn gate for CARD. */
-  private def validMatches(t: Column, c: PiiClass): Column = {
-    val ms = classMatches(t, c)
-    if (c.luhn) filter(ms, m => luhnValid(m)) else ms
-  }
+  private def validMatches(t: Column, c: PiiClass): Column =
+    if (c.luhn) {
+      // the fused LuhnCandidates kernel, value-identical to
+      // `filter(classMatches(t, c), m => luhnValid(m))` (PiiSpec pins
+      // the law) — one compiled-regex pass instead of an interpreted
+      // HOF tree re-evaluating the upstream expression per element
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      column(LuhnCandidates(expression(t), c.pattern, c.tag))
+    } else classMatches(t, c)
 
   /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in
     * the pinned length-DESC / value-ASC order (see the pseudonymize
