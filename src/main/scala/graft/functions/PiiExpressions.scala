@@ -8,19 +8,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
- * Fused kernels for the checksum-gated CARD PII class. The declarative
- * formulation (two `regexp_extract_all` passes concat'd, an
- * `ArrayFilter` running a per-digit `aggregate` Luhn fold, and an
- * `ArraySort` + `ArrayAggregate` literal-replace fold) is
- * value-correct but evaluation-hostile: every higher-order function is
- * a CodegenFallback, so the WHOLE upstream scrub chain re-evaluates
- * interpreted inside the HOF tree — measured ~100× the five-class t35
- * cost at sf0.1 and 15+ CPU-hours at the wave9 100× corpus before
- * these kernels replaced it. Each expression here is one compiled-regex
- * pass plus primitive integer loops, `doGenCode`-wired so the
- * surrounding projection stays in whole-stage codegen (the Hashing.scala
- * pattern), and is VALUE-IDENTICAL to the HOF formulation —
- * PiiSpec pins the equivalence law.
+ * Fused kernels for the guarded PII classes (and the checksum-gated
+ * CARD class). Two declarative formulations proved value-correct but
+ * evaluation-hostile:
+ *
+ *  - the CARD higher-order-function tree (ArrayFilter running a
+ *    per-digit aggregate Luhn fold, ArraySort + ArrayAggregate literal
+ *    fold): every HOF is a CodegenFallback, so the whole upstream
+ *    scrub chain re-evaluated INTERPRETED inside it — ~100× the
+ *    five-class t35 cost, 15+ CPU-hours at the wave9 100× corpus;
+ *  - the guarded two-pass count/scrub chains (three regex scans per
+ *    class per row for counts, two for scrub, compounded by
+ *    per-expression evaluation overhead): measured 846 s for the
+ *    full t35 audit over the 505k-row wave9 corpus.
+ *
+ * Each kernel here is at most two compiled-regex passes per row —
+ * pass 2 runs ONLY when pass 1 found a candidate (the alternate-block
+ * recovery is definitionally empty otherwise), which is one scan for
+ * the typical corpus row — plus primitive integer Luhn, all
+ * `doGenCode`-wired so the surrounding projection stays in whole-stage
+ * codegen (the Hashing.scala pattern). Every kernel is VALUE-IDENTICAL
+ * to its declarative twin — PiiSpec pins the equivalence laws, and the
+ * DuckDB oracle twins are untouched.
  */
 object Luhn {
   /** Check-digit test over a candidate with '-'/' ' separators: from
@@ -47,39 +56,48 @@ object Luhn {
 }
 
 /**
- * All Luhn-VERIFIED card values in `child`, in two-pass extraction
- * order (pass-1 guarded matches, then the alternate-blocked survivors
- * recovered from the once-replaced text — TextFunctions' guard note).
- * Value-identical to
- * `filter(classMatches(t, CARD), luhnValid)`: the unblocking replace
- * rewrites ALL candidates (validity does not matter for recovering a
- * consumed lead char) with the class tag re-emitting guards, exactly
- * like `regexp_replace(t, pattern, "$1<CARD>$3")`.
+ * All of one guarded class's identifier values in `child`, in two-pass
+ * extraction order: pass-1 guarded matches (group 2 — the core), then
+ * the alternate-blocked survivors recovered from the once-replaced
+ * text (TextFunctions' guard-consumption note). `luhn = true` narrows
+ * to check-digit-verified values (the CARD gate); the unblocking
+ * replace always rewrites ALL candidates — validity does not matter
+ * for recovering a consumed lead char. Value-identical to
+ * `concat(regexp_extract_all(t, p, 2), regexp_extract_all(
+ * regexp_replace(t, p, "$1<TAG>$3"), p, 2))` (Luhn-filtered when
+ * gated): the once-replaced text is built manually from the pass-1
+ * match spans (guards re-emitted) instead of a second replace scan,
+ * and skipped entirely when pass 1 found nothing.
  */
-case class LuhnCandidates(child: Expression, pattern: String,
-                          unblockTag: String) extends UnaryExpression {
+case class GuardedMatches(child: Expression, pattern: String,
+                          unblockTag: String, luhn: Boolean)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "luhn_candidates"
+  override def prettyName: String = "guarded_matches"
 
   @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
-  @transient private lazy val repl =
-    java.util.regex.Matcher.quoteReplacement(unblockTag)
-
-  private def collect(text: String, out: java.util.ArrayList[UTF8String]): Unit = {
-    val m = regex.matcher(text)
-    while (m.find()) {
-      val v = UTF8String.fromString(m.group(2))
-      if (Luhn.valid(v)) out.add(v)
-    }
-  }
+  @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
 
   def compute(input: UTF8String): GenericArrayData = {
     val text = input.toString
+    val m = regex.matcher(text)
+    if (!m.find()) return empty
     val out = new java.util.ArrayList[UTF8String](4)
-    collect(text, out)
-    // pass 2 over the once-replaced text — "$1<TAG>$3" re-emits guards
-    val once = regex.matcher(text).replaceAll("$1" + repl + "$3")
-    if (once != text) collect(once, out)
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    do {
+      val v = UTF8String.fromString(m.group(2))
+      if (!luhn || Luhn.valid(v)) out.add(v)
+      sb.append(text, last, m.start)
+        .append(m.group(1)).append(unblockTag).append(m.group(3))
+      last = m.end()
+    } while (m.find())
+    sb.append(text, last, text.length)
+    val m2 = regex.matcher(sb)
+    while (m2.find()) {
+      val v = UTF8String.fromString(m2.group(2))
+      if (!luhn || Luhn.valid(v)) out.add(v)
+    }
     val arr = new Array[AnyRef](out.size())
     var i = 0
     while (i < arr.length) { arr(i) = out.get(i); i += 1 }
@@ -90,11 +108,60 @@ case class LuhnCandidates(child: Expression, pattern: String,
     compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("luhnCandExpr", this)
+    val ref = ctx.addReferenceObj("guardedMatchesExpr", this)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): LuhnCandidates =
+  override protected def withNewChildInternal(newChild: Expression): GuardedMatches =
+    copy(child = newChild)
+}
+
+/**
+ * One guarded class's full scrub: the exact two-pass
+ * `regexp_replace(regexp_replace(t, p, "$1TAG$3"), p, "$1TAG$3")`
+ * semantics (pass 2 catches alternate-blocked spans), built manually
+ * from match spans with guards re-emitted — and pass 2 (and the
+ * string copy) skipped when a pass finds nothing: the typical corpus
+ * row costs ONE scan and returns the input buffer untouched.
+ */
+case class GuardedScrub(child: Expression, pattern: String,
+                        tag: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "guarded_scrub"
+
+  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
+
+  /** One replace pass; null when the pass matched nothing. */
+  private def passReplace(text: String): String = {
+    val m = regex.matcher(text)
+    if (!m.find()) return null
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    do {
+      sb.append(text, last, m.start)
+        .append(m.group(1)).append(tag).append(m.group(3))
+      last = m.end()
+    } while (m.find())
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+
+  def compute(input: UTF8String): UTF8String = {
+    val once = passReplace(input.toString)
+    if (once == null) return input
+    val twice = passReplace(once)
+    UTF8String.fromString(if (twice == null) once else twice)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("guardedScrubExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GuardedScrub =
     copy(child = newChild)
 }
 
@@ -102,20 +169,21 @@ case class LuhnCandidates(child: Expression, pattern: String,
  * The CARD class's scrub: replace every Luhn-verified card value with
  * `tag` by a literal fold over the DISTINCT verified values in the
  * pinned length-DESC / value-ASC order (TextFunctions' pseudonymize
- * order — containers before contained values, ties cross-engine).
- * Value-identical to
- * `foldReplace(t, LuhnCandidates(t), _ => lit(tag))`; the DuckDB twin
- * is NorthStar.pseudoSql with a constant tag. Literal folding is
- * position-blind by contract: a verified value occurring inside a
- * longer unguarded run is rewritten there too (the conservative side
- * for redaction).
+ * order — containers before contained values, ties cross-engine; the
+ * comparator is on bytes, exact for these ASCII values). Regex alone
+ * cannot express the checksum gate, so this is fold semantics, not
+ * two-pass-replace semantics; the DuckDB twin is NorthStar.pseudoSql
+ * with a constant tag. Literal folding is position-blind by contract:
+ * a verified value occurring inside a longer unguarded run is
+ * rewritten there too (the conservative side for redaction).
  */
 case class LuhnScrub(child: Expression, pattern: String,
                      tag: String) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "luhn_scrub"
 
-  @transient private lazy val candidates = LuhnCandidates(child, pattern, tag)
+  @transient private lazy val candidates =
+    GuardedMatches(child, pattern, tag, luhn = true)
 
   def compute(input: UTF8String): UTF8String = {
     val vals = candidates.compute(input)

@@ -304,17 +304,17 @@ object TextFunctions {
     * folding is position-blind: a verified value also occurring inside
     * a longer unguarded run is rewritten there too — the conservative
     * side for redaction. */
-  private def scrubClass(t: Column, c: PiiClass, tag: String): Column =
-    if (c.luhn) {
-      // fused kernel, not the HOF fold: value-identical (PiiSpec law),
-      // but one compiled-regex pass instead of an interpreted
-      // ArrayAggregate re-evaluating the upstream scrub chain per row
-      // (measured ~100× t35 at sf0.1 before the kernel)
-      import org.apache.spark.sql.GraftBridge.{column, expression}
-      column(LuhnScrub(expression(t), c.pattern, tag))
-    }
+  private def scrubClass(t: Column, c: PiiClass, tag: String): Column = {
+    // fused kernels for every guarded class, not declarative chains:
+    // value-identical (PiiSpec equivalence laws + the oracle gate), but
+    // pass 2 is skipped when pass 1 matched nothing — one compiled-regex
+    // scan on the typical row instead of two (and the CARD HOF fold's
+    // interpreted tree, measured ~100× t35, is gone entirely)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    if (c.luhn) column(LuhnScrub(expression(t), c.pattern, tag))
     else if (c.group == 0) replaceOnce(t, c, tag)
-    else replaceOnce(replaceOnce(t, c, tag), c, tag)
+    else column(GuardedScrub(expression(t), c.pattern, tag))
+  }
 
   /** Per-class PII match count — the detection side of the audit (what a
     * corpus datasheet reports before scrubbing). Exact under guard
@@ -357,14 +357,17 @@ object TextFunctions {
   /** [[classMatches]] narrowed to the class's VERIFIED identifier values
     * — identity for regex-only classes; the Luhn gate for CARD. */
   private def validMatches(t: Column, c: PiiClass): Column =
-    if (c.luhn) {
-      // the fused LuhnCandidates kernel, value-identical to
-      // `filter(classMatches(t, c), m => luhnValid(m))` (PiiSpec pins
-      // the law) — one compiled-regex pass instead of an interpreted
-      // HOF tree re-evaluating the upstream expression per element
+    if (c.group == 0) classMatches(t, c) // unguarded: one plain extract
+    else {
+      // the fused GuardedMatches kernel, value-identical to
+      // `filter?(classMatches(t, c))` — the two-pass candidate
+      // extraction with the Luhn gate when the class is checksum-gated
+      // (PiiSpec pins the equivalence laws) — but pass 2 runs only
+      // when pass 1 found a candidate: one compiled-regex scan on the
+      // typical row instead of three
       import org.apache.spark.sql.GraftBridge.{column, expression}
-      column(LuhnCandidates(expression(t), c.pattern, c.tag))
-    } else classMatches(t, c)
+      column(GuardedMatches(expression(t), c.pattern, c.tag, c.luhn))
+    }
 
   /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in
     * the pinned length-DESC / value-ASC order (see the pseudonymize
