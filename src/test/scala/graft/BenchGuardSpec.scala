@@ -61,8 +61,16 @@ class BenchGuardSpec extends AnyFunSuite {
       "0.12 0.34 0.56", "31.9 12.0\t1.1"))
     assert(ld.get("load_before").asText() == "0.12 0.34 0.56")
     assert(ld.get("load_after").asText() == "31.9 12.0\t1.1")
-    assert(Bench.loadAvg().matches("""[0-9.]+ [0-9.]+ [0-9.]+"""),
-      s"live /proc/loadavg read drifted: ${Bench.loadAvg()}")
+    // live-read probe: three loadavg fields where /proc/loadavg exists;
+    // Bench.loadAvg deliberately degrades to the 'unknown' sentinel on
+    // non-Linux hosts, which is a PASSING outcome here (the suite must
+    // not fail on a host the production code explicitly handles)
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get("/proc/loadavg")))
+      assert(Bench.loadAvg().matches("""[0-9.]+ [0-9.]+ [0-9.]+"""),
+        s"live /proc/loadavg read drifted: ${Bench.loadAvg()}")
+    else
+      assert(Bench.loadAvg() == "unknown",
+        s"off-Linux loadAvg must degrade to the sentinel: ${Bench.loadAvg()}")
     // subset run: regex with JSON-hostile chars survives escaping
     val sub = m.readTree(Bench.renderJson(res, "/sf", "32",
       Some("""^d\d+|say "hi""""), "ts0", "h0"))
