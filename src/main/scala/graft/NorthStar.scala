@@ -279,9 +279,13 @@ object NorthStar {
     * `t`: the class's identifier values (pass-1 guarded matches plus the
     * alternate-blocked survivors from the once-replaced text), distinct,
     * length-DESCENDING with value-ASCENDING ties — the INVERTED
-    * zero-padded length prefix (9999 − length) makes one plain-ascending
-    * lexicographic list_sort realize exactly Spark's comparator
-    * (TextFunctions.pseudonymizeWith). The tiebreak must match: two
+    * zero-padded length prefix (99999999 − length) makes one
+    * plain-ascending lexicographic list_sort realize exactly Spark's
+    * comparator (TextFunctions.pseudonymizeWith). The prefix is 8 wide
+    * so the subtraction cannot go negative below 100M-char identifiers
+    * (a 4-wide prefix silently broke the order at 10000+ chars — the
+    * email pattern has no length cap, and a negative prefix like '00-1'
+    * sorts before every positive). The tiebreak must match: two
     * distinct equal-length values CAN overlap at a shifted occurrence
     * (suffix of one = prefix of the other), and the fold's literal
     * replace is position-blind, so replace order changes the folded
@@ -293,8 +297,8 @@ object NorthStar {
           list_transform(
             list_sort(list_transform(
               list_distinct($matches),
-              m -> lpad(CAST(9999 - length(m) AS VARCHAR), 4, '0') || m)),
-            k -> k[5:])),
+              m -> lpad(CAST(99999999 - length(m) AS VARCHAR), 8, '0') || m)),
+            k -> k[9:])),
         (acc, m) -> replace(acc, m, ${tagSql("m")}))"""
   }
 
@@ -4372,9 +4376,12 @@ object NorthStar {
     },
     // d13's staged replay with t39's verified LM-fluency body embedded
     // between the quality and exact-dedup stages (the CCNet ordering):
-    // tk/tr/big/ctx/voc/sc are t39's oracle fragments verbatim, the
-    // keep gate the same cross-multiplied integer compare, scored over
-    // the quality-survivor pool's non-src0 docs; src0 rows bypass
+    // tk/tr/big/sc are t39's oracle fragments, the keep gate the same
+    // cross-multiplied integer compare, scored over the quality-survivor
+    // pool's non-src0 docs; src0 rows bypass. Unlike t39, the gate here
+    // needs only n_trans/n_hit (the keep decision), so t39's ctx/voc
+    // fragments — which feed inv_p_sum alone — are omitted (they were
+    // dead joins here: ctx is unique per w1 and voc one row, no fan-out)
     "d26_verdict_lm" -> {
       val t06cond =
         s"""CAST(len($sqlToks) AS INT) >= 5
@@ -4395,16 +4402,10 @@ object NorthStar {
                 FROM tk WHERE len(tks) >= 2),
          big AS (SELECT w1, w2, count(*) AS c2 FROM tr
                  WHERE source = 'src0' GROUP BY 1, 2),
-         ctx AS (SELECT w1, count(*) AS c1 FROM tr
-                 WHERE source = 'src0' GROUP BY 1),
-         voc AS (SELECT count(DISTINCT t) AS v
-                 FROM (SELECT unnest(tks) AS t FROM tk WHERE source = 'src0')),
          sc AS (SELECT tr.doc_id, count(*) AS n_trans,
                   CAST(SUM(CASE WHEN big.c2 IS NOT NULL THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_hit
-                FROM tr CROSS JOIN voc
-                  LEFT JOIN big USING (w1, w2)
-                  LEFT JOIN ctx USING (w1)
+                FROM tr LEFT JOIN big USING (w1, w2)
                 WHERE tr.source <> 'src0'
                   AND tr.doc_id IN (SELECT doc_id FROM p1)
                 GROUP BY 1),
