@@ -141,6 +141,39 @@ object NorthStar {
         concat(lit(" via 2001:db8::"),
           lower(hex(pmod(id, lit(65536L)))))).otherwise(lit("")))
 
+  /** The t41/t42 deletion ledger: the shared audit address (links every
+    * mod-10 doc — t37/t40's single target), one doc-specific address
+    * (doc 33 only — NOT a mod-10 doc, so this request alone selects a
+    * row no other request touches), one phone (doc 0 only). Small by
+    * design — the
+    * ledger is the BROADCAST side; the oracle re-derives each tag from
+    * these literals. */
+  private val rtbfRequests: Seq[(String, String)] = Seq(
+    "EMAIL" -> "audit@example.net",
+    "EMAIL" -> "user33@example.com",
+    "PHONE" -> "+1-555-0000")
+
+  private def rtbfLedger(s: SparkSession): DataFrame = {
+    import s.implicits._
+    rtbfRequests.toDF("label", "value")
+  }
+
+  /** (tag-constant defs, folded replace over them, linked predicate)
+    * fragments of the t41/t42 oracles, derived from [[rtbfRequests]] so
+    * the ledger literals are single-sourced. `tagOf` is
+    * [[fnvTagSql]]/[[macTagSql]]. */
+  private def rtbfBatchSql(tagOf: String => String => String): String = {
+    val defs = rtbfRequests.zipWithIndex.map { case ((l, v), i) =>
+      s"${tagOf(l)(s"'$v'")} AS tg${i + 1}" }.mkString(", ")
+    val folded = rtbfRequests.indices.foldLeft("pseudo")((acc, i) =>
+      s"replace($acc, tg${i + 1}, '<FORGOTTEN>')")
+    val linked = rtbfRequests.indices
+      .map(i => s"contains(pseudo, tg${i + 1})").mkString(" OR ")
+    s"""tg AS (SELECT $defs)
+        SELECT doc_id, $folded AS pseudo
+        FROM q, tg WHERE $linked"""
+  }
+
   /** The t36/t37/t38 linkage injection: one per-doc email always, the
     * SHARED audit address on mod-10 docs (the cross-doc linkage witness
     * and t37's deletion target), a phone on mod-3. Mirrored literally by
@@ -2120,6 +2153,32 @@ object NorthStar {
         .select(col("doc_id"),
           TF.forgetValueMac(col("pseudo"), "EMAIL", piiKey, target).as("pseudo"))
     }),
+
+    // BATCH right-to-be-forgotten — the multi-request production form of
+    // t37: deletion requests arrive as a (label, value) TABLE (three
+    // here: the shared audit address, one doc-specific address, one
+    // phone), tags are driver-computed by the same bit-exact twins, and
+    // the corpus is scanned ONCE — a single ForgetTags kernel pass per
+    // row (hash-set probe at each '<', cost independent of ledger size)
+    // instead of one literal-replace pass per request. Output = the
+    // linked documents with EVERY ledger tag erased; RtbfSpec pins the
+    // law that this equals the sequential fold of single forgets in any
+    // order, and Rtbf.applyLedgerToStore carries the same ledger onto a
+    // batch-partitioned streaming store (only linked partitions
+    // rewritten).
+    "t41_rtbf_batch" -> ((s, dir) =>
+      graft.operators.Rtbf.forgetAll(
+        linkInjected(docs(s, dir)).select(col("doc_id"),
+          TF.pseudonymizePii(col("tp"), piiKey).as("pseudo")),
+        "pseudo", rtbfLedger(s), piiKey, mac = false)),
+
+    // the MAC-family batch RTBF — t40's release-grade tags under the
+    // same one-pass multi-request contract
+    "t42_rtbf_batch_mac" -> ((s, dir) =>
+      graft.operators.Rtbf.forgetAll(
+        linkInjected(docs(s, dir)).select(col("doc_id"),
+          TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo")),
+        "pseudo", rtbfLedger(s), piiKey, mac = true)),
 
     // n-gram language-model fluency scoring — the CCNet/KenLM stage of a
     // training-data pipeline: a bigram LM is trained on the curated
@@ -5049,6 +5108,28 @@ object NorthStar {
           tag AS (SELECT ${macTagSql("EMAIL")("'audit@example.net'")} AS tg)
           SELECT doc_id, replace(pseudo, tg, '<FORGOTTEN>') AS pseudo
           FROM q, tag WHERE contains(pseudo, tg)""",
+    // the batch ledger over t36's corpus: three tag constants re-derived
+    // from the ledger literals, the replace fold over all of them
+    // (order-free — tags are disjoint complete spans), linked = any tag
+    "t41_rtbf_batch" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), fnvTagSql("EMAIL"))} AS t
+                 FROM tp),
+          q AS (SELECT doc_id,
+                  ${pseudoSql("t", TF.piiClasses(1), fnvTagSql("PHONE"))} AS pseudo
+                FROM p1),
+          ${rtbfBatchSql(fnvTagSql)}""",
+    // the same ledger over t38's MAC corpus
+    "t42_rtbf_batch_mac" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), macTagSql("EMAIL"))} AS t
+                 FROM tp),
+          q AS (SELECT doc_id,
+                  ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
+                FROM p1),
+          ${rtbfBatchSql(macTagSql)}""",
     // bigram LM trained on src0, scored log-free: integer truncating
     // division replays Spark's `div` exactly, ratios are one IEEE
     // divide, the keep gate is a cross-multiplied integer compare

@@ -215,3 +215,77 @@ case class LuhnScrub(child: Expression, pattern: String,
   override protected def withNewChildInternal(newChild: Expression): LuhnScrub =
     copy(child = newChild)
 }
+
+/**
+ * Batch right-to-be-forgotten: replace every occurrence of any tag in
+ * `tags` with `replacement` in ONE scan, regardless of ledger size —
+ * the multi-request form of the single-tag literal replace in
+ * TextFunctions.forgetValue / forgetValueMac.
+ *
+ * Completeness argument for the single scan: every tag is a complete
+ * `<...>` span containing neither bracket internally (enforced below —
+ * TF.pseudoTag / pseudoTagMac outputs are `<LABEL:digits>` /
+ * `<LABEL#hex>` by construction), so a tag occurrence in the text
+ * always runs from a '<' to the FIRST '>' after it; probing exactly
+ * that substring against a hash set per '<' finds every occurrence of
+ * every tag. Value-identical to folding the per-tag literal replaces
+ * in ANY order: distinct tag occurrences cannot overlap (both are
+ * '<'-anchored full spans — same start would force the same first-'>'
+ * substring) and the replacement carries no tag, so the fold is
+ * confluent — RtbfSpec pins batch == sequential-fold as a law.
+ * O(len + occurrences) per row, ledger-size-independent: the 100 TB
+ * shape is a broadcast hash set riding a map-only scan, not one
+ * corpus pass per deletion request.
+ */
+case class ForgetTags(child: Expression, tags: Seq[String],
+                      replacement: String) extends UnaryExpression {
+  require(tags.forall(t => t.length >= 3 && t.head == '<' && t.last == '>' &&
+      !t.substring(1, t.length - 1).exists(c => c == '<' || c == '>')),
+    "every RTBF tag must be a complete <...> span with no interior bracket")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "forget_tags"
+
+  @transient private lazy val tagSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, tags.size * 2))
+    tags.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxTagLen: Int =
+    if (tags.isEmpty) 0 else tags.iterator.map(_.length).max
+
+  def compute(input: UTF8String): UTF8String = {
+    if (tags.isEmpty) return input
+    val text = input.toString
+    var i = text.indexOf('<')
+    if (i < 0) return input
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (i >= 0) {
+      val j = text.indexOf('>', i + 1)
+      if (j < 0) i = -1 // no further span can close — done
+      else if (j - i < maxTagLen && tagSet.contains(text.substring(i, j + 1))) {
+        if (sb == null) sb = new java.lang.StringBuilder(text.length)
+        sb.append(text, last, i).append(replacement)
+        last = j + 1
+        i = text.indexOf('<', j + 1)
+      } else i = text.indexOf('<', i + 1)
+    }
+    if (sb == null) input
+    else {
+      sb.append(text, last, text.length)
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("forgetTagsExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ForgetTags =
+    copy(child = newChild)
+}

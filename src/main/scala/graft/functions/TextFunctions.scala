@@ -519,6 +519,20 @@ object TextFunctions {
     call_function("replace", pseudo,
       lit(pseudoTag(label, key, value)), lit(replacement))
 
+  /** Batch RTBF over either tag family: erase EVERY occurrence of any
+    * tag in `tags` in one scan — the multi-request form of
+    * [[forgetValue]]/[[forgetValueMac]] (a production GDPR run batches
+    * thousands of deletion requests; one literal-replace pass per
+    * request would scan the corpus N times). Cost is O(len) per row
+    * independent of ledger size; [[ForgetTags]] documents the
+    * completeness argument and the fold-equivalence law
+    * (RtbfSpec pins batch == sequential fold of single forgets). */
+  def forgetTags(pseudo: Column, tags: Seq[String],
+                 replacement: String = "<FORGOTTEN>"): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(ForgetTags(expression(pseudo), tags, replacement))
+  }
+
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

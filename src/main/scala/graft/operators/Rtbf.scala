@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/**
+ * Batch right-to-be-forgotten over a pseudonymized corpus — the
+ * multi-request production form of the single-tag t37/t40 paths
+ * (`/root/reference` has no RTBF surface; this extends the
+ * pseudonymization tier the way a real GDPR pipeline must: deletion
+ * requests arrive in batches of thousands, and the corpus is scanned
+ * ONCE per release, not once per request).
+ *
+ * Shape at 100 TB: the deletion ledger is tiny relative to the corpus
+ * (bounded collect below, same discipline as the other documented
+ * driver-side bounds — Dedup's union-find threshold, the k-row top-k
+ * store); its tags ship to executors inside one [[graft.functions.ForgetTags]]
+ * expression (a broadcast-sized hash set riding a map-only scan), so
+ * the rewrite is a single codegen'd pass over the corpus with no join,
+ * no shuffle, and cost independent of request count. Tags are
+ * driver-computed via the same [[TF.pseudoTag]]/[[TF.pseudoTagMac]]
+ * twins the single-request paths use (bit-exact with the engine-side
+ * pseudonymizers and the DuckDB oracle).
+ */
+object Rtbf {
+
+  /** Hard cap on ledger size for the driver-side tag computation: 1M
+    * requests × ~40-byte tags ≈ 40 MB on the driver and in the task
+    * binary — the practical broadcast bound. A ledger past this size
+    * should be split into passes (each pass is idempotent — forgetting
+    * an already-forgotten tag is a no-op — so passes compose). */
+  val maxLedgerRows = 1000000
+
+  /** Collect the (label, value) deletion ledger and derive each
+    * request's linkage tag for the chosen family. Fails loudly past
+    * [[maxLedgerRows]] rather than silently truncating. */
+  def requestTags(ledger: DataFrame, key: String, mac: Boolean): Seq[String] = {
+    val rows = ledger.select(col("label").cast("string"), col("value").cast("string"))
+      .limit(maxLedgerRows + 1).collect()
+    require(rows.length <= maxLedgerRows,
+      s"deletion ledger exceeds $maxLedgerRows rows — split it into passes")
+    rows.toSeq.map { r =>
+      val (label, value) = (r.getString(0), r.getString(1))
+      if (mac) TF.pseudoTagMac(label, key, value)
+      else TF.pseudoTag(label, key, value)
+    }.distinct
+  }
+
+  /** The audit view (t41/t42's contract, the batch twin of t37/t40's):
+    * only the documents linked to at least one ledger request, with
+    * EVERY ledger tag erased. Linkage is decided by the rewrite itself
+    * (`rewritten != original` ⟺ some ledger tag occurred), so the scan
+    * stays one kernel pass per row — no per-tag `contains` chain. */
+  def forgetAll(corpus: DataFrame, pseudoCol: String, ledger: DataFrame,
+                key: String, mac: Boolean,
+                replacement: String = "<FORGOTTEN>"): DataFrame = {
+    val tags = requestTags(ledger, key, mac)
+    corpus
+      .withColumn("__rtbf_rw", TF.forgetTags(col(pseudoCol), tags, replacement))
+      .filter(col("__rtbf_rw") =!= col(pseudoCol))
+      .select(corpus.columns.toSeq.map(c =>
+        if (c == pseudoCol) col("__rtbf_rw").as(pseudoCol) else col(c)): _*)
+  }
+
+  /** The release form: rewrite the WHOLE corpus (linked rows lose their
+    * ledger tags, everything else passes through byte-identical) — what
+    * a release pipeline applies before shipping. Map-only. */
+  def applyLedger(corpus: DataFrame, pseudoCol: String, ledger: DataFrame,
+                  key: String, mac: Boolean,
+                  replacement: String = "<FORGOTTEN>"): DataFrame = {
+    val tags = requestTags(ledger, key, mac)
+    corpus.withColumn(pseudoCol, TF.forgetTags(col(pseudoCol), tags, replacement))
+  }
+
+  /**
+   * Deletion-ledger maintenance over a `_batch_id`-partitioned store
+   * (the StreamingIngest store layout) — the hook that lets a streaming
+   * corpus carry a deletion ledger: one map-only scan finds the
+   * partitions containing linked documents, and ONLY those partitions
+   * are rewritten (write-new-generation per partition, then swap), so a
+   * ledger touching 3 of 10,000 partitions costs 3 partition rewrites,
+   * not a corpus rewrite. Returns the rewritten partition ids.
+   *
+   * Crash-safety: the operation is IDEMPOTENT (forgetting an
+   * already-forgotten tag is a no-op), so any crash between the staging
+   * write and a partition swap is repaired by re-running the ledger —
+   * the same recovery contract as the ingest gates' replay arm. The
+   * staging directory lives beside the store and is removed on success.
+   */
+  def applyLedgerToStore(spark: SparkSession, storePath: String,
+                         pseudoCol: String, ledger: DataFrame, key: String,
+                         mac: Boolean,
+                         replacement: String = "<FORGOTTEN>"): Seq[Long] = {
+    val tags = requestTags(ledger, key, mac)
+    if (tags.isEmpty) return Seq.empty
+    val store = spark.read.parquet(storePath)
+    // partition ids holding at least one linked doc — bounded by the
+    // store's partition count (thousands), not its row count
+    val hit = store
+      .filter(TF.forgetTags(col(pseudoCol), tags, replacement) =!= col(pseudoCol))
+      .select(col("_batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (hit.isEmpty) return Seq.empty
+    // stage the rewritten partitions OUTSIDE the store (a dynamic
+    // overwrite reading its own target lazily would race the delete),
+    // then swap each partition dir into place
+    val staging = storePath + "_rtbf_staging"
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    store.filter(col("_batch_id").isin(hit: _*))
+      .withColumn(pseudoCol, TF.forgetTags(col(pseudoCol), tags, replacement))
+      .write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+    hit.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(storePath, s"_batch_id=$b")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"_batch_id=$b")
+      fs.delete(live, true)
+      fs.rename(staged, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    hit
+  }
+}
