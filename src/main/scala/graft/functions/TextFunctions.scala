@@ -65,6 +65,19 @@ object TextFunctions {
       (size(array_distinct(tokens(text))).cast("double") / greatest(n, lit(1))).as("ttr"))
   }
 
+  /** The t06/CorpusPipeline keep rule as one boolean over the text —
+    * the SINGLE definition of "quality document" (≥ 5 tokens, punct
+    * density ≤ 0.2, stopword ratio ≥ 0.01, type-token ratio ≥ 0.3)
+    * shared by the batch pipeline stage and the streaming ingest gate,
+    * so the two cannot drift. Same subexpressions as [[qualityColumns]]. */
+  def qualityKeep(text: Column): Column = {
+    val n = tokenCount(text)
+    n >= 5 &&
+      (punctCount(text).cast("double") / greatest(length(text), lit(1))) <= 0.2 &&
+      (stopwordCount(text).cast("double") / greatest(n, lit(1))) >= 0.01 &&
+      (size(array_distinct(tokens(text))).cast("double") / greatest(n, lit(1))) >= 0.3
+  }
+
   /**
    * Language-ID heuristic: marker-word votes per language, deterministic
    * argmax (tie → priority order en,de,fr,es). A real system would use

@@ -53,15 +53,25 @@ object LmFluency {
       .select(keep.map(col) :+ col("w1") :+
         col("tks").getItem(col("i") + 1).as("w2"): _*)
 
-  /**
-   * Score every `scoreDocs` row against a bigram LM trained on
-   * `refDocs` (the curated reference slice — ALL its rows, not a
-   * quality-gated subset: the reference is given). Returns one row per
-   * `scoreDocs` id: (idCol, n_trans, n_hit, n_oov_ctx, inv_p_sum,
-   * hit_ratio, ppx_proxy, keep) — t39's exact output contract.
-   */
-  def score(refDocs: DataFrame, scoreDocs: DataFrame,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** A trained bigram LM: the bigram counts, their w1-marginal context
+    * counts, and the one-row vocabulary size — all reference-slice-
+    * vocabulary-sized (broadcastable by construction). Train ONCE and
+    * reuse across [[scoreWith]] calls (the streaming gate's shape: the
+    * reference is static, every micro-batch probes the same tables);
+    * [[persisted]] pins the three frames in the cache for that reuse. */
+  final case class Model(bigrams: DataFrame, contexts: DataFrame,
+                         vocab: DataFrame) {
+    def persisted(): Model = {
+      bigrams.persist(); contexts.persist(); vocab.persist(); this
+    }
+    def unpersist(): Unit = {
+      bigrams.unpersist(); contexts.unpersist(); vocab.unpersist()
+    }
+  }
+
+  /** Train the bigram LM on `refDocs` (the curated reference slice —
+    * ALL its rows, not a quality-gated subset: the reference is given). */
+  def train(refDocs: DataFrame, textCol: String = "text"): Model = {
     val rtk = refDocs.select(TF.tokens(col(textCol)).as("tks"))
     val rtr = transitions(rtk, Seq.empty)
     val big = rtr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -71,11 +81,29 @@ object LmFluency {
     val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val voc = rtk.select(explode(col("tks")).as("t"))
       .agg(count_distinct(col("t")).as("v"))
+    Model(big, ctx, voc)
+  }
+
+  /**
+   * Score every `scoreDocs` row against a bigram LM trained on
+   * `refDocs`. Returns one row per `scoreDocs` id: (idCol, n_trans,
+   * n_hit, n_oov_ctx, inv_p_sum, hit_ratio, ppx_proxy, keep) — t39's
+   * exact output contract. Composition of [[train]] and [[scoreWith]]
+   * (the SAME fragments — batch query, d26 verdict, CorpusPipeline
+   * stage, and the streaming gate all run one body).
+   */
+  def score(refDocs: DataFrame, scoreDocs: DataFrame,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreWith(train(refDocs, textCol), scoreDocs, idCol, textCol)
+
+  /** The probe side of [[score]] against an already-trained [[Model]]. */
+  def scoreWith(m: Model, scoreDocs: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val stk = scoreDocs.select(col(idCol), TF.tokens(col(textCol)).as("tks"))
     val per = transitions(stk, Seq(idCol))
-      .join(broadcast(big), Seq("w1", "w2"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
-      .crossJoin(broadcast(voc))
+      .join(broadcast(m.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(m.contexts), Seq("w1"), "left")
+      .crossJoin(broadcast(m.vocab))
       .select(col(idCol),
         col("c2").isNotNull.cast(LongType).as("hit"),
         col("c1").isNull.cast(LongType).as("oov"),

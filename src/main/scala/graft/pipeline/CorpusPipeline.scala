@@ -96,14 +96,10 @@ object CorpusPipeline {
     val scrubbed = stage("pii_scrub",
       docs.withColumn("text", TF.scrubPii(col("text"))))
 
-    // 1. quality filter — per-row expressions only
-    val quality = {
-      val q = scrubbed.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
-        .filter(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
-          col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3)
-        .select(col("doc_id"))
-      stage("quality_filter", scrubbed.join(q, Seq("doc_id"), "left_semi"))
-    }
+    // 1. quality filter — per-row expressions only; THE shared keep rule
+    // (TF.qualityKeep — one definition with the streaming ingest gate)
+    val quality = stage("quality_filter",
+      scrubbed.filter(TF.qualityKeep(col("text"))))
 
     // 1b. optional LM-fluency gate — map-side broadcast scoring over the
     // posexplode'd transitions plus one doc_id-keyed agg; no new

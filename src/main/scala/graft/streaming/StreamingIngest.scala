@@ -210,22 +210,78 @@ object StreamingIngest {
       }
       .start()
 
-  /** The per-batch scrub-and-gate behind [[startScrubbedIngest]],
-    * exposed for direct unit testing (incl. true replays). */
+  /**
+   * The streaming twin of the batch CCNet prefix (CorpusPipeline stages
+   * 0–2 with `lmFluency = true`, the d26 stage order): per micro-batch,
+   * scrub → quality keep rule → LM-fluency keep gate → exact dedup
+   * (in-batch and vs the store), with [[scrubbedIngestBatch]]'s
+   * idempotent batch-partitioned store underneath. The bigram LM is
+   * trained ONCE on the static curated reference (`refDocs` — given,
+   * not part of the stream) and its tables persisted for the query's
+   * lifetime: they are reference-vocabulary-bounded (SCALE.md wave11 —
+   * 914→961 bigrams across a 100× corpus), so every batch's scoring is
+   * a map-side broadcast probe over the batch's transitions; no
+   * corpus-sized state, no growing join. One
+   * [[graft.operators.LmFluency]] body shared with the oracle-verified
+   * t39/d26 queries and the batch pipeline — StreamingSpec pins
+   * batch/stream row-identity. Callers managing cache lifetime can
+   * train the model themselves and use the Model overload.
+   */
+  def startFluencyGatedIngest(docs: DataFrame, refDocs: DataFrame,
+                              storePath: String,
+                              checkpointDir: String): StreamingQuery =
+    startFluencyGatedIngest(docs,
+      graft.operators.LmFluency.train(refDocs).persisted(),
+      storePath, checkpointDir)
+
+  def startFluencyGatedIngest(docs: DataFrame,
+                              model: graft.operators.LmFluency.Model,
+                              storePath: String,
+                              checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scrubbedIngestBatch(batch, storePath, batchId, fluencyGate(model))
+      }
+      .start()
+
+  /** The quality + LM-fluency keep stages over a scrubbed, versioned
+    * batch — TF.qualityKeep (the t06/CorpusPipeline rule) then
+    * LmFluency's cross-multiplied integer keep gate; the semi-join's
+    * right side is batch-bounded. */
+  private[graft] def fluencyGate(model: graft.operators.LmFluency.Model)(
+      scrubbed: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val q = scrubbed.filter(TF.qualityKeep(col("text")))
+    val keep = graft.operators.LmFluency
+      .scoreWith(model, q.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    q.join(broadcast(keep), Seq("doc_id"), "left_semi")
+  }
+
+  /** The per-batch scrub-and-gate behind [[startScrubbedIngest]] and
+    * [[startFluencyGatedIngest]], exposed for direct unit testing
+    * (incl. true replays). `gate` filters the scrubbed, versioned batch
+    * BEFORE the exact-dedup stages (the CCNet order: heuristic quality
+    * and LM fluency run on scrubbed text, dedup sees only survivors);
+    * the default identity gate is the plain scrubbed ingest. */
   private[graft] def scrubbedIngestBatch(batch: DataFrame, storePath: String,
-                                         batchId: Long): Unit = {
+                                         batchId: Long,
+                                         gate: DataFrame => DataFrame = identity)
+      : Unit = {
     val spark = batch.sparkSession
     import graft.functions.{TextFunctions => TF}
     // one version per doc per batch (same defense as snapshotDiffBatch:
     // a doc re-emitted across two files of one AvailableNow trigger must
     // not land twice) — max (fp, text) struct is deterministic under any
     // partitioning, and fp is the text's md5 so the pair is consistent
-    val scrubbed = batch
+    val scrubbed = gate(batch
       .withColumn("text", TF.scrubPii(col("text")))
       .withColumn("fp", TF.fingerprint(col("text")))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("fp"), col("text"))).as("m"))
-      .select(col("doc_id"), col("m.text").as("text"), col("m.fp").as("fp"))
+      .select(col("doc_id"), col("m.text").as("text"), col("m.fp").as("fp")))
       .persist()
     try {
       if (scrubbed.count() == 0) {

@@ -516,6 +516,79 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet == Set(31L))
   }
 
+  test("fluency-gated ingest: streaming scrub -> quality -> LM gate -> " +
+       "exact dedup is ROW-IDENTICAL to the batch composition of the " +
+       "same bodies (the d26 stage order), across batches and replays") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.LmFluency
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fluency_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    // the static curated reference the LM trains on (given, not streamed)
+    val refDocs = Seq(
+      "the cat sat on the mat and the dog ran to the house").toDF("text")
+    val model = LmFluency.train(refDocs).persisted()
+    def drain(): Unit = {
+      val q = StreamingIngest.startFluencyGatedIngest(
+        spark.readStream.schema(schema).json(landing), model, store, ckpt)
+      q.awaitTermination()
+    }
+    // batch 0: doc 1 fluent+quality (kept), doc 2 quality-clean but
+    // LM-alien (dropped_fluency), doc 3 punct junk (dropped_quality),
+    // doc 4 a PII-variant content dup of doc 1 (in-batch dedup victim)
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      ("""{"doc_id":1,"text":"the cat sat on the mat x0@example.com"}""" + "\n" +
+       """{"doc_id":2,"text":"the zebra quantum flies blue nights"}""" + "\n" +
+       """{"doc_id":3,"text":"!!! ??? ... ;;; :::"}""" + "\n" +
+       """{"doc_id":4,"text":"the cat sat on the mat x1@example.com"}""")
+        .getBytes("UTF-8"))
+    drain()
+    // batch 1: doc 11 re-crawls doc 1 under a third session email
+    // (store-probe dedup victim), doc 12 is new and fluent
+    Files.write(java.nio.file.Paths.get(s"$landing/p2.json"),
+      ("""{"doc_id":11,"text":"the cat sat on the mat x2@example.com"}""" + "\n" +
+       """{"doc_id":12,"text":"a dog ran to the house"}""").getBytes("UTF-8"))
+    drain()
+    def storeRows() = StreamingIngest.scrubbedCorpus(spark, store)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet
+    // the batch composition of the SAME bodies over all six docs
+    val all = Seq(
+      1L -> "the cat sat on the mat x0@example.com",
+      2L -> "the zebra quantum flies blue nights",
+      3L -> "!!! ??? ... ;;; :::",
+      4L -> "the cat sat on the mat x1@example.com",
+      11L -> "the cat sat on the mat x2@example.com",
+      12L -> "a dog ran to the house").toDF("doc_id", "text")
+    val scrubbed = all.withColumn("text", TF.scrubPii(col("text")))
+    val quality = scrubbed.filter(TF.qualityKeep(col("text")))
+    val fluent = quality.join(
+      LmFluency.scoreWith(model, quality).filter(col("keep"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val batchKept = fluent
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(fluent, Seq("doc_id"))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet
+    assert(batchKept.map(_._1) == Set(1L, 12L), s"fixture drifted: $batchKept")
+    assert(storeRows() == batchKept,
+      "streamed store must be row-identical to the batch composition")
+    // true replay of batch 1 (same data, same id, same gate): identical
+    StreamingIngest.scrubbedIngestBatch(
+      spark.read.schema(schema).json(s"$landing/p2.json"), store, 1L,
+      StreamingIngest.fluencyGate(model))
+    assert(storeRows() == batchKept, "replay must replace, not drift")
+    // a replay whose gate admits nothing drops the stale partition
+    StreamingIngest.scrubbedIngestBatch(
+      Seq(21L -> "the zebra quantum flies blue nights").toDF("doc_id", "text"),
+      store, 1L, StreamingIngest.fluencyGate(model))
+    assert(storeRows().map(_._1) == Set(1L),
+      "an all-dropped replay must remove its old partition")
+    model.unpersist()
+  }
+
   test("snapshot-diff CDC gate: a drifted replay that emits no events " +
        "drops its stale event partition") {
     import spark.implicits._
