@@ -127,6 +127,17 @@ object NorthStar {
         .when(id % 13 === 1, lit(" pay 4111-1111-1111-1112"))
         .otherwise(lit("")),
       when(id % 17 === 0, lit(" amex 378282246310005")).otherwise(lit("")),
+      // the round-16 exactness plants, hash-checked cross-engine:
+      // mod-19 = the steal-rescue adjacency (a plus-spaced phone tail
+      // before a spaced PAN — the cross-boundary candidate
+      // '2314 4111 1111 1111' fails Luhn and must NOT block the true
+      // PAN: phone +1 AND card +1); mod-23 = leftmost-valid-wins (the
+      // number-column candidate '1111 4111 1111 1111' IS Luhn-valid
+      // and wins the overlap: card +1 with the stolen grouping)
+      when(id % 19 === 0, lit(" fwd +9 704 2314 4111 1111 1111 1111"))
+        .otherwise(lit("")),
+      when(id % 23 === 0, lit(" col 1111 4111 1111 1111 1111"))
+        .otherwise(lit("")),
       when(id % 5 === 0,
         concat(lit(" from 10."), pmod(id, lit(256L)).cast("string"),
           // cast-truncate == // for the non-negative ids (< 2^52 exact)
@@ -211,6 +222,10 @@ object NorthStar {
               WHEN doc_id % 13 = 1 THEN ' pay 4111-1111-1111-1112'
               ELSE '' END
       || CASE WHEN doc_id % 17 = 0 THEN ' amex 378282246310005' ELSE '' END
+      || CASE WHEN doc_id % 19 = 0
+              THEN ' fwd +9 704 2314 4111 1111 1111 1111' ELSE '' END
+      || CASE WHEN doc_id % 23 = 0
+              THEN ' col 1111 4111 1111 1111 1111' ELSE '' END
       || CASE WHEN doc_id % 5 = 0
               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
@@ -246,19 +261,92 @@ object NorthStar {
                     ELSE CAST($dg[i] AS INT) END)) % 10 = 0)"""
   }
 
+  /**
+   * DuckDB twin of CardRuns.selectedValues over expr `t` — the CARD
+   * run-enumeration (see the CardRuns semantics doc): the selected
+   * Luhn-verified card values, in text order, as a VARCHAR list.
+   *
+   * Construction notes (each step replays a kernel decision exactly):
+   *  - `.digit` is first rewritten to `adigit`: '.' is invalid in every
+   *    card lead anyway ('a' stays invalid), and afterwards a run's
+   *    1-char tail of '.' can ONLY mean "dot before a non-digit" —
+   *    tailNum's admissible \\.[^0-9] / \\.$ arms — so single-char tail
+   *    capture suffices.
+   *  - maximal runs are extracted THREE aligned ways (RE2 has no
+   *    positions): (lead, run) with the lead consumed — consuming a
+   *    lead can never block the next run, because runs are separated by
+   *    at least the one non-digit char the next lead needs and tails
+   *    are not consumed here — and (run, tail) with the tail consumed —
+   *    likewise safe, because the pattern needs no lead char. Both
+   *    enumerate the same maximal runs in order, so the lists zip.
+   *  - per run, groups/seps come from plain splits, candidates are the
+   *    group-aligned shapes, and the greedy cursor is a list_reduce
+   *    whose VARCHAR accumulator is 'cursor|v1;v2;…' (card values
+   *    contain only digits, dashes and spaces, so '|' and ';' are
+   *    inert delimiters).
+   */
+  private def cardValuesSql(t: String): String = {
+    val ct = s"regexp_replace($t, '\\.([0-9])', 'a\\1', 'g')"
+    val runPat = "[0-9]+(?:[- ][0-9]+)*"
+    val runs = s"regexp_extract_all($ct, '(^|[^0-9])($runPat)', 2)"
+    val leads = s"regexp_extract_all($ct, '(^|[^0-9])($runPat)', 1)"
+    val tails = s"regexp_extract_all($ct, '($runPat)([^0-9]|$$)', 2)"
+    val r = s"$runs[ri]"; val ld = s"$leads[ri]"; val tl = s"$tails[ri]"
+    val g = s"string_split_regex($r, '[- ]')"
+    val sp = s"regexp_extract_all($r, '[- ]')"
+    val m = s"len($g)"
+    val i = "CAST(x AS INT)"
+    def gl(ix: String) = s"length($g[$ix])"
+    def leadOk(ix: String) =
+      s"""(CASE WHEN $ix = 1
+            THEN ($ld = '' OR NOT regexp_matches($ld, '[0-9A-Za-z.+-]'))
+            ELSE $sp[$ix - 1] = ' ' END)"""
+    def tailOk(jx: String) =
+      s"""(CASE WHEN $jx = $m
+            THEN ($tl = '' OR $tl = '.' OR NOT regexp_matches($tl, '[0-9A-Za-z-]'))
+            ELSE $sp[$jx] = ' ' END)"""
+    val valA = s"($g[$i] || $sp[$i] || $g[$i + 1] || $sp[$i + 1] || " +
+      s"$g[$i + 2] || $sp[$i + 2] || $g[$i + 3])"
+    val valB = s"($g[$i] || $sp[$i] || $g[$i + 1] || $sp[$i + 1] || $g[$i + 2])"
+    val valC = s"$g[$i]"
+    val shapeA = s"""($i + 3 <= $m AND ${gl(i)} = 4 AND ${gl(s"$i + 1")} = 4
+        AND ${gl(s"$i + 2")} = 4 AND ${gl(s"$i + 3")} BETWEEN 1 AND 7
+        AND ${leadOk(i)} AND ${tailOk(s"$i + 3")} AND ${luhnCondSql(valA)})"""
+    val shapeB = s"""($i + 2 <= $m AND ${gl(i)} = 4 AND ${gl(s"$i + 1")} = 6
+        AND ${gl(s"$i + 2")} = 5
+        AND ${leadOk(i)} AND ${tailOk(s"$i + 2")} AND ${luhnCondSql(valB)})"""
+    val shapeC = s"""(${gl(i)} BETWEEN 13 AND 19
+        AND ${leadOk(i)} AND ${tailOk(i)} AND ${luhnCondSql(valC)})"""
+    def take(endOff: Int, v: String) =
+      s"""CAST($i + ${endOff + 1} AS VARCHAR) || '|' ||
+          (CASE WHEN str_split(acc, '|')[2] = '' THEN $v
+                ELSE str_split(acc, '|')[2] || ';' || $v END)"""
+    val reduce =
+      s"""list_reduce(
+            list_prepend('1|', list_transform(range(1, $m + 1),
+              ii -> CAST(ii AS VARCHAR))),
+            (acc, x) -> CASE
+              WHEN $i < CAST(str_split(acc, '|')[1] AS INT) THEN acc
+              WHEN $shapeA THEN ${take(3, valA)}
+              WHEN $shapeB THEN ${take(2, valB)}
+              WHEN $shapeC THEN ${take(0, valC)}
+              ELSE acc END)"""
+    s"""flatten(list_transform(range(1, len($runs) + 1), ri ->
+          list_filter(str_split(str_split($reduce, '|')[2], ';'),
+            v -> v <> '')))"""
+  }
+
   /** The class's candidate values over expr `t`: pass-1 guarded matches
     * plus the alternate-blocked survivors from the once-replaced text
-    * (TF.classMatches' twin); `x -> luhn(x)`-filtered for the
-    * checksum-gated class (TF.validMatches). */
-  private def validMatchesSql(t: String, c: TF.PiiClass): String = {
-    val cand =
-      if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
-      else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
-               || regexp_extract_all(
-                    regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g'),
-                    '${c.pattern}', ${c.group})"""
-    if (c.luhn) s"list_filter($cand, x -> ${luhnCondSql("x")})" else cand
-  }
+    * (TF.classMatches' twin); the checksum-gated CARD class runs the
+    * [[cardValuesSql]] run enumeration instead (TF.validMatches). */
+  private def validMatchesSql(t: String, c: TF.PiiClass): String =
+    if (c.luhn) cardValuesSql(t)
+    else if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
+    else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
+             || regexp_extract_all(
+                  regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g'),
+                  '${c.pattern}', ${c.group})"""
 
   /** One full scrub of one class over SQL expr `acc`: guarded regex
     * classes run the two-pass form (pass 2 catches spans whose lead char

@@ -59,18 +59,17 @@ object Luhn {
  * All of one guarded class's identifier values in `child`, in two-pass
  * extraction order: pass-1 guarded matches (group 2 — the core), then
  * the alternate-blocked survivors recovered from the once-replaced
- * text (TextFunctions' guard-consumption note). `luhn = true` narrows
- * to check-digit-verified values (the CARD gate); the unblocking
- * replace always rewrites ALL candidates — validity does not matter
- * for recovering a consumed lead char. Value-identical to
+ * text (TextFunctions' guard-consumption note). Value-identical to
  * `concat(regexp_extract_all(t, p, 2), regexp_extract_all(
- * regexp_replace(t, p, "$1<TAG>$3"), p, 2))` (Luhn-filtered when
- * gated): the once-replaced text is built manually from the pass-1
- * match spans (guards re-emitted) instead of a second replace scan,
- * and skipped entirely when pass 1 found nothing.
+ * regexp_replace(t, p, "$1<TAG>$3"), p, 2))`: the once-replaced text
+ * is built manually from the pass-1 match spans (guards re-emitted)
+ * instead of a second replace scan, and skipped entirely when pass 1
+ * found nothing. The checksum-gated CARD class does NOT use this —
+ * its candidates come from [[CardRuns]]' run enumeration, which is
+ * exact under guard-sharing adjacency.
  */
 case class GuardedMatches(child: Expression, pattern: String,
-                          unblockTag: String, luhn: Boolean)
+                          unblockTag: String)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "guarded_matches"
@@ -86,18 +85,14 @@ case class GuardedMatches(child: Expression, pattern: String,
     val sb = new java.lang.StringBuilder(text.length)
     var last = 0
     do {
-      val v = UTF8String.fromString(m.group(2))
-      if (!luhn || Luhn.valid(v)) out.add(v)
+      out.add(UTF8String.fromString(m.group(2)))
       sb.append(text, last, m.start)
         .append(m.group(1)).append(unblockTag).append(m.group(3))
       last = m.end()
     } while (m.find())
     sb.append(text, last, text.length)
     val m2 = regex.matcher(sb)
-    while (m2.find()) {
-      val v = UTF8String.fromString(m2.group(2))
-      if (!luhn || Luhn.valid(v)) out.add(v)
-    }
+    while (m2.find()) out.add(UTF8String.fromString(m2.group(2)))
     val arr = new Array[AnyRef](out.size())
     var i = 0
     while (i < arr.length) { arr(i) = out.get(i); i += 1 }
@@ -166,41 +161,181 @@ case class GuardedScrub(child: Expression, pattern: String,
 }
 
 /**
- * The CARD class's scrub: replace every Luhn-verified card value with
- * `tag` by a literal fold over the DISTINCT verified values in the
- * pinned length-DESC / value-ASC order (TextFunctions' pseudonymize
- * order — containers before contained values, ties cross-engine; the
- * comparator is on bytes, exact for these ASCII values). Regex alone
- * cannot express the checksum gate, so this is fold semantics, not
- * two-pass-replace semantics; the DuckDB twin is NorthStar.pseudoSql
- * with a constant tag. Literal folding is position-blind by contract:
- * a verified value occurring inside a longer unguarded run is
- * rewritten there too (the conservative side for redaction).
+ * Run-enumeration CARD detection — the exact replacement for the
+ * consuming-regex candidate scan, whose leftmost-first consumption
+ * could let a space-separated digit neighbor steal a spaced PAN's head
+ * (the round-15 law-pinned under-count). Semantics, replayed
+ * digit-for-digit by the DuckDB twin (NorthStar.cardValuesSql):
+ *
+ *  1. MAXIMAL digit-group runs: digit groups joined by single dash or
+ *     space separators (a separator not followed by a digit ends the
+ *     run). Runs cannot overlap, so enumerating them is scan-order
+ *     exact.
+ *  2. Within a run, CANDIDATES are the group-aligned card shapes —
+ *     A: lens (4,4,4,1–7); B (Amex): lens (4,6,5); C: one contiguous
+ *     13–19-digit group — whose boundary guards hold as CONTEXT
+ *     (non-consuming, so neighbors can never block a lead):
+ *     an interior candidate's lead/tail separator must be a SPACE
+ *     (dash-adjacency rejected, as before); a run-edge candidate needs
+ *     the run's own lead char outside [0-9A-Za-z.+-] (or start) and
+ *     tail char outside [0-9A-Za-z-] with '.' admitted only before a
+ *     non-digit (tailNum's \\.[^0-9] / \\.$ arms; or end).
+ *  3. Selection is GREEDY LEFTMOST-VALID with shape priority A,B,C at
+ *     equal start: scan group indices left to right, take the first
+ *     Luhn-valid candidate, jump past it, continue. Invalid candidates
+ *     never consume anything — that is the exactness fix — and when
+ *     two VALID candidates overlap, the leftmost wins (law-pinned
+ *     arbitration; deterministic and engine-identical).
+ *
+ * A pure char-level scan: no regex at all, O(len + runs·shapes) per
+ * row, and the Luhn fold runs on the text buffer in place.
  */
-case class LuhnScrub(child: Expression, pattern: String,
-                     tag: String) extends UnaryExpression {
-  override def dataType: DataType = StringType
-  override def prettyName: String = "luhn_scrub"
+object CardRuns {
+  @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
+  @inline private def isAlnum(c: Char) =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
 
-  @transient private lazy val candidates =
-    GuardedMatches(child, pattern, tag, luhn = true)
+  /** Luhn check over text[from, to) with separators skipped in place. */
+  def luhnOk(text: String, from: Int, to: Int): Boolean = {
+    var sum = 0
+    var parity = 0
+    var i = to - 1
+    while (i >= from) {
+      val c = text.charAt(i)
+      if (isDigit(c)) {
+        var d = c - '0'
+        if (parity == 1) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        parity ^= 1
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  /** The selected verified card values of `text`, in text order; null
+    * when there are none (the common row — no allocation at all). */
+  def selectedValues(text: String): java.util.ArrayList[String] = {
+    var out: java.util.ArrayList[String] = null
+    val n = text.length
+    val gStart = new scala.collection.mutable.ArrayBuffer[Int](8)
+    val gEnd = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var pos = 0
+    while (pos < n) {
+      if (!isDigit(text.charAt(pos))) pos += 1
+      else {
+        val runStart = pos
+        gStart.clear(); gEnd.clear()
+        var cont = true
+        while (cont) {
+          val s0 = pos
+          while (pos < n && isDigit(text.charAt(pos))) pos += 1
+          gStart += s0; gEnd += pos
+          cont = pos + 1 < n &&
+            (text.charAt(pos) == '-' || text.charAt(pos) == ' ') &&
+            isDigit(text.charAt(pos + 1))
+          if (cont) pos += 1
+        }
+        val runEnd = pos
+        val m = gStart.length
+        val leadOkRun = runStart == 0 || {
+          val c = text.charAt(runStart - 1)
+          !(isAlnum(c) || c == '.' || c == '+' || c == '-')
+        }
+        val tailOkRun = runEnd == n || {
+          val c = text.charAt(runEnd)
+          if (c == '.') runEnd + 1 == n || !isDigit(text.charAt(runEnd + 1))
+          else !(isAlnum(c) || c == '-')
+        }
+        def gl(i: Int) = gEnd(i) - gStart(i)
+        def leadOk(i: Int) =
+          if (i == 0) leadOkRun else text.charAt(gStart(i) - 1) == ' '
+        def tailOk(j: Int) =
+          if (j == m - 1) tailOkRun else text.charAt(gEnd(j)) == ' '
+        var gi = 0
+        while (gi < m) {
+          var end = -1
+          if (gi + 3 < m && gl(gi) == 4 && gl(gi + 1) == 4 &&
+              gl(gi + 2) == 4 && gl(gi + 3) >= 1 && gl(gi + 3) <= 7 &&
+              leadOk(gi) && tailOk(gi + 3) &&
+              luhnOk(text, gStart(gi), gEnd(gi + 3))) end = gi + 3
+          else if (gi + 2 < m && gl(gi) == 4 && gl(gi + 1) == 6 &&
+              gl(gi + 2) == 5 && leadOk(gi) && tailOk(gi + 2) &&
+              luhnOk(text, gStart(gi), gEnd(gi + 2))) end = gi + 2
+          else if (gl(gi) >= 13 && gl(gi) <= 19 && leadOk(gi) && tailOk(gi) &&
+              luhnOk(text, gStart(gi), gEnd(gi))) end = gi
+          if (end >= 0) {
+            if (out == null) out = new java.util.ArrayList[String](2)
+            out.add(text.substring(gStart(gi), gEnd(end)))
+            gi = end + 1
+          } else gi += 1
+        }
+      }
+    }
+    out
+  }
+}
+
+/** The CARD class's verified values as an array column — [[CardRuns]]'
+  * run-enumeration semantics (exact counts under any adjacency). */
+case class CardMatches(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "card_matches"
+
+  @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
+
+  def compute(input: UTF8String): GenericArrayData = {
+    val vals = CardRuns.selectedValues(input.toString)
+    if (vals == null) return empty
+    val arr = new Array[AnyRef](vals.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = UTF8String.fromString(vals.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cardMatchesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CardMatches =
+    copy(child = newChild)
+}
+
+/**
+ * The CARD class's scrub: replace every [[CardRuns]]-verified card
+ * value with `tag` by a literal fold over the DISTINCT verified values
+ * in the pinned length-DESC / value-ASC order (TextFunctions'
+ * pseudonymize order — containers before contained values, ties
+ * cross-engine; the comparator is on chars, exact for these ASCII
+ * values). Regex alone cannot express the checksum gate, so this is
+ * fold semantics, not two-pass-replace semantics; the DuckDB twin is
+ * NorthStar.pseudoSql over cardValuesSql with a constant tag. Literal
+ * folding is position-blind by contract: a verified value occurring
+ * inside a longer unguarded run is rewritten there too (the
+ * conservative side for redaction).
+ */
+case class CardScrub(child: Expression, tag: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "card_scrub"
 
   def compute(input: UTF8String): UTF8String = {
-    val vals = candidates.compute(input)
-    val n = vals.numElements()
-    if (n == 0) return input
-    val set = new java.util.TreeSet[UTF8String](
-      new java.util.Comparator[UTF8String] {
-        override def compare(l: UTF8String, r: UTF8String): Int = {
-          val byLen = java.lang.Integer.compare(r.numBytes(), l.numBytes())
-          if (byLen != 0) byLen else l.compareTo(r)
-        }
-      })
-    var i = 0
-    while (i < n) { set.add(vals.getUTF8String(i)); i += 1 }
-    var acc = input.toString
+    val text = input.toString
+    val vals = CardRuns.selectedValues(text)
+    if (vals == null) return input
+    val set = new java.util.TreeSet[String](new java.util.Comparator[String] {
+      override def compare(l: String, r: String): Int = {
+        val byLen = java.lang.Integer.compare(r.length, l.length)
+        if (byLen != 0) byLen else l.compareTo(r)
+      }
+    })
+    set.addAll(vals)
+    var acc = text
     val it = set.iterator()
-    while (it.hasNext) acc = acc.replace(it.next().toString, tag)
+    while (it.hasNext) acc = acc.replace(it.next(), tag)
     UTF8String.fromString(acc)
   }
 
@@ -208,11 +343,11 @@ case class LuhnScrub(child: Expression, pattern: String,
     compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("luhnScrubExpr", this)
+    val ref = ctx.addReferenceObj("cardScrubExpr", this)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): LuhnScrub =
+  override protected def withNewChildInternal(newChild: Expression): CardScrub =
     copy(child = newChild)
 }
 

@@ -209,7 +209,7 @@ object TextFunctions {
 
   /** Payment-card PANs (core, group 2): 4-4-4-{1,7} dash/space groupings
     * (13–19 digits — the classic 4-4-4-4 plus long-PAN tails), Amex
-    * 4-6-5, and contiguous 13–19 digit runs. The REGEX only shapes
+    * 4-6-5, and contiguous 13–19 digit runs. The shapes only define
     * CANDIDATES — detection requires the Luhn check digit to verify
     * ([[luhnValid]]), so ISBNs, order numbers, and random digit tables
     * that happen to group like a PAN stay out unless their checksum
@@ -221,19 +221,20 @@ object TextFunctions {
     * rare, and a fifth group is indistinguishable from an appended
     * sequence number.
     *
-    * SPACED-grouping boundary limitation (law-pinned): when the
-    * preceding text ends in a space-separated digit group (a
-    * plus-spaced phone tail, a number column), the leftmost scan can
-    * form a cross-boundary candidate from that group plus the PAN's
-    * head ("+9 704 2314 4111 1111 1111 1111" yields the candidate
-    * "2314 4111 1111 1111"); the stolen candidate rarely passes Luhn,
-    * so [[piiCount]] conservatively UNDER-counts that PAN. The full
-    * [[scrubPii]] chain still redacts it — the email→phone→card ORDER
-    * removes the stealing digits before the card pass ("<PHONE>
-    * <CARD>") — so detection mis-sights in this adjacency fail toward
-    * a datasheet under-count, never toward leaking a PAN through
-    * scrub. Dashed/dotted/contiguous neighbors cannot steal (their
-    * trailing separator is excluded by the card lead guard). */
+    * Unlike the other guarded classes, CARD detection does NOT run this
+    * regex: a consuming leftmost scan let a space-separated digit
+    * neighbor (a plus-spaced phone tail, a number column) steal a
+    * spaced PAN's head into a cross-boundary candidate that failed Luhn
+    * and blocked the true PAN — the round-15 law-pinned under-count.
+    * Detection is [[CardRuns]]' RUN ENUMERATION instead: maximal
+    * digit-group runs, group-aligned shape candidates with
+    * NON-CONSUMING context guards, Luhn filter, then greedy
+    * leftmost-valid selection (invalid candidates never block; when two
+    * VALID candidates overlap, the leftmost wins — pinned arbitration).
+    * Exact under any adjacency, replayed by the DuckDB twin
+    * (NorthStar.cardValuesSql). This pattern string remains the CARD
+    * class's raw-survivor SWEEP shape (a text where it finds nothing
+    * contains no card-shaped span at all). */
   private val cardCore =
     "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{1,7}" +
     "|[0-9]{4}[- ][0-9]{6}[- ][0-9]{5}" +
@@ -245,11 +246,10 @@ object TextFunctions {
     * mod 10. Exact integer arithmetic over built-in HOFs, replayed
     * digit-for-digit by the DuckDB twin (NorthStar.luhnCondSql). This
     * Column form is the REFERENCE formulation the equivalence law
-    * checks against — the hot paths run the fused [[LuhnCandidates]] /
-    * [[LuhnScrub]] kernels instead (HOFs are CodegenFallbacks whose
-    * interpreted trees re-evaluate the upstream scrub chain per
-    * element: measured ~100× the five-class t35 cost before the
-    * kernels). */
+    * checks against — the hot paths run [[CardRuns]]' primitive integer
+    * fold instead (HOFs are CodegenFallbacks whose interpreted trees
+    * re-evaluate the upstream scrub chain per element: measured ~100×
+    * the five-class t35 cost before the kernels). */
   def luhnValid(m: Column): Column = {
     val ds = regexp_replace(m, "[^0-9]", "")
     val n = length(ds)
@@ -310,21 +310,21 @@ object TextFunctions {
 
   /** Full scrub of one class: guarded regex classes run the two-pass
     * form (see the guard note above — pass 2 catches the
-    * alternate-blocked spans). A checksum-gated class (CARD) cannot
-    * scrub by regex alone — the pattern admits candidates the check
+    * alternate-blocked spans). The checksum-gated class (CARD) cannot
+    * scrub by regex alone — the shapes admit candidates the check
     * digit rejects — so it folds literal `replace` over its DISTINCT
-    * verified values (longest-first, the pseudonymize order). Literal
-    * folding is position-blind: a verified value also occurring inside
-    * a longer unguarded run is rewritten there too — the conservative
-    * side for redaction. */
+    * [[CardRuns]]-verified values (longest-first, the pseudonymize
+    * order). Literal folding is position-blind: a verified value also
+    * occurring inside a longer unguarded run is rewritten there too —
+    * the conservative side for redaction. */
   private def scrubClass(t: Column, c: PiiClass, tag: String): Column = {
     // fused kernels for every guarded class, not declarative chains:
     // value-identical (PiiSpec equivalence laws + the oracle gate), but
     // pass 2 is skipped when pass 1 matched nothing — one compiled-regex
-    // scan on the typical row instead of two (and the CARD HOF fold's
-    // interpreted tree, measured ~100× t35, is gone entirely)
+    // scan on the typical row instead of two (and CARD runs a pure
+    // char-level scan, no regex at all)
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    if (c.luhn) column(LuhnScrub(expression(t), c.pattern, tag))
+    if (c.luhn) column(CardScrub(expression(t), tag))
     else if (c.group == 0) replaceOnce(t, c, tag)
     else column(GuardedScrub(expression(t), c.pattern, tag))
   }
@@ -368,19 +368,20 @@ object TextFunctions {
   }
 
   /** [[classMatches]] narrowed to the class's VERIFIED identifier values
-    * — identity for regex-only classes; the Luhn gate for CARD. */
-  private def validMatches(t: Column, c: PiiClass): Column =
+    * — identity for regex-only classes; [[CardRuns]]' run-enumeration
+    * selection for the checksum-gated CARD class. */
+  private def validMatches(t: Column, c: PiiClass): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.group == 0) classMatches(t, c) // unguarded: one plain extract
-    else {
+    else if (c.luhn) column(CardMatches(expression(t)))
+    else
       // the fused GuardedMatches kernel, value-identical to
-      // `filter?(classMatches(t, c))` — the two-pass candidate
-      // extraction with the Luhn gate when the class is checksum-gated
+      // `classMatches(t, c)` — the two-pass candidate extraction
       // (PiiSpec pins the equivalence laws) — but pass 2 runs only
       // when pass 1 found a candidate: one compiled-regex scan on the
       // typical row instead of three
-      import org.apache.spark.sql.GraftBridge.{column, expression}
-      column(GuardedMatches(expression(t), c.pattern, c.tag, c.luhn))
-    }
+      column(GuardedMatches(expression(t), c.pattern, c.tag))
+  }
 
   /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in
     * the pinned length-DESC / value-ASC order (see the pseudonymize

@@ -132,39 +132,75 @@ class PiiSpec extends AnyFunSuite {
       "b 4111111111111112 c", s"card pseudonymization drifted: $p")
   }
 
-  test("kernel law: the fused GuardedMatches/GuardedScrub/LuhnScrub " +
-       "kernels are value-identical to the declarative formulations " +
-       "(two-pass extraction/replace chains; Luhn filter + pinned-order " +
-       "literal fold for CARD) on hostile random corpora") {
-    import org.scalacheck.{Gen, Prop, Test => SCTest}
-    // declarative references, built from the public pieces
-    def declCount(text: org.apache.spark.sql.Column, c: TF.PiiClass) = {
-      val pass1 = regexp_extract_all(text, lit(c.pattern), lit(c.group))
-      if (c.group == 0) size(pass1).cast("long")
-      else {
-        val once = regexp_replace(text, c.pattern, s"$$1${c.tag}$$3")
-        val cand = concat(pass1, regexp_extract_all(once, lit(c.pattern), lit(c.group)))
-        val valid = if (c.luhn) filter(cand, m => TF.luhnValid(m)) else cand
-        size(valid).cast("long")
+  // ---- independent driver-side reference of the CARD run-enumeration
+  // semantics (a DIFFERENT formulation from CardRuns' char scanner:
+  // regex run-finding with matcher positions, list-shape alignment,
+  // the spec's own luhnSum, a greedy fold) — the kernel law's oracle
+  private def refCardValues(text: String): Seq[String] = {
+    val runPat = java.util.regex.Pattern.compile("[0-9]+(?:[- ][0-9]+)*")
+    val m = runPat.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      val run = m.group()
+      val lead = if (m.start == 0) "" else text.substring(m.start - 1, m.start)
+      val after = text.substring(m.end)
+      val groups = run.split("[- ]").toSeq
+      val seps = run.filter(c => c == '-' || c == ' ').map(_.toString)
+      val runLeadOk = lead.isEmpty || !lead.matches("[0-9A-Za-z.+-]")
+      val runTailOk = after.isEmpty || after.matches("[^0-9A-Za-z.-].*") ||
+        after.matches("\\.([^0-9].*)?")
+      def leadOk(i: Int) = if (i == 0) runLeadOk else seps(i - 1) == " "
+      def tailOk(j: Int) = if (j == groups.size - 1) runTailOk else seps(j) == " "
+      def value(i: Int, j: Int): String =
+        (i to j).map(groups).zipAll((i until j).map(seps), "", "")
+          .flatMap { case (gp, sp) => Seq(gp, sp) }.mkString
+      def valid(i: Int, j: Int) =
+        leadOk(i) && tailOk(j) && luhnSum(value(i, j).filter(_.isDigit)) % 10 == 0
+      var gi = 0
+      while (gi < groups.size) {
+        def gl(k: Int) = groups(k).length
+        val end =
+          if (gi + 3 < groups.size && gl(gi) == 4 && gl(gi + 1) == 4 &&
+              gl(gi + 2) == 4 && gl(gi + 3) >= 1 && gl(gi + 3) <= 7 &&
+              valid(gi, gi + 3)) gi + 3
+          else if (gi + 2 < groups.size && gl(gi) == 4 && gl(gi + 1) == 6 &&
+              gl(gi + 2) == 5 && valid(gi, gi + 2)) gi + 2
+          else if (gl(gi) >= 13 && gl(gi) <= 19 && valid(gi, gi)) gi
+          else -1
+        if (end >= 0) { out += value(gi, end); gi = end + 1 } else gi += 1
       }
     }
-    def declCardScrub(t: org.apache.spark.sql.Column, c: TF.PiiClass) = {
-      val once = regexp_replace(t, c.pattern, s"$$1${c.tag}$$3")
-      val cand = concat(regexp_extract_all(t, lit(c.pattern), lit(c.group)),
-        regexp_extract_all(once, lit(c.pattern), lit(c.group)))
-      val sorted = array_sort(array_distinct(filter(cand, m => TF.luhnValid(m))),
-        (l, r) => when(length(l) > length(r), -1)
-          .when(length(l) < length(r), 1)
-          .when(l < r, -1).when(l > r, 1).otherwise(0))
-      aggregate(sorted, t, (acc, m) =>
-        call_function("replace", acc, m, lit(c.tag)))
-    }
-    def declScrub(text: org.apache.spark.sql.Column) =
+    out.toSeq
+  }
+
+  test("kernel law: the fused GuardedMatches/GuardedScrub/CardMatches/" +
+       "CardScrub kernels are value-identical to independent reference " +
+       "formulations (two-pass extraction/replace chains; the CARD " +
+       "run-enumeration reference + pinned-order literal fold) on " +
+       "hostile random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // driver-side references, independently formulated: Java-regex
+    // two-pass chains for the guarded classes, refCardValues for CARD
+    def refCount(text: String, c: TF.PiiClass): Long =
+      if (c.luhn) refCardValues(text).size.toLong
+      else if (c.group == 0) c.pattern.r.findAllIn(text).size.toLong
+      else {
+        val once = text.replaceAll(c.pattern, s"$$1${c.tag}$$3")
+        def cores(t: String) = {
+          val m = java.util.regex.Pattern.compile(c.pattern).matcher(t)
+          Iterator.continually(m).takeWhile(_.find()).map(_.group(2)).size
+        }
+        (cores(text) + cores(once)).toLong
+      }
+    def refScrub(text: String): String =
       TF.piiClasses.foldLeft(text) { (t, c) =>
-        if (c.luhn) declCardScrub(t, c)
-        else if (c.group == 0) regexp_replace(t, c.pattern, c.tag)
-        else regexp_replace(regexp_replace(t, c.pattern, s"$$1${c.tag}$$3"),
-          c.pattern, s"$$1${c.tag}$$3")
+        if (c.luhn)
+          refCardValues(t).distinct
+            .sortBy(v => (-v.length, v))
+            .foldLeft(t)((acc, v) => acc.replace(v, c.tag))
+        else if (c.group == 0) t.replaceAll(c.pattern, c.tag)
+        else t.replaceAll(c.pattern, s"$$1${c.tag}$$3")
+          .replaceAll(c.pattern, s"$$1${c.tag}$$3")
       }
     // hostile inputs: every class shape, valid AND broken PANs, bare
     // digit/grouped runs, adjacency — equivalence must hold on ANY
@@ -193,38 +229,66 @@ class PiiSpec extends AnyFunSuite {
     val docs = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, doc))
     val prop = Prop.forAll(docs) { ts =>
       val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-      val cols =
-        TF.piiClasses.flatMap(c => Seq(
-          TF.piiCount(col("text"), c),
-          declCount(col("text"), c))) ++
-        Seq(TF.scrubPii(col("text")), declScrub(col("text")))
-      df.select(cols: _*).collect().forall { r =>
+      val got = df.select(col("text") +:
+          TF.piiClasses.map(c => TF.piiCount(col("text"), c)) :+
+          TF.scrubPii(col("text")): _*)
+        .collect()
+      got.forall { r =>
+        val text = r.getString(0)
         val nc = TF.piiClasses.size
-        (0 until nc).forall(i => r.getLong(2 * i) == r.getLong(2 * i + 1)) &&
-          r.getString(2 * nc) == r.getString(2 * nc + 1)
+        TF.piiClasses.zipWithIndex.forall { case (c, i) =>
+          r.getLong(i + 1) == refCount(text, c) } &&
+          r.getString(nc + 1) == refScrub(text)
       }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
 
-  test("spaced-PAN boundary limitation is pinned: a space-separated " +
-       "digit tail before a spaced PAN steals its head in the count " +
-       "scan (conservative under-count), yet the full scrub chain " +
-       "still redacts the PAN (phone pass removes the stealing digits)") {
-    // card-class leftmost scan on the raw text forms the cross-boundary
-    // candidate '2314 4111 1111 1111' (phone tail + PAN head) — it
-    // fails Luhn, and the real PAN's head is consumed, so n_card = 0.
-    // scrubPii runs email→phone→card: the phone pass first rewrites
-    // '+9 704 2314' to <PHONE>, the card pass then sees the intact PAN.
-    val df = Seq((1L, "call +9 704 2314 4111 1111 1111 1111 end"))
+  test("spaced-PAN adjacency is EXACT: a space-separated digit neighbor " +
+       "can no longer steal a spaced PAN's head (run-enumeration counts " +
+       "the true PAN); overlapping VALID candidates arbitrate " +
+       "leftmost-wins; chained steals resolve; scrub redacts throughout") {
+    // r15 pinned this case as a conservative under-count (the consuming
+    // scan formed the cross-boundary candidate '2314 4111 1111 1111',
+    // which fails Luhn and blocked the true PAN). Run enumeration tries
+    // every group alignment — invalid candidates consume nothing.
+    assert(luhnSum("2314411111111111") % 10 != 0, "fixture premise")
+    val steal = Seq((1L, "call +9 704 2314 4111 1111 1111 1111 end"))
       .toDF("doc_id", "text")
-    val counts = countAll(df, "text")
-    assert(counts("PHONE") == 1L && counts("CARD") == 0L &&
-      counts.values.sum == 1L, s"steal semantics drifted: $counts")
-    val clean = df.select(TF.scrubPii(col("text"))).head.getString(0)
-    assert(clean == "call <PHONE> <CARD> end",
-      s"scrub must still redact the stolen-head PAN: $clean")
+    val counts = countAll(steal, "text")
+    assert(counts("PHONE") == 1L && counts("CARD") == 1L &&
+      counts.values.sum == 2L, s"exact steal semantics drifted: $counts")
+    assert(steal.select(TF.scrubPii(col("text"))).head.getString(0)
+      == "call <PHONE> <CARD> end")
+    // a CHAIN of stealing groups (each candidate alignment fails Luhn
+    // until the true PAN's own grouping) still resolves exactly
+    assert(luhnSum("8888888841111111") % 10 != 0 &&
+      luhnSum("8888411111111111") % 10 != 0, "fixture premise")
+    val chain = Seq((1L, "t 8888 8888 4111 1111 1111 1111 e"))
+      .toDF("doc_id", "text")
+    assert(countAll(chain, "text")("CARD") == 1L)
+    assert(chain.select(TF.scrubPii(col("text"))).head.getString(0)
+      == "t 8888 8888 <CARD> e")
+    // PINNED ARBITRATION: when an overlapping cross-boundary candidate
+    // IS Luhn-valid ('1111 4111 1111 1111' — a number column before the
+    // PAN), the LEFTMOST valid candidate wins the overlap; count stays
+    // exact at one card in that span, and scrub replaces the winner
+    assert(luhnSum("1111411111111111") % 10 == 0, "fixture premise")
+    val lmw = Seq((1L, "col 1111 4111 1111 1111 1111 end"))
+      .toDF("doc_id", "text")
+    val lc = countAll(lmw, "text")
+    assert(lc("CARD") == 1L && lc.values.sum == 1L,
+      s"leftmost-valid-wins drifted: $lc")
+    assert(lmw.select(TF.scrubPii(col("text"))).head.getString(0)
+      == "col <CARD> 1111 end")
+    // dashed/dotted/contiguous neighbors still cannot interfere at all
+    val shielded = Seq(
+      (1L, "id 123-45-6789 4111 1111 1111 1111 a"),
+      (2L, "ip 10.2.3.4111 1111 1111 1111 b")).toDF("doc_id", "text")
+    val sc = shielded.select(TF.piiCount(col("text"),
+      TF.piiClasses.find(_.label == "CARD").get)).as[Long].collect()
+    assert(sc.toSeq == Seq(1L, 0L), s"shield semantics drifted: ${sc.toSeq}")
   }
 
   test("pseudonymization generalizes beyond email/phone: IPs and IDs " +
@@ -373,23 +437,15 @@ class PiiSpec extends AnyFunSuite {
       // count/scrub must stay EXACT anyway (the guard-consumption note
       // in TextFunctions — this law is the regression pin for it)
       val rows = ds.zipWithIndex.map { case (toks, i) =>
-        // spaced-PAN boundary limitation (documented on cardPattern and
-        // pinned by its own fixed-case test): a spaced card directly
-        // after a token ending in a digit can have its head stolen by a
-        // cross-boundary candidate, so the COUNT law separates exactly
-        // that adjacency with a filler word; every other adjacency
-        // (dashed/dotted/contiguous forms, same-class runs) stays
-        // single-space-joined — the two-pass exactness pin
-        val sep = toks.foldLeft(List.empty[(String, String)]) { (acc, t) =>
-          acc match {
-            case (_, pv) :: _ if t._1 == "CARD" && t._2.contains(' ') &&
-                pv.nonEmpty && pv.last.isDigit =>
-              t :: (("w", "x")) :: acc
-            case _ => t :: acc
-          }
-        }.reverse
-        (i.toLong, sep.map(_._2).mkString(" "),
-          TF.piiClasses.map(c => sep.count(_._1 == c.label).toLong))
+        // EVERY adjacency stays single-space-joined — including a
+        // spaced PAN directly after a digit-ending token, the adjacency
+        // r15 had to shield with a filler word: run-enumeration CARD
+        // detection is exact there (a cross-boundary candidate that
+        // fails Luhn consumes nothing, and one that passes wins its
+        // overlap leftmost — either way the span yields exactly the
+        // planted count)
+        (i.toLong, toks.map(_._2).mkString(" "),
+          TF.piiClasses.map(c => toks.count(_._1 == c.label).toLong))
       }
       val df = rows.map { case (id, t, ns) => (id, t) }.toDF("doc_id", "text")
       val got = df.select(col("doc_id") +:
