@@ -30,7 +30,89 @@ import org.apache.spark.unsafe.types.UTF8String
  * codegen (the Hashing.scala pattern). Every kernel is VALUE-IDENTICAL
  * to its declarative twin — PiiSpec pins the equivalence laws, and the
  * DuckDB oracle twins are untouched.
+ *
+ * Round 16 adds the [[PiiGate]] prefilters: every kernel first runs one
+ * O(len) BYTE scan over the raw UTF8String (no decode) collecting the
+ * char facts a class NEEDS to match at all — '@' for EMAIL, ':' for
+ * IPv6, digit counts / digit-adjacent punctuation for the numeric
+ * classes — and skips its regex (and the UTF-16 decode) entirely when
+ * the necessary condition fails. On the word-salad corpus the typical
+ * row carries at most an email, so five of the six classes' scans
+ * vanish; the gates are NECESSARY conditions only (a gate can never
+ * fire on a row its class could match — the PiiSpec kernel law runs
+ * the ungated references against the gated kernels on hostile random
+ * corpora, so a wrong gate is a law failure, and the oracle gate
+ * hash-compares every gated query cross-engine).
  */
+
+/** Per-row char facts for the class gates, packed into one Long:
+  * low byte = presence flags, bits 8-31 = digit count (saturating),
+  * bits 32-47 = longest digit run. Computed over UTF-8 BYTES — every
+  * gate char is ASCII and UTF-8 continuation bytes are ≥ 0x80, so no
+  * decode is needed. */
+object PiiGate {
+  final val HasAt = 1
+  final val HasColon = 2
+  final val HasParenPlus = 4     // '(' or '+' — the anchored phone forms
+  final val DigitDotDigit = 8    // a 'd.d' adjacency (IPv4, dotted phone)
+  final val DigitDashDigit = 16  // a 'd-d' adjacency (ID, dashed phone)
+
+  def stats(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var flags = 0
+    var digits = 0
+    var run = 0
+    var maxRun = 0
+    var prevDigit = false
+    var pendingDot = false   // last two bytes were <digit> '.'
+    var pendingDash = false  // last two bytes were <digit> '-'
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      val isD = b >= '0' && b <= '9'
+      if (isD) {
+        digits += 1; run += 1
+        if (run > maxRun) maxRun = run
+        if (pendingDot) flags |= DigitDotDigit
+        if (pendingDash) flags |= DigitDashDigit
+      } else {
+        run = 0
+        if (b == '@') flags |= HasAt
+        else if (b == ':') flags |= HasColon
+        else if (b == '(' || b == '+') flags |= HasParenPlus
+      }
+      pendingDot = prevDigit && b == '.'
+      pendingDash = prevDigit && b == '-'
+      prevDigit = isD
+      i += 1
+    }
+    flags.toLong | (math.min(digits, 0xffffff).toLong << 8) |
+      (math.min(maxRun, 0xffff).toLong << 32)
+  }
+
+  @inline def digitCount(st: Long): Int = ((st >> 8) & 0xffffff).toInt
+  @inline def maxDigitRun(st: Long): Int = ((st >> 32) & 0xffff).toInt
+
+  /** Can class `label` possibly match a text with these stats? Derived
+    * from each pattern's mandatory chars: EMAIL needs '@'; every phone
+    * alternative carries '(' or '+' or a digit[-.]digit separator and
+    * ≥ 7 digits (the E.164 minimum); every card shape needs a 4-digit
+    * group and 13 total digits; IPv6 always has ':'; IPv4 has a d.d
+    * and ≥ 4 digits; the SSN-shaped ID has a d-d and exactly 9 digits. */
+  def pass(label: String, st: Long): Boolean = label match {
+    case "EMAIL" => (st & HasAt) != 0
+    case "PHONE" => digitCount(st) >= 7 &&
+      (st & (HasParenPlus | DigitDotDigit | DigitDashDigit)) != 0
+    case "CARD" => digitCount(st) >= 13 && maxDigitRun(st) >= 4
+    case "IP6" => (st & HasColon) != 0
+    case "IP" => (st & DigitDotDigit) != 0 && digitCount(st) >= 4
+    case "ID" => (st & DigitDashDigit) != 0 && digitCount(st) >= 9
+    case _ => true
+  }
+
+  @inline def pass(label: String, s: UTF8String): Boolean =
+    pass(label, stats(s))
+}
 object Luhn {
   /** Check-digit test over a candidate with '-'/' ' separators: from
     * the right, every second digit doubled (−9 when > 9), sum ≡ 0
@@ -68,7 +150,7 @@ object Luhn {
  * its candidates come from [[CardRuns]]' run enumeration, which is
  * exact under guard-sharing adjacency.
  */
-case class GuardedMatches(child: Expression, pattern: String,
+case class GuardedMatches(child: Expression, label: String, pattern: String,
                           unblockTag: String)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -78,6 +160,7 @@ case class GuardedMatches(child: Expression, pattern: String,
   @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
 
   def compute(input: UTF8String): GenericArrayData = {
+    if (!PiiGate.pass(label, input)) return empty
     val text = input.toString
     val m = regex.matcher(text)
     if (!m.find()) return empty
@@ -112,15 +195,21 @@ case class GuardedMatches(child: Expression, pattern: String,
 }
 
 /**
- * One guarded class's full scrub: the exact two-pass
+ * One class's full scrub: for guarded classes the exact two-pass
  * `regexp_replace(regexp_replace(t, p, "$1TAG$3"), p, "$1TAG$3")`
  * semantics (pass 2 catches alternate-blocked spans), built manually
- * from match spans with guards re-emitted — and pass 2 (and the
- * string copy) skipped when a pass finds nothing: the typical corpus
- * row costs ONE scan and returns the input buffer untouched.
+ * from match spans with guards re-emitted; for the unguarded group-0
+ * class (EMAIL — `group0 = true`) the single-pass whole-match replace.
+ * Pass 2 (and the string copy) is skipped when a pass finds nothing,
+ * and the class gate skips everything: the typical corpus row costs
+ * one byte prescan, and one regex scan only for the classes whose
+ * necessary chars are present.
  */
-case class GuardedScrub(child: Expression, pattern: String,
-                        tag: String) extends UnaryExpression {
+case class GuardedScrub(child: Expression, label: String, pattern: String,
+                        tag: String, group0: Boolean) extends UnaryExpression {
+  require(!group0 || pattern == EmailScan.pattern,
+    "the group-0 fast path is EmailScan's hand-rolled matcher — its " +
+    "pattern must be exactly the one EmailScan implements")
   override def dataType: DataType = StringType
   override def prettyName: String = "guarded_scrub"
 
@@ -133,7 +222,8 @@ case class GuardedScrub(child: Expression, pattern: String,
     val sb = new java.lang.StringBuilder(text.length)
     var last = 0
     do {
-      sb.append(text, last, m.start)
+      if (group0) sb.append(text, last, m.start).append(tag)
+      else sb.append(text, last, m.start)
         .append(m.group(1)).append(tag).append(m.group(3))
       last = m.end()
     } while (m.find())
@@ -142,6 +232,11 @@ case class GuardedScrub(child: Expression, pattern: String,
   }
 
   def compute(input: UTF8String): UTF8String = {
+    if (!PiiGate.pass(label, input)) return input
+    if (group0) {
+      val done = EmailScan.replaceAll(input.toString, tag)
+      return if (done == null) input else UTF8String.fromString(done)
+    }
     val once = passReplace(input.toString)
     if (once == null) return input
     val twice = passReplace(once)
@@ -285,6 +380,7 @@ case class CardMatches(child: Expression) extends UnaryExpression {
   @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
 
   def compute(input: UTF8String): GenericArrayData = {
+    if (!PiiGate.pass("CARD", input)) return empty
     val vals = CardRuns.selectedValues(input.toString)
     if (vals == null) return empty
     val arr = new Array[AnyRef](vals.size())
@@ -323,6 +419,7 @@ case class CardScrub(child: Expression, tag: String) extends UnaryExpression {
   override def prettyName: String = "card_scrub"
 
   def compute(input: UTF8String): UTF8String = {
+    if (!PiiGate.pass("CARD", input)) return input
     val text = input.toString
     val vals = CardRuns.selectedValues(text)
     if (vals == null) return input
@@ -422,5 +519,192 @@ case class ForgetTags(child: Expression, tags: Seq[String],
   }
 
   override protected def withNewChildInternal(newChild: Expression): ForgetTags =
+    copy(child = newChild)
+}
+
+/**
+ * Count-only detection kernel for one class — t35's n_<class> columns.
+ * Same semantics as `size(validMatches)` (two-pass guarded extraction;
+ * single whole-match extraction for group-0 EMAIL; [[CardRuns]]
+ * run-enumeration for the checksum-gated class) but it never builds the
+ * value array, runs the class gate on raw bytes first, and constructs
+ * the once-replaced text only when pass 1 actually matched.
+ */
+case class ClassCount(child: Expression, label: String, pattern: String,
+                      group: Int, unblockTag: String, luhn: Boolean)
+    extends UnaryExpression {
+  require(group != 0 || pattern == EmailScan.pattern,
+    "the group-0 count fast path is EmailScan's hand-rolled matcher")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "pii_class_count"
+
+  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
+
+  def compute(input: UTF8String): Long = {
+    if (!PiiGate.pass(label, input)) return 0L
+    if (luhn) {
+      val vals = CardRuns.selectedValues(input.toString)
+      return if (vals == null) 0L else vals.size().toLong
+    }
+    val text = input.toString
+    if (group == 0) return EmailScan.count(text)
+    val m = regex.matcher(text)
+    if (!m.find()) return 0L
+    var n = 0L
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    do {
+      n += 1
+      sb.append(text, last, m.start)
+        .append(m.group(1)).append(unblockTag).append(m.group(3))
+      last = m.end()
+    } while (m.find())
+    sb.append(text, last, text.length)
+    val m2 = regex.matcher(sb)
+    while (m2.find()) n += 1
+    n
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("classCountExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ClassCount =
+    copy(child = newChild)
+}
+
+/**
+ * Hand-rolled exact implementation of the EMAIL pattern
+ * `[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}` — java.util.regex
+ * retries the greedy local-part run at every start position, which is
+ * quadratic-ish over word-salad text (every letter run is a local-part
+ * candidate that fails at '@'); this scanner instead jumps between '@'
+ * anchors (each email has exactly one) and reconstructs the regex's
+ * leftmost-first/greedy decisions around each:
+ *
+ *  - local part = the maximal local-char run ending at the '@', clipped
+ *    at the scan cursor (regex region semantics after a prior match);
+ *    empty → this '@' cannot anchor a match;
+ *  - domain = the maximal domain-char run after the '@'; the greedy
+ *    `+` backtracks minimally, so the TLD anchors at the LAST dot
+ *    inside it that (a) leaves ≥1 domain char before itself and
+ *    (b) is followed by ≥2 letters; the match then ends at the maximal
+ *    letter run after that dot (`{2,}` is greedy).
+ *
+ * Scans for count/extract/replace all derive from the same find loop
+ * (consuming, leftmost — exactly regex find()). The PiiSpec kernel law
+ * compares every output against the real-regex reference on hostile
+ * random corpora (multi-'@' runs, digit-tailed TLDs, dot chains).
+ */
+object EmailScan {
+  /** The exact pattern this scanner implements — constructors of the
+    * EMAIL-specialized kernels require their class's pattern to be
+    * this string, so a pattern edit cannot silently desynchronize. */
+  val pattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  @inline private def isLetter(c: Char) =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  @inline private def isLocal(c: Char) =
+    isLetter(c) || (c >= '0' && c <= '9') ||
+      c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+  @inline private def isDomain(c: Char) =
+    isLetter(c) || (c >= '0' && c <= '9') || c == '.' || c == '-'
+
+  /** Next match at/after `from`: packed (start << 32) | end, or -1. */
+  def find(text: String, from: Int): Long = {
+    val n = text.length
+    var a = text.indexOf('@', from)
+    while (a >= 0) {
+      var ls = a
+      while (ls > from && isLocal(text.charAt(ls - 1))) ls -= 1
+      if (ls < a) {
+        var d = a + 1
+        while (d < n && isDomain(text.charAt(d))) d += 1
+        // last dot in (a+1, d-2] with >=1 domain char before it inside
+        // the run and >=2 letters after
+        var p = d - 3
+        var hit = -1
+        while (p >= a + 2 && hit < 0) {
+          if (text.charAt(p) == '.' && isLetter(text.charAt(p + 1)) &&
+              isLetter(text.charAt(p + 2))) hit = p
+          else p -= 1
+        }
+        if (hit >= 0) {
+          var e = hit + 3
+          while (e < d && isLetter(text.charAt(e))) e += 1
+          return (ls.toLong << 32) | e.toLong
+        }
+      }
+      a = text.indexOf('@', a + 1)
+    }
+    -1L
+  }
+
+  def count(text: String): Long = {
+    var n = 0L
+    var f = find(text, 0)
+    while (f >= 0) { n += 1; f = find(text, (f & 0xffffffffL).toInt) }
+    n
+  }
+
+  /** All matches, appended to `out`. */
+  def matches(text: String, out: java.util.ArrayList[UTF8String]): Unit = {
+    var f = find(text, 0)
+    while (f >= 0) {
+      out.add(UTF8String.fromString(
+        text.substring((f >> 32).toInt, (f & 0xffffffffL).toInt)))
+      f = find(text, (f & 0xffffffffL).toInt)
+    }
+  }
+
+  /** Replace every match with `tag`; null when nothing matched. */
+  def replaceAll(text: String, tag: String): String = {
+    var f = find(text, 0)
+    if (f < 0) return null
+    val sb = new java.lang.StringBuilder(text.length)
+    var last = 0
+    while (f >= 0) {
+      sb.append(text, last, (f >> 32).toInt).append(tag)
+      last = (f & 0xffffffffL).toInt
+      f = find(text, last)
+    }
+    sb.append(text, last, text.length)
+    sb.toString
+  }
+}
+
+/** EMAIL match values as an array column — [[EmailScan]]'s find loop,
+  * value-identical to `regexp_extract_all(t, emailPattern, 0)` (the
+  * pseudonymizers' group-0 extraction arm), with the '@' gate. */
+case class EmailMatches(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "email_matches"
+
+  @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
+
+  def compute(input: UTF8String): GenericArrayData = {
+    if (!PiiGate.pass("EMAIL", input)) return empty
+    val out = new java.util.ArrayList[UTF8String](2)
+    EmailScan.matches(input.toString, out)
+    if (out.isEmpty) return empty
+    val arr = new Array[AnyRef](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("emailMatchesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EmailMatches =
     copy(child = newChild)
 }

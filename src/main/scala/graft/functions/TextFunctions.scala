@@ -268,9 +268,6 @@ object TextFunctions {
   final case class PiiClass(label: String, pattern: String, group: Int,
                             luhn: Boolean = false) {
     def tag: String = s"<$label>"
-    /** Java-regex replacement that re-emits the consumed guard chars. */
-    private[functions] def sparkRepl(t: String): String =
-      if (group == 0) t else "$1" + t + "$3"
   }
 
   /** The audit classes in scrub order: emails first (digits inside an
@@ -304,10 +301,6 @@ object TextFunctions {
     * survives). */
   val piiPatterns: Seq[(String, String)] = piiClasses.map(c => c.label -> c.pattern)
 
-  /** One scrub pass of one class (guards re-emitted). */
-  private def replaceOnce(t: Column, c: PiiClass, tag: String): Column =
-    regexp_replace(t, c.pattern, c.sparkRepl(tag))
-
   /** Full scrub of one class: guarded regex classes run the two-pass
     * form (see the guard note above — pass 2 catches the
     * alternate-blocked spans). The checksum-gated class (CARD) cannot
@@ -318,15 +311,17 @@ object TextFunctions {
     * occurring inside a longer unguarded run is rewritten there too —
     * the conservative side for redaction. */
   private def scrubClass(t: Column, c: PiiClass, tag: String): Column = {
-    // fused kernels for every guarded class, not declarative chains:
+    // fused kernels for EVERY class, not declarative chains:
     // value-identical (PiiSpec equivalence laws + the oracle gate), but
-    // pass 2 is skipped when pass 1 matched nothing — one compiled-regex
-    // scan on the typical row instead of two (and CARD runs a pure
-    // char-level scan, no regex at all)
+    // each kernel first runs the PiiGate byte prescan (skipping its
+    // regex and the string decode when the class's necessary chars are
+    // absent), pass 2 is skipped when pass 1 matched nothing, and CARD
+    // runs a pure char-level scan — the typical word-salad row costs
+    // six byte scans and at most one regex pass
     import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.luhn) column(CardScrub(expression(t), tag))
-    else if (c.group == 0) replaceOnce(t, c, tag)
-    else column(GuardedScrub(expression(t), c.pattern, tag))
+    else column(GuardedScrub(expression(t), c.label, c.pattern, tag,
+      group0 = c.group == 0))
   }
 
   /** Per-class PII match count — the detection side of the audit (what a
@@ -334,8 +329,13 @@ object TextFunctions {
     * consumption: pass-1 matches plus the survivors a second extraction
     * over the once-replaced text recovers; checksum-gated classes count
     * only the verified candidates. */
-  def piiCount(text: Column, c: PiiClass): Column =
-    size(validMatches(text, c)).cast("long")
+  def piiCount(text: Column, c: PiiClass): Column = {
+    // the count-only kernel: gate + count without materializing the
+    // value array (value-identical to size(validMatches) — law-pinned)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(ClassCount(expression(text), c.label, c.pattern, c.group,
+      c.tag, c.luhn))
+  }
 
   /**
    * PII redaction for training corpora: emails then phone-shaped numbers
@@ -355,32 +355,21 @@ object TextFunctions {
   def scrubPii(text: Column): Column =
     piiClasses.foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
 
-  /** All of one class's CANDIDATE values in `t`: pass-1 guarded matches
+  /** One class's VERIFIED identifier values in `t` — for guarded regex
+    * classes the two-pass candidate extraction (pass-1 guarded matches
     * plus the alternate-blocked survivors recovered from the
-    * once-replaced text (see the guard note). The unblocking replace
-    * deliberately rewrites ALL candidates — checksum validity doesn't
-    * matter for recovering a consumed lead char. */
-  private def classMatches(t: Column, c: PiiClass): Column = {
-    val pass1 = regexp_extract_all(t, lit(c.pattern), lit(c.group))
-    if (c.group == 0) pass1
-    else concat(pass1, regexp_extract_all(
-      replaceOnce(t, c, c.tag), lit(c.pattern), lit(c.group)))
-  }
-
-  /** [[classMatches]] narrowed to the class's VERIFIED identifier values
-    * — identity for regex-only classes; [[CardRuns]]' run-enumeration
-    * selection for the checksum-gated CARD class. */
+    * once-replaced text, see the guard note — value-identical to
+    * `concat(regexp_extract_all(t, p, 2), regexp_extract_all(
+    * replaceOnce(t), p, 2))`, with pass 2 run only when pass 1 found a
+    * candidate); [[EmailScan]]'s hand-rolled matcher for the unguarded
+    * group-0 class; [[CardRuns]]' run-enumeration selection for the
+    * checksum-gated CARD class. Every arm is a gated fused kernel
+    * (PiiSpec pins the equivalence laws against ungated references). */
   private def validMatches(t: Column, c: PiiClass): Column = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    if (c.group == 0) classMatches(t, c) // unguarded: one plain extract
+    if (c.group == 0) column(EmailMatches(expression(t))) // unguarded
     else if (c.luhn) column(CardMatches(expression(t)))
-    else
-      // the fused GuardedMatches kernel, value-identical to
-      // `classMatches(t, c)` — the two-pass candidate extraction
-      // (PiiSpec pins the equivalence laws) — but pass 2 runs only
-      // when pass 1 found a candidate: one compiled-regex scan on the
-      // typical row instead of three
-      column(GuardedMatches(expression(t), c.pattern, c.tag))
+    else column(GuardedMatches(expression(t), c.label, c.pattern, c.tag))
   }
 
   /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in

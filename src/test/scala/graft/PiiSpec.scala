@@ -219,6 +219,11 @@ class PiiSpec extends AnyFunSuite {
       1 -> digits(4, 4),
       1 -> Gen.const("4111-1111-1111-1112"),
       1 -> (for { l <- word; d <- word } yield s"$l@$d.com"),
+      // hostile email-ish shapes for the EmailScan fast path: multi-@,
+      // digit-tailed TLDs, dot chains, punct-heavy locals, bare domains
+      1 -> Gen.oneOf("a@@b.com", "x9@y9.co9z", "a@b", "a@b.c", "..@..",
+        "l@d.co.uk9", "%+-._9@9-.-9.ab", "a@b.com.", "@x.com", "a@.com",
+        "a.b@c.d-e.fg", "a@b..com"),
       1 -> (for { c <- digits(1, 3); m <- digits(3, 3); s <- digits(4, 4) }
         yield s"$c-$m-$s"),
       1 -> Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString(".")),
