@@ -708,3 +708,55 @@ case class EmailMatches(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): EmailMatches =
     copy(child = newChild)
 }
+
+/** Boolean twin of [[ForgetTags]]: does the text contain ANY ledger
+  * tag? Same single '<'-anchored scan and completeness argument, but no
+  * string building — the cheap RTBF linked-document predicate, so the
+  * audit filter costs one scan per row instead of evaluating the
+  * rewrite (and its upstream chain) inside the comparison
+  * `forget_tags(x) != x` (Catalyst pushes that filter below the
+  * projection, which would run the rewrite twice in the filter and a
+  * third time in the surviving project). Law-pinned equivalent:
+  * `linksAny(x, tags) == (forgetTags(x, tags) != x)`. */
+case class LinksAnyTag(child: Expression, tags: Seq[String])
+    extends UnaryExpression {
+  require(tags.forall(t => t.length >= 3 && t.head == '<' && t.last == '>' &&
+      !t.substring(1, t.length - 1).exists(c => c == '<' || c == '>')),
+    "every RTBF tag must be a complete <...> span with no interior bracket")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "links_any_tag"
+
+  @transient private lazy val tagSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](math.max(16, tags.size * 2))
+    tags.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxTagLen: Int =
+    if (tags.isEmpty) 0 else tags.iterator.map(_.length).max
+
+  def compute(input: UTF8String): Boolean = {
+    if (tags.isEmpty) return false
+    val text = input.toString
+    var i = text.indexOf('<')
+    while (i >= 0) {
+      val j = text.indexOf('>', i + 1)
+      if (j < 0) return false
+      if (j - i < maxTagLen && tagSet.contains(text.substring(i, j + 1)))
+        return true
+      i = text.indexOf('<', i + 1)
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("linksAnyTagExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinksAnyTag =
+    copy(child = newChild)
+}

@@ -536,6 +536,15 @@ object TextFunctions {
     column(ForgetTags(expression(pseudo), tags, replacement))
   }
 
+  /** The linked-document predicate for a batch ledger: one boolean scan
+    * ([[LinksAnyTag]]) — law-pinned equal to
+    * `forgetTags(pseudo, tags) =!= pseudo`, but evaluable in a pushed
+    * filter without running the rewrite (twice) inside the compare. */
+  def linksAnyTag(pseudo: Column, tags: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(LinksAnyTag(expression(pseudo), tags))
+  }
+
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -50,18 +50,27 @@ object Rtbf {
 
   /** The audit view (t41/t42's contract, the batch twin of t37/t40's):
     * only the documents linked to at least one ledger request, with
-    * EVERY ledger tag erased. Linkage is decided by the rewrite itself
-    * (`rewritten != original` ⟺ some ledger tag occurred), so the scan
-    * stays one kernel pass per row — no per-tag `contains` chain. */
+    * EVERY ledger tag erased. Linkage is decided by the BOOLEAN
+    * [[TF.linksAnyTag]] scan, not by comparing the rewrite to its
+    * input: Catalyst pushes the filter below the projection (good —
+    * the predicate reaches the scan side and non-linked rows never hit
+    * the rewrite), and with a `rewritten != original` predicate that
+    * pushdown would re-evaluate the rewrite (plus its whole upstream
+    * chain — the CodegenFallback HOFs get no subexpression
+    * elimination) twice in the filter and a third time in the
+    * surviving projection. One cheap boolean scan per row + one
+    * rewrite per LINKED row instead; RtbfSpec pins
+    * `linksAnyTag == (forgetTags != input)`. */
   def forgetAll(corpus: DataFrame, pseudoCol: String, ledger: DataFrame,
                 key: String, mac: Boolean,
                 replacement: String = "<FORGOTTEN>"): DataFrame = {
     val tags = requestTags(ledger, key, mac)
     corpus
-      .withColumn("__rtbf_rw", TF.forgetTags(col(pseudoCol), tags, replacement))
-      .filter(col("__rtbf_rw") =!= col(pseudoCol))
+      .filter(TF.linksAnyTag(col(pseudoCol), tags))
       .select(corpus.columns.toSeq.map(c =>
-        if (c == pseudoCol) col("__rtbf_rw").as(pseudoCol) else col(c)): _*)
+        if (c == pseudoCol)
+          TF.forgetTags(col(pseudoCol), tags, replacement).as(pseudoCol)
+        else col(c)): _*)
   }
 
   /** The release form: rewrite the WHOLE corpus (linked rows lose their
@@ -97,9 +106,10 @@ object Rtbf {
     if (tags.isEmpty) return Seq.empty
     val store = spark.read.parquet(storePath)
     // partition ids holding at least one linked doc — bounded by the
-    // store's partition count (thousands), not its row count
+    // store's partition count (thousands), not its row count; the
+    // boolean linksAnyTag scan keeps this pass rewrite-free
     val hit = store
-      .filter(TF.forgetTags(col(pseudoCol), tags, replacement) =!= col(pseudoCol))
+      .filter(TF.linksAnyTag(col(pseudoCol), tags))
       .select(col("_batch_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
     if (hit.isEmpty) return Seq.empty

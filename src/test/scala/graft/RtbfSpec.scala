@@ -153,6 +153,24 @@ class RtbfSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(store + "_rtbf_staging")))
   }
 
+  test("linksAnyTag (the pushed filter predicate) == forgetTags changed the text") {
+    val t1 = TF.pseudoTag("EMAIL", key, "alice@a.example")
+    val t2 = TF.pseudoTag("PHONE", key, "+1-555-0100")
+    val rows = Seq(
+      s"a $t1 b", s"a $t2", "no tags at all", s"fake <EMAIL:${"9" * 20}>",
+      "unclosed < only", s"$t1$t2", "< $t1 not a tag literal")
+      .toDF("p")
+    val got = rows.select(
+      TF.linksAnyTag(col("p"), Seq(t1, t2)).as("linked"),
+      (TF.forgetTags(col("p"), Seq(t1, t2)) =!= col("p")).as("changed"))
+      .collect()
+    assert(got.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+      "the boolean predicate must decide exactly the rewrite-changes set")
+    // and the empty-ledger predicate is constant false
+    assert(rows.select(TF.linksAnyTag(col("p"), Seq.empty)).collect()
+      .forall(!_.getBoolean(0)))
+  }
+
   test("ledger past the bound fails loudly instead of truncating") {
     // exercise the guard without 1M rows: shrink via reflection is not
     // possible on a val — instead prove the limit+1 probe path by
