@@ -416,6 +416,7 @@ object ScaleDryRun {
       case "wave9" => wave9Mode(spark, srcDir, factor, workDir)
       case "wave10" => wave10Mode(spark, srcDir, factor, workDir)
       case "wave11" => wave11Mode(spark, srcDir, factor, workDir)
+      case "wave12" => wave12Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -588,6 +589,121 @@ object ScaleDryRun {
       println(f"| $label | t39_lm_fluency | $rows | $lmRows | $t%.1f | ${fmtBytes(sb)} |")
       NorthStar.releaseCaches(spark, dir)
     }
+  }
+
+  /** Round-16 surfaces' scale posture. Two claims, each measured 1× vs
+    * factor-×:
+    *
+    * (a) BATCH-RTBF STORE MAINTENANCE (`Rtbf.applyLedgerToStore`): the
+    * ledger pass over a `_batch_id`-partitioned pseudonymized store is
+    * one map-only boolean scan (LinksAnyTag — no join, no rewrite on
+    * the probe side) plus a rewrite of ONLY the partitions holding
+    * linked docs — so as the store grows with the ledger fixed, the
+    * scan grows linearly (unavoidable: every row must be probed once)
+    * but the REWRITE cost stays pinned to the hit partitions, and
+    * shuffle stays at the rewritten partitions' size.
+    *
+    * (b) FLUENCY-GATED INGEST (`startFluencyGatedIngest`'s batch body):
+    * wave10's flat-per-batch contract lifted to the full CCNet prefix
+    * (scrub → quality → LM gate → exact dedup) — a fixed 500-doc
+    * arrival batch against a factor-× seeded store must cost
+    * batch-sized shuffle regardless of store size (the store-side probe
+    * scans corpus fingerprints map-side against the broadcast batch fp
+    * set; the LM tables are reference-bounded broadcasts trained ONCE).
+    */
+  private def wave12Mode(spark: SparkSession, srcDir: String, factor: Int,
+                         workDir: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{LmFluency, Rtbf}
+    import graft.streaming.StreamingIngest
+    import spark.implicits._
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    val key = "wave12-rtbf-key"
+
+    println("| store | rows | parts | ledger | hit parts | wall s | shuffle write |")
+    println("|---|---|---|---|---|---|---|")
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir))) {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // pseudonymized store: every doc carries its own linkable address;
+      // RANGE-partitioned _batch_id (5k docs per partition) so a ledger
+      // naming specific docs lands in known partitions
+      val nRows = corpus.count()
+      val store = s"$workDir/rtbf_store_${factor}x_${label.hashCode.abs}"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_SUCCESS"))) {
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        corpus.select(col("doc_id"),
+            TF.pseudonymizePii(concat(col("text"), lit(" contact user"),
+              col("doc_id"), lit("@example.com")), key).as("pseudo"))
+          .withColumn("_batch_id", (col("doc_id") / lit(5000L)).cast("long"))
+          .write.partitionBy("_batch_id").parquet(store)
+      }
+      val nParts = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+        .count(_.getPath.getName.startsWith("_batch_id="))
+      // 64-request ledger targeting docs in exactly TWO partitions
+      // (ids 100-131 and 5100-5131) — fresh store per run keeps the
+      // pass idempotent-but-not-vacuous
+      val ledger = ((100L to 131L) ++ (5100L to 5131L))
+        .map(id => ("EMAIL", s"user$id@example.com")).toDF("label", "value")
+      val meter = new ShuffleMeter(spark)
+      val (hit, t, sb) = meter.measure(
+        Rtbf.applyLedgerToStore(spark, store, "pseudo", ledger, key, mac = false))
+      println(f"| $label | $nRows | $nParts | 64 | ${hit.size} | $t%.1f | ${fmtBytes(sb)} |")
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    }
+
+    println()
+    println("| store | arrivals | admitted | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    // the curated reference the LM trains on — the 1x src0 slice at
+    // every scale (the reference is GIVEN, not part of the stream)
+    val refDocs = spark.read.parquet(s"$srcDir/documents.parquet")
+      .filter(col("source") === "src0").select(col("text"))
+    val model = LmFluency.train(refDocs).persisted()
+    for ((label, tag, dir) <- Seq((s"$srcDir (1x)", "1x", srcDir),
+                                  (s"${factor}x", s"${factor}x", synthDir))) {
+      val store = s"$workDir/fluency_store_$tag"
+      def capture(docs: DataFrame, salt: Int): DataFrame =
+        docs.select(col("doc_id"),
+          concat(col("text"), lit(" sess s"),
+            (col("doc_id") * 7 + lit(salt.toLong)).cast("string"),
+            lit("@example.com")).as("text"))
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+      // backfill batch 0 through the SAME gate (trigger-capped in
+      // production per the operator doc; fine at study scale)
+      StreamingIngest.scrubbedIngestBatch(capture(corpus, 1), store, 0L,
+        StreamingIngest.fluencyGate(model))
+      // fixed arrival batch: 250 re-crawls (fresh session PII — must be
+      // rejected on the scrubbed fingerprint) + 250 novel docs (face
+      // the quality + LM gates, then admit)
+      val base = corpus.orderBy(col("doc_id")).limit(500)
+      val arrivals = capture(base.limit(250), 2)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        .unionByName(base.orderBy(col("doc_id").desc).limit(250)
+          .select((col("doc_id") + 910000000L).as("doc_id"),
+            concat(col("text"), lit(" novel payload "),
+              col("doc_id")).as("text")))
+        .persist()
+      arrivals.count() // materialize the study input outside the window
+      val meter = new ShuffleMeter(spark)
+      val (_, t, sb) = meter.measure(
+        StreamingIngest.scrubbedIngestBatch(arrivals, store, 1L,
+          StreamingIngest.fluencyGate(model)))
+      val admitted = spark.read.parquet(store)
+        .filter(col("_batch_id") === 1L).count()
+      arrivals.unpersist()
+      println(f"| $label | 500 | $admitted | $t%.1f | ${fmtBytes(sb)} |")
+      fs.delete(new org.apache.hadoop.fs.Path(store), true)
+    }
+    model.unpersist()
   }
 
   /** Shared 1x-vs-factor-x measurement loop for the wave modes: each op
