@@ -150,32 +150,21 @@ object Luhn {
  * its candidates come from [[CardRuns]]' run enumeration, which is
  * exact under guard-sharing adjacency.
  */
-case class GuardedMatches(child: Expression, label: String, pattern: String,
-                          unblockTag: String)
+case class GuardedMatches(child: Expression, label: String,
+                          spec: GuardedSpec, unblockTag: String)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "guarded_matches"
 
-  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
   @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
 
   def compute(input: UTF8String): GenericArrayData = {
     if (!PiiGate.pass(label, input)) return empty
     val text = input.toString
-    val m = regex.matcher(text)
-    if (!m.find()) return empty
     val out = new java.util.ArrayList[UTF8String](4)
     val sb = new java.lang.StringBuilder(text.length)
-    var last = 0
-    do {
-      out.add(UTF8String.fromString(m.group(2)))
-      sb.append(text, last, m.start)
-        .append(m.group(1)).append(unblockTag).append(m.group(3))
-      last = m.end()
-    } while (m.find())
-    sb.append(text, last, text.length)
-    val m2 = regex.matcher(sb)
-    while (m2.find()) out.add(UTF8String.fromString(m2.group(2)))
+    if (GuardedScan.pass(text, spec, unblockTag, out, sb) == 0) return empty
+    GuardedScan.pass(sb.toString, spec, unblockTag, out, null)
     val arr = new Array[AnyRef](out.size())
     var i = 0
     while (i < arr.length) { arr(i) = out.get(i); i += 1 }
@@ -205,31 +194,13 @@ case class GuardedMatches(child: Expression, label: String, pattern: String,
  * one byte prescan, and one regex scan only for the classes whose
  * necessary chars are present.
  */
-case class GuardedScrub(child: Expression, label: String, pattern: String,
-                        tag: String, group0: Boolean) extends UnaryExpression {
-  require(!group0 || pattern == EmailScan.pattern,
-    "the group-0 fast path is EmailScan's hand-rolled matcher — its " +
-    "pattern must be exactly the one EmailScan implements")
+case class GuardedScrub(child: Expression, label: String,
+                        spec: GuardedSpec, tag: String,
+                        group0: Boolean) extends UnaryExpression {
+  require(!group0 || spec == null,
+    "the group-0 fast path is EmailScan's hand-rolled matcher")
   override def dataType: DataType = StringType
   override def prettyName: String = "guarded_scrub"
-
-  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
-
-  /** One replace pass; null when the pass matched nothing. */
-  private def passReplace(text: String): String = {
-    val m = regex.matcher(text)
-    if (!m.find()) return null
-    val sb = new java.lang.StringBuilder(text.length)
-    var last = 0
-    do {
-      if (group0) sb.append(text, last, m.start).append(tag)
-      else sb.append(text, last, m.start)
-        .append(m.group(1)).append(tag).append(m.group(3))
-      last = m.end()
-    } while (m.find())
-    sb.append(text, last, text.length)
-    sb.toString
-  }
 
   def compute(input: UTF8String): UTF8String = {
     if (!PiiGate.pass(label, input)) return input
@@ -237,10 +208,14 @@ case class GuardedScrub(child: Expression, label: String, pattern: String,
       val done = EmailScan.replaceAll(input.toString, tag)
       return if (done == null) input else UTF8String.fromString(done)
     }
-    val once = passReplace(input.toString)
-    if (once == null) return input
-    val twice = passReplace(once)
-    UTF8String.fromString(if (twice == null) once else twice)
+    val text = input.toString
+    val sb1 = new java.lang.StringBuilder(text.length)
+    if (GuardedScan.pass(text, spec, tag, null, sb1) == 0) return input
+    val once = sb1.toString
+    val sb2 = new java.lang.StringBuilder(once.length)
+    if (GuardedScan.pass(once, spec, tag, null, sb2) == 0)
+      return UTF8String.fromString(once)
+    UTF8String.fromString(sb2.toString)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -530,15 +505,14 @@ case class ForgetTags(child: Expression, tags: Seq[String],
  * value array, runs the class gate on raw bytes first, and constructs
  * the once-replaced text only when pass 1 actually matched.
  */
-case class ClassCount(child: Expression, label: String, pattern: String,
-                      group: Int, unblockTag: String, luhn: Boolean)
+case class ClassCount(child: Expression, label: String,
+                      spec: GuardedSpec, group: Int, unblockTag: String,
+                      luhn: Boolean)
     extends UnaryExpression {
-  require(group != 0 || pattern == EmailScan.pattern,
-    "the group-0 count fast path is EmailScan's hand-rolled matcher")
+  require((group == 0 || luhn) == (spec == null),
+    "guarded classes scan via a GuardedSpec; EMAIL/CARD have their own kernels")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "pii_class_count"
-
-  @transient private lazy val regex = java.util.regex.Pattern.compile(pattern)
 
   def compute(input: UTF8String): Long = {
     if (!PiiGate.pass(label, input)) return 0L
@@ -548,21 +522,10 @@ case class ClassCount(child: Expression, label: String, pattern: String,
     }
     val text = input.toString
     if (group == 0) return EmailScan.count(text)
-    val m = regex.matcher(text)
-    if (!m.find()) return 0L
-    var n = 0L
     val sb = new java.lang.StringBuilder(text.length)
-    var last = 0
-    do {
-      n += 1
-      sb.append(text, last, m.start)
-        .append(m.group(1)).append(unblockTag).append(m.group(3))
-      last = m.end()
-    } while (m.find())
-    sb.append(text, last, text.length)
-    val m2 = regex.matcher(sb)
-    while (m2.find()) n += 1
-    n
+    val n1 = GuardedScan.pass(text, spec, unblockTag, null, sb)
+    if (n1 == 0) return 0L
+    n1.toLong + GuardedScan.pass(sb.toString, spec, unblockTag, null, null)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -759,4 +722,82 @@ case class LinksAnyTag(child: Expression, tags: Seq[String])
 
   override protected def withNewChildInternal(newChild: Expression): LinksAnyTag =
     copy(child = newChild)
+}
+
+/**
+ * Scan machinery for the guarded classes' kernels: the full-pattern
+ * java.util.regex find loop retries `(lead)(core)(tail)` at EVERY text
+ * position (~90 µs per ~400-char row for the phone/IP/ID alternations —
+ * the engine's composed char-class predicates dominate, not
+ * backtracking). A guarded class's match can only START where its core
+ * can start (a digit, '(', '+', a hex char, ':') with a lead-valid
+ * char before it, so [[GuardedScan.pass]] walks the chars once and
+ * anchors a `lookingAt` of `(core)(tail)` ONLY at those candidate
+ * positions — typically a handful per row — while the core+tail regex
+ * (the SAME alternation text, so internal greedy/backtracking
+ * behaviour is byte-identical) decides the match.
+ *
+ * Equivalence to the consuming full-pattern find loop (law-pinned by
+ * the PiiSpec kernel law, which runs the real-regex references):
+ * a full-pattern match at scan position p is lead char at p (or the
+ * empty `^` at 0) + core from p+1; candidates here are enumerated by
+ * core position q in ascending order = ascending p, with the `^` case
+ * (q=0, cursor 0) ordered first exactly as the lead group's
+ * alternation order; after a match the cursor moves past the consumed
+ * tail, and the next candidate needs its lead char AT or AFTER the
+ * cursor — the same guard-consumption blocking the two-pass form
+ * exists to recover. An incomplete start-char set would drop matches
+ * vs the reference and fail the law.
+ */
+final case class GuardedSpec(coreTail: String, startChars: String,
+                             leadExtra: String) {
+  @transient lazy val regex: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(coreTail)
+  @transient private lazy val startArr: Array[Boolean] = {
+    val a = new Array[Boolean](128)
+    startChars.foreach(c => a(c) = true) // explicit char list, no ranges
+    a
+  }
+  @inline def isStart(c: Char): Boolean = c < 128 && startArr(c)
+  @inline def leadOk(c: Char): Boolean =
+    !((c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+      (c >= 'a' && c <= 'z') || leadExtra.indexOf(c.toInt) >= 0)
+}
+
+object GuardedScan {
+  /** One consuming pass over `text`: emits core values into `out` (when
+    * non-null) and the once-replaced text into `sb` (when non-null —
+    * replacement = TAG + the consumed tail chars; the lead char was
+    * never consumed here, so it stays in place, which is exactly what
+    * the full pattern's `$1TAG$3` re-emission produced). Returns the
+    * match count. */
+  def pass(text: String, spec: GuardedSpec, tag: String,
+           out: java.util.ArrayList[UTF8String],
+           sb: java.lang.StringBuilder): Int = {
+    val n = text.length
+    val m = spec.regex.matcher(text)
+    var count = 0
+    var cursor = 0
+    var last = 0
+    var q = 0
+    while (q < n) {
+      if (spec.isStart(text.charAt(q)) &&
+          ((q == 0 && cursor == 0) ||
+           (q >= cursor + 1 && spec.leadOk(text.charAt(q - 1))))) {
+        m.region(q, n)
+        if (m.lookingAt()) {
+          count += 1
+          if (out != null) out.add(UTF8String.fromString(m.group(1)))
+          if (sb != null) {
+            sb.append(text, last, q).append(tag).append(m.group(2))
+            last = m.end()
+          }
+          cursor = m.end()
+          q = if (m.end() > q) m.end() else q + 1
+        } else q += 1
+      } else q += 1
+    }
+    if (sb != null) sb.append(text, last, n)
+    count
+  }
 }

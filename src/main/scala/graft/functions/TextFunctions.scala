@@ -266,7 +266,8 @@ object TextFunctions {
     * optional checksum gate (`luhn = true` — CARD): candidates only
     * count/scrub when [[luhnValid]] verifies. */
   final case class PiiClass(label: String, pattern: String, group: Int,
-                            luhn: Boolean = false) {
+                            luhn: Boolean = false,
+                            scan: Option[GuardedSpec] = None) {
     def tag: String = s"<$label>"
   }
 
@@ -288,13 +289,32 @@ object TextFunctions {
     * for exactly this reason).
     * NOTE t36/t37/t38/t40 bind `piiClasses.take(2)` as the linkable
     * identifiers — EMAIL and PHONE must stay the first two entries. */
+  // Each guarded class's GuardedSpec: the SAME core+tail regex text as
+  // its full pattern (so internal alternation/backtracking behaviour is
+  // byte-identical), the explicit set of chars its core can start with,
+  // and the non-alnum chars its lead guard additionally excludes —
+  // GuardedScan anchors lookingAt attempts only at those candidate
+  // positions instead of retrying the full pattern at every char (the
+  // full find loop measured ~90 µs per ~400-char row; see
+  // PiiExpressions.GuardedScan). The PiiSpec kernel law runs real-regex
+  // references against these, so an incomplete start set cannot land.
+  private val digitChars = "0123456789"
+  private val phoneSpec = GuardedSpec(
+    "((?:" + phoneCore + "))" + tailNum, digitChars + "(+", ".+-")
+  private val ipv4Spec = GuardedSpec(
+    "(" + ipv4Core + ")" + tailNum, digitChars, ".-")
+  private val ipv6Spec = GuardedSpec(
+    "(" + ipv6Core + ")" + tailHex, digitChars + "ABCDEFabcdef:", ":.")
+  private val idSpec = GuardedSpec(
+    "(" + idCore + ")" + tailNum, digitChars, ".-")
+
   val piiClasses: Seq[PiiClass] = Seq(
     PiiClass("EMAIL", emailPattern, 0),
-    PiiClass("PHONE", phonePattern, 2),
+    PiiClass("PHONE", phonePattern, 2, scan = Some(phoneSpec)),
     PiiClass("CARD", cardPattern, 2, luhn = true),
-    PiiClass("IP6", ipv6Pattern, 2),
-    PiiClass("IP", ipv4Pattern, 2),
-    PiiClass("ID", idPattern, 2))
+    PiiClass("IP6", ipv6Pattern, 2, scan = Some(ipv6Spec)),
+    PiiClass("IP", ipv4Pattern, 2, scan = Some(ipv4Spec)),
+    PiiClass("ID", idPattern, 2, scan = Some(idSpec)))
 
   /** (label, pattern) view of [[piiClasses]] for raw-survivor regex
     * sweeps (a guarded pattern finding nothing == no guarded match
@@ -320,7 +340,7 @@ object TextFunctions {
     // six byte scans and at most one regex pass
     import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.luhn) column(CardScrub(expression(t), tag))
-    else column(GuardedScrub(expression(t), c.label, c.pattern, tag,
+    else column(GuardedScrub(expression(t), c.label, c.scan.orNull, tag,
       group0 = c.group == 0))
   }
 
@@ -333,7 +353,7 @@ object TextFunctions {
     // the count-only kernel: gate + count without materializing the
     // value array (value-identical to size(validMatches) — law-pinned)
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    column(ClassCount(expression(text), c.label, c.pattern, c.group,
+    column(ClassCount(expression(text), c.label, c.scan.orNull, c.group,
       c.tag, c.luhn))
   }
 
@@ -369,7 +389,7 @@ object TextFunctions {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.group == 0) column(EmailMatches(expression(t))) // unguarded
     else if (c.luhn) column(CardMatches(expression(t)))
-    else column(GuardedMatches(expression(t), c.label, c.pattern, c.tag))
+    else column(GuardedMatches(expression(t), c.label, c.scan.get, c.tag))
   }
 
   /** Fold literal `replace` of each DISTINCT value in `ms` over `t`, in
