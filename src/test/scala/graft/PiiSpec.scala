@@ -563,6 +563,33 @@ class PiiSpec extends AnyFunSuite {
     assert(after.values.forall(_ == 0L), s"adjacent runs survived scrub: $after")
   }
 
+  test("identifiers at POSITION 0 (the ^-lead arm) detect once and scrub " +
+       "clean in every class — the GuardedScan/EmailScan anchor case") {
+    val cases = Seq(
+      ("EMAIL", "a@b.example starts here"),
+      ("PHONE", "+1-555-0100 starts here"),
+      ("PHONE", "(555) 010-0100 starts here"),
+      ("IP", "10.0.0.1 starts here"),
+      ("IP6", "fe80::1 starts here"),
+      ("IP6", "::1 starts here"),
+      ("ID", "123-45-6789 starts here"),
+      ("CARD", "4111-1111-1111-1111 starts here"))
+    cases.foreach { case (label, text) =>
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val counts = countAll(df, "text")
+      assert(counts(label) == 1L && counts.values.sum == 1L,
+        s"'$text' should count exactly once as $label: $counts")
+      val after = countAll(df.select(TF.scrubPii(col("text")).as("t")), "t")
+      assert(after.values.forall(_ == 0L), s"'$text' survived scrub")
+    }
+    // and the whole text being exactly the identifier (position 0 AND
+    // end-of-string tail) — both zero-width anchors at once
+    val exact = Seq((1L, "+1-555-0100"), (2L, "10.0.0.1"), (3L, "a@b.example"))
+      .toDF("doc_id", "text")
+    val c = countAll(exact, "text")
+    assert(c("PHONE") == 1L && c("IP") == 1L && c("EMAIL") == 1L, s"$c")
+  }
+
   test("RTBF: forgetValue erases exactly the requested identifier's tag " +
        "across the corpus; every other linkage tag survives") {
     val ps = planted.select(col("doc_id"),
