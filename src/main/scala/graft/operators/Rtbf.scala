@@ -92,11 +92,23 @@ object Rtbf {
    * ledger touching 3 of 10,000 partitions costs 3 partition rewrites,
    * not a corpus rewrite. Returns the rewritten partition ids.
    *
-   * Crash-safety: the operation is IDEMPOTENT (forgetting an
-   * already-forgotten tag is a no-op), so any crash between the staging
-   * write and a partition swap is repaired by re-running the ledger —
-   * the same recovery contract as the ingest gates' replay arm. The
-   * staging directory lives beside the store and is removed on success.
+   * Crash-safety: re-running the ledger repairs EVERY crash window,
+   * because the recovery preamble below first settles any leftover
+   * staging directory — keyed on its `_SUCCESS` marker:
+   *  - staging WITHOUT `_SUCCESS`: the previous run died mid-write;
+   *    the live store is untouched (no swap ever starts before the
+   *    staging write commits), so the partial staging is discarded;
+   *  - staging WITH `_SUCCESS`: the previous run died somewhere in its
+   *    swap loop; every staged partition is the rewritten twin of its
+   *    live one, so each is swapped in (the live dir, if still
+   *    present, is replaced; if the crash hit between delete and
+   *    rename, the staged copy is the partition's ONLY copy and the
+   *    rename restores it). Completing an old ledger's swap under a
+   *    NEW ledger is also correct — deletion requests compose, and the
+   *    new pass re-probes everything it swaps in.
+   * Without this preamble, a crash between a partition's delete and
+   * its rename would leave the only copy in staging, and a rerun's
+   * overwrite-mode staging write would destroy it.
    */
   def applyLedgerToStore(spark: SparkSession, storePath: String,
                          pseudoCol: String, ledger: DataFrame, key: String,
@@ -104,6 +116,7 @@ object Rtbf {
                          replacement: String = "<FORGOTTEN>"): Seq[Long] = {
     val tags = requestTags(ledger, key, mac)
     if (tags.isEmpty) return Seq.empty
+    recoverStaging(spark, storePath)
     val store = spark.read.parquet(storePath)
     // partition ids holding at least one linked doc — bounded by the
     // store's partition count (thousands), not its row count; the
@@ -130,5 +143,27 @@ object Rtbf {
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     hit
+  }
+
+  /** Settle a leftover `_rtbf_staging` directory from a crashed run —
+    * see [[applyLedgerToStore]]'s crash-safety doc. Exposed for the
+    * crash-window tests. */
+  private[graft] def recoverStaging(spark: SparkSession,
+                                    storePath: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(storePath + "_rtbf_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staging)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      fs.delete(staging, true) // mid-write crash: live store untouched
+      return
+    }
+    fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("_batch_id="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(storePath, st.getPath.getName)
+        fs.delete(live, true)
+        fs.rename(st.getPath, live)
+      }
+    fs.delete(staging, true)
   }
 }

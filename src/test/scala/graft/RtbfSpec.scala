@@ -171,6 +171,57 @@ class RtbfSpec extends AnyFunSuite {
       .forall(!_.getBoolean(0)))
   }
 
+  test("applyLedgerToStore CRASH WINDOWS: a rerun restores a partition " +
+       "whose only copy was left in staging, and an incomplete staging " +
+       "write is discarded with the live store untouched") {
+    import graft.functions.{TextFunctions => TF}
+    val root = java.nio.file.Files.createTempDirectory("graft_rtbf_crash").toString
+    val store = s"$root/store"
+    def part(b: Long, ids: Seq[Long]) = pseudo(mac = false)
+      .filter(col("doc_id").isin(ids: _*)).withColumn("_batch_id", lit(b))
+    part(0L, Seq(1L)).unionByName(part(1L, Seq(3L, 4L)))
+      .unionByName(part(2L, Seq(2L)))
+      .write.partitionBy("_batch_id").parquet(store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tags = Rtbf.requestTags(ledger(requests), key, mac = false)
+    // reproduce the worst window of a crashed run: the staging write
+    // COMMITTED (hit partitions 0 and 2, rewritten, _SUCCESS present),
+    // partition 0's live dir was deleted, and the process died before
+    // the rename — partition 0's only copy is now in staging
+    val staging = store + "_rtbf_staging"
+    spark.read.parquet(store)
+      .filter(col("_batch_id").isin(0L, 2L))
+      .withColumn("pseudo", TF.forgetTags(col("pseudo"), tags))
+      .write.partitionBy("_batch_id").parquet(staging)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
+    fs.delete(new org.apache.hadoop.fs.Path(store, "_batch_id=0"), true)
+    // rerunning the SAME ledger must first settle the staging (restore
+    // partition 0, swap partition 2), then find nothing left to forget
+    val hit = Rtbf.applyLedgerToStore(spark, store, "pseudo",
+      ledger(requests), key, mac = false)
+    assert(hit.isEmpty, "after recovery the ledger is fully applied")
+    val after = spark.read.parquet(store)
+      .select(col("doc_id"), col("pseudo")).as[(Long, String)].collect().toMap
+    assert(after.keySet == Set(1L, 2L, 3L, 4L), "no document may be lost")
+    val folded = sequentialFold(mac = false, requests)
+    assert(after(1L) == folded(1L) && after(2L) == folded(2L),
+      "restored partitions carry the rewritten content")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)))
+    // the other window: a staging dir WITHOUT _SUCCESS (mid-write
+    // crash) must be discarded — live store untouched, run proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$staging/_batch_id=1"))
+    val before = spark.read.parquet(store)
+      .select(col("doc_id"), col("pseudo")).as[(Long, String)].collect().toMap
+    assert(Rtbf.applyLedgerToStore(spark, store, "pseudo",
+      ledger(requests), key, mac = false).isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)),
+      "partial staging must be discarded")
+    assert(spark.read.parquet(store)
+      .select(col("doc_id"), col("pseudo")).as[(Long, String)].collect().toMap
+      == before, "a discarded partial staging must not touch the store")
+  }
+
   test("ledger past the bound fails loudly instead of truncating") {
     // exercise the guard without 1M rows: shrink via reflection is not
     // possible on a val — instead prove the limit+1 probe path by
