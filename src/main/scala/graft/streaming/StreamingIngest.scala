@@ -260,6 +260,60 @@ object StreamingIngest {
     q.join(broadcast(keep), Seq("doc_id"), "left_semi")
   }
 
+  /**
+   * The FULL d26/CCNet stage order as one streaming ingest: scrub →
+   * quality → LM-fluency gate → exact dedup (in-batch and vs the
+   * store) → DECONTAMINATION — arrivals sharing any 5-gram shingle
+   * with the held-out eval suite are dropped (t12's contract, applied
+   * in scrubbed space like CorpusPipeline stage 4). Decontamination is
+   * pinned AFTER dedup's survivor selection to mirror the batch
+   * pipeline's stage order; for EXACT dedup the two orders are
+   * observationally identical (identical scrubbed text ⇒ identical
+   * shingles ⇒ identical contamination), but the pin keeps the gate
+   * aligned with the near-dup-capable batch stages, where a cluster's
+   * survivor and its victims CAN differ in contamination and the order
+   * is semantics. The eval shingle set is built ONCE from the static
+   * held-out suite and broadcast (eval suites are curated and small);
+   * per-batch cost is the batch's own shingles probing it map-side —
+   * no growing state, same boundedness as the LM tables. StreamingSpec
+   * pins row-identity with the batch composition of the same bodies.
+   */
+  def startCorpusGatedIngest(docs: DataFrame, refDocs: DataFrame,
+                             evalDocs: DataFrame, storePath: String,
+                             checkpointDir: String): StreamingQuery = {
+    import graft.functions.{TextFunctions => TF}
+    val model = graft.operators.LmFluency.train(refDocs).persisted()
+    // eval shingles in SCRUBBED space — both sides of the contamination
+    // compare must live in the same text space (CorpusPipeline's note)
+    val evalSet = evalDocs
+      .select(TF.scrubPii(col("text")).as("text"))
+      .select(explode(graft.functions.Hashing.shingleHashSet(
+        TF.tokens(col("text")), 5)).as("s"))
+      .distinct().persist()
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scrubbedIngestBatch(batch, storePath, batchId, fluencyGate(model),
+          decontaminationGate(evalSet))
+      }
+      .start()
+  }
+
+  /** Drop the admitted rows sharing any 5-gram shingle with the
+    * broadcast eval set — the per-batch decontamination stage. `hit`
+    * is batch-bounded (ids of contaminated arrivals). */
+  private[graft] def decontaminationGate(evalSet: DataFrame)(
+      admitted: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val hit = admitted
+      .select(col("doc_id"), explode(graft.functions.Hashing.shingleHashSet(
+        TF.tokens(col("text")), 5)).as("s"))
+      .join(broadcast(evalSet), Seq("s"), "left_semi")
+      .select(col("doc_id")).distinct()
+    admitted.join(broadcast(hit), Seq("doc_id"), "left_anti")
+  }
+
   /** The per-batch scrub-and-gate behind [[startScrubbedIngest]] and
     * [[startFluencyGatedIngest]], exposed for direct unit testing
     * (incl. true replays). `gate` filters the scrubbed, versioned batch
@@ -268,7 +322,8 @@ object StreamingIngest {
     * the default identity gate is the plain scrubbed ingest. */
   private[graft] def scrubbedIngestBatch(batch: DataFrame, storePath: String,
                                          batchId: Long,
-                                         gate: DataFrame => DataFrame = identity)
+                                         gate: DataFrame => DataFrame = identity,
+                                         postGate: DataFrame => DataFrame = identity)
       : Unit = {
     val spark = batch.sparkSession
     import graft.functions.{TextFunctions => TF}
@@ -304,8 +359,11 @@ object StreamingIngest {
             .distinct()
           keep.join(broadcast(hits), Seq("fp"), "left_anti")
         }
-      val rows = scrubbed
-        .join(broadcast(admitted.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      // `postGate` filters the DEDUP SURVIVORS (d26's stage order —
+      // decontamination runs after survivor selection, with which it
+      // does not commute); identity for the plain/fluency gates
+      val rows = postGate(scrubbed
+        .join(broadcast(admitted.select(col("doc_id"))), Seq("doc_id"), "left_semi"))
       // an empty write on a fresh path would leave a schemaless dir that
       // wedges every later read; an empty REPLAY must also drop what the
       // previous attempt wrote (see dropBatchPartition)

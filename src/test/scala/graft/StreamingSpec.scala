@@ -589,6 +589,77 @@ class StreamingSpec extends AnyFunSuite {
     model.unpersist()
   }
 
+  test("corpus-gated ingest: the FULL d26 stage order — scrub -> quality " +
+       "-> LM gate -> exact dedup -> decontamination — streams " +
+       "row-identical to the batch composition of the same bodies") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import graft.functions.{TextFunctions => TF, Hashing}
+    import graft.operators.LmFluency
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_corpus_ingest").toString
+    val landing = s"$root/landing"; val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    new java.io.File(landing).mkdirs()
+    val schema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    // one static curated slice serves BOTH roles (d26's convention):
+    // the LM trains on it AND its 5-grams are the contamination set
+    val refEval = Seq(
+      "the cat sat on the mat and the dog ran to the house").toDF("text")
+    def drain(): Unit = {
+      val q = StreamingIngest.startCorpusGatedIngest(
+        spark.readStream.schema(schema).json(landing), refEval, refEval,
+        store, ckpt)
+      q.awaitTermination()
+    }
+    // doc 1: fluent (4/5 LM-covered transitions), quality-clean, and
+    //   5-gram-CLEAN ('cat sat on the house' != any eval 5-gram) — kept
+    // doc 2: fluent (6/7) but shares the eval 5-gram
+    //   'and the dog ran to' — must fall at the DECONTAMINATION stage
+    // doc 3: quality-clean, LM-alien — dropped at the fluency stage
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      ("""{"doc_id":1,"text":"cat sat on the house s1@example.com"}""" + "\n" +
+       """{"doc_id":2,"text":"and the dog ran to the house x@example.com"}""" + "\n" +
+       """{"doc_id":3,"text":"zebra quantum flies blue nights the"}""").getBytes("UTF-8"))
+    drain()
+    // doc 11: PII-variant re-crawl of doc 1 (dedup-rejected vs the
+    // store); doc 12: new, fluent, clean — admitted
+    Files.write(java.nio.file.Paths.get(s"$landing/p2.json"),
+      ("""{"doc_id":11,"text":"cat sat on the house s2@example.com"}""" + "\n" +
+       """{"doc_id":12,"text":"dog ran to the mat q@example.com"}""").getBytes("UTF-8"))
+    drain()
+    val streamed = StreamingIngest.scrubbedCorpus(spark, store)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet
+    // the batch composition of the SAME bodies over all five docs
+    val all = Seq(
+      1L -> "cat sat on the house s1@example.com",
+      2L -> "and the dog ran to the house x@example.com",
+      3L -> "zebra quantum flies blue nights the",
+      11L -> "cat sat on the house s2@example.com",
+      12L -> "dog ran to the mat q@example.com").toDF("doc_id", "text")
+    val scrubbed = all.withColumn("text", TF.scrubPii(col("text")))
+    val quality = scrubbed.filter(TF.qualityKeep(col("text")))
+    val fluent = quality.join(
+      LmFluency.score(refEval, quality).filter(col("keep"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val deduped = fluent
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .join(fluent, Seq("doc_id"))
+    val evalSet = refEval.select(TF.scrubPii(col("text")).as("text"))
+      .select(explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+      .distinct()
+    val contaminated = deduped
+      .select(col("doc_id"),
+        explode(Hashing.shingleHashSet(TF.tokens(col("text")), 5)).as("s"))
+      .join(evalSet, Seq("s"), "left_semi").select(col("doc_id")).distinct()
+    val batchKept = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSet
+    assert(batchKept.map(_._1) == Set(1L, 12L),
+      s"fixture drifted (doc 2 must survive the LM gate and fall ONLY " +
+      s"at decontamination): $batchKept")
+    assert(streamed == batchKept,
+      "streamed store must be row-identical to the batch composition")
+  }
+
   test("snapshot-diff CDC gate: a drifted replay that emits no events " +
        "drops its stale event partition") {
     import spark.implicits._
