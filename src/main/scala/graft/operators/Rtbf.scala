@@ -35,12 +35,16 @@ object Rtbf {
 
   /** Collect the (label, value) deletion ledger and derive each
     * request's linkage tag for the chosen family. Fails loudly past
-    * [[maxLedgerRows]] rather than silently truncating. */
-  def requestTags(ledger: DataFrame, key: String, mac: Boolean): Seq[String] = {
+    * [[maxLedgerRows]] rather than silently truncating (`cap` exists
+    * so the failure path is TESTABLE at a small ledger — RtbfSpec sets
+    * it to 2 and asserts the require fires; production callers never
+    * pass it). */
+  def requestTags(ledger: DataFrame, key: String, mac: Boolean,
+                  cap: Int = maxLedgerRows): Seq[String] = {
     val rows = ledger.select(col("label").cast("string"), col("value").cast("string"))
-      .limit(maxLedgerRows + 1).collect()
-    require(rows.length <= maxLedgerRows,
-      s"deletion ledger exceeds $maxLedgerRows rows — split it into passes")
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"deletion ledger exceeds $cap rows — split it into passes")
     rows.toSeq.map { r =>
       val (label, value) = (r.getString(0), r.getString(1))
       if (mac) TF.pseudoTagMac(label, key, value)
@@ -109,13 +113,41 @@ object Rtbf {
    * Without this preamble, a crash between a partition's delete and
    * its rename would leave the only copy in staging, and a rerun's
    * overwrite-mode staging write would destroy it.
+   *
+   * Filesystem-call discipline: Hadoop `FileSystem.rename`/`delete`
+   * report most failures by RETURNING FALSE, not throwing — and after
+   * `delete(live)` succeeded, a silently failed rename leaves the
+   * partition's only copy in staging, which the unconditional staging
+   * cleanup would then destroy. Every swap-loop rename (and the
+   * delete of a still-present live dir) is therefore checked, and a
+   * failure aborts BEFORE the staging cleanup with staging + its
+   * `_SUCCESS` intact — exactly the "crashed mid-swap" state the
+   * recovery preamble repairs on rerun. [[recoverStaging]] applies the
+   * same discipline.
+   *
+   * Concurrency contract (single maintenance writer): the staging dir
+   * is a fixed sibling (`storePath + "_rtbf_staging"`), so the ledger
+   * pass assumes NO concurrent ledger pass on the same store — a
+   * second run's recovery preamble would settle (delete or half-swap)
+   * the first run's in-flight staging. Enforced below: the run fails
+   * loudly if a staging dir exists and is younger than
+   * [[stagingFreshMillis]] (a crashed run's leftover goes stale and is
+   * then recovered; a LIVE run's staging is fresh). Concurrent
+   * streaming INGEST batches are fine — they write new `_batch_id`
+   * partitions this pass simply doesn't probe; the next pass picks
+   * them up (passes compose, `maxLedgerRows` note above). Readers
+   * racing a swap can see a partition briefly absent (the
+   * delete→rename gap is two metadata ops wide); maintenance windows
+   * or snapshot readers are the caller's tool for that.
    */
   def applyLedgerToStore(spark: SparkSession, storePath: String,
                          pseudoCol: String, ledger: DataFrame, key: String,
                          mac: Boolean,
-                         replacement: String = "<FORGOTTEN>"): Seq[Long] = {
+                         replacement: String = "<FORGOTTEN>",
+                         freshMillis: Long = stagingFreshMillis): Seq[Long] = {
     val tags = requestTags(ledger, key, mac)
     if (tags.isEmpty) return Seq.empty
+    requireNoLiveWriter(spark, storePath, freshMillis)
     recoverStaging(spark, storePath)
     val store = spark.read.parquet(storePath)
     // partition ids holding at least one linked doc — bounded by the
@@ -138,11 +170,55 @@ object Rtbf {
     hit.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(storePath, s"_batch_id=$b")
       val staged = new org.apache.hadoop.fs.Path(staging, s"_batch_id=$b")
-      fs.delete(live, true)
-      fs.rename(staged, live)
+      swapIn(fs, staged, live)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    require(fs.delete(new org.apache.hadoop.fs.Path(staging), true),
+      s"failed to remove staging $staging after a complete swap")
     hit
+  }
+
+  /** One checked partition swap: delete the live dir (if present), then
+    * rename the staged twin into place. Either step returning false
+    * ABORTS (exception) before any staging cleanup can run — staging +
+    * `_SUCCESS` stay intact, so [[recoverStaging]] repairs on rerun.
+    * Hadoop rename/delete signal most failures via a false return, not
+    * an exception (ADVICE r16). */
+  private[graft] def swapIn(fs: org.apache.hadoop.fs.FileSystem,
+                     staged: org.apache.hadoop.fs.Path,
+                     live: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(live))
+      require(fs.delete(live, true),
+        s"failed to delete live partition $live — aborting before staging " +
+          "cleanup; rerun recovers from staging")
+    require(fs.rename(staged, live),
+      s"failed to rename $staged -> $live — the staged copy is the " +
+        "partition's only copy; aborting before staging cleanup; rerun " +
+        "recovers from staging")
+  }
+
+  /** Age below which an existing staging dir is treated as a LIVE
+    * concurrent ledger run (fail loudly) rather than a crashed run's
+    * leftover (recoverable). */
+  private[graft] val stagingFreshMillis: Long = 60L * 60 * 1000
+
+  /** Enforce the single-maintenance-writer contract: refuse to run when
+    * a staging dir exists whose newest entry is younger than
+    * [[stagingFreshMillis]] — that is another ledger pass in flight,
+    * and recovering (deleting/half-swapping) its staging would corrupt
+    * it. A stale staging falls through to [[recoverStaging]]. */
+  private[graft] def requireNoLiveWriter(spark: SparkSession,
+                                         storePath: String,
+                                         freshMillis: Long = stagingFreshMillis): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(storePath + "_rtbf_staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staging)) return
+    val newest = (fs.getFileStatus(staging).getModificationTime +:
+      fs.listStatus(staging).map(_.getModificationTime).toSeq).max
+    require(System.currentTimeMillis() - newest >= freshMillis,
+      s"staging $staging is younger than ${freshMillis}ms — another ledger " +
+        "pass appears to be in flight on this store (single-maintenance-" +
+        "writer contract); wait for it or remove the staging dir if it is " +
+        "known dead")
   }
 
   /** Settle a leftover `_rtbf_staging` directory from a crashed run —
@@ -154,16 +230,18 @@ object Rtbf {
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(staging)) return
     if (!fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-      fs.delete(staging, true) // mid-write crash: live store untouched
+      // mid-write crash: live store untouched, partial staging discarded
+      require(fs.delete(staging, true),
+        s"failed to discard partial staging $staging")
       return
     }
     fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("_batch_id="))
       .foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(storePath, st.getPath.getName)
-        fs.delete(live, true)
-        fs.rename(st.getPath, live)
+        swapIn(fs, st.getPath,
+          new org.apache.hadoop.fs.Path(storePath, st.getPath.getName))
       }
-    fs.delete(staging, true)
+    require(fs.delete(staging, true),
+      s"failed to remove staging $staging after a complete recovery swap")
   }
 }

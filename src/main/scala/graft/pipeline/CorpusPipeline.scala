@@ -97,7 +97,13 @@ object CorpusPipeline {
       docs.withColumn("text", TF.scrubPii(col("text"))))
 
     // 1. quality filter — per-row expressions only; THE shared keep rule
-    // (TF.qualityKeep — one definition with the streaming ingest gate)
+    // (TF.qualityKeep — one definition with the streaming ingest gate).
+    // Input contract: doc_id is UNIQUE in `docs` (one row per document
+    // — the documents table's key; CorpusPipelineSpec asserts it). The
+    // per-row filter form relies on that: under duplicated doc_ids a
+    // doc_id-keyed semi-join would instead keep EVERY row of a doc_id
+    // when any row passes (ADVICE r16 — intentional per-row semantics,
+    // vacuously identical under the unique-key contract).
     val quality = stage("quality_filter",
       scrubbed.filter(TF.qualityKeep(col("text"))))
 

@@ -280,16 +280,37 @@ object StreamingIngest {
    */
   def startCorpusGatedIngest(docs: DataFrame, refDocs: DataFrame,
                              evalDocs: DataFrame, storePath: String,
-                             checkpointDir: String): StreamingQuery = {
+                             checkpointDir: String): StreamingQuery =
+    startCorpusGatedIngest(docs,
+      graft.operators.LmFluency.train(refDocs).persisted(),
+      evalShingleSet(evalDocs).persist(),
+      storePath, checkpointDir)
+
+  /** The held-out suite's 5-gram shingle set in SCRUBBED space — both
+    * sides of the contamination compare must live in the same text
+    * space (CorpusPipeline's note). Exposed so callers of the
+    * caller-managed overload below build the SAME set the convenience
+    * form does. NOT persisted here — the caller owns the lifetime. */
+  def evalShingleSet(evalDocs: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val model = graft.operators.LmFluency.train(refDocs).persisted()
-    // eval shingles in SCRUBBED space — both sides of the contamination
-    // compare must live in the same text space (CorpusPipeline's note)
-    val evalSet = evalDocs
+    evalDocs
       .select(TF.scrubPii(col("text")).as("text"))
       .select(explode(graft.functions.Hashing.shingleHashSet(
         TF.tokens(col("text")), 5)).as("s"))
-      .distinct().persist()
+      .distinct()
+  }
+
+  /** Caller-managed-lifetime overload (ADVICE r16: the convenience form
+    * above persists the LM tables and eval set for the SESSION's
+    * lifetime — repeated query starts in one session would accumulate
+    * cached frames). Here the caller trains/persists the model and
+    * builds/persists the eval set, and unpersists both when the query
+    * terminates — mirroring [[startFluencyGatedIngest]]'s Model
+    * overload. */
+  def startCorpusGatedIngest(docs: DataFrame,
+                             model: graft.operators.LmFluency.Model,
+                             evalSet: DataFrame, storePath: String,
+                             checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -298,7 +319,6 @@ object StreamingIngest {
           decontaminationGate(evalSet))
       }
       .start()
-  }
 
   /** Drop the admitted rows sharing any 5-gram shingle with the
     * broadcast eval set — the per-batch decontamination stage. `hit`

@@ -16,6 +16,14 @@ class CorpusPipelineSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   private lazy val result = CorpusPipeline.run(docs)
 
+  test("input contract: doc_id is unique in the documents table (the " +
+       "quality stage's per-row filter semantics rely on it)") {
+    val n = docs.count()
+    assert(docs.select("doc_id").distinct().count() == n,
+      "duplicated doc_ids would change the per-row quality filter's " +
+        "semantics vs a doc_id-keyed semi-join (ADVICE r16)")
+  }
+
   test("stages run in order and only ever shrink the corpus") {
     val st = result.stats
     assert(st.map(_.stage) == Seq("pii_scrub", "quality_filter",

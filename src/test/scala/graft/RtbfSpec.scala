@@ -197,9 +197,13 @@ class RtbfSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")))
     fs.delete(new org.apache.hadoop.fs.Path(store, "_batch_id=0"), true)
     // rerunning the SAME ledger must first settle the staging (restore
-    // partition 0, swap partition 2), then find nothing left to forget
+    // partition 0, swap partition 2), then find nothing left to forget.
+    // freshMillis = 0: the single-writer guard would otherwise treat
+    // this just-planted staging as a LIVE concurrent run — the crash
+    // being simulated here is, in production, older than the freshness
+    // window by the time an operator reruns the ledger
     val hit = Rtbf.applyLedgerToStore(spark, store, "pseudo",
-      ledger(requests), key, mac = false)
+      ledger(requests), key, mac = false, freshMillis = 0L)
     assert(hit.isEmpty, "after recovery the ledger is fully applied")
     val after = spark.read.parquet(store)
       .select(col("doc_id"), col("pseudo")).as[(Long, String)].collect().toMap
@@ -214,7 +218,7 @@ class RtbfSpec extends AnyFunSuite {
     val before = spark.read.parquet(store)
       .select(col("doc_id"), col("pseudo")).as[(Long, String)].collect().toMap
     assert(Rtbf.applyLedgerToStore(spark, store, "pseudo",
-      ledger(requests), key, mac = false).isEmpty)
+      ledger(requests), key, mac = false, freshMillis = 0L).isEmpty)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staging)),
       "partial staging must be discarded")
     assert(spark.read.parquet(store)
@@ -223,13 +227,66 @@ class RtbfSpec extends AnyFunSuite {
   }
 
   test("ledger past the bound fails loudly instead of truncating") {
-    // exercise the guard without 1M rows: shrink via reflection is not
-    // possible on a val — instead prove the limit+1 probe path by
-    // checking requestTags distinct-ness and bound arithmetic directly
+    // the failure path itself, at an injected cap of 2 (ADVICE r16: the
+    // old form only checked tag dedup, so a dropped require would have
+    // passed silently): a 3-request ledger must throw, not truncate
+    val three = ledger(Seq(
+      "EMAIL" -> "a@y.example", "EMAIL" -> "b@y.example",
+      "EMAIL" -> "c@y.example"))
+    val e = intercept[IllegalArgumentException] {
+      Rtbf.requestTags(three, key, mac = false, cap = 2)
+    }
+    assert(e.getMessage.contains("exceeds 2 rows"),
+      s"loud bound failure expected, got: ${e.getMessage}")
+    // at the bound it still works, and duplicates collapse to one tag
     val tags = Rtbf.requestTags(
       ledger(Seq("EMAIL" -> "x@y.example", "EMAIL" -> "x@y.example")),
-      key, mac = false)
+      key, mac = false, cap = 2)
     assert(tags == Seq(TF.pseudoTag("EMAIL", key, "x@y.example")),
       "duplicate ledger rows must collapse to one tag")
+  }
+
+  test("single-maintenance-writer guard: a FRESH staging dir aborts the " +
+       "run; checked rename aborts before staging cleanup") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtbf_lock").toString
+    val store = s"$root/store"
+    pseudo(mac = false).withColumn("_batch_id", lit(0L))
+      .write.partitionBy("_batch_id").parquet(store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // another ledger pass "in flight": staging exists and is fresh
+    val staging = new org.apache.hadoop.fs.Path(store + "_rtbf_staging")
+    fs.mkdirs(staging)
+    val e = intercept[IllegalArgumentException] {
+      Rtbf.applyLedgerToStore(spark, store, "pseudo",
+        ledger(requests), key, mac = false) // default freshness window
+    }
+    assert(e.getMessage.contains("in flight"),
+      s"live-writer contract violation must be loud, got: ${e.getMessage}")
+    assert(fs.exists(staging), "the other run's staging must be untouched")
+    fs.delete(staging, true)
+    // the checked-swap discipline (ADVICE r16 medium): a rename that
+    // FAILS BY RETURNING FALSE (Hadoop's common no-throw failure shape;
+    // the local FS masks most of them behind a copy fallback, so the
+    // false return is injected here) must abort with the staged-copy
+    // message instead of falling through to the staging cleanup that
+    // would destroy the partition's only copy
+    val staged = new org.apache.hadoop.fs.Path(
+      store + "_rtbf_staging/_batch_id=0")
+    fs.mkdirs(staged)
+    val renameFails = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    renameFails.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e2 = intercept[IllegalArgumentException] {
+      Rtbf.swapIn(renameFails, staged,
+        new org.apache.hadoop.fs.Path(s"$root/elsewhere/_batch_id=0"))
+    }
+    assert(e2.getMessage.contains("only copy"),
+      s"failed rename must abort loudly, got: ${e2.getMessage}")
+    assert(fs.exists(staged),
+      "the staged copy must survive the aborted swap for recovery")
   }
 }

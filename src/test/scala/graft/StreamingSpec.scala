@@ -604,10 +604,16 @@ class StreamingSpec extends AnyFunSuite {
     // the LM trains on it AND its 5-grams are the contamination set
     val refEval = Seq(
       "the cat sat on the mat and the dog ran to the house").toDF("text")
+    // the caller-managed-lifetime overload (ADVICE r16): the model and
+    // eval shingle set are trained/persisted ONCE here and unpersisted
+    // at the end — repeated query starts must not accumulate session-
+    // lifetime cached frames the way the convenience form does
+    val model = LmFluency.train(refEval).persisted()
+    val evalSetShared = StreamingIngest.evalShingleSet(refEval).persist()
     def drain(): Unit = {
       val q = StreamingIngest.startCorpusGatedIngest(
-        spark.readStream.schema(schema).json(landing), refEval, refEval,
-        store, ckpt)
+        spark.readStream.schema(schema).json(landing), model,
+        evalSetShared, store, ckpt)
       q.awaitTermination()
     }
     // doc 1: fluent (4/5 LM-covered transitions), quality-clean, and
@@ -658,6 +664,13 @@ class StreamingSpec extends AnyFunSuite {
       s"at decontamination): $batchKept")
     assert(streamed == batchKept,
       "streamed store must be row-identical to the batch composition")
+    // caller-managed lifetime: after unpersist nothing this test cached
+    // survives the queries (the session-leak ADVICE r16 closed)
+    model.unpersist()
+    evalSetShared.unpersist(blocking = true)
+    assert(evalSetShared.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
+      "eval shingle set must not stay cached past the caller's unpersist")
   }
 
   test("snapshot-diff CDC gate: a drifted replay that emits no events " +
