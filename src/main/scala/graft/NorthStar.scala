@@ -96,10 +96,14 @@ object NorthStar {
     s"""trim(regexp_replace(regexp_replace(nfc_normalize($t),
         '[\\x00-\\x1f\\x7f]', '', 'g'), ' +', ' ', 'g'))"""
 
-  /** DuckDB token expression mirroring TextFunctions.tokens. */
-  private val sqlToks =
-    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) " +
-    "ELSE string_split_regex(lower(trim(text)), '\\s+') END"
+  /** DuckDB token expression mirroring TextFunctions.tokens over an
+    * arbitrary text expression. */
+  private def sqlToksOf(t: String): String =
+    s"CASE WHEN length(trim($t)) = 0 THEN CAST([] AS VARCHAR[]) " +
+    s"ELSE string_split_regex(lower(trim($t)), '\\s+') END"
+
+  /** [[sqlToksOf]] over the `text` column (the common case). */
+  private val sqlToks = sqlToksOf("text")
 
   /** Pseudonymization key for t36 — embedded verbatim in the oracle, so
     * it must stay ASCII (fnvSql folds per-char ord as the byte). */
@@ -183,6 +187,33 @@ object NorthStar {
     s"""tg AS (SELECT $defs)
         SELECT doc_id, $folded AS pseudo
         FROM q, tg WHERE $linked"""
+  }
+
+  /** The t43 cascade-audit oracle tail (expects `q(doc_id, pseudo)` in
+    * scope): the release fold over every ledger tag with a `linked`
+    * flag, `fp` recomputed by the md5-of-tokens twin over the REWRITTEN
+    * pseudo, and the embeddings artifact's per-doc remaining count
+    * after linked docs' rows are purged. */
+  private def rtbfCascadeSql(tagOf: String => String => String): String = {
+    val defs = rtbfRequests.zipWithIndex.map { case ((l, v), i) =>
+      s"${tagOf(l)(s"'$v'")} AS tg${i + 1}" }.mkString(", ")
+    val folded = rtbfRequests.indices.foldLeft("pseudo")((acc, i) =>
+      s"replace($acc, tg${i + 1}, '<FORGOTTEN>')")
+    val linked = rtbfRequests.indices
+      .map(i => s"contains(pseudo, tg${i + 1})").mkString(" OR ")
+    s"""tg AS (SELECT $defs),
+        rel AS (SELECT doc_id, $folded AS pseudo, ($linked) AS linked
+                FROM q, tg),
+        aud AS (SELECT doc_id, pseudo,
+                  md5(array_to_string(${sqlToksOf("pseudo")}, ' ')) AS fp,
+                  linked
+                FROM rel),
+        keepv AS (SELECT vec_id, count(*) AS c FROM embeddings
+                  WHERE vec_id NOT IN (SELECT doc_id FROM rel WHERE linked)
+                  GROUP BY vec_id)
+        SELECT a.doc_id, a.pseudo, a.fp, a.linked,
+               coalesce(k.c, 0) AS n_vec
+        FROM aud a LEFT JOIN keepv k ON a.doc_id = k.vec_id"""
   }
 
   /** The t36/t37/t38 linkage injection: one per-doc email always, the
@@ -2267,6 +2298,26 @@ object NorthStar {
         linkInjected(docs(s, dir)).select(col("doc_id"),
           TF.pseudonymizePiiMac(col("tp"), piiKey).as("pseudo")),
         "pseudo", rtbfLedger(s), piiKey, mac = true)),
+
+    // the release-grade deletion CASCADE audit — the gap between "RTBF
+    // over text" and "RTBF over a production release": a release also
+    // carries columns and stores DERIVED from the text (fingerprints,
+    // embeddings, ANN rows), and forgetting the text while shipping the
+    // derivatives leaves both an inconsistency (a dedup pass still sees
+    // the forgotten content's fingerprint) and a trace (the fingerprint
+    // IS content-derived). One Rtbf.cascadeAudit pass: every ledger tag
+    // erased, fp recomputed from the REWRITTEN text, and the embeddings
+    // artifact purged of linked docs' rows — `n_vec` (rows remaining per
+    // doc after the purge) must be 0 exactly on the linked set, and `fp`
+    // always equals the recompute over the shipped text. Map-only over
+    // the corpus + one anti-join and one count agg keyed on the doc id.
+    "t43_rtbf_cascade" -> ((s, dir) =>
+      graft.operators.Rtbf.cascadeAudit(
+        linkInjected(docs(s, dir)).select(col("doc_id"),
+          TF.pseudonymizePii(col("tp"), piiKey).as("pseudo")),
+        "pseudo", rtbfLedger(s), piiKey, mac = false,
+        derived = Seq("fp" -> TF.fingerprint(col("pseudo"))),
+        artifact = emb(s, dir), artifactIdCol = "vec_id")),
 
     // n-gram language-model fluency scoring — the CCNet/KenLM stage of a
     // training-data pipeline: a bigram LM is trained on the curated
@@ -5218,6 +5269,19 @@ object NorthStar {
                   ${pseudoSql("t", TF.piiClasses(1), macTagSql("PHONE"))} AS pseudo
                 FROM p1),
           ${rtbfBatchSql(macTagSql)}""",
+    // the cascade audit over t36's corpus: the t41 fold widened to every
+    // row (linked as a flag), fp re-derived from the REWRITTEN pseudo by
+    // the d01 md5-of-tokens twin, and the embeddings purge's remaining
+    // count (0 exactly on the linked set)
+    "t43_rtbf_cascade" ->
+      s"""WITH tp AS (SELECT doc_id, $linkInjectSql AS t FROM documents),
+          p1 AS (SELECT doc_id,
+                   ${pseudoSql("t", TF.piiClasses(0), fnvTagSql("EMAIL"))} AS t
+                 FROM tp),
+          q AS (SELECT doc_id,
+                  ${pseudoSql("t", TF.piiClasses(1), fnvTagSql("PHONE"))} AS pseudo
+                FROM p1),
+          ${rtbfCascadeSql(fnvTagSql)}""",
     // bigram LM trained on src0, scored log-free: integer truncating
     // division replays Spark's `div` exactly, ratios are one IEEE
     // divide, the keep gate is a cross-multiplied integer compare

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -88,6 +88,70 @@ object Rtbf {
   }
 
   /**
+   * The release form WITH DERIVED-COLUMN CASCADE (r16 verdict #1): a
+   * release row rarely carries only the text — it also carries columns
+   * DERIVED from the text (the ingest store's `fp` = fingerprint(text),
+   * quality scores, token counts). Rewriting the text and shipping the
+   * old derivatives is an RTBF hole twice over: the stale value is
+   * inconsistent (an exact-dedup pass would keep treating the forgotten
+   * content as present), and a content-derived fingerprint of FORGOTTEN
+   * text is itself a trace of it. `derived` maps each derived column to
+   * its recompute expression over the REWRITTEN row (applied in order,
+   * so later entries may read earlier ones); still map-only.
+   */
+  def applyLedgerCascade(corpus: DataFrame, pseudoCol: String,
+                         ledger: DataFrame, key: String, mac: Boolean,
+                         derived: Seq[(String, Column)],
+                         replacement: String = "<FORGOTTEN>"): DataFrame =
+    withDerived(applyLedger(corpus, pseudoCol, ledger, key, mac, replacement),
+      derived)
+
+  private def withDerived(df: DataFrame,
+                          derived: Seq[(String, Column)]): DataFrame =
+    derived.foldLeft(df) { case (d, (name, expr)) => d.withColumn(name, expr) }
+
+  /**
+   * The t43 audit body — one DataFrame proving the FULL deletion story
+   * over a release: the corpus with every ledger tag erased and every
+   * derived column recomputed from the rewritten text, joined with the
+   * per-doc count of rows REMAINING in a doc-keyed derived artifact
+   * (embeddings / ANN rows / fingerprints) after the purge drops the
+   * linked docs' rows. Contract (oracle-checked): `linked` marks
+   * exactly the docs any ledger request touches, `n_vec` is 0 for every
+   * linked doc (zero derived rows trace to a forgotten document), and
+   * `fp`-style derived columns always equal their recompute over the
+   * shipped text (stale-derivative inconsistency is impossible).
+   *
+   * Scale shape: tags broadcast inside the kernels (map-only over the
+   * corpus); the artifact purge is one left-anti join keyed on the doc
+   * id (AQE broadcasts the forgotten-id side when the linkage is small,
+   * shuffles on the key otherwise — never wider than the artifact
+   * itself); the remaining-count agg is keyed on the same id.
+   */
+  def cascadeAudit(corpus: DataFrame, pseudoCol: String, ledger: DataFrame,
+                   key: String, mac: Boolean,
+                   derived: Seq[(String, Column)],
+                   artifact: DataFrame, artifactIdCol: String,
+                   docIdCol: String = "doc_id",
+                   replacement: String = "<FORGOTTEN>"): DataFrame = {
+    val tags = requestTags(ledger, key, mac)
+    val released = withDerived(
+      corpus
+        .withColumn("linked", TF.linksAnyTag(col(pseudoCol), tags))
+        .withColumn(pseudoCol,
+          TF.forgetTags(col(pseudoCol), tags, replacement)),
+      derived)
+    val forgotten = released.filter(col("linked"))
+      .select(col(docIdCol).as(artifactIdCol))
+    val remaining = artifact.join(forgotten, Seq(artifactIdCol), "left_anti")
+      .groupBy(col(artifactIdCol)).agg(count(lit(1)).as("n_vec"))
+    released.join(remaining,
+        released(docIdCol) === remaining(artifactIdCol), "left")
+      .select(released.columns.map(released(_)) :+
+        coalesce(col("n_vec"), lit(0L)).as("n_vec"): _*)
+  }
+
+  /**
    * Deletion-ledger maintenance over a `_batch_id`-partitioned store
    * (the StreamingIngest store layout) — the hook that lets a streaming
    * corpus carry a deletion ledger: one map-only scan finds the
@@ -144,6 +208,7 @@ object Rtbf {
                          pseudoCol: String, ledger: DataFrame, key: String,
                          mac: Boolean,
                          replacement: String = "<FORGOTTEN>",
+                         derived: Seq[(String, Column)] = Seq.empty,
                          freshMillis: Long = stagingFreshMillis): Seq[Long] = {
     val tags = requestTags(ledger, key, mac)
     if (tags.isEmpty) return Seq.empty
@@ -164,8 +229,10 @@ object Rtbf {
     val staging = storePath + "_rtbf_staging"
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    store.filter(col("_batch_id").isin(hit: _*))
-      .withColumn(pseudoCol, TF.forgetTags(col(pseudoCol), tags, replacement))
+    withDerived(
+      store.filter(col("_batch_id").isin(hit: _*))
+        .withColumn(pseudoCol, TF.forgetTags(col(pseudoCol), tags, replacement)),
+      derived)
       .write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
     hit.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(storePath, s"_batch_id=$b")
@@ -175,6 +242,166 @@ object Rtbf {
     require(fs.delete(new org.apache.hadoop.fs.Path(staging), true),
       s"failed to remove staging $staging after a complete swap")
     hit
+  }
+
+  /**
+   * Partition-targeted DELETION from a doc-keyed, `_batch_id`-
+   * partitioned derived store (ANN sketch index / vector store /
+   * fingerprint table): drop every row whose id is in `forgottenIds`,
+   * rewriting ONLY the partitions that contain one (same staging+swap
+   * discipline and crash story as [[applyLedgerToStore]] — a rerun with
+   * the same ids re-probes and finishes). A partition whose rows are ALL
+   * forgotten gets no staged twin and is simply (checked-)deleted.
+   * Returns the rewritten/deleted partition ids.
+   *
+   * Caveat: purging the LAST row of a store leaves a root with only
+   * `_SUCCESS` — the schemaless-dir wedge the ingest gates document.
+   * Callers forgetting an entire store should delete it instead.
+   */
+  def purgeFromStore(spark: SparkSession, storePath: String, idCol: String,
+                     forgottenIds: DataFrame,
+                     freshMillis: Long = stagingFreshMillis): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath))) return Seq.empty
+    requireNoLiveWriter(spark, storePath, freshMillis)
+    recoverStaging(spark, storePath)
+    val store = spark.read.parquet(storePath)
+    val idType = store.schema(store.schema.fieldIndex(idCol)).dataType
+    val ids = forgottenIds
+      .select(col(forgottenIds.columns.head).cast(idType).as(idCol))
+      .distinct()
+    val hit = store.join(ids, Seq(idCol), "left_semi")
+      .select(col("_batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (hit.isEmpty) return Seq.empty
+    val staging = storePath + "_rtbf_staging"
+    store.filter(col("_batch_id").isin(hit: _*))
+      .join(ids, Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("_batch_id").parquet(staging)
+    hit.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(storePath, s"_batch_id=$b")
+      val staged = new org.apache.hadoop.fs.Path(staging, s"_batch_id=$b")
+      if (fs.exists(staged)) swapIn(fs, staged, live)
+      else if (fs.exists(live)) // every row of this partition was purged
+        require(fs.delete(live, true),
+          s"failed to delete fully-purged partition $live")
+    }
+    require(fs.delete(new org.apache.hadoop.fs.Path(staging), true),
+      s"failed to remove staging $staging after a complete purge swap")
+    hit
+  }
+
+  /**
+   * Purge a doc-keyed UNPARTITIONED sidecar (the bucketed gate's
+   * `<store>_cells_n<c>` appendix): whole-file rewrite — sidecars are
+   * narrow (id, cell) rows, and their append-only writers give no
+   * partition handle. Orphan cell rows are functionally harmless (the
+   * probe's inner sig join drops them) but an RTBF release must leave
+   * ZERO rows tracing to a forgotten doc. A sidecar purged EMPTY is
+   * deleted outright (an absent sidecar is the self-healing state the
+   * gate recomputes from). Returns rows dropped.
+   *
+   * Crash story (own staging suffix + [[recoverFullSwap]]): staging is
+   * written with `_SUCCESS`, then live is deleted, then staging renamed
+   * in. Recovery: `_SUCCESS` present AND live missing → the crash hit
+   * the delete→rename gap, rename staging in; anything else → live is
+   * intact, discard staging and recompute.
+   */
+  def purgeSidecar(spark: SparkSession, path: String, idCol: String,
+                   forgottenIds: DataFrame): Long = {
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverFullSwap(spark, path)
+    if (!fs.exists(livePath)) return 0L
+    val side = spark.read.parquet(path)
+    val idType = side.schema(side.schema.fieldIndex(idCol)).dataType
+    val ids = forgottenIds
+      .select(col(forgottenIds.columns.head).cast(idType).as(idCol))
+      .distinct()
+    val before = side.count()
+    val keep = side.join(ids, Seq(idCol), "left_anti").persist()
+    try {
+      val after = keep.count()
+      if (after == before) return 0L
+      val staging = new org.apache.hadoop.fs.Path(path + "_rtbf_swap")
+      if (after == 0L) {
+        require(fs.delete(livePath, true),
+          s"failed to delete fully-purged sidecar $path")
+      } else {
+        keep.write.mode("overwrite").parquet(staging.toString)
+        require(fs.delete(livePath, true),
+          s"failed to delete sidecar $path before swap — staging " +
+            s"$staging holds the purged copy; rerun recovers")
+        require(fs.rename(staging, livePath),
+          s"failed to rename $staging -> $path — the staged copy is the " +
+            "sidecar's only copy; rerun recovers it")
+      }
+      before - after
+    } finally keep.unpersist()
+  }
+
+  /** Settle a leftover whole-dir swap staging (see [[purgeSidecar]]). */
+  private[graft] def recoverFullSwap(spark: SparkSession,
+                                     path: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(path + "_rtbf_swap")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staging)) return
+    val live = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS")) &&
+        !fs.exists(live))
+      require(fs.rename(staging, live),
+        s"failed to restore $path from swap staging $staging")
+    else
+      require(fs.delete(staging, true),
+        s"failed to discard swap staging $staging")
+  }
+
+  /** What one [[cascadeStores]] pass touched, per store. */
+  final case class CascadeReport(corpusPartitions: Seq[Long],
+                                 artifactPartitions: Map[String, Seq[Long]],
+                                 sidecarRowsDropped: Map[String, Long])
+
+  /**
+   * The FULL store-level deletion cascade (r16 verdict #1): one ledger
+   * pass over a release's whole store family —
+   *  1. the linked doc ids are derived from the UNTOUCHED corpus store
+   *     (lazily — nothing rewrites under them until step 3),
+   *  2. every doc-keyed derived artifact ([[purgeFromStore]]) and
+   *     sidecar ([[purgeSidecar]]) drops those docs' rows — embeddings
+   *     and ANN signatures cannot be "rewritten" offline the way text
+   *     can, so deletion IS the cascade for them,
+   *  3. the corpus store itself is rewritten last
+   *     ([[applyLedgerToStore]] with `derived` recomputes, e.g. `fp`).
+   * Purges run BEFORE the corpus rewrite so a crash anywhere leaves the
+   * linkage discoverable: rerunning the same ledger re-finds the
+   * still-linked docs and finishes every store (each step is
+   * idempotent). Only after step 3 commits does the linkage disappear —
+   * by which point every derived row is already gone.
+   */
+  def cascadeStores(spark: SparkSession, storePath: String,
+                    pseudoCol: String, ledger: DataFrame, key: String,
+                    mac: Boolean,
+                    replacement: String = "<FORGOTTEN>",
+                    derived: Seq[(String, Column)] = Seq.empty,
+                    docIdCol: String = "doc_id",
+                    artifactStores: Seq[(String, String)] = Seq.empty,
+                    sidecars: Seq[(String, String)] = Seq.empty,
+                    freshMillis: Long = stagingFreshMillis): CascadeReport = {
+    val tags = requestTags(ledger, key, mac)
+    if (tags.isEmpty) return CascadeReport(Seq.empty, Map.empty, Map.empty)
+    val linked = spark.read.parquet(storePath)
+      .filter(TF.linksAnyTag(col(pseudoCol), tags))
+      .select(col(docIdCol)).distinct()
+    val artifacts = artifactStores.map { case (p, idCol) =>
+      p -> purgeFromStore(spark, p, idCol, linked, freshMillis)
+    }.toMap
+    val sides = sidecars.map { case (p, idCol) =>
+      p -> purgeSidecar(spark, p, idCol, linked)
+    }.toMap
+    val corpusHit = applyLedgerToStore(spark, storePath, pseudoCol, ledger,
+      key, mac, replacement, derived, freshMillis)
+    CascadeReport(corpusHit, artifacts, sides)
   }
 
   /** One checked partition swap: delete the live dir (if present), then

@@ -211,6 +211,73 @@ object StreamingIngest {
       .start()
 
   /**
+   * The linkage-preserving twin of [[startScrubbedIngest]]: identifiers
+   * are PSEUDONYMIZED (keyed tags, TF.pseudonymizePii — t36's contract)
+   * instead of blind-scrubbed, so the stored corpus stays RTBF-capable:
+   * a deletion request's tag is driver-derivable from (label, value) and
+   * [[Rtbf.applyLedgerToStore]] / [[startDeletionLedgerIngest]] can
+   * locate and erase every linked document later. Everything else is
+   * [[scrubbedIngestBatch]] verbatim — dedup runs on the PSEUDONYMIZED
+   * text's fingerprint (equal identifiers collapse to equal tags, so
+   * the volatile-PII re-crawl leak the scrubbed gate closes stays
+   * closed), the store is the same idempotent `_batch_id`-partitioned
+   * (doc_id, text, fp) layout, and no raw identifier ever touches disk.
+   * A blind-scrubbed store has nothing to forget; THIS is the ingest
+   * shape a GDPR-capable corpus runs.
+   */
+  def startPseudonymizedIngest(docs: DataFrame, key: String,
+                               storePath: String,
+                               checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scrubbedIngestBatch(batch, storePath, batchId,
+          scrub = graft.functions.TextFunctions.pseudonymizePii(_, key))
+      }
+      .start()
+
+  /**
+   * Streaming right-to-be-forgotten (r16 verdict #4) — deletion
+   * requests as a STREAM: each micro-batch of (label, value) requests
+   * folds into one [[Rtbf.applyLedgerToStore]] pass over the
+   * pseudonymized store (partition-targeted rewrite + optional derived
+   * recompute, e.g. `fp`). No state beyond the store itself is kept:
+   * ledger passes are IDEMPOTENT and COMPOSE (forgetting an
+   * already-forgotten tag is a no-op), so a replayed request batch is
+   * harmless and two batches in either order converge to the same
+   * store — StreamingSpec pins stream == one batch apply of the union
+   * ledger, plus the replay law.
+   *
+   * Concurrency contract (carried from applyLedgerToStore): one ledger
+   * pass per store at a time (the staging-freshness guard enforces it);
+   * a live INGEST writing new `_batch_id` partitions during a pass is
+   * fine — those partitions are simply not probed, and the next
+   * request batch (or pass) picks them up. A production deployment
+   * therefore points this query's requests stream and the ingest query
+   * at the same store without coordination beyond the guard.
+   */
+  def startDeletionLedgerIngest(requests: DataFrame, storePath: String,
+                                pseudoCol: String, key: String, mac: Boolean,
+                                checkpointDir: String,
+                                derived: Seq[(String, org.apache.spark.sql.Column)] =
+                                  Seq.empty,
+                                replacement: String = "<FORGOTTEN>",
+                                freshMillis: Long =
+                                  graft.operators.Rtbf.stagingFreshMillis)
+      : StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Rtbf.applyLedgerToStore(batch.sparkSession,
+          storePath, pseudoCol, batch, key, mac, replacement, derived,
+          freshMillis)
+        ()
+      }
+      .start()
+
+  /**
    * The streaming twin of the batch CCNet prefix (CorpusPipeline stages
    * 0–2 with `lmFluency = true`, the d26 stage order): per micro-batch,
    * scrub → quality keep rule → LM-fluency keep gate → exact dedup
@@ -343,7 +410,10 @@ object StreamingIngest {
   private[graft] def scrubbedIngestBatch(batch: DataFrame, storePath: String,
                                          batchId: Long,
                                          gate: DataFrame => DataFrame = identity,
-                                         postGate: DataFrame => DataFrame = identity)
+                                         postGate: DataFrame => DataFrame = identity,
+                                         scrub: org.apache.spark.sql.Column =>
+                                           org.apache.spark.sql.Column =
+                                           graft.functions.TextFunctions.scrubPii)
       : Unit = {
     val spark = batch.sparkSession
     import graft.functions.{TextFunctions => TF}
@@ -352,7 +422,7 @@ object StreamingIngest {
     // not land twice) — max (fp, text) struct is deterministic under any
     // partitioning, and fp is the text's md5 so the pair is consistent
     val scrubbed = gate(batch
-      .withColumn("text", TF.scrubPii(col("text")))
+      .withColumn("text", scrub(col("text")))
       .withColumn("fp", TF.fingerprint(col("text")))
       .groupBy(col("doc_id"))
       .agg(max(struct(col("fp"), col("text"))).as("m"))

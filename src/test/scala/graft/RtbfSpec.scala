@@ -246,6 +246,87 @@ class RtbfSpec extends AnyFunSuite {
       "duplicate ledger rows must collapse to one tag")
   }
 
+  test("cascadeStores: one ledger pass rewrites the corpus WITH fp " +
+       "recompute, purges doc-keyed artifacts partition-targeted, " +
+       "purges sidecars, and is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rtbf_cascade").toString
+    val store = s"$root/store"
+    val vecStore = s"$root/vectors"
+    val cells = s"$root/vectors_cells_n4"
+    // main store (doc_id, pseudo, fp, _batch_id): docs 1/2 link
+    // (partitions 0 and 2), 3/4 don't (partition 1)
+    def part(b: Long, ids: Seq[Long]) = pseudo(mac = false)
+      .filter(col("doc_id").isin(ids: _*))
+      .withColumn("fp", TF.fingerprint(col("pseudo")))
+      .withColumn("_batch_id", lit(b))
+    part(0L, Seq(1L)).unionByName(part(1L, Seq(3L, 4L)))
+      .unionByName(part(2L, Seq(2L)))
+      .write.partitionBy("_batch_id").parquet(store)
+    // vector artifact keyed vec_id: partition 10 = {1} (fully purged →
+    // dir must VANISH), 11 = {2, 5} (rewritten, 5 survives), 12 = {3}
+    // (unlinked — files must not be rewritten)
+    Seq((1L, Seq(0.1f, 0.2f), 10L), (2L, Seq(0.3f, 0.4f), 11L),
+        (5L, Seq(0.5f, 0.6f), 11L), (3L, Seq(0.7f, 0.8f), 12L))
+      .toDF("vec_id", "embedding", "_batch_id")
+      .write.partitionBy("_batch_id").parquet(vecStore)
+    // unpartitioned cell sidecar over the same ids
+    Seq((1L, 0L), (2L, 1L), (3L, 2L), (5L, 3L)).toDF("vec_id", "cell")
+      .write.parquet(cells)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(path: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getModificationTime).max
+    val vecUntouched = mtime(s"$vecStore/_batch_id=12")
+    val report = Rtbf.cascadeStores(spark, store, "pseudo",
+      ledger(requests), key, mac = false,
+      derived = Seq("fp" -> TF.fingerprint(col("pseudo"))),
+      artifactStores = Seq(vecStore -> "vec_id"),
+      sidecars = Seq(cells -> "vec_id"),
+      freshMillis = 0L)
+    assert(report.corpusPartitions == Seq(0L, 2L))
+    assert(report.artifactPartitions(vecStore) == Seq(10L, 11L))
+    assert(report.sidecarRowsDropped(cells) == 2L)
+    // corpus: linked docs rewritten, fp CONSISTENT on every row
+    val after = spark.read.parquet(store)
+    val folded = sequentialFold(mac = false, requests)
+    val got = after.select(col("doc_id"), col("pseudo"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == folded(1L) && got(2L) == folded(2L))
+    assert(after.filter(col("fp") =!= TF.fingerprint(col("pseudo")))
+      .count() == 0, "no stale fp may survive the cascade")
+    // artifacts: ZERO rows trace to a forgotten doc; others intact
+    val vecsAfter = spark.read.parquet(vecStore)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(vecsAfter == Set(3L, 5L),
+      s"forgotten docs' vectors must be purged: $vecsAfter")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$vecStore/_batch_id=10")), "a fully-purged partition vanishes")
+    assert(mtime(s"$vecStore/_batch_id=12") == vecUntouched,
+      "an unlinked artifact partition's files must not be rewritten")
+    val cellsAfter = spark.read.parquet(cells)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(cellsAfter == Set(3L, 5L), s"sidecar rows purged: $cellsAfter")
+    // idempotent: nothing links any more, nothing is touched
+    val again = Rtbf.cascadeStores(spark, store, "pseudo",
+      ledger(requests), key, mac = false,
+      derived = Seq("fp" -> TF.fingerprint(col("pseudo"))),
+      artifactStores = Seq(vecStore -> "vec_id"),
+      sidecars = Seq(cells -> "vec_id"),
+      freshMillis = 0L)
+    assert(again.corpusPartitions.isEmpty &&
+      again.artifactPartitions(vecStore).isEmpty &&
+      again.sidecarRowsDropped(cells) == 0L)
+    // a sidecar purged EMPTY is deleted outright (self-healing absent
+    // state), exercised via a sidecar holding only forgotten ids
+    val onlyForgotten = s"$root/vectors_cells_n8"
+    Seq((1L, 0L), (2L, 1L)).toDF("vec_id", "cell").write.parquet(onlyForgotten)
+    assert(Rtbf.purgeSidecar(spark, onlyForgotten, "vec_id",
+      Seq(1L, 2L).toDF("doc_id")) == 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(onlyForgotten)))
+  }
+
   test("single-maintenance-writer guard: a FRESH staging dir aborts the " +
        "run; checked rename aborts before staging cleanup") {
     val root = java.nio.file.Files.createTempDirectory("graft_rtbf_lock").toString

@@ -673,6 +673,105 @@ class StreamingSpec extends AnyFunSuite {
       "eval shingle set must not stay cached past the caller's unpersist")
   }
 
+  test("pseudonymized ingest + streaming deletion ledger: the request " +
+       "stream equals ONE batch apply of the union ledger, replayed " +
+       "request batches are no-ops, and a forgotten doc re-ingests " +
+       "against the REWRITTEN store state (stale fp would wrongly drop it)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Rtbf
+    import spark.implicits._
+    val rtbfKey = "stream-rtbf-key"
+    val root = Files.createTempDirectory("graft_rtbf_stream").toString
+    val landing = s"$root/landing"; val store = s"$root/store"
+    val reqLanding = s"$root/requests"
+    new java.io.File(landing).mkdirs(); new java.io.File(reqLanding).mkdirs()
+    val docSchema = ST(Seq(SF("doc_id", LongType), SF("text", StringType)))
+    val reqSchema = ST(Seq(SF("label", StringType), SF("value", StringType)))
+    val rawDocs = Seq(
+      1L -> "ping alice@a.example and call +1-555-0100 now",
+      2L -> "cc alice@a.example and also bob@b.example",
+      3L -> "only carol@c.example here today friend")
+    Files.write(java.nio.file.Paths.get(s"$landing/p1.json"),
+      rawDocs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+        .mkString("\n").getBytes("UTF-8"))
+    StreamingIngest.startPseudonymizedIngest(
+      spark.readStream.schema(docSchema).json(landing), rtbfKey,
+      store, s"$root/ckpt_ingest").awaitTermination()
+    // linkage preserved: the store carries keyed tags, not blind scrubs
+    val stored3 = spark.read.parquet(store).filter(col("doc_id") === 3L)
+      .select(col("text")).as[String].head()
+    assert(stored3.contains(
+      TF.pseudoTag("EMAIL", rtbfKey, "carol@c.example")),
+      s"pseudonymized ingest must keep linkable tags: $stored3")
+    // deletion requests as a STREAM: two micro-batches (alice's email,
+    // then the phone), each folding into one store pass with fp cascade
+    val fpCascade = Seq("fp" -> TF.fingerprint(col("text")))
+    def drainRequests(): Unit =
+      StreamingIngest.startDeletionLedgerIngest(
+        spark.readStream.schema(reqSchema).json(reqLanding),
+        store, "text", rtbfKey, mac = false, s"$root/ckpt_req",
+        derived = fpCascade).awaitTermination()
+    Files.write(java.nio.file.Paths.get(s"$reqLanding/r1.json"),
+      """{"label":"EMAIL","value":"alice@a.example"}""".getBytes("UTF-8"))
+    drainRequests()
+    Files.write(java.nio.file.Paths.get(s"$reqLanding/r2.json"),
+      """{"label":"PHONE","value":"+1-555-0100"}""".getBytes("UTF-8"))
+    drainRequests()
+    val streamedRows = spark.read.parquet(store)
+      .select(col("doc_id"), col("text"), col("fp"))
+      .as[(Long, String, String)].collect().toSet
+    // == ONE batch apply of the union ledger on an identically-built
+    // batch store
+    val batchStore = s"$root/batch_store"
+    StreamingIngest.scrubbedIngestBatch(rawDocs.toDF("doc_id", "text"),
+      batchStore, 0L, scrub = TF.pseudonymizePii(_, rtbfKey))
+    val unionLedger = Seq("EMAIL" -> "alice@a.example",
+      "PHONE" -> "+1-555-0100").toDF("label", "value")
+    Rtbf.applyLedgerToStore(spark, batchStore, "text", unionLedger,
+      rtbfKey, mac = false, derived = fpCascade, freshMillis = 0L)
+    val batchRows = spark.read.parquet(batchStore)
+      .select(col("doc_id"), col("text"), col("fp"))
+      .as[(Long, String, String)].collect().toSet
+    assert(streamedRows.map(r => (r._2, r._3)) == batchRows.map(r => (r._2, r._3)),
+      "request stream must converge to the one-batch union apply")
+    assert(spark.read.parquet(store)
+      .filter(col("fp") =!= TF.fingerprint(col("text"))).count() == 0,
+      "no stale fp may survive the streaming cascade")
+    // replay law: re-applying an already-applied request batch is a no-op
+    assert(Rtbf.applyLedgerToStore(spark, store, "text",
+      Seq("EMAIL" -> "alice@a.example").toDF("label", "value"),
+      rtbfKey, mac = false, derived = fpCascade, freshMillis = 0L).isEmpty,
+      "a replayed request batch must find nothing left to forget")
+    // forgotten-then-re-ingested: the ORIGINAL content's fingerprint no
+    // longer exists in the store (fp was recomputed), so it re-admits…
+    def reIngest(batchId: Long, id: Long, text: String): Boolean = {
+      StreamingIngest.scrubbedIngestBatch(Seq(id -> text).toDF("doc_id", "text"),
+        store, batchId, scrub = TF.pseudonymizePii(_, rtbfKey))
+      spark.read.parquet(store).filter(col("doc_id") === id).count() == 1
+    }
+    assert(reIngest(10L, 21L, rawDocs.head._2),
+      "original content must re-admit against the rewritten store state")
+    // …while content matching the REWRITTEN state dedups against it
+    assert(!reIngest(11L, 22L, "ping <FORGOTTEN> and call <FORGOTTEN> now"),
+      "content equal to the rewritten state must dedup against it")
+    // counterfactual — the bug the cascade closes: a store whose ledger
+    // pass did NOT recompute fp still holds the forgotten content's
+    // fingerprint, so the original content is WRONGLY dropped
+    val staleStore = s"$root/stale_store"
+    StreamingIngest.scrubbedIngestBatch(rawDocs.toDF("doc_id", "text"),
+      staleStore, 0L, scrub = TF.pseudonymizePii(_, rtbfKey))
+    Rtbf.applyLedgerToStore(spark, staleStore, "text", unionLedger,
+      rtbfKey, mac = false, freshMillis = 0L) // no derived recompute
+    StreamingIngest.scrubbedIngestBatch(
+      Seq(31L -> rawDocs.head._2).toDF("doc_id", "text"),
+      staleStore, 10L, scrub = TF.pseudonymizePii(_, rtbfKey))
+    assert(spark.read.parquet(staleStore)
+      .filter(col("doc_id") === 31L).count() == 0,
+      "fixture drifted: the stale-fp store was expected to exhibit the " +
+        "wrong drop the cascade exists to prevent")
+  }
+
   test("snapshot-diff CDC gate: a drifted replay that emits no events " +
        "drops its stale event partition") {
     import spark.implicits._
