@@ -142,6 +142,16 @@ object NorthStar {
         .otherwise(lit("")),
       when(id % 23 === 0, lit(" col 1111 4111 1111 1111 1111"))
         .otherwise(lit("")),
+      // round-17 IBAN plants (fixed well-known TEST IBANs, the CARD
+      // convention): mod-29=0 a mod-97-VALID GB IBAN, mod-29=1 its
+      // check-BROKEN variant (must count 0 and survive scrub raw),
+      // mod-31=0 a valid FR IBAN with a LETTER inside the BBAN (the
+      // alphanumeric-body arm of the checksum)
+      when(id % 29 === 0, lit(" iban GB82WEST12345698765432"))
+        .when(id % 29 === 1, lit(" iban GB82WEST12345698765431"))
+        .otherwise(lit("")),
+      when(id % 31 === 0, lit(" acct FR1420041010050500013M02606"))
+        .otherwise(lit("")),
       when(id % 5 === 0,
         concat(lit(" from 10."), pmod(id, lit(256L)).cast("string"),
           // cast-truncate == // for the non-negative ids (< 2^52 exact)
@@ -257,6 +267,11 @@ object NorthStar {
               THEN ' fwd +9 704 2314 4111 1111 1111 1111' ELSE '' END
       || CASE WHEN doc_id % 23 = 0
               THEN ' col 1111 4111 1111 1111 1111' ELSE '' END
+      || CASE WHEN doc_id % 29 = 0 THEN ' iban GB82WEST12345698765432'
+              WHEN doc_id % 29 = 1 THEN ' iban GB82WEST12345698765431'
+              ELSE '' END
+      || CASE WHEN doc_id % 31 = 0
+              THEN ' acct FR1420041010050500013M02606' ELSE '' END
       || CASE WHEN doc_id % 5 = 0
               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
@@ -367,12 +382,42 @@ object NorthStar {
             v -> v <> '')))"""
   }
 
+  /** DuckDB twin of TF.mod97Valid over expr `m` (usually a lambda
+    * variable): ISO 13616 — first four chars moved to the end, digits
+    * as themselves, A–Z as 10–35, incremental remainder ≡ 1. The
+    * prepended 0 is the fold's initial accumulator (list_reduce has no
+    * init parameter — the cardValuesSql trick). */
+  private def mod97CondSql(m: String): String = {
+    val r = s"(substr($m, 5) || substr($m, 1, 4))"
+    s"""(list_reduce(list_prepend(0, range(1, length($m) + 1)),
+          (acc, x) -> CASE WHEN $r[x] BETWEEN '0' AND '9'
+                           THEN (acc * 10 + CAST($r[x] AS INT)) % 97
+                           ELSE (acc * 100 + ascii($r[x]) - 55) % 97 END)
+        = 1)"""
+  }
+
+  /** DuckDB twin of IbanScan.findValues over expr `t`: the guarded
+    * two-pass candidate extraction (contiguous runs cannot steal, so
+    * unlike CARD no run enumeration is needed — pass 2 only recovers
+    * single-char-separated neighbors), filtered by the mod-97 check. */
+  private def ibanValuesSql(t: String): String = {
+    val c = TF.piiClasses.find(_.mod97).get
+    val once = s"regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g')"
+    s"""list_filter(
+          regexp_extract_all($t, '${c.pattern}', ${c.group})
+            || regexp_extract_all($once, '${c.pattern}', ${c.group}),
+          m -> ${mod97CondSql("m")})"""
+  }
+
   /** The class's candidate values over expr `t`: pass-1 guarded matches
     * plus the alternate-blocked survivors from the once-replaced text
     * (TF.classMatches' twin); the checksum-gated CARD class runs the
-    * [[cardValuesSql]] run enumeration instead (TF.validMatches). */
+    * [[cardValuesSql]] run enumeration instead (TF.validMatches), and
+    * the mod-97-gated IBAN class filters its two-pass candidates by the
+    * checksum ([[ibanValuesSql]]). */
   private def validMatchesSql(t: String, c: TF.PiiClass): String =
     if (c.luhn) cardValuesSql(t)
+    else if (c.mod97) ibanValuesSql(t)
     else if (c.group == 0) s"regexp_extract_all($t, '${c.pattern}')"
     else s"""regexp_extract_all($t, '${c.pattern}', ${c.group})
              || regexp_extract_all(
@@ -385,7 +430,7 @@ object NorthStar {
     * checksum-gated class folds literal replace over its verified
     * values (TF.scrubClass's fold arm — pseudoSql with a constant tag). */
   private def scrubClassSql(acc: String, c: TF.PiiClass): String =
-    if (c.luhn) pseudoSql(acc, c, _ => s"'${c.tag}'")
+    if (c.luhn || c.mod97) pseudoSql(acc, c, _ => s"'${c.tag}'")
     else {
       val once = s"regexp_replace($acc, '${c.pattern}', '${duckRepl(c)}', 'g')"
       if (c.group == 0) once
@@ -404,7 +449,7 @@ object NorthStar {
   private def countSql(t: String, c: TF.PiiClass): String =
     if (c.group == 0)
       s"CAST(len(regexp_extract_all($t, '${c.pattern}')) AS BIGINT)"
-    else if (c.luhn)
+    else if (c.luhn || c.mod97)
       s"CAST(len(${validMatchesSql(t, c)}) AS BIGINT)"
     else {
       val once = s"regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g')"

@@ -56,6 +56,7 @@ object PiiGate {
   final val HasParenPlus = 4     // '(' or '+' — the anchored phone forms
   final val DigitDotDigit = 8    // a 'd.d' adjacency (IPv4, dotted phone)
   final val DigitDashDigit = 16  // a 'd-d' adjacency (ID, dashed phone)
+  final val UpperUpperDigitDigit = 32 // a 'UUdd' quadgram (the IBAN head)
 
   def stats(s: UTF8String): Long = {
     val n = s.numBytes()
@@ -66,6 +67,7 @@ object PiiGate {
     var prevDigit = false
     var pendingDot = false   // last two bytes were <digit> '.'
     var pendingDash = false  // last two bytes were <digit> '-'
+    var uudd = 0             // progress through [A-Z][A-Z][0-9][0-9]
     var i = 0
     while (i < n) {
       val b = s.getByte(i)
@@ -75,11 +77,18 @@ object PiiGate {
         if (run > maxRun) maxRun = run
         if (pendingDot) flags |= DigitDotDigit
         if (pendingDash) flags |= DigitDashDigit
+        if (uudd == 3) flags |= UpperUpperDigitDigit
+        uudd = if (uudd >= 2) 3 else 0
       } else {
         run = 0
         if (b == '@') flags |= HasAt
         else if (b == ':') flags |= HasColon
         else if (b == '(' || b == '+') flags |= HasParenPlus
+        // two uppers saturate at 2; a digit after UU moves to 3 above;
+        // anything else restarts (continuation bytes are ≥ 0x80 — the
+        // byte-level scan can never bridge a multibyte char)
+        uudd = if (b >= 'A' && b <= 'Z') { if (uudd == 1 || uudd == 2) 2 else 1 }
+               else 0
       }
       pendingDot = prevDigit && b == '.'
       pendingDash = prevDigit && b == '-'
@@ -107,6 +116,7 @@ object PiiGate {
     case "IP6" => (st & HasColon) != 0
     case "IP" => (st & DigitDotDigit) != 0 && digitCount(st) >= 4
     case "ID" => (st & DigitDashDigit) != 0 && digitCount(st) >= 9
+    case "IBAN" => (st & UpperUpperDigitDigit) != 0
     case _ => true
   }
 
@@ -424,6 +434,159 @@ case class CardScrub(child: Expression, tag: String) extends UnaryExpression {
 }
 
 /**
+ * Run-enumeration IBAN detection — the seventh audit class, in the
+ * CARD mold: the shape only defines CANDIDATES, and detection requires
+ * the ISO 13616 mod-97 check to verify (move the first four chars to
+ * the end, map A–Z → 10–35, the resulting big decimal ≡ 1 mod 97 —
+ * exact integer arithmetic both engines replay; a random shape-shaped
+ * span passes with p ≈ 1/97). Class contract, pinned by PiiSpec and
+ * the DuckDB twin (NorthStar.ibanValuesSql):
+ *
+ *  - candidates are MAXIMAL alphanumeric runs (lead/tail char outside
+ *    [0-9A-Za-z], or text edge) of length 15–34 shaped
+ *    `[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}` — the CONTIGUOUS electronic
+ *    format. A lowercase char anywhere in the run disqualifies it
+ *    (IBANs are uppercase by standard; lowercase admission would make
+ *    every camelCase token a candidate). The spaced 4-group PAPER
+ *    format (`GB82 WEST 1234 …`) is deliberately OUT, like PHONE's
+ *    bare space-separated triples: without the contiguous anchor a
+ *    spaced group run is indistinguishable from a reference-code
+ *    column, and the mod-97 gate alone (p ≈ 1/97) is a weaker shield
+ *    than CARD's shape+Luhn against that volume.
+ *  - runs cannot overlap, so one left-to-right scan is exact under any
+ *    adjacency — no consuming guards, nothing to steal (the CARD
+ *    lesson applied from the start); verified values are emitted in
+ *    text order.
+ *
+ * Equivalence with the regex twin: a maximal run matches the guarded
+ * pattern ([[graft.functions.TextFunctions.ibanPattern]]) iff it has
+ * this shape — the greedy core must absorb the entire run or the
+ * consumed tail guard sees an alphanumeric and every backtrack fails —
+ * so two-pass extraction + mod-97 filter (the oracle form) finds
+ * exactly these values (pass 2 recovers single-char-separated
+ * neighbors whose lead char pass 1's tail guard consumed).
+ */
+object IbanScan {
+  @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
+  @inline private def isUpper(c: Char) = c >= 'A' && c <= 'Z'
+  @inline private def isAlnum(c: Char) =
+    isDigit(c) || isUpper(c) || (c >= 'a' && c <= 'z')
+
+  /** ISO 13616 mod-97 over text[from, to): rearranged fold, digits as
+    * themselves, A–Z as 10–35, valid iff the running remainder is 1. */
+  def mod97Ok(text: String, from: Int, to: Int): Boolean = {
+    var acc = 0
+    var i = from + 4 // BBAN first, then the moved country+check head
+    while (i < to) { acc = step(acc, text.charAt(i)); i += 1 }
+    i = from
+    while (i < from + 4) { acc = step(acc, text.charAt(i)); i += 1 }
+    acc == 1
+  }
+
+  @inline private def step(acc: Int, c: Char): Int =
+    if (isDigit(c)) (acc * 10 + (c - '0')) % 97
+    else (acc * 100 + (c - 55)) % 97
+
+  /** The verified IBAN values of `text`, in text order; null when there
+    * are none (the common row — no allocation at all). */
+  def findValues(text: String): java.util.ArrayList[String] = {
+    var out: java.util.ArrayList[String] = null
+    val n = text.length
+    var pos = 0
+    while (pos < n) {
+      if (!isAlnum(text.charAt(pos))) pos += 1
+      else {
+        val start = pos
+        var upperDigitOnly = true
+        while (pos < n && isAlnum(text.charAt(pos))) {
+          val c = text.charAt(pos)
+          if (!isDigit(c) && !isUpper(c)) upperDigitOnly = false
+          pos += 1
+        }
+        val len = pos - start
+        if (upperDigitOnly && len >= 15 && len <= 34 &&
+            isUpper(text.charAt(start)) && isUpper(text.charAt(start + 1)) &&
+            isDigit(text.charAt(start + 2)) && isDigit(text.charAt(start + 3)) &&
+            mod97Ok(text, start, pos)) {
+          if (out == null) out = new java.util.ArrayList[String](2)
+          out.add(text.substring(start, pos))
+        }
+      }
+    }
+    out
+  }
+}
+
+/** The IBAN class's verified values as an array column — [[IbanScan]]'s
+  * run-enumeration semantics (exact counts under any adjacency). */
+case class IbanMatches(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "iban_matches"
+
+  @transient private lazy val empty = new GenericArrayData(new Array[AnyRef](0))
+
+  def compute(input: UTF8String): GenericArrayData = {
+    if (!PiiGate.pass("IBAN", input)) return empty
+    val vals = IbanScan.findValues(input.toString)
+    if (vals == null) return empty
+    val arr = new Array[AnyRef](vals.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = UTF8String.fromString(vals.get(i)); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ibanMatchesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IbanMatches =
+    copy(child = newChild)
+}
+
+/** The IBAN class's scrub: literal fold over the DISTINCT verified
+  * values in the pinned length-DESC / value-ASC order — [[CardScrub]]'s
+  * semantics for the mod-97 class (regex alone cannot express the
+  * checksum gate; checksum-broken candidates survive RAW, the precision
+  * side both plants and laws pin). */
+case class IbanScrub(child: Expression, tag: String) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "iban_scrub"
+
+  def compute(input: UTF8String): UTF8String = {
+    if (!PiiGate.pass("IBAN", input)) return input
+    val text = input.toString
+    val vals = IbanScan.findValues(text)
+    if (vals == null) return input
+    val set = new java.util.TreeSet[String](new java.util.Comparator[String] {
+      override def compare(l: String, r: String): Int = {
+        val byLen = java.lang.Integer.compare(r.length, l.length)
+        if (byLen != 0) byLen else l.compareTo(r)
+      }
+    })
+    set.addAll(vals)
+    var acc = text
+    val it = set.iterator()
+    while (it.hasNext) acc = acc.replace(it.next(), tag)
+    UTF8String.fromString(acc)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ibanScrubExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IbanScrub =
+    copy(child = newChild)
+}
+
+/**
  * Batch right-to-be-forgotten: replace every occurrence of any tag in
  * `tags` with `replacement` in ONE scan, regardless of ledger size —
  * the multi-request form of the single-tag literal replace in
@@ -507,10 +670,10 @@ case class ForgetTags(child: Expression, tags: Seq[String],
  */
 case class ClassCount(child: Expression, label: String,
                       spec: GuardedSpec, group: Int, unblockTag: String,
-                      luhn: Boolean)
+                      luhn: Boolean, mod97: Boolean = false)
     extends UnaryExpression {
-  require((group == 0 || luhn) == (spec == null),
-    "guarded classes scan via a GuardedSpec; EMAIL/CARD have their own kernels")
+  require((group == 0 || luhn || mod97) == (spec == null),
+    "guarded classes scan via a GuardedSpec; EMAIL/CARD/IBAN have their own kernels")
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "pii_class_count"
 
@@ -518,6 +681,10 @@ case class ClassCount(child: Expression, label: String,
     if (!PiiGate.pass(label, input)) return 0L
     if (luhn) {
       val vals = CardRuns.selectedValues(input.toString)
+      return if (vals == null) 0L else vals.size().toLong
+    }
+    if (mod97) {
+      val vals = IbanScan.findValues(input.toString)
       return if (vals == null) 0L else vals.size().toLong
     }
     val text = input.toString

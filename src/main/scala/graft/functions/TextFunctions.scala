@@ -260,14 +260,49 @@ object TextFunctions {
     }) % 10) === 0
   }
 
+  /** IBAN (core, group 2): the CONTIGUOUS ISO 13616 electronic format —
+    * two uppercase country letters, two check digits, 11–30 uppercase/
+    * digit BBAN chars (15–34 total — the real registry's span), with
+    * plain non-alphanumeric boundary guards (any alnum adjacency,
+    * including lowercase, rejects: camelCase tokens and longer runs
+    * never yield sub-span candidates; the greedy core must absorb the
+    * whole run or the tail guard fails every backtrack). The shape only
+    * defines CANDIDATES — detection requires the mod-97 check
+    * ([[mod97Valid]] / PiiExpressions.IbanScan) to verify, the CARD
+    * discipline (a checksum-broken span counts 0 and survives scrub
+    * raw). The spaced 4-group paper format is deliberately OUT — see
+    * the IbanScan contract note. Like cardPattern, this regex is the
+    * class's raw-survivor SWEEP shape (a text where it finds nothing
+    * contains no IBAN-shaped span); detection runs the scan kernel. */
+  private val leadAln = "(^|[^0-9A-Za-z])"
+  private val tailAln = "([^0-9A-Za-z]|$)"
+  private val ibanCore = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+  val ibanPattern: String = leadAln + "(" + ibanCore + ")" + tailAln
+
+  /** ISO 13616 mod-97 over a candidate IBAN: first four chars moved to
+    * the end, A–Z mapped to 10–35, the big decimal ≡ 1 mod 97 —
+    * incremental remainder fold, exact integer arithmetic replayed by
+    * the DuckDB twin (NorthStar.mod97CondSql). Like [[luhnValid]], this
+    * Column form is the REFERENCE formulation for the equivalence laws;
+    * hot paths run IbanScan's primitive fold. */
+  def mod97Valid(m: Column): Column = {
+    val r = concat(m.substr(lit(5), length(m)), m.substr(lit(1), lit(4)))
+    aggregate(sequence(lit(1), length(r)), lit(0), (acc, i) => {
+      val ch = r.substr(i, lit(1))
+      when(ch >= "0" && ch <= "9", (acc * 10 + ch.cast("int")) % 97)
+        .otherwise((acc * 100 + (ascii(ch) - 55)) % 97)
+    }) === 1
+  }
+
   /** One detection class: placeholder label, full (guarded) pattern, the
     * group index that extracts the identifier itself (0 = the whole
     * match is the identifier — EMAIL; 2 = the guarded core), and an
-    * optional checksum gate (`luhn = true` — CARD): candidates only
-    * count/scrub when [[luhnValid]] verifies. */
+    * optional checksum gate (`luhn = true` — CARD; `mod97 = true` —
+    * IBAN): candidates only count/scrub when the checksum verifies. */
   final case class PiiClass(label: String, pattern: String, group: Int,
                             luhn: Boolean = false,
-                            scan: Option[GuardedSpec] = None) {
+                            scan: Option[GuardedSpec] = None,
+                            mod97: Boolean = false) {
     def tag: String = s"<$label>"
   }
 
@@ -308,10 +343,18 @@ object TextFunctions {
   private val idSpec = GuardedSpec(
     "(" + idCore + ")" + tailNum, digitChars, ".-")
 
+  // IBAN sits between the checksum-gated CARD and the colon/dot classes:
+  // its runs are letter-anchored (every other numeric class's lead guard
+  // rejects letter adjacency, so nothing can match INSIDE an IBAN run,
+  // and an IBAN candidate needs uppercase letters no digit-run class
+  // emits), its <IBAN> tag carries no digit/'@'/'.'/'-'/':' so it can
+  // never create a later match, and the FNV/MAC tag bodies keep the
+  // established digit-padding/hex discipline.
   val piiClasses: Seq[PiiClass] = Seq(
     PiiClass("EMAIL", emailPattern, 0),
     PiiClass("PHONE", phonePattern, 2, scan = Some(phoneSpec)),
     PiiClass("CARD", cardPattern, 2, luhn = true),
+    PiiClass("IBAN", ibanPattern, 2, mod97 = true),
     PiiClass("IP6", ipv6Pattern, 2, scan = Some(ipv6Spec)),
     PiiClass("IP", ipv4Pattern, 2, scan = Some(ipv4Spec)),
     PiiClass("ID", idPattern, 2, scan = Some(idSpec)))
@@ -340,6 +383,7 @@ object TextFunctions {
     // six byte scans and at most one regex pass
     import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.luhn) column(CardScrub(expression(t), tag))
+    else if (c.mod97) column(IbanScrub(expression(t), tag))
     else column(GuardedScrub(expression(t), c.label, c.scan.orNull, tag,
       group0 = c.group == 0))
   }
@@ -354,7 +398,7 @@ object TextFunctions {
     // value array (value-identical to size(validMatches) — law-pinned)
     import org.apache.spark.sql.GraftBridge.{column, expression}
     column(ClassCount(expression(text), c.label, c.scan.orNull, c.group,
-      c.tag, c.luhn))
+      c.tag, c.luhn, c.mod97))
   }
 
   /**
@@ -389,6 +433,7 @@ object TextFunctions {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     if (c.group == 0) column(EmailMatches(expression(t))) // unguarded
     else if (c.luhn) column(CardMatches(expression(t)))
+    else if (c.mod97) column(IbanMatches(expression(t)))
     else column(GuardedMatches(expression(t), c.label, c.scan.get, c.tag))
   }
 

@@ -24,7 +24,9 @@ class PiiSpec extends AnyFunSuite {
     (3L, "dual bob@x.org and bob@x.org again plus 192.168.001.255"),
     (4L, "tail case ends with carol.o'brien's mail carol+spam@mail.example.io"),
     (5L, "alice@corp.example.com reappears for linkage plus +1-555-0100"),
-    (6L, "node fe80::1 and 2001:db8:0:0:0:0:2:1 plus ::1 end")
+    (6L, "node fe80::1 and 2001:db8:0:0:0:0:2:1 plus ::1 end"),
+    (7L, "pay DE89370400440532013000 or FR1420041010050500013M02606 both valid"),
+    (8L, "broken GB82WEST12345698765431 and lowercase de89370400440532013000 stay")
   ).toDF("doc_id", "text")
 
   /** ScalaCheck intensity for the PII property laws: 30 cases in CI
@@ -53,10 +55,24 @@ class PiiSpec extends AnyFunSuite {
   private def mkValidPan(payload: String): String =
     payload + ((10 - luhnSum(payload + "0") % 10) % 10)
 
+  // reference mod-97 (the ISO 13616 spec the engine fold must agree
+  // with): first four chars moved to the end, A–Z as 10–35
+  private def mod97Ref(s: String): Int =
+    (s.substring(4) + s.substring(0, 4)).foldLeft(0)((acc, c) =>
+      if (c.isDigit) (acc * 10 + (c - '0')) % 97
+      else (acc * 100 + (c - 55)) % 97)
+
+  /** Insert the check digits that make `country`+`bban` a valid IBAN. */
+  private def mkValidIban(country: String, bban: String): String = {
+    val ck = 98 - mod97Ref(country + "00" + bban)
+    country + f"$ck%02d" + bban
+  }
+
   test("planted-PII recall is 1.0: scrub leaves zero matches of any class") {
     val before = countAll(planted, "text")
     assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "CARD" -> 0L,
-      "IP" -> 2L, "ID" -> 1L, "IP6" -> 3L), s"fixture drifted: $before")
+      "IBAN" -> 2L, "IP" -> 2L, "ID" -> 1L, "IP6" -> 3L),
+      s"fixture drifted: $before")
     val after = countAll(planted.select(TF.scrubPii(col("text")).as("t")), "t")
     assert(after.values.forall(_ == 0L), s"scrub left matches: $after")
     // and the scrub is idempotent — tags carry no digits/dots/dashes, so
@@ -189,9 +205,20 @@ class PiiSpec extends AnyFunSuite {
        "hostile random corpora") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // driver-side references, independently formulated: Java-regex
-    // two-pass chains for the guarded classes, refCardValues for CARD
+    // two-pass chains for the guarded classes, refCardValues for CARD,
+    // two-pass extraction + the reference mod-97 filter for IBAN
+    def refIbanValues(text: String): Seq[String] = {
+      val c = TF.piiClasses.find(_.mod97).get
+      def cores(t: String) = {
+        val m = java.util.regex.Pattern.compile(c.pattern).matcher(t)
+        Iterator.continually(m).takeWhile(_.find()).map(_.group(2)).toSeq
+      }
+      val once = text.replaceAll(c.pattern, s"$$1${c.tag}$$3")
+      (cores(text) ++ cores(once)).filter(v => mod97Ref(v) == 1)
+    }
     def refCount(text: String, c: TF.PiiClass): Long =
       if (c.luhn) refCardValues(text).size.toLong
+      else if (c.mod97) refIbanValues(text).size.toLong
       else if (c.group == 0) c.pattern.r.findAllIn(text).size.toLong
       else {
         val once = text.replaceAll(c.pattern, s"$$1${c.tag}$$3")
@@ -205,6 +232,10 @@ class PiiSpec extends AnyFunSuite {
       TF.piiClasses.foldLeft(text) { (t, c) =>
         if (c.luhn)
           refCardValues(t).distinct
+            .sortBy(v => (-v.length, v))
+            .foldLeft(t)((acc, v) => acc.replace(v, c.tag))
+        else if (c.mod97)
+          refIbanValues(t).distinct
             .sortBy(v => (-v.length, v))
             .foldLeft(t)((acc, v) => acc.replace(v, c.tag))
         else if (c.group == 0) t.replaceAll(c.pattern, c.tag)
@@ -237,6 +268,25 @@ class PiiSpec extends AnyFunSuite {
         yield s"$c-$m-$s"),
       1 -> Gen.listOfN(4, Gen.chooseNum(0, 255)).map(_.mkString(".")),
       1 -> Gen.const("fe80::1"),
+      // IBAN-shaped runs: RANDOM check digits (mostly mod-97-broken,
+      // ~1/97 valid — equivalence must hold either way), computed-valid
+      // ones, and hostile shapes (lowercase-embedded, 14 = too short,
+      // 35 = too long)
+      1 -> (for {
+        c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
+        ck <- digits(2, 2); n <- Gen.chooseNum(11, 30)
+        bban <- Gen.listOfN(n,
+          Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
+      } yield s"$c1$c2$ck$bban"),
+      1 -> (for {
+        c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
+        n <- Gen.chooseNum(11, 30)
+        bban <- Gen.listOfN(n,
+          Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
+      } yield mkValidIban(s"$c1$c2", bban)),
+      1 -> Gen.oneOf("xDE89370400440532013000", "DE89370400440532013000x",
+        "GB82WEST123456", "GB82WEST12345698765432112345678901X",
+        "DE8937040044053201300"),
       1 -> (for { a <- digits(3, 3); b <- digits(2, 2); cc <- digits(4, 4) }
         yield s"$a-$b-$cc"))
     val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
@@ -437,9 +487,19 @@ class PiiSpec extends AnyFunSuite {
       else s"${full.take(4)}$sep${full.slice(4, 8)}$sep" +
         s"${full.slice(8, 12)}$sep${full.drop(12)}"
     }
+    // mod-97-valid random IBANs: 2 uppercase country letters, computed
+    // check digits, 11-30 uppercase/digit BBAN chars (letters and
+    // digits both exercised in the checksum's two arms)
+    val iban = for {
+      c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
+      n <- Gen.chooseNum(11, 30)
+      bban <- Gen.listOfN(n,
+        Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
+    } yield mkValidIban(s"$c1$c2", bban)
     val token: Gen[(String, String)] = Gen.frequency(
       6 -> word.map(("w", _)), 1 -> email.map(("EMAIL", _)),
       1 -> phone.map(("PHONE", _)), 1 -> card.map(("CARD", _)),
+      1 -> iban.map(("IBAN", _)),
       1 -> ip.map(("IP", _)),
       1 -> ip6.map(("IP6", _)), 1 -> idTok.map(("ID", _)))
     val doc = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, token))
@@ -511,7 +571,17 @@ class PiiSpec extends AnyFunSuite {
       "mac de:ad:be:ef:00:11 address",
       "cpp std::vector and ns::cafe scopes",
       "pi 3.14159 e 2.71828 decimals",
-      "doi 10.1000/182 reference")
+      "doi 10.1000/182 reference",
+      // IBAN-shaped confusables: the regex admits the candidates, the
+      // mod-97 gate must reject them all (checksum-broken, wrong check
+      // digits, uppercase reference codes); camelCase/embedded and
+      // spaced paper-format spans are not candidates at all
+      "ref GB82WEST12345698765431 rejected",
+      "order GB00WEST12345698765432 code",
+      "code ZZ99ABCDEFGHIJK batch",
+      "embedded xDE89370400440532013000 run",
+      "tail DE89370400440532013000X234 run",
+      "paper GB82 WEST 1234 5698 7654 32 format")
     val df = confusables.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val counts = countAll(df, "text")
@@ -536,7 +606,10 @@ class PiiSpec extends AnyFunSuite {
       ("IP6", "loopback ::1 bound"),
       ("IP6", "prefix fe80:: announced"),
       ("IP6", "full 2001:db8:85a3:0:0:8a2e:370:7334 route"),
-      ("ID", "record 078-05-1120 filed"))
+      ("ID", "record 078-05-1120 filed"),
+      ("IBAN", "pay DE89370400440532013000 now"),
+      ("IBAN", "acct FR1420041010050500013M02606 listed"),
+      ("IBAN", "ends with GB82WEST12345698765432."))
     cases.foreach { case (label, text) =>
       val df = Seq((1L, text)).toDF("doc_id", "text")
       val counts = countAll(df, "text")

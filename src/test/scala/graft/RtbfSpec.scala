@@ -17,25 +17,31 @@ class RtbfSpec extends AnyFunSuite {
 
   private val key = "rtbf-spec-key"
 
-  // four docs: 1 links to two requests, 2 to one, 3 to none (but carries
-  // OTHER identifiers whose tags must survive), 4 has no identifiers
+  // five docs: 1 links to two requests, 2 to one, 3 to none (but carries
+  // OTHER identifiers whose tags must survive), 4 has no identifiers,
+  // 5 links through an IBAN (the mod-97 class rides the same keyed-tag
+  // pseudonymize → linksTo → forget kernels as every other class)
   private val corpus = Seq(
     (1L, "ping alice@a.example and call +1-555-0100 now"),
     (2L, "cc alice@a.example and also bob@b.example"),
     (3L, "only carol@c.example plus +1-555-0199 here"),
-    (4L, "no identifiers at all")
+    (4L, "no identifiers at all"),
+    (5L, "wire DE89370400440532013000 and keep GB82WEST12345698765432")
   ).toDF("doc_id", "text")
 
   private val requests = Seq(
     "EMAIL" -> "alice@a.example",
     "PHONE" -> "+1-555-0100",
+    "IBAN" -> "DE89370400440532013000",
     "EMAIL" -> "ghost@nowhere.example") // matches nothing — must be inert
 
   private def ledger(reqs: Seq[(String, String)]) = reqs.toDF("label", "value")
 
+  // full class set: the RTBF surface must cover every linkable class,
+  // not just the t36 default EMAIL/PHONE pair
   private def pseudo(mac: Boolean) = corpus.select(col("doc_id"),
-    (if (mac) TF.pseudonymizePiiMac(col("text"), key)
-     else TF.pseudonymizePii(col("text"), key)).as("pseudo"))
+    (if (mac) TF.pseudonymizePiiMac(col("text"), key, TF.piiClasses)
+     else TF.pseudonymizePii(col("text"), key, TF.piiClasses)).as("pseudo"))
 
   /** The sequential-fold reference: one single-tag forget per request,
     * composed in the given order over the whole corpus, then filtered to
@@ -66,7 +72,7 @@ class RtbfSpec extends AnyFunSuite {
     val fam = if (mac) "MAC" else "FNV"
     test(s"$fam batch forget == sequential fold of single forgets, in any ledger order") {
       val expected = sequentialFold(mac, requests)
-      assert(expected.keySet == Set(1L, 2L), "fixture drifted")
+      assert(expected.keySet == Set(1L, 2L, 5L), "fixture drifted")
       assert(batch(mac, requests) == expected)
       assert(batch(mac, requests.reverse) == expected,
         "ledger order must not matter — tags are disjoint complete spans")
@@ -79,6 +85,13 @@ class RtbfSpec extends AnyFunSuite {
         if (mac) TF.pseudoTagMac("EMAIL", key, "alice@a.example")
         else TF.pseudoTag("EMAIL", key, "alice@a.example"))),
         "ledger tags must be gone")
+      // the mod-97 class rides the same kernels: doc 5's requested IBAN
+      // tag is erased, its NON-requested IBAN keeps its linkage tag
+      val gbTag = if (mac) TF.pseudoTagMac("IBAN", key, "GB82WEST12345698765432")
+                  else TF.pseudoTag("IBAN", key, "GB82WEST12345698765432")
+      assert(expected(5L).contains(gbTag) &&
+        expected(5L).contains("<FORGOTTEN>"),
+        s"IBAN RTBF semantics drifted: ${expected(5L)}")
     }
   }
 
