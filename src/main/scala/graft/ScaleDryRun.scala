@@ -417,6 +417,7 @@ object ScaleDryRun {
       case "wave10" => wave10Mode(spark, srcDir, factor, workDir)
       case "wave11" => wave11Mode(spark, srcDir, factor, workDir)
       case "wave12" => wave12Mode(spark, srcDir, factor, workDir)
+      case "wave13" => wave13Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -936,5 +937,77 @@ object ScaleDryRun {
       Seq("s12_inbatch_negatives", "s13_matryoshka_topk",
         "s14_faceted_topk", "t27_quality_classifier", "t28_corpus_datasheet",
         "q60_corpus_diff", "e12_embedding_drift", "e13_embedding_outliers"))
+  }
+
+  /** RTBF cascade scale posture (round 17): one Rtbf.cascadeStores pass
+    * over a factor-x store FAMILY — the pseudonymized corpus store
+    * (with its derived fp column), a doc-keyed vector artifact, and an
+    * unpartitioned cell sidecar. Expected shapes: the linked-id
+    * derivation is one map-only boolean scan of the corpus store; the
+    * artifact hit probe is a semi-join against the (ledger-bounded,
+    * AQE-broadcast) id set; corpus and artifact rewrites touch ONLY hit
+    * partitions, so their cost is pinned to the ledger's spread, not
+    * the store size. The one deliberately linear piece is the sidecar
+    * purge — a whole-file rewrite of narrow (id, cell) rows (sidecars
+    * have no partition handle by design; the gate self-heals from an
+    * absent sidecar, so production can also just drop it). */
+  private def wave13Mode(spark: SparkSession, srcDir: String, factor: Int,
+                         workDir: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Rtbf
+    import spark.implicits._
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    val key = "wave13-rtbf-key"
+    println("| family | rows | hit parts | corpus hit ids | vec hit ids | sidecar dropped | wall s | shuffle write |")
+    println("|---|---|---|---|---|---|---|---|")
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir))) {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nRows = corpus.count()
+      val tag = s"${factor}x_${label.hashCode.abs}"
+      val store = s"$workDir/cascade_store_$tag"
+      val vecStore = s"$workDir/cascade_vec_$tag"
+      val cells = s"$workDir/cascade_cells_$tag"
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(store, vecStore, cells).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      // corpus store WITH the derived fp column (the cascade recomputes
+      // it in hit partitions); 5k docs per range partition as in wave12
+      corpus.select(col("doc_id"),
+          TF.pseudonymizePii(concat(col("text"), lit(" contact user"),
+            col("doc_id"), lit("@example.com")), key).as("pseudo"))
+        .withColumn("fp", TF.fingerprint(col("pseudo")))
+        .withColumn("_batch_id", (col("doc_id") / lit(5000L)).cast("long"))
+        .write.partitionBy("_batch_id").parquet(store)
+      // doc-keyed vector artifact (content irrelevant to the purge) +
+      // unpartitioned sidecar over the same ids
+      corpus.select(col("doc_id").as("vec_id"),
+          array(col("doc_id").cast("float"),
+            (col("doc_id") % 97).cast("float")).as("embedding"))
+        .withColumn("_batch_id", (col("vec_id") / lit(5000L)).cast("long"))
+        .write.partitionBy("_batch_id").parquet(vecStore)
+      corpus.select(col("doc_id").as("vec_id"),
+          pmod(col("doc_id"), lit(256L)).as("cell"))
+        .write.parquet(cells)
+      // 64-request ledger targeting docs in exactly TWO partitions
+      val ledger = ((100L to 131L) ++ (5100L to 5131L))
+        .map(id => ("EMAIL", s"user$id@example.com")).toDF("label", "value")
+      val meter = new ShuffleMeter(spark)
+      val (report, t, sb) = meter.measure(
+        Rtbf.cascadeStores(spark, store, "pseudo", ledger, key, mac = false,
+          derived = Seq("fp" -> TF.fingerprint(col("pseudo"))),
+          artifactStores = Seq(vecStore -> "vec_id"),
+          sidecars = Seq(cells -> "vec_id")))
+      println(f"| $label | $nRows | ${report.corpusPartitions.size}+" +
+        f"${report.artifactPartitions(vecStore).size} hit | " +
+        f"${report.corpusPartitions.mkString(",")} | " +
+        f"${report.artifactPartitions(vecStore).mkString(",")} | " +
+        f"${report.sidecarRowsDropped(cells)} | $t%.1f | ${fmtBytes(sb)} |")
+      Seq(store, vecStore, cells).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
   }
 }

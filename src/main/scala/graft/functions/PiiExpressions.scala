@@ -37,7 +37,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * IPv6, digit counts / digit-adjacent punctuation for the numeric
  * classes — and skips its regex (and the UTF-16 decode) entirely when
  * the necessary condition fails. On the word-salad corpus the typical
- * row carries at most an email, so five of the six classes' scans
+ * row carries at most an email, so six of the seven classes' scans
  * vanish; the gates are NECESSARY conditions only (a gate can never
  * fire on a row its class could match — the PiiSpec kernel law runs
  * the ungated references against the gated kernels on hostile random

@@ -14,7 +14,26 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Normalized whitespace tokenization; empty text → empty array. */
+  /** Normalized whitespace tokenization; empty text → empty array.
+    *
+    * SEGMENTATION CONTRACT (r16 verdict #6 — a decision, not an
+    * accident): tokens are `\s+`-separated runs of the lowercased,
+    * trimmed text, and EVERY token consumer inherits this — t01/t05
+    * counts, BM25/TF-IDF, the bigram LM and its fluency gate, shingles/
+    * MinHash/fingerprints, decontamination, span/chunk dedup. The
+    * consequence for no-space scripts (CJK, Thai, Lao): an unsegmented
+    * sentence is ONE token, so token counts under-read, the LM sees one
+    * giant unigram, and shingle dedup degenerates to exact-line dedup
+    * for such documents — TextFunctionsSpec pins this explicitly.
+    * UAX #29 word segmentation (JDK BreakIterator / ICU) was evaluated
+    * and REJECTED: the correctness gate's oracle engine has no
+    * BreakIterator twin (`string_split_regex` is what every one of the
+    * ~60 token-consuming oracles replays), and dictionary-based
+    * segmenters are neither version-stable nor engine-exact — a
+    * silently divergent tokenizer would poison every downstream hash.
+    * A CJK-capable deployment plugs a pre-segmented text column (spaces
+    * inserted upstream, where a real segmenter with its own test
+    * oracle lives) into the SAME pipeline — the contract composes. */
   def tokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(lower(trim(text)), "\\s+"))
@@ -410,7 +429,7 @@ object TextFunctions {
     piiClasses.filter(c => c.label == "EMAIL" || c.label == "PHONE")
       .foldLeft(text)((t, c) => scrubClass(t, c, c.tag))
 
-  /** Full redaction in [[piiClasses]] order (all six classes). A chain
+  /** Full redaction in [[piiClasses]] order (all seven classes). A chain
     * of codegen'd `regexp_replace` plus the CARD class's Luhn-verified
     * literal fold — map-only at any scale. Dedup MUST fingerprint
     * THIS form, not [[pseudonymizePii]]'s (blind tags collapse volatile

@@ -26,6 +26,36 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(n == 3)
   }
 
+  test("segmentation contract (pinned DECISION, r16 #6): whitespace-only " +
+       "tokenization — no-space scripts degenerate to one token, ideographic " +
+       "space and pre-segmented text split; UAX #29 rejected (the oracle " +
+       "engine has no BreakIterator twin)") {
+    // an unsegmented CJK sentence is ONE token — the documented
+    // degeneration every token consumer (counts, LM, shingles,
+    // fingerprints) inherits; a change to tokens() that silently starts
+    // splitting it MUST fail here and be re-proven against every oracle
+    assert(tokensOf("我爱北京天安门")
+      == Seq("我爱北京天安门"))
+    // U+3000 IDEOGRAPHIC SPACE is NOT a separator: Java \s and RE2 \s
+    // are both ASCII-only ([ \t\n\x0B\f\r] / [\t\n\f\r ]), so the two
+    // engines AGREE it doesn't split — the cross-engine consistency
+    // that matters. Pre-segmented CJK (the supported deployment path:
+    // segment upstream, feed the same pipeline) must therefore insert
+    // ASCII whitespace
+    assert(tokensOf("北京　天津")
+      == Seq("北京　天津"))
+    // mixed script: the latin run and the CJK run are separate tokens
+    // only because of the explicit spaces around them
+    assert(tokensOf("spark 分布式 engine")
+      == Seq("spark", "分布式", "engine"))
+    // consequence pinned: two CJK docs differing only at an internal
+    // "word boundary" have DISTINCT fingerprints (exact-line dedup, not
+    // word-level) — the honest shape of the degeneration
+    val fp = Seq("我爱北京", "我爱 北京")
+      .toDF("t").select(TF.fingerprint(col("t"))).as[String].collect()
+    assert(fp(0) != fp(1))
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val fps = Seq("Hello  world", "hello world", "hello worlds").toDF("t")
       .select(TF.fingerprint(col("t"))).as[String].collect()
