@@ -1426,6 +1426,14 @@ object NorthStar {
         .agg(max(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
           col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3).as("keepq"))
         .filter(col("keepq")).select(col("doc_id"))
+      // NO keep-list localCheckpoints here (measured, r17): d26's
+      // within-plan stage sharing was tried on this query and was
+      // WORSE — StageProfile stage time 1.26 s -> 3.30 s (and d16,
+      // which composes this body, 3.22 -> 4.84). Without d26's LM
+      // stage the per-stage lineages are cheap aggs, so the eager
+      // checkpoint materialization costs more than the re-execution it
+      // saves and forfeits the action's own pruning. Share stages only
+      // when one stage dominates (the d26 criterion).
       val pool1 = d.join(qKeep, Seq("doc_id"), "left_semi")
       // stage 2: exact dedup among quality survivors
       val eKeep = pool1.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
