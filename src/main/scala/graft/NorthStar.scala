@@ -166,6 +166,45 @@ object NorthStar {
         concat(lit(" via 2001:db8::"),
           lower(hex(pmod(id, lit(65536L)))))).otherwise(lit("")))
 
+  /** Deterministic encoding-damage injection for t44 (the corpus is
+    * clean ASCII): a double-encoded "café" on mod-4=1, a U+FFFD on
+    * mod-6=1, the two C1 controls on mod-9 residues 1/4, a
+    * double-encoded right-quote on mod-11=3 — single-sourced from the
+    * TextFunctions marker constants; [[mojiInjectSql]] rebuilds the
+    * SAME codepoints via chr(). */
+  private def mojiInject(text: Column, id: Column): Column =
+    concat(text,
+      when(id % 4 === 1, lit(" caf" + TF.doubleEncodeMarks(0)))
+        .otherwise(lit("")),
+      when(id % 6 === 1, lit(" bad " + TF.replacementMark))
+        .otherwise(lit("")),
+      when(id % 9 === 1, lit(" ctl " + TF.c1Marks(0)))
+        .when(id % 9 === 4, lit(" ctl " + TF.c1Marks(1)))
+        .otherwise(lit("")),
+      when(id % 11 === 3, lit(" quo " + TF.doubleEncodeMarks(1)))
+        .otherwise(lit("")))
+
+  /** A Scala marker string as a DuckDB codepoint expression (chr folds
+    * — keeps raw control chars out of the oracle SQL text). */
+  private def chrSql(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+  /** DuckDB twin of [[mojiInject]]. */
+  private def mojiInjectSql: String =
+    s"""text
+       || CASE WHEN doc_id % 4 = 1 THEN ' caf' || ${chrSql(TF.doubleEncodeMarks(0))} ELSE '' END
+       || CASE WHEN doc_id % 6 = 1 THEN ' bad ' || ${chrSql(TF.replacementMark)} ELSE '' END
+       || CASE WHEN doc_id % 9 = 1 THEN ' ctl ' || ${chrSql(TF.c1Marks(0))}
+               WHEN doc_id % 9 = 4 THEN ' ctl ' || ${chrSql(TF.c1Marks(1))}
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 3 THEN ' quo ' || ${chrSql(TF.doubleEncodeMarks(1))} ELSE '' END"""
+
+  /** DuckDB twin of TF.literalCount: occurrences of marker `m` in expr
+    * `t` by length difference over the marker's codepoint length. */
+  private def mojiCountSql(t: String, m: String): String =
+    s"""CAST((length($t) - length(replace($t, ${chrSql(m)}, '')))
+            // ${m.length} AS BIGINT)"""
+
   /** The t41/t42 deletion ledger: the shared audit address (links every
     * mod-10 doc — t37/t40's single target), one doc-specific address
     * (doc 33 only — NOT a mod-10 doc, so this request alone selects a
@@ -2389,6 +2428,22 @@ object NorthStar {
         "pseudo", rtbfLedger(s), piiKey, mac = false,
         derived = Seq("fp" -> TF.fingerprint(col("pseudo"))),
         artifact = emb(s, dir), artifactIdCol = "vec_id")),
+
+    // encoding-damage (mojibake) audit — the curation signal the
+    // quality heuristics cannot see (a mojibake'd page still has fine
+    // length/punct/stopword ratios): per-doc counts of U+FFFD
+    // replacement chars, C1 controls (the cp1252-as-latin-1
+    // signature), and double-encoding digrams ("Ã©", "â€™"), plus the
+    // keep flag. Counts are LITERAL codepoint-sequence folds (length
+    // difference / marker length — exact integers, no Unicode
+    // regex-class semantics to align across engines). The corpus is
+    // clean ASCII, so both engines deterministically plant a VARYING
+    // damage mix on doc_id residues (t35's discipline; varying counts
+    // make the oracle non-vacuous). Map-only at any scale.
+    "t44_mojibake" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), mojiInject(col("text"), col("doc_id")).as("tq"))
+        .select(col("doc_id") +: TF.mojibakeColumns(col("tq")): _*)),
 
     // n-gram language-model fluency scoring — the CCNet/KenLM stage of a
     // training-data pipeline: a bigram LM is trained on the curated
@@ -5374,6 +5429,18 @@ object NorthStar {
                   ${pseudoSql("t", TF.piiClasses(1), fnvTagSql("PHONE"))} AS pseudo
                 FROM p1),
           ${rtbfCascadeSql(fnvTagSql)}""",
+    // per-family literal-fold counts over the SAME injected codepoints
+    // (chr-rebuilt), keep flag = all-zero
+    "t44_mojibake" ->
+      s"""WITH tq AS (SELECT doc_id, $mojiInjectSql AS t FROM documents)
+          SELECT doc_id,
+                 ${mojiCountSql("t", TF.replacementMark)} AS n_replacement,
+                 ${TF.c1Marks.map(mojiCountSql("t", _)).mkString(" + ")} AS n_c1,
+                 ${TF.doubleEncodeMarks.map(mojiCountSql("t", _)).mkString(" + ")} AS n_double,
+                 (${mojiCountSql("t", TF.replacementMark)}
+                  + ${TF.c1Marks.map(mojiCountSql("t", _)).mkString(" + ")}
+                  + ${TF.doubleEncodeMarks.map(mojiCountSql("t", _)).mkString(" + ")}) = 0 AS clean
+          FROM tq""",
     // bigram LM trained on src0, scored log-free: integer truncating
     // division replays Spark's `div` exactly, ratios are one IEEE
     // divide, the keep gate is a cross-multiplied integer compare

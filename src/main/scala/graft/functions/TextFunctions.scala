@@ -84,6 +84,45 @@ object TextFunctions {
       (size(array_distinct(tokens(text))).cast("double") / greatest(n, lit(1))).as("ttr"))
   }
 
+  /**
+   * Encoding-damage (mojibake) audit — the curation signal web-corpus
+   * pipelines (CCNet/RefinedWeb-style) apply before training: documents
+   * carrying decode damage are noise the quality heuristics above do
+   * not see (a mojibake'd page still has fine length/punct/stopword
+   * ratios). Three marker families, each counted as LITERAL codepoint
+   * sequences so both engines replay exactly (no Unicode regex-class
+   * semantics to align):
+   *  - U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
+   *  - C1 controls (U+0085 NEL, U+0092 PU2 here) — the cp1252-read-as-
+   *    latin-1 signature (raw C1 codepoints never appear in clean text);
+   *  - double-encoding digrams ("Ã©" = UTF-8 'é' re-decoded as latin-1,
+   *    "â€™" = UTF-8 right-quote likewise) — the classic mojibake look.
+   * The marker lists are deliberately small and exact (counts are a
+   * SIGNAL; a production deployment extends the lists, the machinery is
+   * the contract). Map-only: per-row literal scans, no regex, no
+   * shuffle at any scale.
+   */
+  val replacementMark = "\ufffd"
+  val c1Marks: Seq[String] = Seq("\u0085", "\u0092")
+  val doubleEncodeMarks: Seq[String] = Seq("Ã©", "â€™")
+
+  /** Occurrences of literal `m` in `text` via length difference —
+    * exact integer arithmetic, same fold in DuckDB. */
+  private def literalCount(text: Column, m: String): Column =
+    ((length(text) -
+      length(call_function("replace", text, lit(m), lit("")))) /
+      lit(m.length)).cast("long")
+
+  /** The audit columns: per-family counts + the keep flag. */
+  def mojibakeColumns(text: Column): Seq[Column] = {
+    val nRepl = literalCount(text, replacementMark)
+    val nC1 = c1Marks.map(literalCount(text, _)).reduce(_ + _)
+    val nDouble = doubleEncodeMarks.map(literalCount(text, _)).reduce(_ + _)
+    Seq(nRepl.as("n_replacement"), nC1.as("n_c1"),
+      nDouble.as("n_double"),
+      (nRepl + nC1 + nDouble === 0).as("clean"))
+  }
+
   /** The t06/CorpusPipeline keep rule as one boolean over the text —
     * the SINGLE definition of "quality document" (≥ 5 tokens, punct
     * density ≤ 0.2, stopword ratio ≥ 0.01, type-token ratio ≥ 0.3)

@@ -56,6 +56,35 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
+  test("mojibake audit: per-family literal counts, clean flag, and the " +
+       "quality-heuristic blind spot the signal exists for") {
+    val repl = TF.replacementMark
+    val rows = Seq(
+      (1L, "perfectly clean ascii text here"),
+      (2L, s"decoder gave up $repl twice $repl here"),
+      (3L, s"nel ${TF.c1Marks(0)} and pu2 ${TF.c1Marks(1)} controls"),
+      (4L, "double caf" + TF.doubleEncodeMarks(0) + " and quote " +
+        TF.doubleEncodeMarks(1)),
+      (5L, "caf" + TF.doubleEncodeMarks(0) + TF.doubleEncodeMarks(0) +
+        " back to back")).toDF("doc_id", "text")
+    val m = rows.select(col("doc_id") +: TF.mojibakeColumns(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(m(1L) == ((0L, 0L, 0L, true)))
+    assert(m(2L) == ((2L, 0L, 0L, false)))
+    assert(m(3L) == ((0L, 2L, 0L, false)))
+    assert(m(4L) == ((0L, 0L, 2L, false)))
+    assert(m(5L) == ((0L, 0L, 2L, false)), "adjacent digrams both count")
+    // the blind spot: a mojibake'd doc can still PASS the heuristic
+    // quality rule — this signal is additive, not redundant
+    val blind = Seq((9L, "the quick brown fox ate caf" +
+      TF.doubleEncodeMarks(0) + " food today")).toDF("doc_id", "text")
+    assert(blind.select(TF.qualityKeep(col("text"))).head.getBoolean(0),
+      "fixture premise: heuristics pass")
+    assert(!blind.select(TF.mojibakeColumns(col("text")).last).head.getBoolean(0),
+      "the mojibake flag catches what the heuristics miss")
+  }
+
   test("fingerprint is whitespace/case-insensitive but content-sensitive") {
     val fps = Seq("Hello  world", "hello world", "hello worlds").toDF("t")
       .select(TF.fingerprint(col("t"))).as[String].collect()
