@@ -123,6 +123,12 @@ object TextFunctions {
       (nRepl + nC1 + nDouble === 0).as("clean"))
   }
 
+  /** The keep flag alone (t44's `clean` column) — the pipeline/gate
+    * form, same subexpressions as [[mojibakeColumns]]. */
+  def mojibakeClean(text: Column): Column =
+    (replacementMark +: (c1Marks ++ doubleEncodeMarks))
+      .map(literalCount(text, _)).reduce(_ + _) === 0
+
   /** The t06/CorpusPipeline keep rule as one boolean over the text —
     * the SINGLE definition of "quality document" (≥ 5 tokens, punct
     * density ≤ 0.2, stopword ratio ≥ 0.01, type-token ratio ≥ 0.3)

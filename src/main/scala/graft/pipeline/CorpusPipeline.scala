@@ -17,6 +17,9 @@ import graft.operators.Dedup
  *                               fingerprinting, so volatile per-crawl PII
  *                               cannot split dup clusters: the d25
  *                               witness)
+ *   0b. encoding-damage gate   (optional, t44's mojibake keep flag —
+ *                               decode damage the quality ratios cannot
+ *                               see, dropped before fingerprinting)
  *   1. quality filter          (t06's keep rules)
  *   1b. LM-fluency gate        (optional, t39's bigram-LM keep rule —
  *                               the CCNet ordering: heuristic quality,
@@ -71,9 +74,21 @@ object CorpusPipeline {
    *                    [[graft.operators.LmFluency.score]] body shared
    *                    with the oracle-verified t39/d26 queries.
    */
+  /**
+   * @param mojibakeFilter when true, insert the encoding-damage gate
+   *                    (TF.mojibakeColumns' keep flag — t44's contract)
+   *                    between the PII scrub and the quality filter:
+   *                    decode damage is invisible to the heuristic
+   *                    ratios (a mojibake'd page still scores fine) and
+   *                    must drop BEFORE fingerprinting can anchor a dup
+   *                    cluster on a damaged survivor. Default off — the
+   *                    harness corpus is clean ASCII and the
+   *                    oracle-pinned stage list predates the stage.
+   */
   def run(docs: DataFrame, evalSource: String = "src0",
           jaccard: Double = 0.8, lshPairs: Boolean = false,
-          lmFluency: Boolean = false): Result = {
+          lmFluency: Boolean = false,
+          mojibakeFilter: Boolean = false): Result = {
     val stats = scala.collection.mutable.ArrayBuffer.empty[StageStats]
     // each stage's input IS the previous stage's output, so count each
     // frame ONCE and thread the count forward — re-counting `in` would
@@ -93,8 +108,17 @@ object CorpusPipeline {
     // same page, so raw-text dedup would leak every such re-crawl —
     // d25_scrub_dedup measures exactly that split. Downstream stages
     // never see raw PII, so no identifier can reach the released corpus.
-    val scrubbed = stage("pii_scrub",
+    val scrubbed0 = stage("pii_scrub",
       docs.withColumn("text", TF.scrubPii(col("text"))))
+
+    // 0b. optional encoding-damage gate (t44's keep flag): damage is
+    // per-row and content-derived, so it gates the SCRUBBED text the
+    // fingerprints will see — a damaged doc must never anchor a dup
+    // cluster or ship. Map-only literal scans, no new shuffle.
+    val scrubbed =
+      if (!mojibakeFilter) scrubbed0
+      else stage("mojibake_filter",
+        scrubbed0.filter(TF.mojibakeClean(col("text"))))
 
     // 1. quality filter — per-row expressions only; THE shared keep rule
     // (TF.qualityKeep — one definition with the streaming ingest gate).

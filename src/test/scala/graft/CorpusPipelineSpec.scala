@@ -131,6 +131,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "a released doc must be a non-reference gate-passer")
   }
 
+  test("mojibake stage law: the gated run inserts exactly one " +
+       "mojibake_filter stage that drops exactly the damaged docs, and " +
+       "mojibakeFilter=false is byte-identical to the ungated pipeline") {
+    // plant decode damage on a residue class (t44's discipline) — the
+    // harness corpus itself is clean ASCII
+    val planted = docs.withColumn("text",
+      when(col("doc_id") % 7 === 2,
+        concat(col("text"), lit(" caf" + TF.doubleEncodeMarks(0))))
+        .otherwise(col("text")))
+    val gated = CorpusPipeline.run(planted, mojibakeFilter = true)
+    assert(gated.stats.map(_.stage) == Seq("pii_scrub", "mojibake_filter",
+      "quality_filter", "exact_dedup", "neardup_dedup", "decontaminate"))
+    val mj = gated.stats.find(_.stage == "mojibake_filter").get
+    val damaged = planted
+      .filter(!TF.mojibakeClean(TF.scrubPii(col("text")))).count()
+    assert(damaged > 0, "fixture premise: some docs are damaged")
+    assert(mj.docs_in - mj.docs_out == damaged,
+      s"the stage must drop exactly the damaged docs ($damaged)")
+    assert(gated.corpus.filter(!TF.mojibakeClean(col("text"))).count() == 0,
+      "no damaged doc may ship")
+    // flag off == the current pipeline, byte-identical
+    val off = CorpusPipeline.run(planted)
+    assert(off.stats.map(_.stage) == Seq("pii_scrub", "quality_filter",
+      "exact_dedup", "neardup_dedup", "decontaminate"))
+    val base = CorpusPipeline.run(planted, mojibakeFilter = false)
+    assert(base.corpus.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSet ==
+      off.corpus.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSet)
+  }
+
   test("split assignment is content-stable: re-running yields identical splits") {
     val a = result.corpus.select(col("doc_id"), col("split"))
       .as[(Long, String)].collect().toMap
