@@ -152,6 +152,12 @@ object NorthStar {
         .otherwise(lit("")),
       when(id % 31 === 0, lit(" acct FR1420041010050500013M02606"))
         .otherwise(lit("")),
+      // round-17 paper-format plants: a valid spaced IBAN on mod-37=0
+      // (its digit groups are Luhn-broken, so CARD stays quiet), the
+      // check-broken spaced variant on mod-37=1 (counts 0, survives raw)
+      when(id % 37 === 0, lit(" pay GB82 WEST 1234 5698 7654 32"))
+        .when(id % 37 === 1, lit(" pay GB82 WEST 1234 5698 7654 31"))
+        .otherwise(lit("")),
       when(id % 5 === 0,
         concat(lit(" from 10."), pmod(id, lit(256L)).cast("string"),
           // cast-truncate == // for the non-negative ids (< 2^52 exact)
@@ -311,6 +317,9 @@ object NorthStar {
               ELSE '' END
       || CASE WHEN doc_id % 31 = 0
               THEN ' acct FR1420041010050500013M02606' ELSE '' END
+      || CASE WHEN doc_id % 37 = 0 THEN ' pay GB82 WEST 1234 5698 7654 32'
+              WHEN doc_id % 37 = 1 THEN ' pay GB82 WEST 1234 5698 7654 31'
+              ELSE '' END
       || CASE WHEN doc_id % 5 = 0
               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                    || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
@@ -428,24 +437,93 @@ object NorthStar {
     * init parameter — the cardValuesSql trick). */
   private def mod97CondSql(m: String): String = {
     val r = s"(substr($m, 5) || substr($m, 1, 4))"
+    // lambda binders a97/cx, NOT acc/x: this condition is embedded
+    // inside ibanValuesSql's greedy-cursor lambda whose binders are
+    // (acc, x), and the embedded window expression references the OUTER
+    // x — reusing the names would capture the inner chars index instead
     s"""(list_reduce(list_prepend(0, range(1, length($m) + 1)),
-          (acc, x) -> CASE WHEN $r[x] BETWEEN '0' AND '9'
-                           THEN (acc * 10 + CAST($r[x] AS INT)) % 97
-                           ELSE (acc * 100 + ascii($r[x]) - 55) % 97 END)
+          (a97, cx) -> CASE WHEN $r[cx] BETWEEN '0' AND '9'
+                            THEN (a97 * 10 + CAST($r[cx] AS INT)) % 97
+                            ELSE (a97 * 100 + ascii($r[cx]) - 55) % 97 END)
         = 1)"""
   }
 
-  /** DuckDB twin of IbanScan.findValues over expr `t`: the guarded
-    * two-pass candidate extraction (contiguous runs cannot steal, so
-    * unlike CARD no run enumeration is needed — pass 2 only recovers
-    * single-char-separated neighbors), filtered by the mod-97 check. */
+  /**
+   * DuckDB twin of IbanScan.findValues over expr `t` — the IBAN
+   * run-enumeration (see the IbanScan semantics doc), covering BOTH the
+   * contiguous electronic format and the spaced 4-group paper format:
+   * maximal `[A-Z0-9]+( [A-Z0-9]+)*` runs extracted three aligned ways
+   * (the cardValuesSql construction — (lead, run) with the lead
+   * consumed, (run, tail) with the tail consumed; both enumerate the
+   * same maximal runs in order, so the lists zip), group-aligned
+   * candidate windows (one 15–34-char group, or ≥4 groups with 4-char
+   * head/interiors and a 1–4-char terminal, total 15–34, head shaped
+   * `[A-Z]{2}[0-9]{2}`), run-edge context guards from the captured
+   * lead/tail chars, the mod-97 filter over the de-spaced window, and
+   * the greedy LEFTMOST-LONGEST cursor as a list_reduce whose VARCHAR
+   * accumulator is 'cursor|v1;v2;…' (IBAN values contain only
+   * uppercase, digits and spaces, so '|' and ';' are inert).
+   */
   private def ibanValuesSql(t: String): String = {
-    val c = TF.piiClasses.find(_.mod97).get
-    val once = s"regexp_replace($t, '${c.pattern}', '${duckRepl(c)}', 'g')"
-    s"""list_filter(
-          regexp_extract_all($t, '${c.pattern}', ${c.group})
-            || regexp_extract_all($once, '${c.pattern}', ${c.group}),
-          m -> ${mod97CondSql("m")})"""
+    val runPat = "[A-Z0-9]+(?: [A-Z0-9]+)*"
+    val runs = s"regexp_extract_all($t, '(^|[^A-Z0-9])($runPat)', 2)"
+    val leads = s"regexp_extract_all($t, '(^|[^A-Z0-9])($runPat)', 1)"
+    val tails = s"regexp_extract_all($t, '($runPat)([^A-Z0-9]|$$)', 2)"
+    val r = s"$runs[ri]"; val ld = s"$leads[ri]"; val tl = s"$tails[ri]"
+    val g = s"str_split($r, ' ')"
+    val m = s"len($g)"
+    val i = "CAST(x AS INT)"
+    def gl(ix: String) = s"length($g[$ix])"
+    // run-edge guards: the captured lead/tail char must not be any
+    // alphanumeric (window-interior boundaries are the run's own
+    // single spaces, true by construction)
+    def startOk(ix: String) =
+      s"""(CASE WHEN $ix = 1
+            THEN ($ld = '' OR NOT regexp_matches($ld, '[0-9A-Za-z]'))
+            ELSE true END)"""
+    def endOk(jx: String) =
+      s"""(CASE WHEN $jx = $m
+            THEN ($tl = '' OR NOT regexp_matches($tl, '[0-9A-Za-z]'))
+            ELSE true END)"""
+    def lldd(ix: String) =
+      s"regexp_full_match(substr($g[$ix], 1, 4), '[A-Z]{2}[0-9]{2}')"
+    def winVal(jx: String) = s"array_to_string(list_slice($g, $i, $jx), ' ')"
+    // paper-format window ending at group i+off (off = 3..8), longest
+    // tried first by CASE order below
+    def paperShape(off: Int) = {
+      val jx = s"$i + $off"
+      s"""($jx <= $m AND ${gl(i)} = 4 AND ${lldd(i)} AND ${startOk(i)}
+          AND len(list_filter(list_slice($g, $i + 1, $jx - 1),
+                q -> length(q) != 4)) = 0
+          AND ${gl(jx)} BETWEEN 1 AND 4
+          AND (4 * $off + ${gl(jx)}) BETWEEN 15 AND 34
+          AND ${endOk(jx)}
+          AND ${mod97CondSql(s"replace(${winVal(jx)}, ' ', '')")})"""
+    }
+    val singleShape =
+      s"""(${gl(i)} BETWEEN 15 AND 34 AND ${lldd(i)}
+          AND ${startOk(i)} AND ${endOk(i)}
+          AND ${mod97CondSql(s"$g[$i]")})"""
+    def take(endOff: Int) =
+      s"""CAST($i + ${endOff + 1} AS VARCHAR) || '|' ||
+          (CASE WHEN str_split(acc, '|')[2] = ''
+                THEN ${winVal(s"$i + $endOff")}
+                ELSE str_split(acc, '|')[2] || ';' ||
+                     ${winVal(s"$i + $endOff")} END)"""
+    val branches = (8 to 3 by -1).map(off =>
+      s"WHEN ${paperShape(off)} THEN ${take(off)}").mkString("\n              ")
+    val reduce =
+      s"""list_reduce(
+            list_prepend('1|', list_transform(range(1, $m + 1),
+              ii -> CAST(ii AS VARCHAR))),
+            (acc, x) -> CASE
+              WHEN $i < CAST(str_split(acc, '|')[1] AS INT) THEN acc
+              $branches
+              WHEN $singleShape THEN ${take(0)}
+              ELSE acc END)"""
+    s"""flatten(list_transform(range(1, len($runs) + 1), ri ->
+          list_filter(str_split(str_split($reduce, '|')[2], ';'),
+            v -> v <> '')))"""
   }
 
   /** The class's candidate values over expr `t`: pass-1 guarded matches

@@ -439,38 +439,52 @@ case class CardScrub(child: Expression, tag: String) extends UnaryExpression {
  * the ISO 13616 mod-97 check to verify (move the first four chars to
  * the end, map A–Z → 10–35, the resulting big decimal ≡ 1 mod 97 —
  * exact integer arithmetic both engines replay; a random shape-shaped
- * span passes with p ≈ 1/97). Class contract, pinned by PiiSpec and
- * the DuckDB twin (NorthStar.ibanValuesSql):
+ * span passes with p ≈ 1/97). BOTH standard layouts are in (round 17 —
+ * the paper format was initially documented out, then brought in on
+ * the CardRuns machinery): the CONTIGUOUS electronic format
+ * (`GB82WEST12345698765432`) and the SPACED 4-group paper format
+ * (`GB82 WEST 1234 5698 7654 32`). Semantics, replayed by the DuckDB
+ * twin (NorthStar.ibanValuesSql):
  *
- *  - candidates are MAXIMAL alphanumeric runs (lead/tail char outside
- *    [0-9A-Za-z], or text edge) of length 15–34 shaped
- *    `[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}` — the CONTIGUOUS electronic
- *    format. A lowercase char anywhere in the run disqualifies it
- *    (IBANs are uppercase by standard; lowercase admission would make
- *    every camelCase token a candidate). The spaced 4-group PAPER
- *    format (`GB82 WEST 1234 …`) is deliberately OUT, like PHONE's
- *    bare space-separated triples: without the contiguous anchor a
- *    spaced group run is indistinguishable from a reference-code
- *    column, and the mod-97 gate alone (p ≈ 1/97) is a weaker shield
- *    than CARD's shape+Luhn against that volume.
- *  - runs cannot overlap, so one left-to-right scan is exact under any
- *    adjacency — no consuming guards, nothing to steal (the CARD
- *    lesson applied from the start); verified values are emitted in
- *    text order.
+ *  1. GROUPS are maximal `[A-Z0-9]+` spans (lowercase ends a group —
+ *     IBANs are uppercase by standard; lowercase admission would make
+ *     every camelCase token a candidate); RUNS are maximal sequences
+ *     of groups joined by exactly one space. Runs cannot overlap, so
+ *     one left-to-right scan is exact — no consuming guards, nothing
+ *     to steal (the CARD lesson applied from the start).
+ *  2. Within a run, CANDIDATE WINDOWS are group-aligned:
+ *     - one group of 15–34 chars (contiguous format), or
+ *     - ≥4 groups where the first and every interior group is exactly
+ *       4 chars and the terminal group is 1–4 (paper format), total
+ *       15–34 chars;
+ *     in both, the first four chars are `[A-Z]{2}[0-9]{2}`. Boundary
+ *     guards hold as CONTEXT (non-consuming): a window starting at the
+ *     run's first group needs the run's lead char outside
+ *     [0-9A-Za-z] (or text start); a window ending at the run's last
+ *     group needs the run's tail char likewise (interior boundaries
+ *     are the run's own single spaces). Irregular spacings (non-4
+ *     interior groups) are not candidates — the paper format is
+ *     exactly groups-of-4.
+ *  3. Selection is GREEDY LEFTMOST-LONGEST: scan group indices left to
+ *     right; at each start try windows longest-first, take the first
+ *     mod-97-valid one, jump past it. Invalid candidates never consume
+ *     anything. Arbitration note: two OVERLAPPING mod-97-valid windows
+ *     are a 1/97 coincidence (e.g. a valid IBAN whose accidental
+ *     extension into a neighboring group also checks out); the
+ *     leftmost-longest rule is the pinned, engine-identical resolution
+ *     — PiiSpec's laws compare against a reference replaying the same
+ *     arbitration, and the planted-recall laws use fixtures where the
+ *     selection is unambiguous.
  *
- * Equivalence with the regex twin: a maximal run matches the guarded
- * pattern ([[graft.functions.TextFunctions.ibanPattern]]) iff it has
- * this shape — the greedy core must absorb the entire run or the
- * consumed tail guard sees an alphanumeric and every backtrack fails —
- * so two-pass extraction + mod-97 filter (the oracle form) finds
- * exactly these values (pass 2 recovers single-char-separated
- * neighbors whose lead char pass 1's tail guard consumed).
+ * A pure char-level scan: no regex, O(len + runs·windows) per row, the
+ * mod-97 fold runs on the text buffer in place.
  */
 object IbanScan {
   @inline private def isDigit(c: Char) = c >= '0' && c <= '9'
   @inline private def isUpper(c: Char) = c >= 'A' && c <= 'Z'
+  @inline private def isRunChar(c: Char) = isDigit(c) || isUpper(c)
   @inline private def isAlnum(c: Char) =
-    isDigit(c) || isUpper(c) || (c >= 'a' && c <= 'z')
+    isRunChar(c) || (c >= 'a' && c <= 'z')
 
   /** ISO 13616 mod-97 over text[from, to): rearranged fold, digits as
     * themselves, A–Z as 10–35, valid iff the running remainder is 1. */
@@ -487,29 +501,90 @@ object IbanScan {
     if (isDigit(c)) (acc * 10 + (c - '0')) % 97
     else (acc * 100 + (c - 55)) % 97
 
-  /** The verified IBAN values of `text`, in text order; null when there
-    * are none (the common row — no allocation at all). */
+  /** mod-97 over the window groups gi..gj (spaces skipped): the first
+    * group is exactly the 4-char head, so the rearranged fold is the
+    * other groups' chars then the head's. */
+  private def mod97OkGroups(text: String,
+                            gStart: scala.collection.mutable.ArrayBuffer[Int],
+                            gEnd: scala.collection.mutable.ArrayBuffer[Int],
+                            gi: Int, gj: Int): Boolean = {
+    var acc = 0
+    var g = gi + 1
+    while (g <= gj) {
+      var i = gStart(g)
+      while (i < gEnd(g)) { acc = step(acc, text.charAt(i)); i += 1 }
+      g += 1
+    }
+    var i = gStart(gi)
+    while (i < gEnd(gi)) { acc = step(acc, text.charAt(i)); i += 1 }
+    acc == 1
+  }
+
+  /** The selected verified IBAN values of `text`, in text order; null
+    * when there are none (the common row — no allocation at all). */
   def findValues(text: String): java.util.ArrayList[String] = {
     var out: java.util.ArrayList[String] = null
     val n = text.length
+    val gStart = new scala.collection.mutable.ArrayBuffer[Int](8)
+    val gEnd = new scala.collection.mutable.ArrayBuffer[Int](8)
     var pos = 0
     while (pos < n) {
-      if (!isAlnum(text.charAt(pos))) pos += 1
+      if (!isRunChar(text.charAt(pos))) pos += 1
       else {
-        val start = pos
-        var upperDigitOnly = true
-        while (pos < n && isAlnum(text.charAt(pos))) {
-          val c = text.charAt(pos)
-          if (!isDigit(c) && !isUpper(c)) upperDigitOnly = false
-          pos += 1
+        val runStart = pos
+        gStart.clear(); gEnd.clear()
+        var cont = true
+        while (cont) {
+          val s0 = pos
+          while (pos < n && isRunChar(text.charAt(pos))) pos += 1
+          gStart += s0; gEnd += pos
+          cont = pos + 1 < n && text.charAt(pos) == ' ' &&
+            isRunChar(text.charAt(pos + 1))
+          if (cont) pos += 1
         }
-        val len = pos - start
-        if (upperDigitOnly && len >= 15 && len <= 34 &&
-            isUpper(text.charAt(start)) && isUpper(text.charAt(start + 1)) &&
-            isDigit(text.charAt(start + 2)) && isDigit(text.charAt(start + 3)) &&
-            mod97Ok(text, start, pos)) {
-          if (out == null) out = new java.util.ArrayList[String](2)
-          out.add(text.substring(start, pos))
+        val runEnd = pos
+        val m = gStart.length
+        val leadOkRun = runStart == 0 || !isAlnum(text.charAt(runStart - 1))
+        val tailOkRun = runEnd == n || !isAlnum(text.charAt(runEnd))
+        @inline def gl(i: Int) = gEnd(i) - gStart(i)
+        // the first four chars of a candidate: [A-Z]{2}[0-9]{2}
+        @inline def lldd(i: Int) = {
+          val s = gStart(i)
+          isUpper(text.charAt(s)) && isUpper(text.charAt(s + 1)) &&
+            isDigit(text.charAt(s + 2)) && isDigit(text.charAt(s + 3))
+        }
+        var gi = 0
+        while (gi < m) {
+          var sel = -1
+          if ((gi > 0 || leadOkRun)) {
+            if (gl(gi) == 4 && lldd(gi)) {
+              // paper-format windows, longest end first
+              var j = math.min(gi + 8, m - 1)
+              while (j >= gi + 3 && sel < 0) {
+                var interior4 = true
+                var k = gi + 1
+                while (k < j && interior4) {
+                  if (gl(k) != 4) interior4 = false
+                  k += 1
+                }
+                val total = 4 * (j - gi) + gl(j)
+                if (interior4 && gl(j) >= 1 && gl(j) <= 4 &&
+                    total >= 15 && total <= 34 &&
+                    (j < m - 1 || tailOkRun) &&
+                    mod97OkGroups(text, gStart, gEnd, gi, j)) sel = j
+                j -= 1
+              }
+            } else if (gl(gi) >= 15 && gl(gi) <= 34 && lldd(gi) &&
+                (gi < m - 1 || tailOkRun) &&
+                mod97Ok(text, gStart(gi), gEnd(gi))) {
+              sel = gi // contiguous format: the one-group window
+            }
+          }
+          if (sel >= 0) {
+            if (out == null) out = new java.util.ArrayList[String](2)
+            out.add(text.substring(gStart(gi), gEnd(sel)))
+            gi = sel + 1
+          } else gi += 1
         }
       }
     }

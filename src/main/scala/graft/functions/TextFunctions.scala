@@ -324,23 +324,28 @@ object TextFunctions {
     }) % 10) === 0
   }
 
-  /** IBAN (core, group 2): the CONTIGUOUS ISO 13616 electronic format —
-    * two uppercase country letters, two check digits, 11–30 uppercase/
-    * digit BBAN chars (15–34 total — the real registry's span), with
-    * plain non-alphanumeric boundary guards (any alnum adjacency,
-    * including lowercase, rejects: camelCase tokens and longer runs
-    * never yield sub-span candidates; the greedy core must absorb the
-    * whole run or the tail guard fails every backtrack). The shape only
+  /** IBAN (core, group 2): BOTH ISO 13616 layouts — the CONTIGUOUS
+    * electronic format (two uppercase country letters, two check
+    * digits, 11–30 uppercase/digit BBAN chars; 15–34 total — the real
+    * registry's span) and the SPACED 4-group paper format
+    * (`GB82 WEST 1234 …`, interior groups exactly 4 chars, terminal
+    * 1–4), with plain non-alphanumeric boundary guards (any alnum
+    * adjacency, including lowercase, rejects — camelCase tokens and
+    * longer runs never yield sub-span candidates). The shape only
     * defines CANDIDATES — detection requires the mod-97 check
     * ([[mod97Valid]] / PiiExpressions.IbanScan) to verify, the CARD
     * discipline (a checksum-broken span counts 0 and survives scrub
-    * raw). The spaced 4-group paper format is deliberately OUT — see
-    * the IbanScan contract note. Like cardPattern, this regex is the
-    * class's raw-survivor SWEEP shape (a text where it finds nothing
-    * contains no IBAN-shaped span); detection runs the scan kernel. */
+    * raw). Like cardPattern, this regex is the class's raw-survivor
+    * SWEEP shape (a text where it finds nothing contains no
+    * IBAN-shaped span — the spaced alternative deliberately admits a
+    * few over-wide group counts the total-length rule excludes);
+    * detection runs IbanScan's run enumeration, exact under any
+    * adjacency with greedy leftmost-longest arbitration. */
   private val leadAln = "(^|[^0-9A-Za-z])"
   private val tailAln = "([^0-9A-Za-z]|$)"
-  private val ibanCore = "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}"
+  private val ibanCore =
+    "[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}" +
+    "|[A-Z]{2}[0-9]{2}(?: [A-Z0-9]{4}){2,7}(?: [A-Z0-9]{1,4})?"
   val ibanPattern: String = leadAln + "(" + ibanCore + ")" + tailAln
 
   /** ISO 13616 mod-97 over a candidate IBAN: first four chars moved to
@@ -407,18 +412,22 @@ object TextFunctions {
   private val idSpec = GuardedSpec(
     "(" + idCore + ")" + tailNum, digitChars, ".-")
 
-  // IBAN sits between the checksum-gated CARD and the colon/dot classes:
-  // its runs are letter-anchored (every other numeric class's lead guard
-  // rejects letter adjacency, so nothing can match INSIDE an IBAN run,
-  // and an IBAN candidate needs uppercase letters no digit-run class
-  // emits), its <IBAN> tag carries no digit/'@'/'.'/'-'/':' so it can
-  // never create a later match, and the FNV/MAC tag bodies keep the
-  // established digit-padding/hex discipline.
+  // IBAN scrubs BEFORE CARD (r17, with the spaced paper format in): a
+  // spaced IBAN's interior digit groups are a card-shaped digit run,
+  // and a Luhn-valid one would otherwise be carved out as <CARD>
+  // before the IBAN pass could see its span — IBAN-first redacts the
+  // whole account number as one identifier, and the <IBAN> tag carries
+  // no digit/'@'/'.'/'-'/':' so no later class can match into it.
+  // (Per-class COUNTS run on the raw text and are order-independent: a
+  // Luhn-valid digit sub-run inside an IBAN counts in BOTH classes,
+  // the documented over-match semantics, same as phone-in-email.)
+  // IBAN's own runs are letter-anchored, so no digit-run class's lead
+  // guard ever matches inside them.
   val piiClasses: Seq[PiiClass] = Seq(
     PiiClass("EMAIL", emailPattern, 0),
     PiiClass("PHONE", phonePattern, 2, scan = Some(phoneSpec)),
-    PiiClass("CARD", cardPattern, 2, luhn = true),
     PiiClass("IBAN", ibanPattern, 2, mod97 = true),
+    PiiClass("CARD", cardPattern, 2, luhn = true),
     PiiClass("IP6", ipv6Pattern, 2, scan = Some(ipv6Spec)),
     PiiClass("IP", ipv4Pattern, 2, scan = Some(ipv4Spec)),
     PiiClass("ID", idPattern, 2, scan = Some(idSpec)))

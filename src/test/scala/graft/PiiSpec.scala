@@ -26,7 +26,8 @@ class PiiSpec extends AnyFunSuite {
     (5L, "alice@corp.example.com reappears for linkage plus +1-555-0100"),
     (6L, "node fe80::1 and 2001:db8:0:0:0:0:2:1 plus ::1 end"),
     (7L, "pay DE89370400440532013000 or FR1420041010050500013M02606 both valid"),
-    (8L, "broken GB82WEST12345698765431 and lowercase de89370400440532013000 stay")
+    (8L, "broken GB82WEST12345698765431 and lowercase de89370400440532013000 stay"),
+    (9L, "wire GB82 WEST 1234 5698 7654 32 paper format today")
   ).toDF("doc_id", "text")
 
   /** ScalaCheck intensity for the PII property laws: 30 cases in CI
@@ -71,7 +72,7 @@ class PiiSpec extends AnyFunSuite {
   test("planted-PII recall is 1.0: scrub leaves zero matches of any class") {
     val before = countAll(planted, "text")
     assert(before == Map("EMAIL" -> 5L, "PHONE" -> 2L, "CARD" -> 0L,
-      "IBAN" -> 2L, "IP" -> 2L, "ID" -> 1L, "IP6" -> 3L),
+      "IBAN" -> 3L, "IP" -> 2L, "ID" -> 1L, "IP6" -> 3L),
       s"fixture drifted: $before")
     val after = countAll(planted.select(TF.scrubPii(col("text")).as("t")), "t")
     assert(after.values.forall(_ == 0L), s"scrub left matches: $after")
@@ -206,15 +207,47 @@ class PiiSpec extends AnyFunSuite {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     // driver-side references, independently formulated: Java-regex
     // two-pass chains for the guarded classes, refCardValues for CARD,
-    // two-pass extraction + the reference mod-97 filter for IBAN
+    // refIbanValues for IBAN (regex-located runs + a functional window
+    // scan replaying the same greedy leftmost-longest arbitration)
     def refIbanValues(text: String): Seq[String] = {
-      val c = TF.piiClasses.find(_.mod97).get
-      def cores(t: String) = {
-        val m = java.util.regex.Pattern.compile(c.pattern).matcher(t)
-        Iterator.continually(m).takeWhile(_.find()).map(_.group(2)).toSeq
+      val runRe = java.util.regex.Pattern.compile("[A-Z0-9]+(?: [A-Z0-9]+)*")
+      val mt = runRe.matcher(text)
+      val out = Seq.newBuilder[String]
+      def asciiAlnum(c: Char) = (c >= '0' && c <= '9') ||
+        (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+      while (mt.find()) {
+        val (rs, re) = (mt.start, mt.end)
+        val leadOk = rs == 0 || !asciiAlnum(text.charAt(rs - 1))
+        val tailOk = re == text.length || !asciiAlnum(text.charAt(re))
+        val groups = mt.group().split(' ').toVector
+        def startOk(i: Int) = i > 0 || leadOk
+        def endOk(j: Int) = j < groups.length - 1 || tailOk
+        def lldd(s: String) =
+          s.length >= 4 && s(0).isUpper && s(1).isUpper &&
+            s(2).isDigit && s(3).isDigit
+        var gi = 0
+        while (gi < groups.length) {
+          val cands: Seq[Int] =
+            if (groups(gi).length == 4 && lldd(groups(gi)) && startOk(gi))
+              (math.min(gi + 8, groups.length - 1) to (gi + 3) by -1).filter { j =>
+                (gi + 1 until j).forall(groups(_).length == 4) &&
+                  groups(j).length >= 1 && groups(j).length <= 4 &&
+                  (4 * (j - gi) + groups(j).length) >= 15 &&
+                  (4 * (j - gi) + groups(j).length) <= 34 && endOk(j) &&
+                  mod97Ref(groups.slice(gi, j + 1).mkString) == 1
+              }
+            else if (groups(gi).length >= 15 && groups(gi).length <= 34 &&
+                lldd(groups(gi)) && startOk(gi) && endOk(gi) &&
+                mod97Ref(groups(gi)) == 1) Seq(gi)
+            else Seq.empty
+          cands.headOption match {
+            case Some(j) =>
+              out += groups.slice(gi, j + 1).mkString(" "); gi = j + 1
+            case None => gi += 1
+          }
+        }
       }
-      val once = text.replaceAll(c.pattern, s"$$1${c.tag}$$3")
-      (cores(text) ++ cores(once)).filter(v => mod97Ref(v) == 1)
+      out.result()
     }
     def refCount(text: String, c: TF.PiiClass): Long =
       if (c.luhn) refCardValues(text).size.toLong
@@ -270,23 +303,36 @@ class PiiSpec extends AnyFunSuite {
       1 -> Gen.const("fe80::1"),
       // IBAN-shaped runs: RANDOM check digits (mostly mod-97-broken,
       // ~1/97 valid — equivalence must hold either way), computed-valid
-      // ones, and hostile shapes (lowercase-embedded, 14 = too short,
-      // 35 = too long)
+      // ones, BOTH layouts (contiguous + the spaced 4-group paper
+      // format), and hostile shapes (lowercase-embedded, 14 = too
+      // short, 35 = too long, irregular interior spacing, uppercase
+      // word runs)
       1 -> (for {
         c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
         ck <- digits(2, 2); n <- Gen.chooseNum(11, 30)
         bban <- Gen.listOfN(n,
           Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
-      } yield s"$c1$c2$ck$bban"),
+        spaced <- Gen.oneOf(true, false)
+      } yield {
+        val v = s"$c1$c2$ck$bban"
+        if (spaced) v.grouped(4).mkString(" ") else v
+      }),
       1 -> (for {
         c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
         n <- Gen.chooseNum(11, 30)
         bban <- Gen.listOfN(n,
           Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
-      } yield mkValidIban(s"$c1$c2", bban)),
+        spaced <- Gen.oneOf(true, false)
+      } yield {
+        val v = mkValidIban(s"$c1$c2", bban)
+        if (spaced) v.grouped(4).mkString(" ") else v
+      }),
       1 -> Gen.oneOf("xDE89370400440532013000", "DE89370400440532013000x",
         "GB82WEST123456", "GB82WEST12345698765432112345678901X",
-        "DE8937040044053201300"),
+        "DE8937040044053201300",
+        "GB82 WEST 123 4569 8765 432", "xGB82 WEST 1234 5698 7654 32",
+        "GB82 WEST 1234 5698 7654 32x", "THE BIG BR15 CAPS RUN HERE",
+        "GB82 WEST 1234 5698 7654 3299 12"),
       1 -> (for { a <- digits(3, 3); b <- digits(2, 2); cc <- digits(4, 4) }
         yield s"$a-$b-$cc"))
     val doc = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, tok)).map(_.mkString(" "))
@@ -487,15 +533,31 @@ class PiiSpec extends AnyFunSuite {
       else s"${full.take(4)}$sep${full.slice(4, 8)}$sep" +
         s"${full.slice(8, 12)}$sep${full.drop(12)}"
     }
-    // mod-97-valid random IBANs: 2 uppercase country letters, computed
-    // check digits, 11-30 uppercase/digit BBAN chars (letters and
-    // digits both exercised in the checksum's two arms)
+    // mod-97-valid random IBANs in BOTH layouts: 2 uppercase country
+    // letters, computed check digits, 11-30 BBAN chars (letters and
+    // digits both exercised in the checksum's two arms). Two
+    // constraints keep planted counts EXACT under any adjacency (the
+    // kernel law separately runs unconstrained hostile inputs):
+    //  - spaced plants use a 1-3-char TERMINAL group (bban % 4 != 0):
+    //    the interior-groups-are-4 rule then blocks any window from
+    //    crossing the IBAN's end, and greedy leftmost-longest always
+    //    selects the true window first — no 1/97 cross-boundary
+    //    coincidence can steal;
+    //  - every BBAN 4-group starts with a LETTER: no all-digit 4-group
+    //    sequence exists inside a spaced IBAN, so CARD's space-grouped
+    //    shapes find no candidate there (a contiguous IBAN's digit run
+    //    is already letter-led and rejected by CARD's lead guard).
     val iban = for {
       c1 <- Gen.alphaUpperChar; c2 <- Gen.alphaUpperChar
       n <- Gen.chooseNum(11, 30)
-      bban <- Gen.listOfN(n,
-        Gen.oneOf(Gen.numChar, Gen.alphaUpperChar)).map(_.mkString)
-    } yield mkValidIban(s"$c1$c2", bban)
+      bban <- Gen.sequence[Seq[Char], Char]((0 until n).map(k =>
+        if (k % 4 == 0) Gen.alphaUpperChar
+        else Gen.oneOf(Gen.numChar, Gen.alphaUpperChar))).map(_.mkString)
+      spaced <- Gen.oneOf(true, false)
+    } yield {
+      val v = mkValidIban(s"$c1$c2", bban)
+      if (spaced && n % 4 != 0) v.grouped(4).mkString(" ") else v
+    }
     val token: Gen[(String, String)] = Gen.frequency(
       6 -> word.map(("w", _)), 1 -> email.map(("EMAIL", _)),
       1 -> phone.map(("PHONE", _)), 1 -> card.map(("CARD", _)),
@@ -572,16 +634,19 @@ class PiiSpec extends AnyFunSuite {
       "cpp std::vector and ns::cafe scopes",
       "pi 3.14159 e 2.71828 decimals",
       "doi 10.1000/182 reference",
-      // IBAN-shaped confusables: the regex admits the candidates, the
-      // mod-97 gate must reject them all (checksum-broken, wrong check
-      // digits, uppercase reference codes); camelCase/embedded and
-      // spaced paper-format spans are not candidates at all
+      // IBAN-shaped confusables: the shapes admit the candidates, the
+      // mod-97 gate must reject them all (checksum-broken in BOTH
+      // layouts, wrong check digits, uppercase reference codes);
+      // camelCase/embedded spans and irregular interior spacings are
+      // not candidates at all
       "ref GB82WEST12345698765431 rejected",
       "order GB00WEST12345698765432 code",
       "code ZZ99ABCDEFGHIJK batch",
       "embedded xDE89370400440532013000 run",
       "tail DE89370400440532013000X234 run",
-      "paper GB82 WEST 1234 5698 7654 32 format")
+      "paper GB82 WEST 1234 5698 7654 31 broken",
+      "irregular GB82 WEST 123 4569 8765 432 spacing",
+      "embedded xGB82 WEST 1234 5698 7654 32 lead")
     val df = confusables.zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val counts = countAll(df, "text")
@@ -609,7 +674,10 @@ class PiiSpec extends AnyFunSuite {
       ("ID", "record 078-05-1120 filed"),
       ("IBAN", "pay DE89370400440532013000 now"),
       ("IBAN", "acct FR1420041010050500013M02606 listed"),
-      ("IBAN", "ends with GB82WEST12345698765432."))
+      ("IBAN", "ends with GB82WEST12345698765432."),
+      ("IBAN", "paper GB82 WEST 1234 5698 7654 32 format"),
+      ("IBAN", "paper DE89 3704 0044 0532 0130 00 grouped"),
+      ("IBAN", "ends with FR14 2004 1010 0505 0001 3M02 606."))
     cases.foreach { case (label, text) =>
       val df = Seq((1L, text)).toDF("doc_id", "text")
       val counts = countAll(df, "text")
