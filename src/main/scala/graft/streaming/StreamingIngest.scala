@@ -278,6 +278,49 @@ object StreamingIngest {
       .start()
 
   /**
+   * Streaming FULL-cascade deletion — the store-FAMILY twin of
+   * [[startDeletionLedgerIngest]] (which maintains the corpus store
+   * alone): each request micro-batch folds into one
+   * [[graft.operators.Rtbf.cascadeStores]] pass over the release's
+   * whole family — every doc-keyed derived artifact
+   * ([[graft.operators.Rtbf.purgeFromStore]]) and sidecar
+   * ([[graft.operators.Rtbf.purgeSidecar]]) drops the linked docs'
+   * rows FIRST, then the corpus store is rewritten (with `derived`
+   * recomputes, e.g. `fp`) — so after any batch commits, zero derived
+   * rows trace to a forgotten document and a crash mid-batch leaves
+   * the linkage discoverable for the replay (cascadeStores' step
+   * order). The composition contract is inherited: passes are
+   * idempotent and compose, so replayed request batches are no-ops and
+   * any batch split of a ledger converges to the one-batch union apply
+   * — StreamingSpec pins both laws against a twin family. Same
+   * single-maintenance-writer guard per store; a live ingest writing
+   * new `_batch_id` partitions during a pass is picked up by the next
+   * pass, exactly as on the corpus-only form.
+   */
+  def startCascadeLedgerIngest(requests: DataFrame, storePath: String,
+                               pseudoCol: String, key: String, mac: Boolean,
+                               checkpointDir: String,
+                               derived: Seq[(String, org.apache.spark.sql.Column)] =
+                                 Seq.empty,
+                               artifactStores: Seq[(String, String)] = Seq.empty,
+                               sidecars: Seq[(String, String)] = Seq.empty,
+                               docIdCol: String = "doc_id",
+                               replacement: String = "<FORGOTTEN>",
+                               freshMillis: Long =
+                                 graft.operators.Rtbf.stagingFreshMillis)
+      : StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Rtbf.cascadeStores(batch.sparkSession, storePath,
+          pseudoCol, batch, key, mac, replacement, derived, docIdCol,
+          artifactStores, sidecars, freshMillis)
+        ()
+      }
+      .start()
+
+  /**
    * The streaming twin of the batch CCNet prefix (CorpusPipeline stages
    * 0–2 with `lmFluency = true`, the d26 stage order): per micro-batch,
    * scrub → quality keep rule → LM-fluency keep gate → exact dedup

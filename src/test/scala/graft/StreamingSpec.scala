@@ -772,6 +772,105 @@ class StreamingSpec extends AnyFunSuite {
         "wrong drop the cascade exists to prevent")
   }
 
+  test("streaming FULL cascade: the request stream over a store FAMILY " +
+       "equals ONE batch cascadeStores of the union ledger; replayed " +
+       "request batches touch no file") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField => SF, StructType => ST}
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.Rtbf
+    import spark.implicits._
+    val rtbfKey = "stream-cascade-key"
+    val root = Files.createTempDirectory("graft_cascade_stream").toString
+    val reqLanding = s"$root/requests"
+    new java.io.File(reqLanding).mkdirs()
+    val reqSchema = ST(Seq(SF("label", StringType), SF("value", StringType)))
+    // docs 1 and 2 link (alice's email / the phone), 3 doesn't
+    val rawDocs = Seq(
+      1L -> "ping alice@a.example and call +1-555-0100 now",
+      2L -> "cc alice@a.example and also bob@b.example",
+      3L -> "only carol@c.example here today friend")
+    val fpCascade = Seq("fp" -> TF.fingerprint(col("text")))
+    // two identically-built families: streamed (A) vs one-batch (B)
+    def buildFamily(tag: String): (String, String, String) = {
+      val store = s"$root/store_$tag"
+      val vecs = s"$root/vectors_$tag"
+      val cells = s"$root/vectors_${tag}_cells_n4"
+      StreamingIngest.scrubbedIngestBatch(rawDocs.toDF("doc_id", "text"),
+        store, 0L, scrub = TF.pseudonymizePii(_, rtbfKey))
+      // vec 1 alone in partition 10 (fully purged -> vanishes), 2+5 in
+      // 11 (rewritten, 5 survives), 3 in 12 (unlinked -> untouched)
+      Seq((1L, Seq(0.1f, 0.2f), 10L), (2L, Seq(0.3f, 0.4f), 11L),
+          (5L, Seq(0.5f, 0.6f), 11L), (3L, Seq(0.7f, 0.8f), 12L))
+        .toDF("vec_id", "embedding", "_batch_id")
+        .write.partitionBy("_batch_id").parquet(vecs)
+      Seq((1L, 0L), (2L, 1L), (3L, 2L), (5L, 3L)).toDF("vec_id", "cell")
+        .write.parquet(cells)
+      (store, vecs, cells)
+    }
+    val (storeA, vecsA, cellsA) = buildFamily("a")
+    val (storeB, vecsB, cellsB) = buildFamily("b")
+    def drainRequests(ckpt: String): Unit =
+      StreamingIngest.startCascadeLedgerIngest(
+        spark.readStream.schema(reqSchema).json(reqLanding),
+        storeA, "text", rtbfKey, mac = false, s"$root/$ckpt",
+        derived = fpCascade,
+        artifactStores = Seq(vecsA -> "vec_id"),
+        sidecars = Seq(cellsA -> "vec_id"),
+        freshMillis = 0L).awaitTermination()
+    // request stream: two micro-batches, each one cascade pass
+    Files.write(java.nio.file.Paths.get(s"$reqLanding/r1.json"),
+      """{"label":"EMAIL","value":"alice@a.example"}""".getBytes("UTF-8"))
+    drainRequests("ckpt_req")
+    Files.write(java.nio.file.Paths.get(s"$reqLanding/r2.json"),
+      """{"label":"PHONE","value":"+1-555-0100"}""".getBytes("UTF-8"))
+    drainRequests("ckpt_req")
+    // == ONE batch cascade of the union ledger over the twin family
+    val unionLedger = Seq("EMAIL" -> "alice@a.example",
+      "PHONE" -> "+1-555-0100").toDF("label", "value")
+    val report = Rtbf.cascadeStores(spark, storeB, "text", unionLedger,
+      rtbfKey, mac = false, derived = fpCascade,
+      artifactStores = Seq(vecsB -> "vec_id"),
+      sidecars = Seq(cellsB -> "vec_id"), freshMillis = 0L)
+    assert(report.corpusPartitions.nonEmpty,
+      "fixture drifted: the union ledger was expected to link docs")
+    def corpusRows(p: String) = spark.read.parquet(p)
+      .select(col("text"), col("fp")).as[(String, String)].collect().toSet
+    def idSet(p: String) = spark.read.parquet(p)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(corpusRows(storeA) == corpusRows(storeB),
+      "request stream must converge to the one-batch union cascade")
+    assert(idSet(vecsA) == idSet(vecsB) && idSet(vecsA) == Set(3L, 5L),
+      s"forgotten docs' vectors must be purged: ${idSet(vecsA)}")
+    assert(idSet(cellsA) == idSet(cellsB) && idSet(cellsA) == Set(3L, 5L),
+      s"forgotten docs' sidecar rows must be purged: ${idSet(cellsA)}")
+    val fs = new org.apache.hadoop.fs.Path(storeA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$vecsA/_batch_id=10")),
+      "a fully-purged artifact partition vanishes under the stream too")
+    assert(spark.read.parquet(storeA)
+      .filter(col("fp") =!= TF.fingerprint(col("text"))).count() == 0,
+      "no stale fp may survive the streaming cascade")
+    // replay law at the FILE level: a fresh checkpoint re-fires both
+    // request batches; no-op passes must rewrite nothing anywhere
+    def familyMtimes(): Map[String, Long] = {
+      def mt(p: String): Seq[(String, Long)] = {
+        val path = new org.apache.hadoop.fs.Path(p)
+        if (!fs.exists(path)) Seq.empty
+        else {
+          val st = fs.getFileStatus(path)
+          if (st.isDirectory)
+            fs.listStatus(path).toSeq.flatMap(c => mt(c.getPath.toString))
+          else Seq(p -> st.getModificationTime)
+        }
+      }
+      (mt(storeA) ++ mt(vecsA) ++ mt(cellsA)).toMap
+    }
+    val before = familyMtimes()
+    drainRequests("ckpt_req_replay")
+    assert(familyMtimes() == before,
+      "replayed request batches must leave every file of the family untouched")
+  }
+
   test("snapshot-diff CDC gate: a drifted replay that emits no events " +
        "drops its stale event partition") {
     import spark.implicits._
