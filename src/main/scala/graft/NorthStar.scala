@@ -709,9 +709,21 @@ object NorthStar {
         .persist()
     })
   }
+  // r17 optimization: the 0.8 pair set is DERIVED from the persisted
+  // 0.6 table (histPairs) instead of running a second full PPJoin.
+  // Exactness: jaccardPairsExact is recall-lossless at its threshold, so
+  // the 0.6 output contains every pair with exact J >= 0.6 ⊇ every pair
+  // with J >= 0.8, each carrying the same exact jaccard value
+  // (inter/(na+nb−inter), identical arithmetic in both pipelines) —
+  // filter(jaccard >= 0.8) therefore yields the 0.8 run's rows exactly
+  // (hash-verified vs the unchanged d03 oracle at three SFs). Cost: one
+  // prefix-filter candidate pipeline over the corpus instead of two
+  // (guide §1.2/§2.4 — both thresholds are needed in-session: d03/d06/
+  // d07/d13/d26 consume 0.8, d20 consumes 0.6); the looser build is the
+  // superset machinery a production session would run once.
   private def neardupPairs(s: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, dir),
-      graft.operators.Dedup.jaccardPairsExact(hsTable(s, dir), 0.8))
+      histPairs(s, dir).filter(col("jaccard") >= 0.8))
   private def lshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsMemo.getOrElseUpdate((s, dir),
       graft.operators.Dedup.minhashLshPairs(hsTable(s, dir), 0.8,

@@ -49,6 +49,7 @@ object Queries {
     SessionScope.onStop("query-memos", s) { () =>
       tableMemo.keys.filter(_._1 == s).foreach(tableMemo.remove)
       coOrderMemo.keys.filter(_._1 == s).foreach(coOrderMemo.remove)
+      bipartiteMemo.keys.filter(_._1 == s).foreach(bipartiteMemo.remove)
     }
 
   /** Test probe: memo entries currently held for `s`. */
@@ -125,6 +126,34 @@ object Queries {
     graft.operators.Graph.bothDirections(pairs, a, b)
 
   /**
+   * The supplier↔part bipartite incidence graph (distinct lineitem
+   * (l_suppkey, l_partkey + 10^7) pairs) — the SECOND shared g-tier
+   * edge set, memoized + persisted exactly like [[coOrderEdges]]
+   * (r17 optimization): g02 PageRank, g04 BFS, and g12 PPR all bind
+   * this graph, and without the memo each query re-ran the
+   * corpus-scale scan + distinct shuffle (g12 stage metrics: 0.39 s
+   * map + 1.0 s cpu finalize per derivation) — three full builds per
+   * bench pass, 6 corpus passes at 100 TB, where one materialized
+   * edge table suffices. g04 additionally re-evaluated the LAZY edge
+   * list once per BFS round (4 lineitem scans per run); its rounds now
+   * probe the cached table. g04's edge semantics are unchanged by the
+   * distinct: its per-round frontier is deduped anyway, so duplicate
+   * incidences only widened the pre-distinct fan-out.
+   */
+  private[graft] def supplierPartEdges(s: SparkSession, dir: String): DataFrame = {
+    bipartiteMemo.getOrElseUpdate((s, dir), {
+      hookSession(s)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 10000000L).as("p"))
+        .distinct()
+        .persist()
+    })
+  }
+
+  private val bipartiteMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /**
    * The derived edge table is memoized + persisted per (session, dir,
    * minQty): seven g-tier queries bind the same co-order graph, and
    * without the memo each re-runs the lineitem group-and-pair build
@@ -146,6 +175,7 @@ object Queries {
   private[graft] def releaseCaches(s: SparkSession, dir: String): Unit = {
     coOrderMemo.keys.filter(k => k._1 == s && k._2 == dir)
       .foreach(k => coOrderMemo.remove(k).foreach(_.unpersist()))
+    bipartiteMemo.remove((s, dir)).foreach(_.unpersist())
     tableMemo.keys.filter(k => k._1 == s && k._2 == dir)
       .foreach(tableMemo.remove)
     // tracked localCheckpoints (pair engines, graph operators) are
@@ -923,12 +953,10 @@ object Queries {
     // (ANSI mode throws rather than wraps): 85·max_indegree·scale must
     // stay under 2^63 — callers shrink `scale` for hub-heavier graphs.
     "g02_pagerank" -> ((s, dir) => {
-      val off = 10000000L
       val scale = 1000000000000L
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
-        .distinct()
-      val both = bothDirections(edges, "s", "p")
+      // shared memoized bipartite edge table (see supplierPartEdges):
+      // one distinct build serves g02/g04/g12 instead of one per query
+      val both = bothDirections(supplierPartEdges(s, dir), "s", "p")
       val outdeg = both.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       val nodes = both.select(col("src").as("node")).distinct()
       var ranks = nodes.select(col("node"), lit(scale).as("rank"))
@@ -958,17 +986,15 @@ object Queries {
     // iterations, so the recursion is bounded by nodes × depth — path
     // enumeration under UNION ALL would be combinatorial on this graph.
     "g04_bfs_hops" -> ((s, dir) => {
-      val off = 10000000L
       val start = 1L
-      // NO distinct on the edge list: the frontier is deduped each round
-      // anyway, so duplicate incidences only widen the pre-distinct fan-
-      // out — cheaper than shuffling the whole edge table to dedupe it
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("src"), (col("l_partkey") + off).as("dst"))
-      // one scan per evaluation, not a two-leg union of two scans —
-      // this edge list is LAZY (re-evaluated by each BFS round), so the
-      // union shape paid 2 lineitem scans × 4 rounds
-      val both = bothDirections(edges, "src", "dst")
+      // r17: bind the MEMOIZED distinct bipartite table
+      // ([[supplierPartEdges]], shared with g02/g12) instead of the lazy
+      // raw incidence list — the lazy list re-ran a full lineitem scan
+      // per BFS round (4 scans per evaluation); the cached table is read
+      // per round instead. Frontier semantics are unchanged: each
+      // round's dst set is deduped, so raw-vs-distinct incidences yield
+      // the same frontier (and hops) exactly.
+      val both = bothDirections(supplierPartEdges(s, dir), "s", "p")
       var dist = s.range(1)
         .select(lit(start).as("node"), lit(0).as("hops"))
       var frontier = dist.select(col("node"))
@@ -1114,11 +1140,8 @@ object Queries {
     // map-side-combined sum keyed by node — g02's scale posture
     // unchanged.
     "g12_ppr" -> ((s, dir) => {
-      val off = 10000000L
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + off).as("p"))
-        .distinct()
-      val both = bothDirections(edges, "s", "p")
+      // shared memoized bipartite edge table (see supplierPartEdges)
+      val both = bothDirections(supplierPartEdges(s, dir), "s", "p")
       val seeds = t(s, dir, "supplier")
         .filter(col("s_nationkey") === 0)
         .select(col("s_suppkey").as("node"))

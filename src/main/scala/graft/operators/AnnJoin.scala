@@ -89,6 +89,17 @@ object AnnJoin {
         .repartition(par, col("cell")), Seq("cell"))
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"))
+      // count-pinned exchange UNDER the dedup (r17 stage metrics: the
+      // bare distinct's reduce side AQE-coalesced the pruned pair set —
+      // tiny bytes — onto 3 tasks, and every downstream consumer (sig
+      // joins, hamming, heap partials) inherited that serialized
+      // layout). hash(id_l, id_r) satisfies the dedup agg's required
+      // distribution, so the dedup AND the consumer stage above it run
+      // `par`-way with no additional exchange. Cost: multi-cell
+      // co-residence dups (≤ probes², measured ~4% at the harness
+      // probes=2) ship un-collapsed — the partial-agg saving they'd get
+      // from a map-side dedup is far below the 10× parallelism lost.
+      .repartition(par, col("id_l"), col("id_r"))
       .distinct()
   }
 
@@ -161,6 +172,13 @@ object AnnJoin {
       .select(col("id").as("vec_id"), col("cell"))
     val iCells = cellAssignments(index, idCol, vecCol, dim, nCells, probes)
       .select(col("id").as("neighbor_id"), col("cell"))
+    // NO pinned exchange under this distinct (r17, measured): the
+    // [[candidatePairs]] pin was tried here and ran ~0.3 s SLOWER at the
+    // harness scale — the retrieval side's candidate volume is
+    // |queries|·cellSize (query batches are bounded), so the scoring CPU
+    // above the dedup is tens of ms and the added exchange costs more
+    // than the parallelism buys. The self-join cascade (s10) keeps the
+    // pin because its pair volume is corpus×cellSize.
     val cand0 = qCells.join(iCells, Seq("cell"))
       .select(col("vec_id"), col("neighbor_id")).distinct()
     val hams = cand0

@@ -614,9 +614,18 @@ object Dedup {
     // hinted shuffle join runs the same corpus in a fraction). Pin the
     // self-join to shuffle: both sides are the same exploded table, so
     // the exchange is linear in banded rows and the per-bucket join is
-    // the blocking analysis above
-    val valuePairs = banded.as("a").hint("shuffle_merge")
-      .join(banded.as("b").hint("shuffle_merge"),
+    // the blocking analysis above.
+    // r17: the bucket exchange is additionally COUNT-pinned — banded
+    // rows are tiny bytes (20 B), so AQE's byte-based coalescing ran
+    // the per-bucket pair join + hamming filter on 4 tasks with the
+    // other cores idle (m09 stage metrics: 549 ms cpu / 4 tasks on the
+    // 279k-pair read); hash(bp, c1, c2) is the join key, so the pinned
+    // spread satisfies the join's distribution with no extra exchange
+    val bandedSpread = banded.repartition(
+      hashes.sparkSession.sparkContext.defaultParallelism,
+      col("bp"), col("c1"), col("c2"))
+    val valuePairs = bandedSpread.as("a").hint("shuffle_merge")
+      .join(bandedSpread.as("b").hint("shuffle_merge"),
         col("a.bp") === col("b.bp") && col("a.c1") === col("b.c1") &&
         col("a.c2") === col("b.c2") && col("a._h") < col("b._h"))
       .select(col("a._h").as("ha"), col("b._h").as("hb"),
