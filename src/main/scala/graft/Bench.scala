@@ -78,6 +78,9 @@ object Bench {
       // AQE coalescing targets bytes; text/similarity stages carry few MB
       // but heavy per-row CPU, so keep their exchanges parallel
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      // A/B probe (r17): constraint propagation is a driver-side
+      // optimizer pass whose cost grows with plan width/depth
+      .config("spark.sql.constraintPropagation.enabled", "false")
       // shuffle/checkpoint scratch on tmpfs: the shared host's disk
       // stalls under neighbor I/O and parks executor threads
       .config("spark.local.dir", "/dev/shm/spark-local")

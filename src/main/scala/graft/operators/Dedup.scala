@@ -237,9 +237,21 @@ object Dedup {
     // the document-frequency aggregate AND both s-keyed joins
     // (partitioning is preserved through the agg, so they plan
     // exchange-free on this side)
-    val sh = hsTable.select(col("doc_id"), size(col("hs")).as("n"),
-      explode(col("hs")).as("s"))
-      .repartition(par, col("s"))
+    // r17: the spread shingle stream is MATERIALIZED once (tracked
+    // localCheckpoint) instead of left lazy. It feeds three plan
+    // branches (df aggregate, prefix-join side, candidate-probe side),
+    // and column pruning SPLITS the shared exchange into two narrower
+    // ones (different pruned schemas no longer canonicalize equal), so
+    // the explode+shuffle of the full corpus shingle stream executed
+    // twice per run (r17 stage metrics: two 260k-row map stages plus
+    // their cache re-scans). The checkpoint preserves the hash(s)
+    // partitioning, so all three consumers still plan exchange-free on
+    // this side; 20-byte rows make the materialization cheap at any
+    // corpus size relative to the duplicate shuffle it removes.
+    val sh = graft.Checkpoints.tracked(
+      hsTable.select(col("doc_id"), size(col("hs")).as("n"),
+          explode(col("hs")).as("s"))
+        .repartition(par, col("s")))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val prefix = sh.join(dfreq, "s")
       // pin the window's doc_id exchange too — the per-doc sort is the
