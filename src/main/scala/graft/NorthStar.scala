@@ -2685,7 +2685,12 @@ object NorthStar {
         explode(TF.tokens(col("text"))).as("term"))
       val tf = tk.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).cast(DoubleType).as("tf"))
-      val dfreq = tk.distinct()
+      // r17: document frequency DERIVED from tf — tf already has exactly
+      // one row per (doc_id, term), so counting its rows per term IS
+      // countDistinct(doc_id). The previous tk.distinct() re-ran the
+      // full token-stream explode into a second corpus-wide exchange;
+      // this shape reuses tf's exchange and shuffles only per-doc terms.
+      val dfreq = tf
         .groupBy(col("term")).agg(count(lit(1)).cast(DoubleType).as("df"))
       val nDocs = docs(s, dir).agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       val scored = tf.join(broadcast(dfreq), "term")

@@ -986,15 +986,23 @@ object Queries {
     // iterations, so the recursion is bounded by nodes × depth — path
     // enumeration under UNION ALL would be combinatorial on this graph.
     "g04_bfs_hops" -> ((s, dir) => {
+      val off = 10000000L
       val start = 1L
-      // r17: bind the MEMOIZED distinct bipartite table
-      // ([[supplierPartEdges]], shared with g02/g12) instead of the lazy
-      // raw incidence list — the lazy list re-ran a full lineitem scan
-      // per BFS round (4 scans per evaluation); the cached table is read
-      // per round instead. Frontier semantics are unchanged: each
-      // round's dst set is deduped, so raw-vs-distinct incidences yield
-      // the same frontier (and hops) exactly.
-      val both = bothDirections(supplierPartEdges(s, dir), "s", "p")
+      // NO distinct on the edge list: the frontier is deduped each round
+      // anyway, so duplicate incidences only widen the pre-distinct fan-
+      // out — cheaper than shuffling the whole edge table to dedupe it.
+      // r17 measured: binding the MEMOIZED distinct table
+      // (supplierPartEdges, shared with g02/g12) instead was ~0.2 s
+      // SLOWER here — per-round columnar-cache reads lose to the
+      // vectorized 2-column parquet re-scan locally, and at scale the
+      // pruned 2-column scan vs the cached distinct table is a wash
+      // (similar bytes), so the lazy shape stays.
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + off).as("dst"))
+      // one scan per evaluation, not a two-leg union of two scans —
+      // this edge list is LAZY (re-evaluated by each BFS round), so the
+      // union shape paid 2 lineitem scans × 4 rounds
+      val both = bothDirections(edges, "src", "dst")
       var dist = s.range(1)
         .select(lit(start).as("node"), lit(0).as("hops"))
       var frontier = dist.select(col("node"))
