@@ -72,7 +72,17 @@ object LmFluency {
   /** Train the bigram LM on `refDocs` (the curated reference slice —
     * ALL its rows, not a quality-gated subset: the reference is given). */
   def train(refDocs: DataFrame, textCol: String = "text"): Model = {
-    val rtk = refDocs.select(TF.tokens(col(textCol)).as("tks"))
+    // r17: spread the reference slice before tokenizing — a source
+    // filter (e.g. `source = 'src0'`) pushes below any upstream spread
+    // to the file scan, so the whole tokenize+transition explode of the
+    // LM build otherwise lands on the scan's task layout (measured: ONE
+    // task, ~0.26 s per d26 evaluation at sf0.1). The reference slice
+    // is bounded by contract, so this exchange ships a small curated
+    // corpus once and the build runs cluster-wide. Row-to-partition
+    // assignment cannot affect the result (all outputs are aggregates).
+    val rtk = refDocs
+      .repartition(refDocs.sparkSession.sparkContext.defaultParallelism)
+      .select(TF.tokens(col(textCol)).as("tks"))
     val rtr = transitions(rtk, Seq.empty)
     val big = rtr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // context counts are the bigram table's w1-marginal — deriving them
