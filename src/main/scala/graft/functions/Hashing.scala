@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -570,8 +570,102 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Pass-Join probe windows (r17): for a prefix of length `lb`, the
+ * DISTINCT (p, len) substring probes that can possibly match some
+ * partner segment under the join's own filters — partner length
+ * la ∈ [lb−k, lb+k] (the |la−lb| ≤ k length filter) and position
+ * |p − pa| ≤ k (the shift filter), where pa/len are the partner's
+ * pigeonhole segment boundaries floor(la·i/(k+1)) computed with the
+ * SAME double arithmetic as the segment side. Replaces the
+ * all-positions enumeration (every start of every feasible length —
+ * ~len_window·lb probes per row, each paying a substring+FNV) with the
+ * union of ±k windows around the ≤ (2k+1)(k+1) feasible segment
+ * anchors — measured ~3.5× fewer probes at the d09 harness shape.
+ * Candidate-set equivalence: every probe the join filters could accept
+ * lies inside some window (the windows are exactly the filter bounds
+ * unioned over feasible (la, i)), and extra probes only ever ADD
+ * candidates that the exact bounded-levenshtein verify removes — the
+ * law test pins output identity against brute force.
+ */
+case class PassJoinProbeWindows(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+  private val nSeg = (maxDist + 1).toDouble
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("p", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "passjoin_probe_windows"
+
+  def compute(lb: Int): ArrayData = {
+    val k = maxDist
+    var buf = new Array[Long](1024)
+    var n = 0
+    var la = math.max(lb - k, 1)
+    val laHi = lb + k
+    while (la <= laHi) {
+      var i = 0
+      while (i <= k) {
+        // EXACTLY the segment side's boundary arithmetic:
+        // floor(cast(la as double) * i / (k+1)) — same IEEE ops, same
+        // association, so a true partner's (pa, len) is reproduced bit
+        // for bit and its window provably contains the matching probe
+        val s0 = math.floor(la.toDouble * i.toDouble / nSeg).toInt
+        val e0 = math.floor(la.toDouble * (i + 1).toDouble / nSeg).toInt
+        val len = e0 - s0
+        if (len > 0) {
+          val pa = s0 + 1
+          var p = math.max(pa - k, 1)
+          val hi = math.min(pa + k, lb - len + 1)
+          while (p <= hi) {
+            if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+            buf(n) = (p.toLong << 32) | len.toLong
+            n += 1
+            p += 1
+          }
+        }
+        i += 1
+      }
+      la += 1
+    }
+    java.util.Arrays.sort(buf, 0, n)
+    var w = 0
+    var j = 0
+    while (j < n) {
+      if (w == 0 || buf(j) != buf(w - 1)) { buf(w) = buf(j); w += 1 }
+      j += 1
+    }
+    val out = new Array[Any](w)
+    var t = 0
+    while (t < w) {
+      out(t) = new GenericInternalRow(
+        Array[Any]((buf(t) >>> 32).toInt, (buf(t) & 0xffffffffL).toInt))
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("passJoinProbeExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PassJoinProbeWindows =
+    copy(child = newChild)
+}
+
 object Hashing {
   import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  /** Pass-Join distinct probe (p, len) windows — see
+    * [[PassJoinProbeWindows]]. */
+  def passJoinProbeWindows(lb: Column, maxDist: Int): Column =
+    column(PassJoinProbeWindows(expression(lb), maxDist))
 
   def nfcNormalize(text: Column): Column = column(NfcNormalize(expression(text)))
 

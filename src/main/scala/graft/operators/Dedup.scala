@@ -486,21 +486,21 @@ object Dedup {
       // CANDIDATE, which the exact levenshtein verify removes
       .select(col("da"), col("la"), col("s.pa").as("pa"),
         Hashing.fnvChecksum(col("s.seg").cast("binary")).as("segh"))
-    // probe side: all substrings of the partner-feasible segment lengths.
-    // A partner La ∈ [Lb−k, Lb+k] has segment lengths in
-    // [⌊(Lb−k)/(k+1)⌋, ⌊(Lb+k)/(k+1)⌋ + 1].
+    // probe side (r17): only substrings inside a ±k position window of
+    // some feasible partner segment anchor, not every start position of
+    // every feasible length. [[graft.functions.PassJoinProbeWindows]]
+    // emits the distinct (p, len) union of those windows with the SAME
+    // boundary arithmetic as the segment side, so the join's own
+    // filters (|la−lb| ≤ k, |p−pa| ≤ k) accept exactly the same matches
+    // — candidate set unchanged (law-pinned vs brute force below and in
+    // SimilaritySpec), ~3.5× fewer substring+FNV probes (the dominant
+    // per-row cost of this operator's hot stage).
     val probes = pre
       .withColumn("lb", length(col("pre")))
       .select(col("doc_id").as("db"), col("lb"), col("pre"),
-        explode(sequence(
-          greatest(floor((col("lb") - lit(k)).cast("double") / lit(nSeg)).cast("int"), lit(1)),
-          floor((col("lb") + lit(k)).cast("double") / lit(nSeg)).cast("int") + 1)).as("len"))
-      .filter(col("len") <= col("lb"))
-      .select(col("db"), col("lb"),
-        explode(sequence(lit(1), col("lb") - col("len") + 1)).as("p"),
-        col("len"), col("pre"))
-      .select(col("db"), col("lb"), col("p"),
-        Hashing.fnvChecksum(col("pre").substr(col("p"), col("len")).cast("binary"))
+        explode(Hashing.passJoinProbeWindows(col("lb"), k)).as("w"))
+      .select(col("db"), col("lb"), col("w.p").as("p"),
+        Hashing.fnvChecksum(col("pre").substr(col("w.p"), col("w.len")).cast("binary"))
           .as("segh"))
     // hash equality stands in for string equality (equal strings hash
     // equal; collisions only widen the candidate set, verified exactly);
@@ -513,6 +513,12 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"))
       .distinct()
     cands
+      // count-pinned spread before the verify (r17 — exactVerify's
+      // documented pin applied here too): candidate rows are tiny bytes
+      // and AQE coalesced the bounded-levenshtein verify onto ONE task;
+      // each row runs an O(k·len) DP band, so the stage must stay
+      // spread at corpus scale
+      .repartition(cands.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
       .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), "doc_a")
       .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), "doc_b")
       .filter(abs(length(col("pre_a")) - length(col("pre_b"))) <= maxDist)
