@@ -206,4 +206,44 @@ class HashingSpec extends AnyFunSuite {
       TF.shinglesFromTokens(col("tk4"), 3), s => xxhash64(s)))).as[Seq[Long]].head()
     assert(viaHash == viaStr)
   }
+
+  test("passjoin probe windows: distinct, in-bounds, and exactly the filter-reachable set") {
+    import graft.functions.PassJoinProbeWindows
+    // reference: the OLD all-positions enumeration (every start of every
+    // feasible length), restricted to probes the join's filters could
+    // ever accept — a probe (p, len) is reachable iff some partner
+    // la ∈ [lb−k, lb+k], segment i has (pa, len) with |p − pa| ≤ k,
+    // computed with the same double boundary arithmetic as the segment
+    // side. The expression must emit EXACTLY that set: missing one
+    // would be a recall bug; extras would re-grow the probe volume the
+    // rewrite exists to cut.
+    def ref(lb: Int, k: Int): Set[(Int, Int)] = {
+      val nSeg = (k + 1).toDouble
+      val anchors = for {
+        la <- math.max(lb - k, 1) to (lb + k)
+        i <- 0 to k
+        s0 = math.floor(la.toDouble * i.toDouble / nSeg).toInt
+        e0 = math.floor(la.toDouble * (i + 1).toDouble / nSeg).toInt
+        if e0 - s0 > 0
+      } yield (s0 + 1, e0 - s0)
+      (for {
+        (pa, len) <- anchors
+        p <- math.max(pa - k, 1) to math.min(pa + k, lb - len + 1)
+      } yield (p, len)).toSet
+    }
+    for (k <- Seq(0, 1, 3, 8); lb <- Seq(1, 2, k + 1, 2 * k + 1, 44, 160)) {
+      val arr = PassJoinProbeWindows(
+          org.apache.spark.sql.catalyst.expressions.Literal(lb), k).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+      assert(got.distinct.size == got.size, s"duplicate probes at lb=$lb k=$k")
+      got.foreach { case (p, len) =>
+        assert(p >= 1 && len >= 1 && p + len - 1 <= lb,
+          s"out-of-bounds probe ($p, $len) at lb=$lb k=$k")
+      }
+      assert(got.toSet == ref(lb, k), s"probe set mismatch at lb=$lb k=$k")
+    }
+  }
 }
