@@ -2933,10 +2933,24 @@ object NorthStar {
       val top = dfreq.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("source"), col("gram"), col("df"))
-      val flagged = sh
-        .join(broadcast(top.select(col("source"), col("gram"))),
-          Seq("source", "gram"), "left_semi")
-        .select(col("source"), col("doc_id")).distinct()
+      // second pass (r18): flag docs by a per-row membership probe
+      // instead of re-exploding the corpus shingle stream into a
+      // semi-join + distinct — `top` is ONE gram per source (bounded,
+      // broadcast), so "doc is flagged" ⟺ its shingle set contains its
+      // source's template gram, computable as array_contains on the
+      // doc's own row. Drops the corpus-scale explode fan-out AND the
+      // (source, doc_id) distinct exchange from the flag pass (the scan
+      // itself is unavoidable: flagging needs every doc's verdict). The
+      // contains() prescan is a pure byte gate (PiiGate posture): the
+      // whitespace tokenizer emits substrings of lower(text), so a doc
+      // can only carry the gram if the gram's first token occurs in
+      // lower(text) — docs failing it skip tokenize+shingle entirely.
+      // Value identity vs the explode+semi-join+distinct shape is
+      // law-pinned in NorthStarQuerySpec and by the unchanged oracle.
+      val flagged = docs(s, dir)
+        .join(broadcast(top.select(col("source"), col("gram"))), Seq("source"))
+        .filter(contains(lower(col("text")), substring_index(col("gram"), " ", 1)) &&
+          array_contains(TF.shingles(col("text")), col("gram")))
         .groupBy(col("source")).agg(count(lit(1)).as("n_flagged"))
       docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .join(top, Seq("source"))

@@ -1373,12 +1373,46 @@ object Queries {
       def windows(df: org.apache.spark.sql.DataFrame) =
         df.withColumn("win_end", explode(sequence(col("hour"),
           least(col("hour") + (W - 1), lit(maxHour)))))
-      val merged = windows(hllRegisters(ev, Seq("event_type", "hour")))
+      // count-pinned spread of the REGISTER table before the ×24 window
+      // explode (r18, the round-11/17 byte-blind-coalescing class): the
+      // per-(type, hour) register table is bounded sketch state (64 rows
+      // per key however big the hour), so its reduce side is KB-sized
+      // and AQE coalesced it onto ONE task — which then paid the whole
+      // window fan-out + merge partials serially (measured 683 ms on 1
+      // task, 31 cores idle). Pin key is (event_type, j) ON PURPOSE:
+      // it is a SUBSET of the merge keys (event_type, win_end, j), so
+      // the pinned partitioning satisfies the merged groupBy's
+      // distribution — the window fan-out, the partial max AND the
+      // final max all run 32-way on the pinned layout with NO second
+      // exchange, and every (type, win_end, j) group is complete within
+      // its partition (a (type, hour) pin was measured shipping 1.68M
+      // uncollapsed partials vs 230k — same-window rows from different
+      // hours landed in different partitions). The pin costs one
+      // bounded-state exchange (the thing sketches exist to make tiny);
+      // register maxima are order-independent, so results are identical.
+      val merged = windows(hllRegisters(ev, Seq("event_type", "hour"))
+          .repartition(s.sparkContext.defaultParallelism,
+            col("event_type"), col("j")))
         .groupBy(col("event_type"), col("win_end"), col("j"))
         .agg(max(col("m_j")).as("m_j"))
       val est = hllEstimate(merged, Seq("event_type", "win_end"))
         .select(col("event_type"), col("win_end"), hllHarmonic.as("est_hll"))
-      windows(ev)
+      // exact twin (r18, guide §2.3 — shuffle deduped metadata, not the
+      // exploded stream): the old shape exploded RAW events ×24 on the
+      // scan task and shipped the (type, win_end, user) partial-distinct
+      // — 1.9M rows over the wire and 1.55 s on ONE task at sf0.1.
+      // countDistinct only needs the distinct (type, hour, user) set, so
+      // dedup FIRST (map-side combined — the exchange carries the
+      // deduped rows, ×24 fewer), then pin by (type, user): a subset of
+      // the distinct phase's (type, win_end, user) keys, so the ×24
+      // window explode AND the distinct dedup complete 32-way in
+      // partition with no further user-row exchange — only per-window
+      // count partials cross afterwards. Same exact counts by set
+      // semantics (dedup before or after windowing is equivalent).
+      val du = ev.distinct()
+        .repartition(s.sparkContext.defaultParallelism,
+          col("event_type"), col("user_id"))
+      windows(du)
         .groupBy(col("event_type"), col("win_end"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
         .join(est, Seq("event_type", "win_end"))

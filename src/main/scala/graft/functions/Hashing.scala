@@ -571,27 +571,55 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 /**
- * Pass-Join probe windows (r17): for a prefix of length `lb`, the
- * DISTINCT (p, len) substring probes that can possibly match some
- * partner segment under the join's own filters — partner length
- * la ∈ [lb−k, lb+k] (the |la−lb| ≤ k length filter) and position
- * |p − pa| ≤ k (the shift filter), where pa/len are the partner's
- * pigeonhole segment boundaries floor(la·i/(k+1)) computed with the
- * SAME double arithmetic as the segment side. Replaces the
- * all-positions enumeration (every start of every feasible length —
- * ~len_window·lb probes per row, each paying a substring+FNV) with the
- * union of ±k windows around the ≤ (2k+1)(k+1) feasible segment
- * anchors — measured ~3.5× fewer probes at the d09 harness shape.
- * Candidate-set equivalence: every probe the join filters could accept
- * lies inside some window (the windows are exactly the filter bounds
- * unioned over feasible (la, i)), and extra probes only ever ADD
- * candidates that the exact bounded-levenshtein verify removes — the
- * law test pins output identity against brute force.
+ * Pass-Join probe windows: for a prefix of length `lb`, the DISTINCT
+ * (p, len) substring probes that can possibly match some partner
+ * segment — partner length la ∈ [lb−k, lb+k], where pa/len are the
+ * partner's pigeonhole segment boundaries floor(la·i/(k+1)) computed
+ * with the SAME double arithmetic as the segment side.
+ *
+ * r18 — MULTI-MATCH-AWARE selection (Li/Deng/Feng ICDE'11, the
+ * substring-selection lemma): for the 0-based segment index i the
+ * probe window is
+ *     p ∈ [pa − i, pa + i] ∩ [pa + Δ − (k−i), pa + Δ + (k−i)],
+ * Δ = lb − la, instead of r17's uniform [pa − k, pa + k].
+ * RECALL PROOF (why no true pair is lost): fix an optimal transcript
+ * with e = ed(a,b) ≤ k edits; let u_i = edits strictly before segment
+ * i's start, t_i = edits inside segment i (segments partition a, so
+ * Σt_i = e), and g(i) = u_i − i. g(0) = 0, g(k+1) = e − (k+1) < 0, and
+ * each step moves by t_i − 1 — down-steps are exactly −1 and occur
+ * exactly at preserved segments (t_i = 0). Descending from 0 past
+ * e−k−1 in unit down-steps, g must take the value e−k ≤ 0 at some
+ * preserved segment i; there u_i = e−k+i ≤ i and the edits after it
+ * are e − u_i = k−i. The preserved segment's shift s = p − pa is the
+ * net signed insert−delete count before it, so |s| ≤ u_i ≤ i, and the
+ * suffix must absorb the rest: |Δ − s| ≤ k−i. That segment's probe
+ * therefore lies inside the window above — every true pair still
+ * meets at ≥ 1 (segh, window) match, and both windows sit inside the
+ * join's |p − pa| ≤ k filter, so emitted probes never widen it.
+ * Candidates only SHRINK (probes that could never witness a true pair
+ * are no longer emitted); output identity is pinned by the exact
+ * bounded-levenshtein verify plus the brute-force ScalaCheck law and
+ * the set-equality unit test against a literal transcription of the
+ * lemma (HashingSpec).
+ * Probe volume: per (la, i) the window width is ≤ 2·min(i, k−i) + 1,
+ * summing to ~k²/2 + k anchors-worth instead of r17's (2k+1)(k+1) —
+ * another ~3× fewer substring+FNV probes at the d09 shape (k = 8).
  */
 case class PassJoinProbeWindows(child: Expression, maxDist: Int)
     extends UnaryExpression {
   require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
   private val nSeg = (maxDist + 1).toDouble
+
+  // binding to a non-int column must fail at analysis, not as a
+  // runtime ClassCastException in nullSafeEval (r18, advisor note).
+  // checkInputDataTypes, not ExpectsInputTypes: AbstractDataType is
+  // private[sql] (the repo-wide constraint noted on DotProduct).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires an INT length column, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("p", IntegerType, nullable = false),
@@ -599,13 +627,23 @@ case class PassJoinProbeWindows(child: Expression, maxDist: Int)
     containsNull = false)
   override def prettyName: String = "passjoin_probe_windows"
 
+  // nearly every corpus row shares lb == prefixLen, so the enumeration
+  // + sort + dedup below would re-run identically per row — memoize the
+  // last (lb, result). One immutable pair field: reference reads/writes
+  // are atomic, so a racily shared instance at worst recomputes; the
+  // cached ArrayData is only ever read by consumers (r18, advisor note).
+  @transient private var lastWindows: (Int, ArrayData) = null
+
   def compute(lb: Int): ArrayData = {
+    val cached = lastWindows
+    if (cached != null && cached._1 == lb) return cached._2
     val k = maxDist
     var buf = new Array[Long](1024)
     var n = 0
     var la = math.max(lb - k, 1)
     val laHi = lb + k
     while (la <= laHi) {
+      val delta = lb - la
       var i = 0
       while (i <= k) {
         // EXACTLY the segment side's boundary arithmetic:
@@ -617,8 +655,11 @@ case class PassJoinProbeWindows(child: Expression, maxDist: Int)
         val len = e0 - s0
         if (len > 0) {
           val pa = s0 + 1
-          var p = math.max(pa - k, 1)
-          val hi = math.min(pa + k, lb - len + 1)
+          // multi-match-aware window (see class doc): prefix edits ≤ i
+          // bound the shift, suffix edits ≤ k−i bound shift − Δ
+          var p = math.max(math.max(pa - i, pa + delta - (k - i)), 1)
+          val hi = math.min(math.min(pa + i, pa + delta + (k - i)),
+            lb - len + 1)
           while (p <= hi) {
             if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
             buf(n) = (p.toLong << 32) | len.toLong
@@ -644,7 +685,9 @@ case class PassJoinProbeWindows(child: Expression, maxDist: Int)
         Array[Any]((buf(t) >>> 32).toInt, (buf(t) & 0xffffffffL).toInt))
       t += 1
     }
-    new GenericArrayData(out)
+    val res = new GenericArrayData(out)
+    lastWindows = (lb, res)
+    res
   }
 
   override def nullSafeEval(input: Any): Any =

@@ -486,15 +486,19 @@ object Dedup {
       // CANDIDATE, which the exact levenshtein verify removes
       .select(col("da"), col("la"), col("s.pa").as("pa"),
         Hashing.fnvChecksum(col("s.seg").cast("binary")).as("segh"))
-    // probe side (r17): only substrings inside a ±k position window of
-    // some feasible partner segment anchor, not every start position of
-    // every feasible length. [[graft.functions.PassJoinProbeWindows]]
-    // emits the distinct (p, len) union of those windows with the SAME
-    // boundary arithmetic as the segment side, so the join's own
-    // filters (|la−lb| ≤ k, |p−pa| ≤ k) accept exactly the same matches
-    // — candidate set unchanged (law-pinned vs brute force below and in
-    // SimilaritySpec), ~3.5× fewer substring+FNV probes (the dominant
-    // per-row cost of this operator's hot stage).
+    // probe side (r17, tightened r18): only substrings inside the
+    // MULTI-MATCH-AWARE window of some feasible partner segment anchor
+    // — per 0-based segment index i the window is [pa−i, pa+i] ∩
+    // [pa+Δ−(k−i), pa+Δ+(k−i)] (Δ = lb−la), not the uniform ±k.
+    // [[graft.functions.PassJoinProbeWindows]] emits the distinct
+    // (p, len) union of those windows with the SAME boundary arithmetic
+    // as the segment side; its class doc carries the recall proof
+    // (every true ed≤k pair still meets at ≥1 segment match inside its
+    // window). The candidate set SHRINKS — probes that cannot witness
+    // a true pair are no longer enumerated — and the exact
+    // bounded-levenshtein verify below keeps the OUTPUT identical
+    // (law-pinned vs brute force in SimilaritySpec + the HashingSpec
+    // recall property + the DuckDB oracle at sf0.01/sf0.1).
     val probes = pre
       .withColumn("lb", length(col("pre")))
       .select(col("doc_id").as("db"), col("lb"), col("pre"),

@@ -207,17 +207,43 @@ class HashingSpec extends AnyFunSuite {
     assert(viaHash == viaStr)
   }
 
-  test("passjoin probe windows: distinct, in-bounds, and exactly the filter-reachable set") {
+  private def probeWindowSet(lb: Int, k: Int): Seq[(Int, Int)] = {
     import graft.functions.PassJoinProbeWindows
-    // reference: the OLD all-positions enumeration (every start of every
-    // feasible length), restricted to probes the join's filters could
-    // ever accept — a probe (p, len) is reachable iff some partner
-    // la ∈ [lb−k, lb+k], segment i has (pa, len) with |p − pa| ≤ k,
-    // computed with the same double boundary arithmetic as the segment
-    // side. The expression must emit EXACTLY that set: missing one
-    // would be a recall bug; extras would re-grow the probe volume the
-    // rewrite exists to cut.
+    val arr = PassJoinProbeWindows(
+        org.apache.spark.sql.catalyst.expressions.Literal(lb), k).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+    }
+  }
+
+  test("passjoin probe windows: distinct, in-bounds, exactly the multi-match-aware set, strictly inside the r17 set") {
+    // reference (r18): a literal transcription of the multi-match-aware
+    // substring-selection lemma (Li/Deng/Feng ICDE'11) — for 0-based
+    // segment i of a partner of length la, with Δ = lb − la, the probe
+    // window is [pa − i, pa + i] ∩ [pa + Δ − (k−i), pa + Δ + (k−i)].
+    // The expression must emit EXACTLY this set: missing one would be a
+    // recall bug (the lemma's witness segment could be skipped); extras
+    // re-grow the probe volume the selection exists to cut.
     def ref(lb: Int, k: Int): Set[(Int, Int)] = {
+      val nSeg = (k + 1).toDouble
+      (for {
+        la <- math.max(lb - k, 1) to (lb + k)
+        delta = lb - la
+        i <- 0 to k
+        s0 = math.floor(la.toDouble * i.toDouble / nSeg).toInt
+        e0 = math.floor(la.toDouble * (i + 1).toDouble / nSeg).toInt
+        len = e0 - s0
+        if len > 0
+        pa = s0 + 1
+        p <- math.max(math.max(pa - i, pa + delta - (k - i)), 1) to
+             math.min(math.min(pa + i, pa + delta + (k - i)), lb - len + 1)
+      } yield (p, len)).toSet
+    }
+    // the r17 window set (uniform ±k around every anchor) — the new set
+    // must stay inside it, so the join's |p − pa| ≤ k filter semantics
+    // are untouched and probe volume can only shrink
+    def refR17(lb: Int, k: Int): Set[(Int, Int)] = {
       val nSeg = (k + 1).toDouble
       val anchors = for {
         la <- math.max(lb - k, 1) to (lb + k)
@@ -232,18 +258,58 @@ class HashingSpec extends AnyFunSuite {
       } yield (p, len)).toSet
     }
     for (k <- Seq(0, 1, 3, 8); lb <- Seq(1, 2, k + 1, 2 * k + 1, 44, 160)) {
-      val arr = PassJoinProbeWindows(
-          org.apache.spark.sql.catalyst.expressions.Literal(lb), k).eval(null)
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val got = (0 until arr.numElements()).map { i =>
-        val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
-      }
+      val got = probeWindowSet(lb, k)
       assert(got.distinct.size == got.size, s"duplicate probes at lb=$lb k=$k")
       got.foreach { case (p, len) =>
         assert(p >= 1 && len >= 1 && p + len - 1 <= lb,
           s"out-of-bounds probe ($p, $len) at lb=$lb k=$k")
       }
       assert(got.toSet == ref(lb, k), s"probe set mismatch at lb=$lb k=$k")
+      assert(got.toSet.subsetOf(refR17(lb, k)),
+        s"probe escaped the r17 filter-reachable set at lb=$lb k=$k")
+      // k = 0 degenerates to exact match — both selections coincide
+      if (k == 0) assert(got.toSet == refR17(lb, k))
+    }
+  }
+
+  test("passjoin probe windows: candidate recall — every ed<=k pair meets at a (segment, window) match") {
+    // the lemma END-TO-END, independent of both enumerations: apply j ≤ k
+    // random edits to a, then some pigeonhole segment of a must occur in
+    // b at an emitted probe position, under the join's own filters
+    // (|la−lb| ≤ k and |p−pa| ≤ k). 500 random scripts per k.
+    val rnd = new scala.util.Random(181)
+    for (k <- Seq(1, 3, 8); _ <- 1 to 500) {
+      val la0 = k + 1 + rnd.nextInt(50)
+      val a = Array.fill(la0)(('a' + rnd.nextInt(4)).toChar).mkString
+      var b = a
+      for (_ <- 1 to rnd.nextInt(k + 1)) {
+        val op = rnd.nextInt(3)
+        val pos = if (b.isEmpty) 0 else rnd.nextInt(b.length)
+        b = op match {
+          case 0 if b.nonEmpty => b.take(pos) + b.drop(pos + 1)        // delete
+          case 1 if b.nonEmpty =>                                      // replace
+            b.updated(pos, ('a' + rnd.nextInt(4)).toChar)
+          case _ => b.take(pos) + ('a' + rnd.nextInt(4)).toChar + b.drop(pos) // insert
+        }
+      }
+      val (la, lb) = (a.length, b.length)
+      if (lb >= 1) {
+        val nSeg = (k + 1).toDouble
+        val segs = for {
+          i <- 0 to k
+          s0 = math.floor(la.toDouble * i.toDouble / nSeg).toInt
+          e0 = math.floor(la.toDouble * (i + 1).toDouble / nSeg).toInt
+          if e0 - s0 > 0
+        } yield (s0 + 1, a.substring(s0, e0))
+        val probes = probeWindowSet(lb, k)
+        val hit = segs.exists { case (pa, seg) =>
+          probes.exists { case (p, len) =>
+            len == seg.length && math.abs(p - pa) <= k &&
+              b.regionMatches(p - 1, seg, 0, len)
+          }
+        }
+        assert(hit, s"recall miss: a=$a b=$b k=$k")
+      }
     }
   }
 }

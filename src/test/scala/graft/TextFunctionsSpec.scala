@@ -188,6 +188,49 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out.size == 2)
   }
 
+  test("law: t33 flag pass — array_contains + byte-gate equals the explode/semi-join/distinct shape on random corpora") {
+    // pins the r18 t33 rewrite: "doc flagged" ⟺ its shingle set contains
+    // its source's template gram. Reference = the r17 shape (explode the
+    // shingle stream, left-semi on (source, gram), distinct doc_ids);
+    // rewrite = per-row array_contains behind the contains() byte gate.
+    // Random corpora from a tiny vocabulary so template grams repeat and
+    // multi-space/trim edge cases appear.
+    val rnd = new scala.util.Random(3318)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "We", "BUY", "gold")
+    val docsSeq = (0 until 300).map { i =>
+      val len = 1 + rnd.nextInt(12)
+      val sep = if (rnd.nextBoolean()) " " else "  \t "
+      val body = Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(sep)
+      val pad = if (rnd.nextBoolean()) "  " else ""
+      (i.toLong, s"src${rnd.nextInt(3)}", pad + body + pad)
+    } :+ ((300L, "src0", "")) // empty doc: shingle set collapses to [""]
+    val docs = docsSeq.toDF("doc_id", "source", "text")
+    // one template gram per source (the t33 `top` shape); include a
+    // single-token gram so the substring_index gate covers that arm
+    val top = Seq(("src0", "we buy gold"), ("src1", "alpha"),
+      ("src2", "beta  gamma")).toDF("source", "gram")
+    val ref = docs
+      .select(col("doc_id"), col("source"), explode(TF.shingles(col("text"))).as("gram"))
+      .join(top, Seq("source", "gram"), "left_semi")
+      .select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = docs
+      .join(broadcast(top), Seq("source"))
+      .filter(contains(lower(col("text")), substring_index(col("gram"), " ", 1)) &&
+        array_contains(TF.shingles(col("text")), col("gram")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == ref, s"flag-pass drift: got $got vs ref $ref")
+    // the byte gate must be a pure prefilter — dropping it cannot change
+    // the count (necessary-condition property)
+    val ungated = docs.join(broadcast(top), Seq("source"))
+      .filter(array_contains(TF.shingles(col("text")), col("gram")))
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(ungated == got, "contains() gate dropped a true match")
+  }
+
   test("redactPii: emails and phones redacted, clean text untouched, all occurrences") {
     val out = Seq(
       "mail a.b+c@sub.example.org now",
