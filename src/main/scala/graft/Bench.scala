@@ -69,21 +69,14 @@ object Bench {
     // "4" default serialized the CPU-bound dedup tier 8× (d04 62 s there
     // vs 1.6 s in the same window at the contract parallelism)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // engine config (incl. the r17 constraintPropagation=false, kept on
+    // its measured −2.5 s win) comes from the ONE shared source so the
+    // timed configuration IS the engine configuration — see
+    // [[SessionDefaults]] for each setting's rationale and the
+    // constraint-propagation re-enable condition.
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing targets bytes; text/similarity stages carry few MB
-      // but heavy per-row CPU, so keep their exchanges parallel
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // A/B probe (r17): constraint propagation is a driver-side
-      // optimizer pass whose cost grows with plan width/depth
-      .config("spark.sql.constraintPropagation.enabled", "false")
-      // shuffle/checkpoint scratch on tmpfs: the shared host's disk
-      // stalls under neighbor I/O and parks executor threads
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: codegen + scheduler + parquet reader paths for every table

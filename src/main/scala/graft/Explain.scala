@@ -5,18 +5,11 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
-    val spark = SparkSession.builder()
+    // shared engine config ([[SessionDefaults]]) so printed plans come
+    // from the same optimizer configuration Bench/Verify run (r18)
+    val spark = SessionDefaults(SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing targets bytes; text/similarity stages carry few MB
-      // but heavy per-row CPU, so keep their exchanges parallel
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // shuffle/checkpoint scratch on tmpfs: the shared host's disk
-      // stalls under neighbor I/O and parks executor threads
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { name =>

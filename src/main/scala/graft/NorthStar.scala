@@ -747,7 +747,11 @@ object NorthStar {
     * dir-scoped; only the checkpoint registry is wider. */
   def releaseCaches(s: SparkSession, dir: String): Unit = {
     hsMemo.remove((s, dir)).foreach(_.unpersist())
-    pairsMemo.remove((s, dir)).foreach(_.unpersist())
+    // pairsMemo holds a lazy FILTER VIEW of histPairs since r17 — its
+    // unpersist is a no-op by design (histPairsMemo below owns the
+    // persisted blocks); the remove is what matters (drop the memo so a
+    // rebuilt 0.6 table cannot serve a stale view)
+    pairsMemo.remove((s, dir))
     lshPairsMemo.remove((s, dir)).foreach(_.unpersist())
     histPairsMemo.remove((s, dir)).foreach(_.unpersist())
     sketchMemo.remove((s, dir)).foreach(_.unpersist())

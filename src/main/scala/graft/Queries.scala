@@ -129,16 +129,15 @@ object Queries {
    * The supplier↔part bipartite incidence graph (distinct lineitem
    * (l_suppkey, l_partkey + 10^7) pairs) — the SECOND shared g-tier
    * edge set, memoized + persisted exactly like [[coOrderEdges]]
-   * (r17 optimization): g02 PageRank, g04 BFS, and g12 PPR all bind
-   * this graph, and without the memo each query re-ran the
-   * corpus-scale scan + distinct shuffle (g12 stage metrics: 0.39 s
-   * map + 1.0 s cpu finalize per derivation) — three full builds per
-   * bench pass, 6 corpus passes at 100 TB, where one materialized
-   * edge table suffices. g04 additionally re-evaluated the LAZY edge
-   * list once per BFS round (4 lineitem scans per run); its rounds now
-   * probe the cached table. g04's edge semantics are unchanged by the
-   * distinct: its per-round frontier is deduped anyway, so duplicate
-   * incidences only widened the pre-distinct fan-out.
+   * (r17 optimization): g02 PageRank and g12 PPR bind this graph, and
+   * without the memo each query re-ran the corpus-scale scan +
+   * distinct shuffle (g12 stage metrics: 0.39 s map + 1.0 s cpu
+   * finalize per derivation) — two full builds per bench pass, 4
+   * corpus passes at 100 TB, where one materialized edge table
+   * suffices. g04 BFS was ALSO bound here in r17 and measured ~0.2 s
+   * WORSE, so it keeps its lazy 2-column scan — the revert note lives
+   * on the g04 operator itself (r18 docstring fix: this header used to
+   * still claim g04 binds the memo).
    */
   private[graft] def supplierPartEdges(s: SparkSession, dir: String): DataFrame = {
     bipartiteMemo.getOrElseUpdate((s, dir), {

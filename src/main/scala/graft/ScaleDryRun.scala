@@ -394,14 +394,11 @@ object ScaleDryRun {
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val mode = if (args.length > 3) args(3) else "dedup"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shared engine config ([[SessionDefaults]]) — wave evidence runs
+    // the same optimizer configuration the bench times (r18)
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -32,14 +32,11 @@ object StageProfile {
       else Seq("d09_editdist_pairs", "d16_corpus_release", "g08_kcore",
         "g12_ppr", "g05_triangles", "s10_ann_bucketed")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shared engine config ([[SessionDefaults]]) — "session config
+    // mirrors Bench so numbers transfer" is now enforced structurally
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()

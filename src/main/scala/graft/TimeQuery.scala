@@ -7,18 +7,11 @@ object TimeQuery {
     val sfDir = args(0); val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shared engine config ([[SessionDefaults]]) — timings transfer to
+    // the bench session because the configuration IS the bench's
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing targets bytes; text/similarity stages carry few MB
-      // but heavy per-row CPU, so keep their exchanges parallel
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // shuffle/checkpoint scratch on tmpfs: the shared host's disk
-      // stalls under neighbor I/O and parks executor threads
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -10,20 +10,11 @@ object Verify {
     // the driver passes exactly two args → full run
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // shared engine config ([[SessionDefaults]]) — the correctness dump
+    // runs the SAME session configuration the bench times (r18)
+    val spark = SessionDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS); session-level so no query
-      // function ever mutates shared conf (order-independent plans)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // AQE coalescing targets bytes; text/similarity stages carry few MB
-      // but heavy per-row CPU, so keep their exchanges parallel
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      // shuffle/checkpoint scratch on tmpfs: the shared host's disk
-      // stalls under neighbor I/O and parks executor threads
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
