@@ -1554,23 +1554,28 @@ object NorthStar {
       // exchange. (A persisted quality memo was measured WORSE: the
       // cache boundary turned the broadcast-sized keep lists into six
       // scheduling-bound 4.4k-row exchanges across d13/d16.)
+      // Keep-list localCheckpoints (d26's within-plan stage sharing),
+      // RE-MEASURED r18 after the r17 pair-build/LM changes cheapened
+      // the inputs (the verdict's "the trade moved" retry): r17 had
+      // measured this WORSE here (stage time 1.26→3.30 s); on the r18
+      // tree the d13+d16 pair is consistently ~0.6-0.7 s BETTER with
+      // the checkpoints (mins across 3 runs/side: d13 2.18→2.35 pays
+      // the eager materializations, d16 — which re-runs this body plus
+      // the t27 gate — drops 2.56→1.92), because d16's composition
+      // re-executes every keep list's lineage per verdict-label join
+      // leg. Family net negative, identical hashes (checkpointing
+      // changes materialization, never values).
       val qKeep = d.select(col("doc_id") +: TF.qualityColumns(col("text")): _*)
         .groupBy(col("doc_id"))
         .agg(max(col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 &&
           col("stopword_ratio") >= 0.01 && col("ttr") >= 0.3).as("keepq"))
         .filter(col("keepq")).select(col("doc_id"))
-      // NO keep-list localCheckpoints here (measured, r17): d26's
-      // within-plan stage sharing was tried on this query and was
-      // WORSE — StageProfile stage time 1.26 s -> 3.30 s (and d16,
-      // which composes this body, 3.22 -> 4.84). Without d26's LM
-      // stage the per-stage lineages are cheap aggs, so the eager
-      // checkpoint materialization costs more than the re-execution it
-      // saves and forfeits the action's own pruning. Share stages only
-      // when one stage dominates (the d26 criterion).
+        .localCheckpoint()
       val pool1 = d.join(qKeep, Seq("doc_id"), "left_semi")
       // stage 2: exact dedup among quality survivors
       val eKeep = pool1.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+        .localCheckpoint()
       val pool2 = pool1.join(eKeep, Seq("doc_id"), "left_semi")
       // stage 3: near-dup representative among exact survivors. Pairwise
       // Jaccard is pool-independent, so the pool's pair set is exactly
@@ -1591,6 +1596,7 @@ object NorthStar {
         .withColumn("rn", row_number().over(
           w.orderBy(col("n_chars").desc, col("doc_id"))))
         .filter(col("rn") === 1).select(col("doc_id"))
+        .localCheckpoint()
       val pool3 = pool2.join(nKeep, Seq("doc_id"), "left_semi")
       // stage 4: eval exclusion + contamination among near-dup survivors
       val evalSet = d.filter(col("source") === "src0")

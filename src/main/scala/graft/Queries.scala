@@ -1158,6 +1158,13 @@ object Queries {
 
     "g08_kcore" -> ((s, dir) => {
       val edges = coOrderEdges(s, dir, minQty = 30)
+      // peelsPerCheckpoint RE-MEASURED r18 (verdict item: "re-measure
+      // wave batching on this host"): batch=4 ran 70 stages / ~3.2 s
+      // wall vs the default's 41 / ~1.7 s on the same harness peel —
+      // with a lazy in-batch chain every wave must materialize its own
+      // victim table (an extra job per wave) and the emptiness check
+      // still replays the chain, so batching ADDS stages here instead
+      // of removing them. Default 1 (checkpoint every wave) stays.
       graft.operators.Graph.kCore(edges, k = 12)
     }),
 

@@ -105,6 +105,14 @@ object Graph {
         col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
       .select(col("e1.dst").as("wu"), col("e2.dst").as("wv"))
     val triRows = wedges
+      // NO count pin on the closing-edge probe (r18 negative, recorded):
+      // the 2-task coalesced probe stages looked like the byte-blind
+      // class (~0.5 s serialized), but a (wu, wv) REPARTITION_BY_NUM
+      // measured WORSE (wall 1.2-1.4 → 1.6-2.0 s on a quieter host) —
+      // the semi-join goes BROADCAST here (oriented is a few MB), so
+      // there is no join exchange for the pin to replace and it became
+      // a pure extra shuffle of the wedge stream. At scale AQE keeps
+      // the shuffled join and sizes its partitions by real bytes.
       .join(oriented.select(col("src").as("wu"), col("dst").as("wv")),
         Seq("wu", "wv"), "left_semi")
       .select(lit(1L).as("t"), lit(0L).as("w"))
