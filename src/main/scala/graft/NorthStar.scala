@@ -3797,15 +3797,30 @@ object NorthStar {
     // prefilter with a bloom of the df≥2 grams (j02's machinery) so
     // unique-gram rows — the vast majority — never shuffle.
     "t23_ngram_novelty" -> ((s, dir) => {
+      // r18 (guide §8 — decide on small rows, never re-shuffle the
+      // heavy stream): the old shape joined the corpus gram stream
+      // BACK against the census — a second corpus-scale exchange of
+      // every (doc_id, gram) row. Shingles are per-doc DISTINCT
+      // (WordShingles dedups), so a df = 1 gram lives in exactly one
+      // doc and min(doc_id) in the census row IS that owner: per-doc
+      // UNIQUE counts fall out of the census itself (+8 bytes per
+      // gram partial), and n_dup_grams = n_grams − n_uniq exactly.
+      // One gram-stream shuffle instead of two plus a join; novelty's
+      // float expression keeps the identical single division —
+      // hash-identical output (oracle re-checked sf0.01 + sf0.1).
       val g = docs(s, dir)
         .select(col("doc_id"), explode(TF.shingles(col("text"))).as("gram"))
-      val dfreq = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      g.join(dfreq, Seq("gram"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-        .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
-          (lit(1.0) - col("n_dup_grams").cast(DoubleType)
+      val uniqPerDoc = g.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+        .filter(col("df") === 1)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+      val nd = col("n_grams") - coalesce(col("n_uniq"), lit(0L))
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(TF.shingles(col("text"))).cast(LongType).as("n_grams"))
+        .join(uniqPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), nd.as("n_dup_grams"),
+          (lit(1.0) - nd.cast(DoubleType)
             / col("n_grams").cast(DoubleType)).as("novelty"))
     }),
 

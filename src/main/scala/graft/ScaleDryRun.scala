@@ -415,6 +415,7 @@ object ScaleDryRun {
       case "wave11" => wave11Mode(spark, srcDir, factor, workDir)
       case "wave12" => wave12Mode(spark, srcDir, factor, workDir)
       case "wave13" => wave13Mode(spark, srcDir, factor, workDir)
+      case "wave14" => wave14Mode(spark, srcDir, factor, workDir)
       case _ => dedupMode(spark, srcDir, factor, workDir)
     }
     spark.stop()
@@ -1005,6 +1006,118 @@ object ScaleDryRun {
         f"${report.sidecarRowsDropped(cells)} | $t%.1f | ${fmtBytes(sb)} |")
       Seq(store, vecStore, cells).foreach(p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
+  }
+
+  /** Replicate the supplier↔part INPUT tables factor-x as disjoint
+    * copies (suppkey/partkey offset per copy; supplier keeps
+    * s_nationkey so each copy carries its own PPR seed slice) — the
+    * wave14 bipartite-graph corpus. Only the columns g02/g12 read. */
+  private def replicateBipartiteInputs(spark: SparkSession, srcDir: String,
+                                       factor: Int, synthDir: String): Unit = {
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      .select(col("l_suppkey").cast("long").as("l_suppkey"),
+        col("l_partkey").cast("long").as("l_partkey"))
+    val bounds = li.agg(max(col("l_suppkey")), max(col("l_partkey"))).first()
+    require(!bounds.isNullAt(0), s"cannot replicate: $srcDir lineitem is empty")
+    val (offS, offP) = (bounds.getLong(0) + 1L, bounds.getLong(1) + 1L)
+    // supplierPartEdges maps parts to partkey + 10^7; replicated part
+    // ids must stay below that offset so the two id spaces stay disjoint
+    require(offP * factor < 10000000L,
+      s"part id space overflow: ${offP * factor} >= 1e7")
+    materialize(spark, s"$synthDir/lineitem.parquet") {
+      li.select(col("l_suppkey"), col("l_partkey"),
+          explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+        .select((col("l_suppkey") + col("c") * offS).as("l_suppkey"),
+                (col("l_partkey") + col("c") * offP).as("l_partkey"))
+    }
+    materialize(spark, s"$synthDir/supplier.parquet") {
+      spark.read.parquet(s"$srcDir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"),
+          col("s_nationkey"),
+          explode(sequence(lit(0L), lit(factor - 1L))).as("c"))
+        .select((col("s_suppkey") + col("c") * offS).as("s_suppkey"),
+          col("s_nationkey"))
+    }
+  }
+
+  /** Session-shared-memo + pinned-exchange witness wave (r18, verdict
+    * item #5 — the r17 arguments for the g02/g12 supplierPartEdges memo
+    * and the s10/m09 count pins were plan-level only; this records the
+    * runtime witnesses at 1x and factor-x):
+    *
+    *  - MEMO: g12 run COLD (memo released — it pays the corpus distinct
+    *    build) vs g12 run after g02 (which built the memo): the warm
+    *    run's shuffle-write delta must exclude the distinct build — one
+    *    corpus distinct instead of two, in bytes, at factor-x.
+    *  - PINS: s10 (AnnJoin.candidatePairs) and m09 (bandedHammingPairs)
+    *    at factor-x with per-stage task counts: the candidate/hamming
+    *    stages must run at defaultParallelism-way width, not the 3-4
+    *    tasks byte-based AQE coalescing chose before the r17 pins. */
+  private def wave14Mode(spark: SparkSession, srcDir: String, factor: Int,
+                         workDir: String): Unit = {
+    val synthDir = s"$workDir/${factor}x"
+    materialize(spark, s"$synthDir/documents.parquet")(
+      synthesizeDocs(spark, srcDir, factor))
+    materialize(spark, s"$synthDir/embeddings.parquet")(
+      synthesizeEmbeddings(spark, srcDir, factor))
+    replicateBipartiteInputs(spark, srcDir, factor, synthDir)
+
+    val meter = new ShuffleMeter(spark)
+    println("| corpus | step | output rows | wall s | shuffle write |")
+    println("|---|---|---|---|---|")
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir))) {
+      // memo witness: cold g12, then g02 + warm g12
+      NorthStar.releaseCaches(spark, dir)
+      val (r0, t0, s0) = meter.measure(
+        SparkEntry.queries("g12_ppr")(spark, dir).count())
+      println(f"| $label | g12 COLD (pays edge build) | $r0 | $t0%.1f | ${fmtBytes(s0)} |")
+      NorthStar.releaseCaches(spark, dir)
+      val (r1, t1, s1) = meter.measure(
+        SparkEntry.queries("g02_pagerank")(spark, dir).count())
+      println(f"| $label | g02 (builds shared memo) | $r1 | $t1%.1f | ${fmtBytes(s1)} |")
+      val (r2, t2, s2) = meter.measure(
+        SparkEntry.queries("g12_ppr")(spark, dir).count())
+      println(f"| $label | g12 WARM (rides memo) | $r2 | $t2%.1f | ${fmtBytes(s2)} |")
+      NorthStar.releaseCaches(spark, dir)
+    }
+
+    // pin witness: per-stage task counts for the candidate stages
+    val stages =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        stages.add((i.stageId, i.numTasks,
+          i.taskMetrics.executorCpuTime / 1000000,
+          i.taskMetrics.shuffleReadMetrics.recordsRead))
+      }
+    })
+    import scala.jdk.CollectionConverters._
+    println()
+    println("| corpus | operator | top-CPU stages (tasks, cpuMs, srRows) |")
+    println("|---|---|---|")
+    // s10 on an ISOTROPIC synthetic corpus with the harness's FIXED 16
+    // cells is quadratic-by-construction (312k vectors/cell at 100x —
+    // 651 s of candidate CPU already at 10x): the clustered-mode study,
+    // which scales nCells with n, is the carrier of s10's 100x witness;
+    // this wave's s10 row is the PIN witness and 10x suffices for it
+    val pinOps = Seq("s10_ann_bucketed", "m09_image_neardup")
+      .filterNot(op => factor >= 100 && op == "s10_ann_bucketed")
+    if (factor >= 100)
+      println("-- factor >= 100: skipping s10 (isotropic corpus + fixed 16 " +
+        "cells is quadratic; clustered mode carries s10 at that scale)")
+    for ((label, dir) <- Seq((s"$srcDir (1x)", srcDir), (s"${factor}x", synthDir));
+         op <- pinOps) {
+      SparkEntry.queries(op)(spark, dir).count() // warm: memo builds out of window
+      stages.clear()
+      SparkEntry.queries(op)(spark, dir).count()
+      Thread.sleep(400)
+      val top = stages.asScala.toSeq.sortBy(-_._3).take(3)
+        .map { case (_, n, cpu, sr) => s"tasks=$n cpu=${cpu}ms sr=$sr" }
+        .mkString("; ")
+      println(s"| $label | $op | $top |")
+      NorthStar.releaseCaches(spark, dir)
     }
   }
 }
